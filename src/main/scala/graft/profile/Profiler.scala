@@ -1,0 +1,312 @@
+package graft.profile
+
+import graft.model.ColumnProfile
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Distributed column profiler — the engine's heart (SURVEY.md §2.4
+  * A1-A17; reference: profiling/profiler.py:169-357).
+  *
+  * Design for 100 TB — and for Catalyst:
+  *  - Every pass operates on the SAME long format (column, value): one
+  *    scan exploded to #rows × #cols rows, aggregated by column key with
+  *    map-side partial aggregation — the shuffle carries only
+  *    #columns × #partitions pre-aggregated rows, never data rows.
+  *  - The aggregate expressions are IDENTICAL for every table (no
+  *    per-column expression trees), so whole-stage codegen compiles the
+  *    profiling kernel once per JVM and Janino's cache serves every
+  *    subsequent table — a per-column wide agg was measured 10-20×
+  *    slower purely on codegen compilation (column names baked into the
+  *    generated source defeat the cache).
+  *  - Quartiles (object-buffer `percentile`) live in a separate
+  *    aggregation job: fusing an ObjectHashAggregate with the ~30
+  *    codegen-friendly features disables whole-stage codegen for all of
+  *    them.
+  *  - A 500-column table is still three jobs, never 500 (the
+  *    reference's per-column Python loop must not be translated
+  *    literally).
+  *  - `exact = false` switches distinct-chars to HLL sketches and
+  *    quartiles to percentile_approx — the configuration for scale;
+  *    exact mode exists for the DuckDB-oracle tests.
+  * The result has cardinality O(#columns): it broadcasts anywhere.
+  */
+final case class ProfilerConfig(
+    exact: Boolean = true,
+    topK: Int = 10)
+
+object Profiler {
+
+  private val INT_RE = "^[+-]?\\d+$"
+  private val FLOAT_RE = "^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$"
+  private val BOOL_RE = "^(?i)(true|false|yes|no|t|f|y|n)$"
+  private val DATE_RE = "^\\d{4}-\\d{2}-\\d{2}([ T].*)?$"
+  private val NUM_CELL_RE = "^[+-]?\\d+(\\.\\d+)?$"
+  private val ALPHA_CELL_RE = "^[A-Za-z ]+$"
+
+  /** Missing = SQL NULL or blank string (reference reads CSV with
+    * keep_default_na=False and treats "" as the null marker). */
+  private def isMissing(s: Column): Column = s.isNull || trim(s) === ""
+
+  /** One scan exploded to (column, value) long format; missing values
+    * KEPT (null-counting features need them). */
+  def longFormat(df: DataFrame): DataFrame = {
+    val entries = df.columns.toSeq.map { c =>
+      struct(lit(c).as("column"), col(s"`$c`").cast(StringType).as("value"))
+    }
+    df.select(explode(array(entries: _*)).as("cv"))
+      .select(col("cv.column").as("column"), col("cv.value").as("value"))
+  }
+
+  /** Long format restricted to present (non-missing) values. */
+  def longValues(df: DataFrame): DataFrame =
+    longFormat(df).filter(!isMissing(col("value")))
+
+  /** Pass-A features over the long format — table-independent
+    * expressions, all primitive-buffer aggregates (codegen'd). */
+  private def featureAggs: Seq[Column] = {
+    val s = col("value")
+    val miss = isMissing(s)
+    val nn = !miss
+    val d = expr("try_cast(value as double)")
+    val one = lit(1L)
+    def cntIf(p: Column): Column = coalesce(sum(when(p, one)), lit(0L))
+    // ANSI mode (Spark 4 default) throws on x/0 — guard every ratio
+    def safeDiv(a: Column, b: Column, dflt: Column): Column =
+      when(b =!= 0, a / b).otherwise(dflt)
+    def charCnt(re: String): Column =
+      coalesce(sum(when(nn, length(regexp_replace(s, re, "")).cast(LongType))), lit(0L))
+
+    val cnt = count(lit(1))
+    val nullCnt = cntIf(miss)
+    val nnCnt = cnt - nullCnt
+    val alphaChars = charCnt("[^A-Za-z]")
+    val digitChars = charCnt("[^0-9]")
+    val punctChars = charCnt("[^\\p{Punct}]")
+    val spaceChars = charCnt("[^\\s]")
+    val totalChars = coalesce(sum(when(nn, length(s).cast(LongType))), lit(0L))
+    val wordCnt = coalesce(sum(when(nn, size(split(trim(s), "\\s+")).cast(LongType))), lit(0L))
+    val ratioOf = (re: String) =>
+      safeDiv(cntIf(nn && s.rlike(re)).cast(DoubleType), nnCnt.cast(DoubleType), lit(0.0))
+
+    Seq(
+      cnt.as("row_count"),
+      nullCnt.as("null_count"),
+      (nullCnt.cast(DoubleType) / cnt.cast(DoubleType)).as("null_ratio"),
+      alphaChars.as("alpha_chars"),
+      digitChars.as("digit_chars"),
+      punctChars.as("punct_chars"),
+      spaceChars.as("space_chars"),
+      (totalChars - alphaChars - digitChars - punctChars - spaceChars).as("misc_chars"),
+      wordCnt.as("word_count"),
+      safeDiv((totalChars - spaceChars).cast(DoubleType), wordCnt.cast(DoubleType), lit(0.0))
+        .as("avg_word_len"),
+      cntIf(nn && s.rlike(NUM_CELL_RE)).as("numeric_cells"),
+      cntIf(nn && s.rlike(ALPHA_CELL_RE)).as("alpha_cells"),
+      nullCnt.as("empty_cells"),
+      (nnCnt - cntIf(nn && s.rlike(NUM_CELL_RE)) - cntIf(nn && s.rlike(ALPHA_CELL_RE)))
+        .as("other_cells"),
+      coalesce(min(when(nn, length(s))), lit(0)).as("min_len"),
+      coalesce(max(when(nn, length(s))), lit(0)).as("max_len"),
+      safeDiv(sum(when(nn, length(s).cast(LongType))).cast(DoubleType), nnCnt.cast(DoubleType),
+        lit(0.0)).as("avg_len"),
+      count(d).as("num_count"),
+      coalesce(min(d), lit(Double.NaN)).as("num_min"),
+      coalesce(max(d), lit(Double.NaN)).as("num_max"),
+      // decimal-exact mean: deterministic under any partitioning
+      safeDiv(sum(d.cast(DecimalType(30, 6))).cast(DoubleType), count(d), lit(Double.NaN))
+        .as("num_mean"),
+      coalesce(max(when(nn, length(regexp_replace(s, "[^0-9]", "")))), lit(0)).as("max_digits"),
+      coalesce(max(length(regexp_extract(s, "^[+-]?\\d+\\.(\\d*?)0*$", 1))), lit(0))
+        .as("max_decimals"),
+      ratioOf(INT_RE).as("ratio_int"),
+      ratioOf(FLOAT_RE).as("ratio_float"),
+      ratioOf(BOOL_RE).as("ratio_bool"),
+      ratioOf(DATE_RE).as("ratio_date"))
+  }
+
+  /** Quartiles in their own job (object-buffer aggregate — see class
+    * doc). */
+  private def pctAggs(cfg: ProfilerConfig): Seq[Column] = {
+    val d = expr("try_cast(value as double)")
+    val pcts: Column =
+      if (cfg.exact) expr("percentile(try_cast(value as double), array(0.25,0.5,0.75))")
+      else percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+    Seq(
+      coalesce(pcts.getItem(0), lit(Double.NaN)).as("num_q1"),
+      coalesce(pcts.getItem(1), lit(Double.NaN)).as("num_median"),
+      coalesce(pcts.getItem(2), lit(Double.NaN)).as("num_q3"))
+  }
+
+  /** Type-vote cascade (reference: profiling/profiler.py:74-127; vote
+    * threshold 0.7, categorical when few distinct values). */
+  private def inferredType: Column = {
+    val t = lit(0.7)
+    when(col("row_count") === col("null_count"), "empty")
+      .when(col("ratio_date") >= t, "date")
+      .when(col("ratio_bool") >= t, "boolean")
+      .when(col("ratio_int") >= t, "integer")
+      .when(col("ratio_float") >= t, "float")
+      .when(col("distinct_count") <= lit(20) &&
+            col("unique_ratio") <= lit(0.1), "categorical")
+      .otherwise("string")
+  }
+
+  /** Generalize a value to its character-class pattern: digits→9,
+    * letters→A, whitespace→space, punctuation kept
+    * (reference: profiling/profiler.py:134-165). */
+  def patternOf(v: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(v, "[0-9]", "9"), "[A-Za-z]", "A"), "\\s", " ")
+
+  private def top1(grouped: DataFrame, key: String, out: String, outRatio: String): DataFrame = {
+    // deterministic argmax: highest count, then lexicographically first key
+    val w = Window.partitionBy("column").orderBy(desc("cnt"), asc(key))
+    val tot = Window.partitionBy("column")
+    grouped
+      .withColumn("rk", row_number().over(w))
+      .withColumn("tot", sum("cnt").over(tot))
+      .filter(col("rk") === 1)
+      .select(col("column"), col(key).as(out),
+        (col("cnt").cast(DoubleType) / col("tot").cast(DoubleType)).as(outRatio))
+  }
+
+  /** Frequency-pass features, one row per column. `long` must be the
+    * non-missing long format. */
+  private def freqFeatures(long: DataFrame, cfg: ProfilerConfig): DataFrame = {
+    val patterns = long.groupBy(col("column"), patternOf(col("value")).as("pattern"))
+      .agg(count(lit(1)).as("cnt"))
+    val dominant = top1(patterns, "pattern", "dominant_pattern", "dominant_pattern_ratio")
+
+    val values = long.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+    val mode = top1(values, "value", "mode_value", "mode_ratio")
+    // exact distinct count per column, reusing the same shuffle shape as mode
+    val distincts = values.groupBy("column")
+      .agg(count(lit(1)).cast(LongType).as("distinct_count"))
+
+    val firstDigit = long
+      .select(col("column"), regexp_extract(col("value"), "[1-9]", 0).as("fd"))
+      .filter(col("fd") =!= "")
+      .groupBy("column", "fd").agg(count(lit(1)).as("cnt"))
+    val benford = top1(firstDigit, "fd", "first_digit_s", "fd_ratio")
+      .select(col("column"), col("first_digit_s").cast(IntegerType).as("first_digit_mode"))
+
+    val chars = long
+      .select(col("column"), explode(split(col("value"), "")).as("ch"))
+      .groupBy("column")
+      .agg((if (cfg.exact) countDistinct(col("ch"))
+            else approx_count_distinct(col("ch"))).cast(LongType).as("distinct_chars"))
+
+    val words = long
+      .select(col("column"), explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
+      .groupBy("column", "word").agg(count(lit(1)).as("cnt"))
+    val wWin = Window.partitionBy("column").orderBy(desc("cnt"), asc("word"))
+    val keywords = words
+      .withColumn("rk", row_number().over(wWin))
+      .filter(col("rk") <= cfg.topK)
+      .groupBy("column")
+      .agg(collect_list(struct(col("rk"), col("word"))).as("kw"))
+      .select(col("column"),
+        expr("transform(array_sort(kw), x -> x.word)").as("top_keywords"))
+
+    dominant
+      .join(mode, Seq("column"), "full_outer")
+      .join(distincts, Seq("column"), "full_outer")
+      .join(benford, Seq("column"), "full_outer")
+      .join(chars, Seq("column"), "full_outer")
+      .join(keywords, Seq("column"), "full_outer")
+  }
+
+  /** Profile every column of `df` in three jobs (features, quartiles,
+    * frequency aggs). Returns one row per column, schema matching
+    * [[graft.model.ColumnProfile]]. */
+  def profile(df: DataFrame, table: String, cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
+    val long = longFormat(df)
+    val present = long.filter(!isMissing(col("value")))
+
+    val fa = featureAggs
+    val passA = long.groupBy("column").agg(fa.head, fa.tail: _*)
+    val qa = pctAggs(cfg)
+    val passQ = present.groupBy("column").agg(qa.head, qa.tail: _*)
+    val passB = freqFeatures(present, cfg)
+
+    passA
+      .join(broadcast(passQ), Seq("column"), "left_outer")
+      .join(broadcast(passB), Seq("column"), "left_outer")
+      .withColumn("table", lit(table))
+      .withColumn("distinct_count", coalesce(col("distinct_count"), lit(0L)))
+      .withColumn("unique_ratio",
+        col("distinct_count").cast(DoubleType) / col("row_count").cast(DoubleType))
+      .withColumn("inferred_type", inferredType)
+      .withColumn("num_q1", coalesce(col("num_q1"), lit(Double.NaN)))
+      .withColumn("num_median", coalesce(col("num_median"), lit(Double.NaN)))
+      .withColumn("num_q3", coalesce(col("num_q3"), lit(Double.NaN)))
+      .withColumn("dominant_pattern", coalesce(col("dominant_pattern"), lit("")))
+      .withColumn("dominant_pattern_ratio", coalesce(col("dominant_pattern_ratio"), lit(0.0)))
+      .withColumn("mode_value", coalesce(col("mode_value"), lit("")))
+      .withColumn("mode_ratio", coalesce(col("mode_ratio"), lit(0.0)))
+      .withColumn("first_digit_mode", coalesce(col("first_digit_mode"), lit(0)))
+      .withColumn("distinct_chars", coalesce(col("distinct_chars"), lit(0L)))
+      .withColumn("top_keywords", coalesce(col("top_keywords"), array()))
+      .select(
+        col("table"), col("column"), col("row_count"), col("null_count"),
+        col("null_ratio"), col("distinct_count"), col("unique_ratio"),
+        col("alpha_chars"), col("digit_chars"), col("punct_chars"),
+        col("space_chars"), col("misc_chars"), col("word_count"),
+        col("avg_word_len"), col("numeric_cells"), col("alpha_cells"),
+        col("empty_cells"), col("other_cells"), col("min_len"), col("max_len"),
+        col("avg_len"), col("num_count"), col("num_min"), col("num_max"),
+        col("num_mean"), col("num_q1"), col("num_median"), col("num_q3"),
+        col("max_digits"), col("max_decimals"), col("ratio_int"),
+        col("ratio_float"), col("ratio_bool"), col("ratio_date"),
+        col("inferred_type"), col("dominant_pattern"),
+        col("dominant_pattern_ratio"), col("mode_value"), col("mode_ratio"),
+        col("first_digit_mode"), col("distinct_chars"), col("top_keywords"))
+  }
+
+  private[graft] def exposedPassA(long: DataFrame): DataFrame = {
+    val fa = featureAggs
+    long.groupBy("column").agg(fa.head, fa.tail: _*)
+  }
+  private[graft] def exposedPassQ(long: DataFrame): DataFrame = {
+    val qa = pctAggs(ProfilerConfig())
+    long.filter(!isMissing(col("value"))).groupBy("column").agg(qa.head, qa.tail: _*)
+  }
+  private[graft] def exposedPassB(long: DataFrame): DataFrame =
+    freqFeatures(long.filter(!isMissing(col("value"))), ProfilerConfig())
+
+  def profileTyped(df: DataFrame, table: String,
+      cfg: ProfilerConfig = ProfilerConfig()): Dataset[ColumnProfile] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    profile(df, table, cfg).as[ColumnProfile]
+  }
+
+  /** Dataset-level rollup (A17; reference: profiling/profiler.py:581-630). */
+  def datasetProfile(profiles: DataFrame): DataFrame =
+    profiles.groupBy("table").agg(
+      count(lit(1)).as("n_columns"),
+      max("row_count").as("n_rows"),
+      avg("null_ratio").as("avg_null_ratio"),
+      coalesce(var_pop("null_ratio"), lit(0.0)).as("var_null_ratio"),
+      avg("unique_ratio").as("avg_unique_ratio"),
+      coalesce(var_pop("unique_ratio"), lit(0.0)).as("var_unique_ratio"),
+      avg("avg_len").as("avg_len_mean"),
+      avg(when(col("inferred_type").isin("integer", "float"), 1.0).otherwise(0.0))
+        .as("numeric_column_ratio"),
+      avg(when(col("inferred_type") === "string", 1.0).otherwise(0.0))
+        .as("string_column_ratio"))
+}
+
+/** Minimal bundled English stopword list (public-domain word list;
+  * replaces the reference's NLTK dependency —
+  * reference: profiling/profiler.py:178-221). */
+object StopWords {
+  val english: Seq[String] = Seq(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "from",
+    "had", "has", "have", "he", "her", "his", "if", "in", "is", "it", "its",
+    "no", "not", "of", "on", "or", "our", "she", "that", "the", "their",
+    "them", "then", "there", "these", "they", "this", "to", "was", "we",
+    "were", "which", "will", "with", "you", "your")
+}

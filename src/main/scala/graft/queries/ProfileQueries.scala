@@ -1,0 +1,157 @@
+package graft.queries
+
+import graft.Tables
+import graft.profile.{Profiler, ProfilerConfig, StopWords}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for the profiler (SURVEY.md §2.4).
+  * Each query runs the real [[Profiler]] and projects a feature subset;
+  * the oracle SQL recomputes the same features in DuckDB from scratch
+  * over the identical all-values-as-string semantics.
+  */
+object ProfileQueries {
+
+  // table -> columns (TESTDATA.md schemas; static so SQL can be generated)
+  private val documentsCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+  private val customerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private val partCols = Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+  private val lineitemNumCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** DuckDB fragment: value-as-string and not-missing predicate. */
+  private def v(c: String) = s"CAST($c AS VARCHAR)"
+  private def nn(c: String) = s"($c IS NOT NULL AND TRIM(${v(c)}) <> '')"
+
+  // ---- p1: basic per-column stats --------------------------------------
+
+  def profileBasic(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(spark, dir, "documents"), "documents")
+      .select("column", "row_count", "null_count", "distinct_count",
+              "min_len", "max_len", "avg_len")
+      .orderBy("column")
+
+  val profileBasicSql: String = documentsCols.map { c =>
+    s"""SELECT '$c' AS "column", COUNT(*) AS row_count,
+       |  COALESCE(SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END), 0) AS null_count,
+       |  COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS distinct_count,
+       |  COALESCE(MIN(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END), 0) AS min_len,
+       |  COALESCE(MAX(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END), 0) AS max_len,
+       |  COALESCE(CAST(SUM(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS avg_len
+       |FROM documents""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
+  // ---- p2: numeric stats -----------------------------------------------
+
+  def profileNumeric(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(spark, dir, "lineitem"), "lineitem")
+      .filter(col("column").isin(lineitemNumCols: _*))
+      .select("column", "num_count", "num_min", "num_max", "num_mean",
+              "num_q1", "num_median", "num_q3")
+      .orderBy("column")
+
+  val profileNumericSql: String = lineitemNumCols.map { c =>
+    s"""SELECT '$c' AS "column", COUNT($c) AS num_count,
+       |  MIN($c) AS num_min, MAX($c) AS num_max,
+       |  CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c) AS num_mean,
+       |  quantile_cont($c, 0.25) AS num_q1,
+       |  quantile_cont($c, 0.5) AS num_median,
+       |  quantile_cont($c, 0.75) AS num_q3
+       |FROM lineitem""".stripMargin
+  }.mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+
+  // ---- p3: type inference ----------------------------------------------
+
+  def profileTypes(spark: SparkSession, dir: String): DataFrame = {
+    val c = Profiler.profile(Tables.load(spark, dir, "customer"), "customer")
+    val p = Profiler.profile(Tables.load(spark, dir, "part"), "part")
+    c.unionByName(p)
+      .select("table", "column", "inferred_type")
+      .orderBy("table", "column")
+  }
+
+  private def typeSqlFor(table: String, cols: Seq[String]): String = cols.map { c =>
+    val intR = "'^[+-]?\\d+$'"
+    val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
+    val boolR = "'^(?i)(true|false|yes|no|t|f|y|n)$'"
+    val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
+    // our regexes are anchored, so regexp_matches (partial) is equivalent
+    def r(re: String) =
+      s"COALESCE(CAST(SUM(CASE WHEN ${nn(c)} AND regexp_matches(${v(c)}, $re) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)"
+    s"""SELECT '$table' AS "table", '$c' AS "column",
+       |  CASE
+       |    WHEN COUNT(*) = SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END) THEN 'empty'
+       |    WHEN ${r(dateR)} >= 0.7 THEN 'date'
+       |    WHEN ${r(boolR)} >= 0.7 THEN 'boolean'
+       |    WHEN ${r(intR)} >= 0.7 THEN 'integer'
+       |    WHEN ${r(floatR)} >= 0.7 THEN 'float'
+       |    WHEN COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) <= 20
+       |         AND CAST(COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE) <= 0.1 THEN 'categorical'
+       |    ELSE 'string'
+       |  END AS inferred_type
+       |FROM $table""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  val profileTypesSql: String =
+    s"""SELECT * FROM (
+       |${typeSqlFor("customer", customerCols)}
+       |UNION ALL
+       |${typeSqlFor("part", partCols)}
+       |) ORDER BY "table", "column"""".stripMargin
+
+  // ---- p4: dominant pattern --------------------------------------------
+
+  def profilePatterns(spark: SparkSession, dir: String): DataFrame =
+    Profiler.profile(Tables.load(spark, dir, "customer"), "customer")
+      .select("column", "dominant_pattern", "dominant_pattern_ratio")
+      .orderBy("column")
+
+  val profilePatternsSql: String = customerCols.map { c =>
+    val pat = s"regexp_replace(regexp_replace(regexp_replace(${v(c)}, '[0-9]', '9', 'g'), '[A-Za-z]', 'A', 'g'), '\\s', ' ', 'g')"
+    s"""SELECT "column", pattern AS dominant_pattern,
+       |  CAST(cnt AS DOUBLE) / CAST(tot AS DOUBLE) AS dominant_pattern_ratio
+       |FROM (
+       |  SELECT '$c' AS "column", pattern, cnt,
+       |    ROW_NUMBER() OVER (ORDER BY cnt DESC, pattern ASC) AS rk,
+       |    SUM(cnt) OVER () AS tot
+       |  FROM (
+       |    SELECT $pat AS pattern, COUNT(*) AS cnt FROM customer
+       |    WHERE ${nn(c)} GROUP BY 1) a) b
+       |WHERE rk = 1""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  // ---- p5: top keywords ------------------------------------------------
+
+  def topKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(explode(split(lower(col("text")), "[^a-z0-9]+")).as("word"))
+      .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), asc("word"))
+      .limit(25)
+  }
+
+  val topKeywordsSql: String = {
+    val stop = StopWords.english.map(w => s"'$w'").mkString(", ")
+    s"""SELECT word, COUNT(*) AS cnt FROM (
+       |  SELECT unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS word
+       |  FROM documents)
+       |WHERE LENGTH(word) > 1 AND word NOT IN ($stop)
+       |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p1_profile_basic" -> (profileBasic _),
+    "p2_profile_numeric" -> (profileNumeric _),
+    "p3_profile_types" -> (profileTypes _),
+    "p4_profile_patterns" -> (profilePatterns _),
+    "p5_top_keywords" -> (topKeywords _))
+
+  def oracleSql: Map[String, String] = Map(
+    "p1_profile_basic" -> profileBasicSql,
+    "p2_profile_numeric" -> profileNumericSql,
+    "p3_profile_types" -> profileTypesSql,
+    "p4_profile_patterns" -> profilePatternsSql,
+    "p5_top_keywords" -> topKeywordsSql)
+}

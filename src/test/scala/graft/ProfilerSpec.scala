@@ -1,0 +1,97 @@
+package graft
+
+import graft.profile.{Profiler, ProfilerConfig}
+import org.apache.spark.sql.Row
+
+class ProfilerSpec extends SparkSpec {
+  import spark.implicits._
+
+  // hand-computed mini table
+  private lazy val mini = Seq(
+    ("a1", "New York", "12.5", ""),
+    ("a2", "Boston", "7.25", "x"),
+    ("a3", null, "12.5", "y"),
+    ("a4", "New York", "oops", "z")
+  ).toDF("id", "city", "amount", "misc")
+
+  private lazy val prof = Profiler.profile(mini, "mini").collect()
+    .map(r => r.getAs[String]("column") -> r).toMap
+
+  test("row and null counts") {
+    assert(prof("id").getAs[Long]("row_count") == 4)
+    assert(prof("id").getAs[Long]("null_count") == 0)
+    assert(prof("city").getAs[Long]("null_count") == 1)
+    assert(prof("misc").getAs[Long]("null_count") == 1) // "" is missing
+    assert(prof("city").getAs[Double]("null_ratio") == 0.25)
+  }
+
+  test("distinct and unique ratio") {
+    assert(prof("id").getAs[Long]("distinct_count") == 4)
+    assert(prof("city").getAs[Long]("distinct_count") == 2)
+    assert(prof("amount").getAs[Long]("distinct_count") == 3)
+    assert(prof("id").getAs[Double]("unique_ratio") == 1.0)
+  }
+
+  test("numeric stats ignore unparseable cells") {
+    val a = prof("amount")
+    assert(a.getAs[Long]("num_count") == 3)
+    assert(a.getAs[Double]("num_min") == 7.25)
+    assert(a.getAs[Double]("num_max") == 12.5)
+    assert(math.abs(a.getAs[Double]("num_mean") - (12.5 + 7.25 + 12.5) / 3) < 1e-9)
+    assert(a.getAs[Double]("num_median") == 12.5)
+  }
+
+  test("lengths") {
+    val c = prof("city")
+    assert(c.getAs[Int]("min_len") == 6)
+    assert(c.getAs[Int]("max_len") == 8)
+    assert(math.abs(c.getAs[Double]("avg_len") - (8 + 6 + 8) / 3.0) < 1e-9)
+  }
+
+  test("char census") {
+    val id = prof("id")
+    // a1 a2 a3 a4: 4 alpha chars, 4 digits
+    assert(id.getAs[Long]("alpha_chars") == 4)
+    assert(id.getAs[Long]("digit_chars") == 4)
+    assert(id.getAs[Long]("punct_chars") == 0)
+    assert(id.getAs[Long]("space_chars") == 0)
+  }
+
+  test("dominant pattern") {
+    assert(prof("id").getAs[String]("dominant_pattern") == "A9")
+    assert(prof("city").getAs[String]("dominant_pattern") == "AAA AAAA") // New York ×2
+  }
+
+  test("mode") {
+    assert(prof("city").getAs[String]("mode_value") == "New York")
+    assert(math.abs(prof("city").getAs[Double]("mode_ratio") - 2.0 / 3.0) < 1e-9)
+  }
+
+  test("type inference") {
+    assert(prof("amount").getAs[String]("inferred_type") == "float")
+    assert(prof("city").getAs[String]("inferred_type") == "string")
+  }
+
+  test("all-null column profiles as empty") {
+    val df = Seq(("x", null: String), ("y", null: String)).toDF("k", "dead")
+    val p = Profiler.profile(df, "t").collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("dead").getAs[String]("inferred_type") == "empty")
+    assert(p("dead").getAs[Long]("distinct_count") == 0)
+    assert(p("dead").getAs[String]("dominant_pattern") == "")
+  }
+
+  test("dataset profile rollup") {
+    val dp = Profiler.datasetProfile(Profiler.profile(mini, "mini"))
+      .collect().head
+    assert(dp.getAs[Long]("n_columns") == 4)
+    assert(dp.getAs[Long]("n_rows") == 4)
+  }
+
+  test("approx config still yields sane results") {
+    val p = Profiler.profile(mini, "mini", ProfilerConfig(exact = false))
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    assert(p("amount").getAs[Long]("distinct_count") == 3L)
+    assert(p("amount").getAs[Double]("num_median") == 12.5)
+  }
+}
