@@ -1,0 +1,206 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Document deduplication operators for large-scale training-data
+  * pipelines (north-star mandate; the reference only gestures at
+  * similarity — profile_similarity.py:67-74, method_2/pipleline_2.py:64-75).
+  *
+  * Scale design:
+  *  - Exact dedup groups by a 64-bit content hash, never by the full
+  *    text (the shuffle carries 8-byte keys + ids).
+  *  - MinHash/LSH: per-doc signatures via explode + groupBy(doc) min
+  *    over k permutations — one shuffle of (doc, shingle-hash) pairs;
+  *    band buckets then self-join equi on (band, hash), which Spark
+  *    executes as a shuffled hash join on small keys. No cartesian
+  *    product anywhere.
+  *  - N-gram Jaccard verifies candidate pairs only (inverted-index
+  *    join), with a document-frequency cap dropping stop-shingles that
+  *    would quadratically blow up candidate generation.
+  *
+  * Portability: hashes derive from md5 (bit-identical in every engine)
+  * rather than engine-private hash functions, so every operator here is
+  * DuckDB-oracle-checkable. At production scale xxhash64 would be ~3×
+  * faster; the structure is identical.
+  */
+object Dedup {
+
+  /** First 15 md5 hex chars as a positive 60-bit integer — portable
+    * across Spark/DuckDB (both have md5 and base-16 conv). */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast(LongType)
+
+  // ---- exact duplicates -------------------------------------------------
+
+  /** Groups of byte-identical documents: (content_hash, n_docs,
+    * canonical_id = smallest doc id). Only groups with >1 member. */
+  def exactDuplicateGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("canonical_id"))
+      .filter(col("n_docs") > 1)
+
+  /** The deduplicated corpus: one row per distinct content, keeping the
+    * smallest id (deterministic survivor). */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val winners = df.groupBy(md5(col(textCol)).as("__h"))
+      .agg(min(col(idCol)).as("__keep"))
+    df.join(winners, md5(col(textCol)) === col("__h") && col(idCol) === col("__keep"))
+      .drop("__h", "__keep")
+  }
+
+  // ---- shingling --------------------------------------------------------
+
+  /** (id, shingle) pairs: lowercased word `n`-grams, distinct per doc. */
+  def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val grams = expr(
+      s"""CASE WHEN size(${wordsSql(textCol)}) >= $n THEN
+         |  transform(sequence(0, size(${wordsSql(textCol)}) - $n),
+         |            i -> array_join(slice(${wordsSql(textCol)}, i + 1, $n), ' '))
+         |ELSE array() END""".stripMargin)
+    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
+      .filter(length(col("shingle")) > 0)
+      .distinct()
+  }
+
+  private def wordsSql(textCol: String): String =
+    s"filter(split(lower($textCol), '[^a-z0-9]+'), w -> w <> '')"
+
+  // ---- n-gram Jaccard near-duplicates ----------------------------------
+
+  /** Near-duplicate pairs by shingle-set Jaccard ≥ `threshold`.
+    * Inverted-index self-join on shingles; shingles occurring in more
+    * than `maxDocFreq` docs are dropped (stop-shingles) to bound the
+    * candidate blowup — the standard trick for quadratic-safe similarity
+    * joins at scale. Pairs are emitted once (idA < idB). */
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = shingles.join(
+      shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("shingle"),
+      Seq("shingle"))
+    val a = filtered.select(col("id").as("ida"), col("shingle"))
+    val b = filtered.select(col("id").as("idb"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("sza") + col("szb") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "common", "jaccard")
+  }
+
+  // ---- MinHash / LSH ----------------------------------------------------
+
+  /** Mersenne prime 2^61-1 keeps (a*x+b) mod p exact within Long...
+    * too big for portable SQL: use a 31-bit prime so a*x fits in 63
+    * bits with x < 2^31 (shingle hashes are truncated to 30 bits). */
+  val P: Long = 2147483647L // 2^31 - 1
+  private def perm(k: Int): Seq[(Long, Long)] =
+    (1 to k).map(i => ((2 * i + 1).toLong, (7919L * i) % P))
+
+  /** MinHash signature rows (id, perm_id, min_hash) over `numPerms`
+    * permutations of 30-bit md5 shingle hashes. */
+  def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame = {
+    val x = pmod(md5Long(col("shingle")), lit(1073741824L)) // 2^30
+    val permCols = perm(numPerms).zipWithIndex.map { case ((a, b), i) =>
+      struct(lit(i).as("perm_id"), pmod(lit(a) * x + lit(b), lit(P)).as("h"))
+    }
+    shingles
+      .select(col("id"), explode(array(permCols: _*)).as("ph"))
+      .groupBy(col("id"), col("ph.perm_id").as("perm_id"))
+      .agg(min("ph.h").as("min_hash"))
+  }
+
+  /** LSH band buckets: signatures split into bands of `rowsPerBand`;
+    * band key = md5 of the concatenated minhashes. */
+  def lshBuckets(signatures: DataFrame, rowsPerBand: Int): DataFrame =
+    signatures
+      .withColumn("band", (col("perm_id") / rowsPerBand).cast("int"))
+      .groupBy("id", "band")
+      .agg(md5(array_join(
+        expr("transform(array_sort(collect_list(struct(perm_id, min_hash))), x -> cast(x.min_hash as string))"),
+        ",")).as("bucket"))
+
+  /** Candidate near-duplicate pairs: ids sharing any LSH bucket. */
+  def lshCandidates(buckets: DataFrame): DataFrame = {
+    val a = buckets.select(col("band"), col("bucket"), col("id").as("ida"))
+    val b = buckets.select(col("band"), col("bucket"), col("id").as("idb"))
+    a.join(b, Seq("band", "bucket"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+  }
+
+  /** End-to-end MinHash near-dup pairs: LSH candidates verified by true
+    * shingle Jaccard ≥ threshold. */
+  def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, shingleSize)
+    val cands = lshCandidates(lshBuckets(minhashSignatures(sh, numPerms), rowsPerBand))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val a = sh.select(col("id").as("ida"), col("shingle"))
+    val b = sh.select(col("id").as("idb"), col("shingle"))
+    val common = a.join(b, Seq("shingle")).filter(col("ida") < col("idb"))
+      .join(cands, Seq("ida", "idb"), "left_semi")
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("sza") + col("szb") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("ida", "idb", "jaccard")
+  }
+
+  // ---- SimHash ----------------------------------------------------------
+
+  /** 32-bit SimHash over word hashes: for each bit, vote +1/-1 per
+    * distinct word; bit set when the vote is positive. Pure integer
+    * arithmetic on md5-derived hashes — portable. */
+  def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val words = df
+      .select(col(idCol).as("id"),
+        explode(expr(wordsSql(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .distinct()
+      .withColumn("h", pmod(md5Long(col("word")), lit(4294967296L))) // 2^32
+    val bitCols = (0 until 32).map { i =>
+      sum(when(pmod(shiftright(col("h"), i), lit(2L)) === 1, 1).otherwise(-1))
+        .as(s"b$i")
+    }
+    val votes = words.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val sig = (0 until 32).map { i =>
+      when(col(s"b$i") > 0, lit(1L) * (1L << i)).otherwise(0L)
+    }.reduce(_ + _)
+    votes.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxDistance.
+    * Blocking: 4 bands of 8 bits — pairs within distance ≤ 3 are
+    * guaranteed to collide on at least one intact band (pigeonhole). */
+  def simhashPairs(sigs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    val banded = sigs.select(col("id"), col("simhash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          pmod(shiftright(col("simhash"), b * 8), lit(256L)).as("key"))): _*)).as("bk"))
+      .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val a = banded.select(col("band"), col("key"), col("id").as("ida"),
+      col("simhash").as("siga"))
+    val b = banded.select(col("band"), col("key"), col("id").as("idb"),
+      col("simhash").as("sigb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("ida") < col("idb"))
+      .select(col("ida"), col("idb"),
+        expr("bit_count(siga ^ sigb)").cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDistance)
+  }
+}

@@ -1,0 +1,68 @@
+package graft.outlier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+
+/** Statistical cell detectors (SURVEY.md §2.4 A21/A22 and the dBoost
+  * Gaussian family A23/A30; reference: rules/evaluation.py:434-447,
+  * profiling/dBoost/dboost/models/gaussian.py:22-38).
+  *
+  * Two-pass estimator/transformer shape: a tiny fit aggregate
+  * (broadcast) followed by a map-side predicate — exactly Spark's
+  * estimator pattern, no shuffle of the data itself.
+  */
+object Outliers {
+
+  /** Deterministic mean/variance from exact decimal sums of x and x²
+    * (bit-identical under any partitioning — the plain Welford-style
+    * stddev aggregate is order-dependent). */
+  private def momentAgg(d: Column): DataFrame => DataFrame = { df =>
+    df.agg(
+      (sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d)).as("__mean"),
+      (sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d)).as("__m2"))
+  }
+
+  /** Rows where |x − μ| > k·σ (population σ). Appends nothing to the
+    * input; returns the flagged rows with their key and value. */
+  def sigmaOutliers(df: DataFrame, column: String, keyCol: String,
+      k: Double = 3.0): DataFrame = {
+    val d = col(s"`$column`").cast(DoubleType)
+    val stats = momentAgg(d)(df)
+      .withColumn("__sigma", sqrt(col("__m2") - col("__mean") * col("__mean")))
+    df.join(broadcast(stats))
+      .filter(d.isNotNull && abs(d - col("__mean")) > lit(k) * col("__sigma"))
+      .select(col(s"`$keyCol`").as("row_id"), d.as("value"),
+        col("__mean").as("mean"), col("__sigma").as("sigma"))
+  }
+
+  /** Values whose relative frequency is below `minRatio`
+    * (reference: rules/evaluation.py:441-446 flags values under 1%). */
+  def lowFrequencyValues(df: DataFrame, column: String,
+      minRatio: Double = 0.01): DataFrame = {
+    val counts = df.filter(col(s"`$column`").isNotNull)
+      .groupBy(col(s"`$column`").cast(StringType).as("value"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum("cnt").over(Window.partitionBy()))
+    counts
+      .filter(col("cnt").cast(DoubleType) / col("total").cast(DoubleType) < minRatio)
+      .select(col("value"), col("cnt"))
+  }
+
+  /** Per-group Gaussian test (dBoost partitioned model A28/A30): fit
+    * μ/σ per `groupCol`, flag rows outside k·σ of their OWN group. */
+  def groupedSigmaOutliers(df: DataFrame, column: String, groupCol: String,
+      keyCol: String, k: Double = 3.0): DataFrame = {
+    val d = col(s"`$column`").cast(DoubleType)
+    val stats = df.groupBy(col(s"`$groupCol`").as("__g"))
+      .agg(
+        (sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d)).as("__mean"),
+        (sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d)).as("__m2"))
+      .withColumn("__sigma", sqrt(col("__m2") - col("__mean") * col("__mean")))
+    df.join(broadcast(stats), col(s"`$groupCol`") === col("__g"))
+      .filter(d.isNotNull && abs(d - col("__mean")) > lit(k) * col("__sigma"))
+      .select(col(s"`$groupCol`").as("group"), col(s"`$keyCol`").as("row_id"),
+        d.as("value"))
+  }
+}

@@ -25,7 +25,8 @@ object ProfileQueries {
   // ---- p1: basic per-column stats --------------------------------------
 
   def profileBasic(spark: SparkSession, dir: String): DataFrame =
-    Profiler.profile(Tables.load(spark, dir, "documents"), "documents")
+    Profiler.profileAuto(Tables.load(spark, dir, "documents"), "documents",
+        features = Set("mode"))
       .select("column", "row_count", "null_count", "distinct_count",
               "min_len", "max_len", "avg_len")
       .orderBy("column")
@@ -44,7 +45,8 @@ object ProfileQueries {
   // ---- p2: numeric stats -----------------------------------------------
 
   def profileNumeric(spark: SparkSession, dir: String): DataFrame =
-    Profiler.profile(Tables.load(spark, dir, "lineitem"), "lineitem")
+    Profiler.profileAuto(Tables.load(spark, dir, "lineitem"), "lineitem",
+        features = Set("quartiles"))
       .filter(col("column").isin(lineitemNumCols: _*))
       .select("column", "num_count", "num_min", "num_max", "num_mean",
               "num_q1", "num_median", "num_q3")
@@ -63,8 +65,10 @@ object ProfileQueries {
   // ---- p3: type inference ----------------------------------------------
 
   def profileTypes(spark: SparkSession, dir: String): DataFrame = {
-    val c = Profiler.profile(Tables.load(spark, dir, "customer"), "customer")
-    val p = Profiler.profile(Tables.load(spark, dir, "part"), "part")
+    val c = Profiler.profileAuto(Tables.load(spark, dir, "customer"), "customer",
+      features = Set("mode"))
+    val p = Profiler.profileAuto(Tables.load(spark, dir, "part"), "part",
+      features = Set("mode"))
     c.unionByName(p)
       .select("table", "column", "inferred_type")
       .orderBy("table", "column")
@@ -103,7 +107,8 @@ object ProfileQueries {
   // ---- p4: dominant pattern --------------------------------------------
 
   def profilePatterns(spark: SparkSession, dir: String): DataFrame =
-    Profiler.profile(Tables.load(spark, dir, "customer"), "customer")
+    Profiler.profileAuto(Tables.load(spark, dir, "customer"), "customer",
+        features = Set("pattern"))
       .select("column", "dominant_pattern", "dominant_pattern_ratio")
       .orderBy("column")
 

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.outlier.Outliers
+import graft.rules._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for the rule engine and statistical
+  * detectors (SURVEY.md §2.2/§2.3 J3-J5/§2.4 A21-A22).
+  */
+object RuleQueries {
+
+  // ---- r1: scalar rule violation scan ----------------------------------
+
+  private val orderRules: Seq[RuleSpec] = Seq(
+    RangeRule("o_totalprice", 2000.0, 450000.0),
+    EnumRule("o_orderstatus", Seq("F", "O")),
+    RegexRule("o_orderpriority", "^[1-5]-[A-Z]+$"))
+
+  def ruleViolations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    ViolationScanner.scan(o, "orders", orderRules, "o_orderkey")
+      .select("column", "row_id", "value", "rule", "severity")
+      .orderBy("row_id", "column")
+  }
+
+  val ruleViolationsSql: String =
+    s"""SELECT * FROM (
+       |  SELECT 'o_totalprice' AS "column", o_orderkey AS row_id,
+       |    CAST(o_totalprice AS VARCHAR) AS value,
+       |    'range(o_totalprice)' AS rule, 'warning' AS severity
+       |  FROM orders WHERE o_totalprice < 2000.0 OR o_totalprice > 450000.0
+       |  UNION ALL
+       |  SELECT 'o_orderstatus', o_orderkey, o_orderstatus,
+       |    'enum(o_orderstatus)', 'error'
+       |  FROM orders WHERE o_orderstatus NOT IN ('F', 'O')
+       |  UNION ALL
+       |  SELECT 'o_orderpriority', o_orderkey, o_orderpriority,
+       |    'regex(o_orderpriority)', 'error'
+       |  FROM orders WHERE NOT regexp_matches(o_orderpriority, '^[1-5]-[A-Z]+$$')
+       |) ORDER BY row_id, "column"""".stripMargin
+
+  // ---- r2: functional-dependency conflict summary (J3) -----------------
+
+  def fdConflicts(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    o.groupBy(col("o_custkey"))
+      .agg(countDistinct("o_orderpriority").as("n_rhs"),
+           count(lit(1)).as("n_rows"))
+      .filter(col("n_rhs") > 1)
+      .orderBy("o_custkey")
+  }
+
+  val fdConflictsSql: String =
+    """SELECT o_custkey, COUNT(DISTINCT o_orderpriority) AS n_rhs,
+      |  COUNT(*) AS n_rows
+      |FROM orders GROUP BY o_custkey
+      |HAVING COUNT(DISTINCT o_orderpriority) > 1
+      |ORDER BY o_custkey""".stripMargin
+
+  // ---- r3: inclusion-dependency violations (J5) ------------------------
+
+  def inclusionViolations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    ViolationScanner.scan(c, "customer",
+        Seq(InclusionRule("c_custkey", "orders", "o_custkey")),
+        "c_custkey", parents = Map("orders" -> o))
+      .select("row_id")
+      .orderBy("row_id")
+  }
+
+  val inclusionViolationsSql: String =
+    """SELECT c_custkey AS row_id FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+      |ORDER BY row_id""".stripMargin
+
+  // ---- r4: unique-rule violations (window path) ------------------------
+
+  def uniqueViolations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    // l_orderkey repeats across line numbers — every multi-line order is
+    // a "violation", exercising the window path deterministically
+    ViolationScanner.scan(li.select("l_orderkey", "l_linenumber"),
+        "lineitem", Seq(UniqueRule("l_orderkey")), "l_orderkey")
+      .groupBy("value").agg(count(lit(1)).as("n_dup_rows"))
+      .orderBy(col("value").cast("long"))
+  }
+
+  val uniqueViolationsSql: String =
+    """SELECT CAST(l_orderkey AS VARCHAR) AS value, COUNT(*) AS n_dup_rows
+      |FROM lineitem
+      |GROUP BY l_orderkey HAVING COUNT(*) > 1
+      |ORDER BY l_orderkey""".stripMargin
+
+  // ---- o1: 3-sigma outliers (A21) --------------------------------------
+
+  def sigmaOutliers(spark: SparkSession, dir: String): DataFrame =
+    Outliers.sigmaOutliers(Tables.load(spark, dir, "events"), "value",
+        "event_id", k = 3.0)
+      .select("row_id", "value")
+      .orderBy("row_id")
+
+  val sigmaOutliersSql: String =
+    """WITH s AS (
+      |  SELECT CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS m,
+      |         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS m2
+      |  FROM events)
+      |SELECT event_id AS row_id, value FROM events, s
+      |WHERE value IS NOT NULL AND ABS(value - m) > 3.0 * sqrt(m2 - m * m)
+      |ORDER BY row_id""".stripMargin
+
+  // ---- o2: low-frequency categorical outliers (A22) --------------------
+
+  def lowFrequency(spark: SparkSession, dir: String): DataFrame =
+    Outliers.lowFrequencyValues(Tables.load(spark, dir, "part"), "p_brand",
+        minRatio = 0.04)
+      .orderBy("value")
+
+  val lowFrequencySql: String =
+    """SELECT value, cnt FROM (
+      |  SELECT p_brand AS value, COUNT(*) AS cnt, SUM(COUNT(*)) OVER () AS total
+      |  FROM part WHERE p_brand IS NOT NULL GROUP BY p_brand)
+      |WHERE CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE) < 0.04
+      |ORDER BY value""".stripMargin
+
+  // ---- o3: per-group sigma outliers (dBoost partitioned A28) -----------
+
+  def groupedSigma(spark: SparkSession, dir: String): DataFrame =
+    Outliers.groupedSigmaOutliers(Tables.load(spark, dir, "events"),
+        "value", "event_type", "event_id", k = 3.0)
+      .select("group", "row_id", "value")
+      .orderBy("row_id")
+
+  val groupedSigmaSql: String =
+    """WITH s AS (
+      |  SELECT event_type AS g,
+      |    CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value) AS m,
+      |    CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value) AS m2
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type AS "group", event_id AS row_id, value
+      |FROM events JOIN s ON event_type = g
+      |WHERE value IS NOT NULL AND ABS(value - m) > 3.0 * sqrt(m2 - m * m)
+      |ORDER BY row_id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r1_rule_violations" -> (ruleViolations _),
+    "r2_fd_conflicts" -> (fdConflicts _),
+    "r3_inclusion_violations" -> (inclusionViolations _),
+    "r4_unique_violations" -> (uniqueViolations _),
+    "o1_sigma_outliers" -> (sigmaOutliers _),
+    "o2_low_frequency" -> (lowFrequency _),
+    "o3_grouped_sigma" -> (groupedSigma _))
+
+  def oracleSql: Map[String, String] = Map(
+    "r1_rule_violations" -> ruleViolationsSql,
+    "r2_fd_conflicts" -> fdConflictsSql,
+    "r3_inclusion_violations" -> inclusionViolationsSql,
+    "r4_unique_violations" -> uniqueViolationsSql,
+    "o1_sigma_outliers" -> sigmaOutliersSql,
+    "o2_low_frequency" -> lowFrequencySql,
+    "o3_grouped_sigma" -> groupedSigmaSql)
+}

@@ -1,0 +1,130 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+/** Compiles [[RuleSpec]]s to Catalyst predicates and evaluates them in
+  * as few passes as possible (SURVEY.md §3.2 "Spark shape").
+  *
+  * Scale design: ALL scalar rules for a table evaluate in ONE scan —
+  * each rule becomes a boolean column, violations unpivot to the long
+  * Violation layout only for flagged cells (violations are sparse;
+  * exploding them is cheap). Relational rules add: a window per
+  * uniquely-keyed column set (unique/FD) or a broadcast/shuffle
+  * anti-join (inclusion). Nothing collects to the driver.
+  */
+object ViolationScanner {
+
+  /** True when the cell VIOLATES the rule. Scalar rules only. */
+  def violationPredicate(rule: RuleSpec): Column = {
+    def s(c: String): Column = col(s"`$c`").cast(StringType)
+    def present(c: String): Column = s(c).isNotNull && trim(s(c)) =!= ""
+    rule match {
+      case NotNullRule(c, _) => !present(c)
+      case RegexRule(c, p, _) => present(c) && !s(c).rlike(p)
+      case RangeRule(c, lo, hi, _) =>
+        val d = expr(s"try_cast(cast(`$c` as string) as double)")
+        present(c) && (d.isNull || d < lo || d > hi)
+      case EnumRule(c, allowed, _) =>
+        present(c) && !s(c).isin(allowed: _*)
+      case DateFormatRule(c, f, _) =>
+        present(c) && expr(s"try_to_timestamp(cast(`$c` as string), '$f')").isNull
+      case DecimalPrecisionRule(c, k, _) =>
+        present(c) &&
+          length(regexp_extract(s(c), "^[+-]?\\d+\\.(\\d*?)0*$", 1)) > k
+      case LengthRule(c, lo, hi, _) =>
+        present(c) && (length(s(c)) < lo || length(s(c)) > hi)
+      case SingleValueRule(c, expected, _) =>
+        present(c) && s(c) =!= expected
+      case CrossFieldRule(_, pred, _) => !expr(pred)
+      case r => throw new IllegalArgumentException(
+        s"${r.name} is relational; handled by scan(), not a row predicate")
+    }
+  }
+
+  private def isScalar(r: RuleSpec): Boolean = r match {
+    case _: UniqueRule | _: FunctionalDependencyRule | _: InclusionRule => false
+    case _ => true
+  }
+
+  /** Evaluate `rules` against `df`. `keyCol` provides the stable row
+    * identity (a primary-key-ish column; cell addressing per SURVEY.md
+    * §1.1). `parents` supplies lookup tables for [[InclusionRule]]s.
+    * Returns the Violation layout: (table, column, row_id, value, rule,
+    * severity). */
+  def scan(df: DataFrame, table: String, rules: Seq[RuleSpec], keyCol: String,
+      parents: Map[String, DataFrame] = Map.empty): DataFrame = {
+    val key = col(s"`$keyCol`").cast("long")
+
+    // --- scalar rules: one scan, one struct per rule, explode sparse hits
+    val scalarRules = rules.filter(isScalar)
+    val scalarViolations: Option[DataFrame] =
+      if (scalarRules.isEmpty) None
+      else {
+        val hits = scalarRules.map { r =>
+          val valueCol = r match {
+            case cf: CrossFieldRule => lit(cf.predicate)
+            case _ => coalesce(col(s"`${r.column}`").cast(StringType), lit(""))
+          }
+          when(violationPredicate(r),
+            struct(lit(r.column).as("column"), valueCol.as("value"),
+              lit(r.name).as("rule"), lit(r.severity).as("severity")))
+        }
+        Some(df
+          .select(key.as("row_id"), array(hits: _*).as("hits"))
+          .select(col("row_id"), explode(col("hits")).as("h"))
+          .filter(col("h").isNotNull)
+          .select(col("h.column"), col("row_id"), col("h.value"),
+            col("h.rule"), col("h.severity")))
+      }
+
+    // --- unique rules: window count per value
+    val uniqueViolations = rules.collect { case UniqueRule(c, sev) =>
+      df.select(key.as("row_id"), col(s"`$c`").cast(StringType).as("value"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("value"))))
+        .filter(col("n") > 1)
+        .select(lit(c).as("column"), col("row_id"), col("value"),
+          lit(UniqueRule(c, sev).name).as("rule"), lit(sev).as("severity"))
+    }
+
+    // --- FD rules: flag all rows of lhs groups with >1 distinct rhs
+    val fdViolations = rules.collect { case r @ FunctionalDependencyRule(lhs, rhs, sev) =>
+      val bad = df.groupBy(col(s"`$lhs`").as("__lhs"))
+        .agg(countDistinct(col(s"`$rhs`")).as("__n"))
+        .filter(col("__n") > 1)
+        .select(col("__lhs"))
+      df.join(bad, col(s"`$lhs`") === col("__lhs"), "left_semi")
+        .select(lit(rhs).as("column"), key.as("row_id"),
+          col(s"`$rhs`").cast(StringType).as("value"),
+          lit(r.name).as("rule"), lit(sev).as("severity"))
+    }
+
+    // --- inclusion rules: anti-join against parent
+    val inclViolations = rules.collect { case r @ InclusionRule(c, pt, pc, sev) =>
+      val parent = parents.getOrElse(pt, sys.error(s"missing parent table $pt"))
+        .select(col(s"`$pc`").as("__pv")).distinct()
+      df.join(parent, col(s"`$c`") === col("__pv"), "left_anti")
+        .select(lit(c).as("column"), key.as("row_id"),
+          col(s"`$c`").cast(StringType).as("value"),
+          lit(r.name).as("rule"), lit(sev).as("severity"))
+    }
+
+    val parts = scalarViolations.toSeq ++ uniqueViolations ++ fdViolations ++ inclViolations
+    val all = parts.reduceLeft(_.unionByName(_))
+    all.select(lit(table).as("table"), col("column"), col("row_id"),
+      col("value"), col("rule"), col("severity"))
+  }
+
+  /** Precision guard P11 (reference: rules/evaluation.py:637-647): drop
+    * (column, rule) groups that flag every row — the rule was
+    * mis-assigned. `rowCount` is the table's row count. */
+  def allRowsGuard(violations: DataFrame, rowCount: Long): DataFrame = {
+    val w = Window.partitionBy("table", "column", "rule")
+    violations
+      .withColumn("__n", count(lit(1)).over(w))
+      .filter(col("__n") < rowCount)
+      .drop("__n")
+  }
+}

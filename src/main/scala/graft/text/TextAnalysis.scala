@@ -1,0 +1,90 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+/** Text-analysis operators for training-data pipelines (north-star
+  * mandate): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure Column expressions — codegen'd, no UDFs,
+  * map-side only (no shuffle unless the caller aggregates).
+  */
+object TextAnalysis {
+
+  /** Deterministic language marker words (tiny bundled lists — the
+    * n-gram-heuristic analogue; real pipelines would plug a model).
+    * Marker sets are mutually exclusive high-frequency function words. */
+  val markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "for", "with", "was"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "sich"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "dans", "que", "pour", "pas"),
+    "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "del", "por", "como"),
+    "it" -> Seq("il", "di", "che", "della", "per", "con", "sono", "una", "anche", "dei"))
+
+  private def tokens(textCol: Column): Column =
+    expr(s"filter(split(lower(${textCol.toString}), '[^a-zà-ÿ0-9]+'), w -> w <> '')")
+
+  private def tokensSql(c: String): String =
+    s"filter(split(lower($c), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+
+  /** Count of marker hits for one language over the token array. */
+  private def markerHits(c: String, lang: String): Column = {
+    val set = markers(lang).map(w => s"'$w'").mkString("array(", ",", ")")
+    expr(s"size(filter(${tokensSql(c)}, w -> array_contains($set, w)))")
+  }
+
+  /** Heuristic language ID: the language with the most marker-word hits;
+    * 'unknown' when nothing matches. Deterministic tie-break by language
+    * code. */
+  def langId(c: String): Column = {
+    val scored = markers.keys.toSeq.sorted.map { lang =>
+      struct((-markerHits(c, lang)).as("neg"), lit(lang).as("lang"))
+    }
+    when(array_min(array(scored: _*)).getField("neg") < 0,
+      array_min(array(scored: _*)).getField("lang"))
+      .otherwise("unknown")
+  }
+
+  /** Whitespace-ish token count. */
+  def tokenCount(c: String): Column = expr(s"size(${tokensSql(c)})").cast(LongType)
+
+  /** BPE-ish subword proxy: letter runs, digit runs, and single
+    * punctuation marks each count as one piece (a deterministic stand-in
+    * for a real tokenizer's piece count). */
+  def pieceCount(c: String): Column =
+    expr(s"size(filter(split($c, '(?<=[^\\\\p{L}\\\\p{N}])|(?=[^\\\\p{L}\\\\p{N}])'), p -> trim(p) <> ''))")
+      .cast(LongType)
+
+  /** Quality heuristics (reference gestures: length/punct/stopword
+    * ratios). Returns [0,1]; higher is better. Components:
+    * reasonable length, low punct share, low digit share, words neither
+    * too short nor too long. */
+  def qualityScore(c: String): Column = {
+    val len = length(col(c)).cast(DoubleType)
+    val alpha = length(regexp_replace(col(c), "[^A-Za-zà-ÿ]", "")).cast(DoubleType)
+    val digits = length(regexp_replace(col(c), "[^0-9]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(col(c), "[^\\p{Punct}]", "")).cast(DoubleType)
+    val nTok = tokenCount(c).cast(DoubleType)
+    val lenScore = when(len >= 200 && len <= 20000, 1.0)
+      .when(len < 200, len / 200.0)
+      .otherwise(lit(20000.0) / len)
+    val alphaScore = when(len > 0, alpha / len).otherwise(0.0)
+    val punctPenalty = when(len > 0, punct / len).otherwise(1.0)
+    val digitPenalty = when(len > 0, digits / len).otherwise(1.0)
+    val wordLenScore = when(nTok > 0,
+      when(alpha / nTok >= 3 && alpha / nTok <= 10, 1.0).otherwise(0.5))
+      .otherwise(0.0)
+    (lenScore * 0.3 + alphaScore * 0.3 + wordLenScore * 0.2 +
+      (lit(1.0) - least(punctPenalty * 5, lit(1.0))) * 0.1 +
+      (lit(1.0) - least(digitPenalty * 5, lit(1.0))) * 0.1)
+  }
+
+  /** 60-bit content fingerprint: min of md5-derived hashes over word
+    * 4-shingles (a 1-perm MinHash — stable under small edits at the
+    * document tail, portable across engines). */
+  def fingerprint(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val sh = graft.dedup.Dedup.wordShingles(df, textCol, idCol, 4)
+    sh.groupBy("id")
+      .agg(min(graft.dedup.Dedup.md5Long(col("shingle"))).as("fingerprint"))
+  }
+}

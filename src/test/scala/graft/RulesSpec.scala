@@ -1,0 +1,109 @@
+package graft
+
+import graft.rules._
+import graft.outlier.Outliers
+import org.apache.spark.sql.functions._
+
+class RulesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val dirty = Seq(
+    (1L, "alice", "NY", 10.0, "2020-01-01"),
+    (2L, "bob", "CA", -5.0, "2020-02-30"), // bad range, bad date
+    (3L, "", "NY", 25.0, "2020-03-01"), // null name
+    (4L, "dave", "??", 11.5, "2020-04-01"), // bad enum
+    (5L, "alice", "NY", 12.0, "2020-05-01") // dup name
+  ).toDF("id", "name", "state", "amount", "day")
+
+  private def violationsFor(rules: Seq[RuleSpec]): Map[String, Set[Long]] =
+    ViolationScanner.scan(dirty, "t", rules, "id")
+      .collect()
+      .groupBy(_.getAs[String]("rule"))
+      .map { case (k, rows) => k -> rows.map(_.getAs[Long]("row_id")).toSet }
+
+  test("not-null rule flags empty strings") {
+    assert(violationsFor(Seq(NotNullRule("name")))("not_null(name)") == Set(3L))
+  }
+
+  test("range rule flags out-of-range and unparseable") {
+    assert(violationsFor(Seq(RangeRule("amount", 0, 20)))("range(amount)") == Set(2L, 3L))
+  }
+
+  test("enum rule") {
+    assert(violationsFor(Seq(EnumRule("state", Seq("NY", "CA"))))("enum(state)") == Set(4L))
+  }
+
+  test("date format rule flags impossible dates") {
+    val v = violationsFor(Seq(DateFormatRule("day", "yyyy-MM-dd")))
+    assert(v("date_format(day)") == Set(2L)) // Feb 30
+  }
+
+  test("unique rule flags every duplicated row") {
+    assert(violationsFor(Seq(UniqueRule("name")))("unique(name)") == Set(1L, 5L))
+  }
+
+  test("cross-field rule") {
+    val v = violationsFor(Seq(CrossFieldRule("amt_pos", "amount > 0")))
+    assert(v("cross_field(amt_pos)") == Set(2L))
+  }
+
+  test("fd rule flags groups with conflicting rhs") {
+    // name=alice maps to single state; make a conflicted df
+    val df = Seq((1L, "x", "A"), (2L, "x", "B"), (3L, "y", "C"))
+      .toDF("id", "k", "v")
+    val v = ViolationScanner.scan(df, "t",
+      Seq(FunctionalDependencyRule("k", "v")), "id")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    assert(v == Set(1L, 2L))
+  }
+
+  test("inclusion rule flags orphans") {
+    val child = Seq((1L, 10L), (2L, 11L), (3L, 99L)).toDF("id", "fk")
+    val parent = Seq(Tuple1(10L), Tuple1(11L)).toDF("pk")
+    val v = ViolationScanner.scan(child, "t",
+      Seq(InclusionRule("fk", "p", "pk")), "id",
+      parents = Map("p" -> parent))
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    assert(v == Set(3L))
+  }
+
+  test("all-rows guard drops rules that flag everything") {
+    val v = ViolationScanner.scan(dirty, "t",
+      Seq(CrossFieldRule("impossible", "id < 0"), NotNullRule("name")), "id")
+    val guarded = ViolationScanner.allRowsGuard(v, dirty.count())
+    val rules = guarded.select("rule").distinct().as[String].collect().toSet
+    assert(!rules.contains("cross_field(impossible)")) // flagged all 5 rows
+    assert(rules.contains("not_null(name)"))
+  }
+
+  test("rule generation from profile") {
+    val clean = Seq(
+      (1L, "AA-1", 10.0), (2L, "BB-2", 12.0), (3L, "CC-3", 14.0)
+    ).toDF("id", "code", "price")
+    val prof = graft.profile.Profiler.profile(clean, "t")
+    val rules = RuleGenerator.fromProfiles(prof)
+    val names = rules.map(_.name).toSet
+    assert(names.contains("not_null(id)"))
+    assert(names.contains("unique(id)"))
+    assert(names.contains("regex(code)"))
+    val regex = rules.collect { case RegexRule("code", p, _) => p }.head
+    assert(regex == "^[A-Za-z][A-Za-z]-\\d$")
+    // generated rules accept the clean data they were trained on
+    val selfViolations = ViolationScanner.scan(clean, "t",
+      rules.filter(r => r.column == "code" || r.column == "id"), "id")
+    assert(selfViolations.count() == 0)
+  }
+
+  test("sigma outliers on a known distribution") {
+    val df = (Seq.fill(100)(10.0) :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("id", "x")
+    val out = Outliers.sigmaOutliers(df, "x", "id", k = 3.0).collect()
+    assert(out.map(_.getAs[Double]("value")).toSet == Set(1000.0))
+  }
+
+  test("low frequency values") {
+    val df = (Seq.fill(99)("common") :+ "rare").map(Tuple1(_)).toDF("v")
+    val out = Outliers.lowFrequencyValues(df, "v", 0.05).collect()
+    assert(out.map(_.getString(0)).toSet == Set("rare"))
+  }
+}
