@@ -14,12 +14,18 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.RelationalQueries.queries ++
     graft.queries.ProfileQueries.queries ++
-    graft.queries.RuleQueries.queries
+    graft.queries.RuleQueries.queries ++
+    graft.queries.DedupQueries.queries ++
+    graft.queries.TextQueries.queries ++
+    graft.queries.SimQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.RelationalQueries.oracleSql ++
     graft.queries.ProfileQueries.oracleSql ++
-    graft.queries.RuleQueries.oracleSql
+    graft.queries.RuleQueries.oracleSql ++
+    graft.queries.DedupQueries.oracleSql ++
+    graft.queries.TextQueries.oracleSql ++
+    graft.queries.SimQueries.oracleSql
 }

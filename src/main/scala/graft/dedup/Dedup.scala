@@ -52,14 +52,19 @@ object Dedup {
 
   // ---- shingling --------------------------------------------------------
 
-  /** (id, shingle) pairs: lowercased word `n`-grams, distinct per doc. */
+  /** (id, shingle) pairs: lowercased word `n`-grams, distinct per doc.
+    * The word array is materialized ONCE per row before the transform —
+    * referencing the split expression inside the lambda would re-split
+    * the text per shingle index (O(len²); measured 60 s vs 4 s on 5 k
+    * docs). */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val grams = expr(
-      s"""CASE WHEN size(${wordsSql(textCol)}) >= $n THEN
-         |  transform(sequence(0, size(${wordsSql(textCol)}) - $n),
-         |            i -> array_join(slice(${wordsSql(textCol)}, i + 1, $n), ' '))
+      s"""CASE WHEN size(__ws) >= $n THEN
+         |  transform(sequence(0, size(__ws) - $n),
+         |            i -> array_join(slice(__ws, i + 1, $n), ' '))
          |ELSE array() END""".stripMargin)
-    df.select(col(idCol).as("id"), explode(grams).as("shingle"))
+    df.select(col(idCol).as("id"), expr(wordsSql(textCol)).as("__ws"))
+      .select(col("id"), explode(grams).as("shingle"))
       .filter(length(col("shingle")) > 0)
       .distinct()
   }
@@ -147,8 +152,11 @@ object Dedup {
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("ida"), col("shingle"))
     val b = sh.select(col("id").as("idb"), col("shingle"))
-    val common = a.join(b, Seq("shingle")).filter(col("ida") < col("idb"))
-      .join(cands, Seq("ida", "idb"), "left_semi")
+    // candidate-first: expand each candidate pair by its left doc's
+    // shingles, then equi-join the right side — work is
+    // O(|candidates| × shingles/doc), never all-pairs
+    val common = cands.join(a, Seq("ida"))
+      .join(b, Seq("idb", "shingle"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")

@@ -1,0 +1,184 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for the deduplication suite. The oracle SQL
+  * rebuilds each pipeline from scratch in DuckDB over md5-derived
+  * hashes, so even MinHash signatures compare bit-exact.
+  */
+object DedupQueries {
+
+  // Shared DuckDB fragments -------------------------------------------------
+  private val WS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+  /** word 3-gram shingles, distinct per doc */
+  private val GRAMS3 =
+    s"""g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 1, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2])) AS g
+       |  FROM documents WHERE len($WS) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id)""".stripMargin
+  private def h30(e: String) =
+    s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+
+  // ---- d1: exact duplicate groups --------------------------------------
+
+  /** documents ∪ shifted copy → every doc has exactly one exact dup;
+    * exercises hash-group dedup deterministically on dup-free data. */
+  def exactDupGroups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val doubled = docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.select((col("doc_id") + 1000000).as("doc_id"), col("text")))
+    Dedup.exactDuplicateGroups(doubled, "text", "doc_id")
+      .orderBy("canonical_id")
+  }
+
+  val exactDupGroupsSql: String =
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS canonical_id
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |GROUP BY md5(text) HAVING COUNT(*) > 1
+      |ORDER BY canonical_id""".stripMargin
+
+  // ---- d2: n-gram Jaccard near-duplicate pairs -------------------------
+
+  def jaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.jaccardPairs(Dedup.wordShingles(docs, "text", "doc_id", 3),
+        threshold = 0.8, maxDocFreq = 100000)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("ida", "idb")
+  }
+
+  val jaccardPairsSql: String =
+    s"""WITH $GRAMS3,
+       |pairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, common,
+       |  ROUND(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON ida = sa.doc_id
+       |JOIN sizes sb ON idb = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8
+       |ORDER BY ida, idb""".stripMargin
+
+  // ---- d3: MinHash signatures ------------------------------------------
+
+  val NumPerms = 16
+
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.minhashSignatures(Dedup.wordShingles(docs, "text", "doc_id", 3), NumPerms)
+      .orderBy("id", "perm_id")
+  }
+
+  val minhashSignaturesSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"""SELECT doc_id AS id, $p AS perm_id,
+         |  MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams)
+       |SELECT * FROM (
+       |$perms
+       |) ORDER BY id, perm_id""".stripMargin
+  }
+
+  // ---- d4: MinHash-LSH near-duplicate pairs, end to end ----------------
+
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.8)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("ida", "idb")
+  }
+
+  val minhashPairsSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |pairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb,
+       |  ROUND(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON ida = sa.doc_id
+       |JOIN sizes sb ON idb = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  // ---- d5: SimHash near-duplicate pairs --------------------------------
+
+  def simhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.simhashPairs(Dedup.simhash(docs, "text", "doc_id"), maxDistance = 3)
+      .orderBy("ida", "idb")
+  }
+
+  val simhashPairsSql: String = {
+    val bits = (0 until 32).map { i =>
+      s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val sig = (0 until 32).map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+      .mkString(" + ")
+    val bandStructs = (0 until 4).map(b =>
+      s"SELECT id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS key FROM sigs")
+      .mkString("\nUNION ALL\n")
+    s"""WITH words0 AS (
+       |  SELECT doc_id, unnest($WS) AS word FROM documents),
+       |words AS (SELECT DISTINCT doc_id, word FROM words0 WHERE word <> ''),
+       |hw AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::UBIGINT % 4294967296 AS h
+       |       FROM words),
+       |votes AS (
+       |  SELECT doc_id AS id,
+       |    $bits
+       |  FROM hw GROUP BY doc_id),
+       |sigs AS (SELECT id, ($sig)::BIGINT AS simhash FROM votes),
+       |banded AS ($bandStructs)
+       |SELECT DISTINCT a.id AS ida, b.id AS idb,
+       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |ORDER BY ida, idb""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d1_exact_dup_groups" -> (exactDupGroups _),
+    "d2_jaccard_pairs" -> (jaccardPairs _),
+    "d3_minhash_signatures" -> (minhashSignatures _),
+    "d4_minhash_pairs" -> (minhashPairs _),
+    "d5_simhash_pairs" -> (simhashPairs _))
+
+  def oracleSql: Map[String, String] = Map(
+    "d1_exact_dup_groups" -> exactDupGroupsSql,
+    "d2_jaccard_pairs" -> jaccardPairsSql,
+    "d3_minhash_signatures" -> minhashSignaturesSql,
+    "d4_minhash_pairs" -> minhashPairsSql,
+    "d5_simhash_pairs" -> simhashPairsSql)
+}

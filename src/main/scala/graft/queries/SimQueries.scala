@@ -1,0 +1,136 @@
+package graft.queries
+
+import graft.Tables
+import graft.sim.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for similarity search over the embeddings
+  * table (64-dim float vectors). Scores round to 4 decimals BEFORE
+  * ranking in both engines, so rankings agree even when raw float sums
+  * differ in the last ulp. */
+object SimQueries {
+
+  private val K = 5
+  private val NQueries = 10
+  private val Dim = 64
+  private val NumPlanes = 8
+
+  private val dotSql =
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+  private def normSql(t: String) =
+    s"sqrt(list_dot_product($t.embedding::DOUBLE[], $t.embedding::DOUBLE[]))"
+
+  // ---- s1: exact brute-force cosine top-k ------------------------------
+
+  def cosineTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.cosineTopK(emb, emb.filter(col("vec_id") < NQueries),
+        "vec_id", "embedding", K)
+      .orderBy("query_id", "rk")
+  }
+
+  val cosineTopKSql: String =
+    s"""SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) DESC,
+       |               b.vec_id) AS rk
+       |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |  WHERE a.vec_id < $NQueries)
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+
+  // ---- s2: LSH bucket assignment ---------------------------------------
+
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    emb.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), planes).as("bucket"))
+      .orderBy("vec_id")
+  }
+
+  val lshBucketsSql: String = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    val bits = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""SELECT vec_id, ($bits)::BIGINT AS bucket
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  // ---- s3: LSH-bucketed approximate top-k ------------------------------
+
+  def lshTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    Similarity.lshCosineTopK(emb, "vec_id", "embedding", K, NumPlanes, Dim)
+      .filter(col("query_id") < NQueries)
+      .orderBy("query_id", "rk")
+  }
+
+  val lshTopKSql: String = {
+    val planes = Similarity.hyperplanes(NumPlanes, Dim)
+    def bitsFor(t: String) = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.mkString("[", ",", "]")
+      s"(CASE WHEN list_dot_product($t.embedding::DOUBLE[], $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH bucketed AS (
+       |  SELECT vec_id, embedding,
+       |    (${bitsFor("embeddings")})::BIGINT AS bucket
+       |  FROM embeddings)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |      ORDER BY ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) DESC,
+       |               b.vec_id) AS rk
+       |  FROM bucketed a JOIN bucketed b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+       |WHERE rk <= $K AND query_id < $NQueries
+       |ORDER BY query_id, rk""".stripMargin
+  }
+
+  // ---- s4: centroid distances per label (embedding aggregation) --------
+
+  /** Mean embedding per label, then each label's centroid norm — an
+    * aggregation-over-vectors pattern (the building block of IVF
+    * partitioning and k-means style training-data ops). Sums are
+    * per-dimension exact decimals cast back to double. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val dims = (0 until Dim).map(i =>
+      (sum(expr(s"cast(cast(embedding[$i] as double) as decimal(30,12))")).cast("double") /
+        count(lit(1))).as(s"c$i"))
+    val centroids = emb.groupBy("label").agg(dims.head, dims.tail: _*)
+    val normExpr = (0 until Dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _)
+    centroids.select(col("label"), round(sqrt(normExpr), 4).as("centroid_norm"))
+      .orderBy("label")
+  }
+
+  val labelCentroidsSql: String = {
+    val dims = (0 until Dim).map(i =>
+      s"CAST(SUM(CAST(CAST(embedding[${i + 1}] AS DOUBLE) AS DECIMAL(30,12))) AS DOUBLE) / COUNT(*) AS c$i")
+      .mkString(",\n    ")
+    val norm = (0 until Dim).map(i => s"c$i * c$i").mkString(" + ")
+    s"""WITH centroids AS (
+       |  SELECT label,
+       |    $dims
+       |  FROM embeddings GROUP BY label)
+       |SELECT label, ROUND(sqrt($norm), 4) AS centroid_norm
+       |FROM centroids ORDER BY label""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s1_cosine_topk" -> (cosineTopK _),
+    "s2_lsh_buckets" -> (lshBuckets _),
+    "s3_lsh_topk" -> (lshTopK _),
+    "s4_label_centroids" -> (labelCentroids _))
+
+  def oracleSql: Map[String, String] = Map(
+    "s1_cosine_topk" -> cosineTopKSql,
+    "s2_lsh_buckets" -> lshBucketsSql,
+    "s3_lsh_topk" -> lshTopKSql,
+    "s4_label_centroids" -> labelCentroidsSql)
+}

@@ -1,0 +1,110 @@
+package graft.queries
+
+import graft.Tables
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for text analysis (language ID, quality
+  * scoring, token stats, fingerprinting). */
+object TextQueries {
+
+  private val WS = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+
+  // ---- t1: language identification -------------------------------------
+
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), TextAnalysis.langId("text").as("lang_pred"))
+      .orderBy("doc_id")
+
+  val langIdSql: String = {
+    val hits = TextAnalysis.markers.keys.toSeq.sorted.map { lang =>
+      val set = TextAnalysis.markers(lang).map(w => s"'$w'").mkString("[", ",", "]")
+      s"SELECT doc_id, '$lang' AS lang, len(list_filter($WS, w -> list_contains($set, w))) AS n FROM documents"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH hits AS (
+       |$hits
+       |), ranked AS (
+       |  SELECT doc_id, lang, n,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk,
+       |    MAX(n) OVER (PARTITION BY doc_id) AS mx
+       |  FROM hits)
+       |SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'unknown' END AS lang_pred
+       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t2: quality scores ----------------------------------------------
+
+  def quality(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        round(TextAnalysis.qualityScore("text"), 4).as("quality"))
+      .orderBy("doc_id")
+
+  val qualitySql: String = {
+    // mirrors TextAnalysis.qualityScore term by term, same parenthesization
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val nTok = s"CAST(len($WS) AS DOUBLE)"
+    s"""SELECT doc_id, ROUND(
+       |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+       |        WHEN $len < 200 THEN $len / 200.0
+       |        ELSE 20000.0 / $len END) * 0.3
+       |  + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+       |  + (CASE WHEN $nTok > 0 THEN
+       |       CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+       |            THEN 1.0 ELSE 0.5 END
+       |     ELSE 0.0 END) * 0.2
+       |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |, 4) AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t3: token statistics --------------------------------------------
+
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_actual"))
+      .orderBy("doc_id")
+
+  val tokenStatsSql: String =
+    s"""SELECT doc_id, len($WS)::BIGINT AS n_tokens,
+       |  LENGTH(text)::BIGINT AS n_chars_actual
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  // ---- t4: document fingerprints ---------------------------------------
+
+  def fingerprints(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.fingerprint(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val fingerprintsSql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws4) - 2, 1)),
+       |    i -> $ws4[i] || ' ' || $ws4[i+1] || ' ' || $ws4[i+2] || ' ' || $ws4[i+3])) AS g
+       |  FROM documents WHERE len($ws4) >= 4),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0)
+       |SELECT doc_id, MIN(('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS fingerprint
+       |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t1_lang_id" -> (langId _),
+    "t2_quality" -> (quality _),
+    "t3_token_stats" -> (tokenStats _),
+    "t4_fingerprints" -> (fingerprints _))
+
+  def oracleSql: Map[String, String] = Map(
+    "t1_lang_id" -> langIdSql,
+    "t2_quality" -> qualitySql,
+    "t3_token_stats" -> tokenStatsSql,
+    "t4_fingerprints" -> fingerprintsSql)
+}

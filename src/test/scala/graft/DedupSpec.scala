@@ -1,0 +1,125 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+import graft.sim.Similarity
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+  private lazy val docs = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base + " tonight"), // near dup of 1
+    (4L, "completely different words about spark engines and data lakes now")
+  ).toDF("doc_id", "text")
+
+  test("exact duplicate groups") {
+    val g = Dedup.exactDuplicateGroups(docs, "text", "doc_id").collect()
+    assert(g.length == 1)
+    assert(g.head.getAs[Long]("n_docs") == 2)
+    assert(g.head.getAs[Long]("canonical_id") == 1L)
+  }
+
+  test("drop exact duplicates keeps smallest id") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 3L, 4L))
+  }
+
+  test("word shingles") {
+    val sh = Dedup.wordShingles(Seq((1L, "a b c d")).toDF("doc_id", "text"),
+      "text", "doc_id", 3).select("shingle").as[String].collect().toSet
+    assert(sh == Set("a b c", "b c d"))
+  }
+
+  test("jaccard pairs find near and exact dups") {
+    val sh = Dedup.wordShingles(docs, "text", "doc_id", 3)
+    val pairs = Dedup.jaccardPairs(sh, 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && pairs.contains((1L, 3L)) && pairs.contains((2L, 3L)))
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("minhash end-to-end finds near dups") {
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        threshold = 0.5)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)))
+  }
+
+  test("identical docs have identical minhash signatures") {
+    val sh = Dedup.wordShingles(docs, "text", "doc_id", 3)
+    val sigs = Dedup.minhashSignatures(sh, 8)
+      .collect().groupBy(_.getAs[Long]("id"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("perm_id")).map(_.getAs[Long]("min_hash")).toSeq)
+    assert(sigs(1L) == sigs(2L))
+    assert(sigs(1L) != sigs(4L))
+  }
+
+  test("simhash: identical docs distance 0, near docs close") {
+    val sigs = Dedup.simhash(docs, "text", "doc_id")
+    val m = sigs.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("simhash")).toMap
+    assert(m(1L) == m(2L))
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) <= 6)
+    val pairs = Dedup.simhashPairs(sigs, maxDistance = 3)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("fingerprint stable under small tail edit") {
+    val fp = TextAnalysis.fingerprint(docs, "text", "doc_id")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fingerprint")).toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) == fp(3L)) // min-shingle unchanged by appended word (high prob)
+  }
+
+  test("language id") {
+    val df = Seq(
+      (1L, "the cat and the dog went to the house that was in the garden"),
+      (2L, "der Hund und die Katze sind nicht in das Haus mit dem Garten"),
+      (3L, "xyzzy plugh 12345")
+    ).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"), TextAnalysis.langId("text").as("l"))
+      .as[(Long, String)].collect().toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "unknown")
+  }
+
+  test("token count and quality bounds") {
+    val df = Seq((1L, "hello world foo bar")).toDF("doc_id", "text")
+    assert(df.select(TextAnalysis.tokenCount("text")).as[Long].head() == 4L)
+    val q = docs.select(TextAnalysis.qualityScore("text").as("q")).as[Double].collect()
+    assert(q.forall(v => v >= 0.0 && v <= 1.0))
+  }
+
+  test("cosine top-k ranks identical vector first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(1.0f, 0.0f, 0.0f)), // identical to 0
+      (2L, Array(0.9f, 0.1f, 0.0f)), // close
+      (3L, Array(0.0f, 0.0f, 1.0f)) // orthogonal
+    ).toDF("vec_id", "embedding")
+    val top = Similarity.cosineTopK(vecs, vecs.filter(col("vec_id") === 0), "vec_id",
+      "embedding", k = 3).collect()
+    val ranked = top.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("neighbor_id")).toSeq
+    assert(ranked == Seq(1L, 2L, 3L))
+    assert(top.head.getAs[Double]("score") == 1.0)
+  }
+
+  test("lsh buckets put identical vectors together") {
+    val vecs = Seq(
+      (0L, Array.fill(64)(0.5f)),
+      (1L, Array.fill(64)(0.5f)),
+      (2L, Array.tabulate(64)(i => if (i % 2 == 0) 1.0f else -1.0f))
+    ).toDF("vec_id", "embedding")
+    val planes = Similarity.hyperplanes(8, 64)
+    val b = vecs.select(col("vec_id"), Similarity.lshBucket(col("embedding"), planes).as("b"))
+      .as[(Long, Long)].collect().toMap
+    assert(b(0L) == b(1L))
+  }
+}
