@@ -17,7 +17,10 @@ object SparkEntry {
     graft.queries.RuleQueries.queries ++
     graft.queries.DedupQueries.queries ++
     graft.queries.TextQueries.queries ++
-    graft.queries.SimQueries.queries
+    graft.queries.SimQueries.queries ++
+    graft.queries.EvalQueries.queries ++
+    graft.queries.StatQueries.queries ++
+    graft.queries.MatchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +30,8 @@ object SparkEntry {
     graft.queries.RuleQueries.oracleSql ++
     graft.queries.DedupQueries.oracleSql ++
     graft.queries.TextQueries.oracleSql ++
-    graft.queries.SimQueries.oracleSql
+    graft.queries.SimQueries.oracleSql ++
+    graft.queries.EvalQueries.oracleSql ++
+    graft.queries.StatQueries.oracleSql ++
+    graft.queries.MatchQueries.oracleSql
 }

@@ -1,0 +1,146 @@
+package graft.cluster
+
+import org.apache.spark.ml.clustering.KMeans
+import org.apache.spark.ml.feature.{MinMaxScaler, VectorAssembler}
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Column clustering over profile vectors (SURVEY.md §2.9 M1-M6, M11;
+  * reference: utils/clustering.py:23-165,
+  * utils/two_stage_clustering.py:127-235).
+  *
+  * The data plane here is tiny by construction — one row per (table,
+  * column) — so DBSCAN runs driver-side on collected vectors exactly
+  * like the reference (there is no MLlib DBSCAN), while KMeans uses
+  * MLlib. Collecting profiles is correct at any lake scale because
+  * cardinality is #columns, not #rows (SURVEY.md §7.3).
+  */
+object Clustering {
+
+  /** Default numeric profile features used as the clustering space
+    * (mirrors the reference's profile-vector selection). */
+  val defaultFeatures: Seq[String] = Seq(
+    "null_ratio", "unique_ratio", "avg_len", "avg_word_len",
+    "ratio_int", "ratio_float", "ratio_date", "mode_ratio",
+    "dominant_pattern_ratio")
+
+  /** MinMax-scaled feature vectors (M1): one row per column, column id
+    * = "table::column" (reference: utils/clustering.py:48-50). */
+  def vectorize(profiles: DataFrame, features: Seq[String] = defaultFeatures): DataFrame = {
+    val cleaned = profiles.select(
+      concat_ws("::", col("table"), col("column")).as("column_id") +:
+        features.map(f => coalesce(col(f).cast(DoubleType), lit(0.0)).as(f)): _*)
+    val assembled = new VectorAssembler()
+      .setInputCols(features.toArray).setOutputCol("features_raw")
+      .transform(cleaned)
+    new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
+      .fit(assembled).transform(assembled)
+      .select("column_id", "features")
+  }
+
+  /** MLlib KMeans over profile vectors (M3), fixed seed. */
+  def kmeans(vectors: DataFrame, k: Int, seed: Long = 42L): DataFrame =
+    new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
+      .setPredictionCol("cluster_id")
+      .fit(vectors).transform(vectors)
+      .select("column_id", "cluster_id")
+
+  /** Driver-side DBSCAN (M2) — the reference's default clusterer
+    * (eps-neighborhood density, noise dropped to cluster -1). Operates
+    * on collected vectors: O(n²) with n = #columns, intentionally local. */
+  def dbscan(points: Seq[(String, Array[Double])], eps: Double,
+      minPts: Int): Map[String, Int] = {
+    val n = points.size
+    val ids = points.map(_._1)
+    val vs = points.map(_._2)
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val neighbors = Array.tabulate(n)(i =>
+      (0 until n).filter(j => dist(vs(i), vs(j)) <= eps).toArray)
+    val labels = Array.fill(n)(-2) // -2 unvisited, -1 noise
+    var cluster = -1
+    for (i <- 0 until n if labels(i) == -2) {
+      if (neighbors(i).length < minPts) labels(i) = -1
+      else {
+        cluster += 1
+        labels(i) = cluster
+        var frontier = neighbors(i).toList
+        while (frontier.nonEmpty) {
+          val j = frontier.head
+          frontier = frontier.tail
+          if (labels(j) == -1) labels(j) = cluster
+          if (labels(j) == -2) {
+            labels(j) = cluster
+            if (neighbors(j).length >= minPts) frontier = neighbors(j).toList ++ frontier
+          }
+        }
+      }
+    }
+    ids.zip(labels).toMap
+  }
+
+  /** DBSCAN over a vectorized profile frame; collects (tiny) then
+    * returns a DataFrame of assignments. */
+  def dbscanAssign(vectors: DataFrame, eps: Double, minPts: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pts = vectors.collect().map { r =>
+      r.getAs[String]("column_id") ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+    }.toSeq
+    dbscan(pts, eps, minPts).toSeq.toDF("column_id", "cluster_id")
+  }
+
+  /** Per-cluster feature stats (A19/A20; reference:
+    * rules/cluster_matcher.py:200-247): pseudo-centroid plus min/max/std
+    * per feature. */
+  def clusterStats(profiles: DataFrame, assignments: DataFrame,
+      features: Seq[String] = defaultFeatures): DataFrame = {
+    val joined = profiles
+      .withColumn("column_id", concat_ws("::", col("table"), col("column")))
+      .join(assignments, "column_id")
+    val aggs = features.flatMap { f =>
+      Seq(avg(col(f)).as(s"${f}_mean"), min(col(f)).as(s"${f}_min"),
+        max(col(f)).as(s"${f}_max"),
+        coalesce(stddev_pop(col(f)), lit(0.0)).as(s"${f}_std"))
+    }
+    joined.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_columns"), aggs: _*)
+  }
+
+  /** Adjusted Rand Index between two assignments, computed from
+    * join-based contingency counts (M11; reference ARI at
+    * experiment/cluster_feature_ablation_study/cluster_experiment.py:1118-1130). */
+  def adjustedRandIndex(a: DataFrame, b: DataFrame): Double = {
+    val joined = a.withColumnRenamed("cluster_id", "ca")
+      .join(b.withColumnRenamed("cluster_id", "cb"), "column_id")
+    def comb2(c: org.apache.spark.sql.Column) = c * (c - 1) / 2.0
+    val n = joined.count().toDouble
+    if (n < 2) return 1.0
+    val sumIj = joined.groupBy("ca", "cb").count()
+      .agg(sum(comb2(col("count")))).head().getDouble(0)
+    val sumI = joined.groupBy("ca").count()
+      .agg(sum(comb2(col("count")))).head().getDouble(0)
+    val sumJ = joined.groupBy("cb").count()
+      .agg(sum(comb2(col("count")))).head().getDouble(0)
+    val expected = sumI * sumJ / (n * (n - 1) / 2.0)
+    val maxIdx = (sumI + sumJ) / 2.0
+    if (maxIdx == expected) 1.0 else (sumIj - expected) / (maxIdx - expected)
+  }
+
+  /** Pairing accuracy (M11): share of same-named columns from different
+    * tables landing in the same cluster (reference's split-table
+    * metric). */
+  def pairingAccuracy(assignments: DataFrame): Double = {
+    val parts = assignments
+      .withColumn("table", split(col("column_id"), "::").getItem(0))
+      .withColumn("column", split(col("column_id"), "::").getItem(1))
+    val pairs = parts.as("x").join(parts.as("y"),
+      col("x.column") === col("y.column") && col("x.table") < col("y.table"))
+    val total = pairs.count()
+    if (total == 0) 1.0
+    else pairs.filter(col("x.cluster_id") === col("y.cluster_id")).count()
+      .toDouble / total
+  }
+}

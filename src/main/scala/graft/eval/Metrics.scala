@@ -1,0 +1,73 @@
+package graft.eval
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+/** Cell-level evaluation against dirty/clean golden pairs
+  * (reference: dataset.py:56-62, utils/metrics.py:74-319).
+  *
+  * Cell identity is (row_id, column) where row_id comes from a key
+  * column or [[graft.ingest.Ingest.withRowId]]. The ground-truth diff
+  * and the P/R/F1 join are both shuffle-on-cell-key equi joins — the
+  * natural Spark shape for A31; nothing collects to the driver.
+  */
+object Metrics {
+
+  /** Unpivot to cell grain: (row_id, column, value). */
+  def cells(df: DataFrame, keyCol: String, cols: Seq[String]): DataFrame = {
+    val entries = cols.map { c =>
+      struct(lit(c).as("column"), col(s"`$c`").cast(StringType).as("value"))
+    }
+    df.select(col(s"`$keyCol`").cast("long").as("row_id"),
+        explode(array(entries: _*)).as("cv"))
+      .select(col("row_id"), col("cv.column").as("column"), col("cv.value").as("value"))
+  }
+
+  /** Ground-truth error cells: positions where dirty differs from clean
+    * (J1 — positional alignment via the shared key). Null-safe compare:
+    * null vs value counts as a difference; null vs null does not. */
+  def actualErrorCells(dirty: DataFrame, clean: DataFrame, keyCol: String): DataFrame = {
+    val cols = dirty.columns.filter(_ != keyCol).toSeq
+    val d = cells(dirty, keyCol, cols).withColumnRenamed("value", "dirty_value")
+    val c = cells(clean, keyCol, cols).withColumnRenamed("value", "clean_value")
+    d.join(c, Seq("row_id", "column"), "full_outer")
+      .filter(!(col("dirty_value") <=> col("clean_value")))
+      .select("row_id", "column", "dirty_value", "clean_value")
+  }
+
+  /** Merge predicted violations to distinct cell grain (A32 — the
+    * reference unions error indices per column: utils/metrics.py:11-19). */
+  def mergeErrors(violations: DataFrame): DataFrame =
+    violations.select("row_id", "column").distinct()
+
+  /** Cell-level precision/recall/F1, overall row plus one row per
+    * column (A31; reference: utils/metrics.py:112-319). `predicted`
+    * and `actual` both at (row_id, column) grain. */
+  def score(predicted: DataFrame, actual: DataFrame): DataFrame = {
+    val p = predicted.select("row_id", "column").distinct()
+      .withColumn("p", lit(1))
+    val a = actual.select("row_id", "column").distinct()
+      .withColumn("a", lit(1))
+    val joined = p.join(a, Seq("row_id", "column"), "full_outer")
+    val perColumn = joined.groupBy("column").agg(
+      sum(when(col("p").isNotNull && col("a").isNotNull, 1).otherwise(0)).as("tp"),
+      sum(when(col("p").isNotNull && col("a").isNull, 1).otherwise(0)).as("fp"),
+      sum(when(col("p").isNull && col("a").isNotNull, 1).otherwise(0)).as("fn"))
+    val overall = perColumn.agg(sum("tp").as("tp"), sum("fp").as("fp"),
+        sum("fn").as("fn"))
+      .withColumn("column", lit("__overall__"))
+      .select("column", "tp", "fp", "fn")
+    val prf = (df: DataFrame) => df
+      .withColumn("precision", when(col("tp") + col("fp") > 0,
+        col("tp").cast(DoubleType) / (col("tp") + col("fp")).cast(DoubleType))
+        .otherwise(0.0))
+      .withColumn("recall", when(col("tp") + col("fn") > 0,
+        col("tp").cast(DoubleType) / (col("tp") + col("fn")).cast(DoubleType))
+        .otherwise(0.0))
+      .withColumn("f1", when(col("precision") + col("recall") > 0,
+        lit(2.0) * col("precision") * col("recall") / (col("precision") + col("recall")))
+        .otherwise(0.0))
+    prf(perColumn.select("column", "tp", "fp", "fn").unionByName(overall))
+  }
+}

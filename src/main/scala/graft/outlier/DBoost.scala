@@ -1,0 +1,130 @@
+package graft.outlier
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** dBoost-parity statistical machinery (SURVEY.md §2.4 A23-A30;
+  * reference: the profiling/dBoost/dboost package).
+  *
+  * Everything follows the two-pass estimator/transformer shape: `fit`
+  * is an aggregation producing a broadcastable model; detection is a
+  * map-side predicate over the broadcast model. Determinism: all
+  * accumulations that feed comparisons go through exact decimal sums.
+  */
+object DBoost {
+
+  // ---- F8/F9/F10 — tuple expansions ------------------------------------
+
+  /** Date-part expansion of a timestamp column (reference:
+    * profiling/dBoost/dboost/features/__init__.py:111-130). */
+  def dateExpansions(ts: Column): Seq[(String, Column)] = Seq(
+    "year" -> year(ts), "month" -> month(ts), "day" -> dayofmonth(ts),
+    "hour" -> hour(ts), "minute" -> minute(ts), "second" -> second(ts),
+    "dayofweek" -> dayofweek(ts), "dayofyear" -> dayofyear(ts),
+    "is_weekend" -> (dayofweek(ts) === 1 || dayofweek(ts) === 7).cast("int"))
+
+  /** Numeric expansions (reference: features/__init__.py:96-134). */
+  def numericExpansions(d: Column): Seq[(String, Column)] = Seq(
+    "mod10" -> pmod(floor(d).cast(LongType), lit(10L)),
+    "frac" -> (d - floor(d)),
+    "is_negative" -> (d < 0).cast("int"),
+    "bit0" -> pmod(floor(d).cast(LongType), lit(2L)))
+
+  /** String expansions (reference: features/__init__.py:36-92). */
+  def stringExpansions(s: Column): Seq[(String, Column)] = Seq(
+    "length" -> length(s),
+    "is_upper" -> (upper(s) === s).cast("int"),
+    "is_lower" -> (lower(s) === s).cast("int"),
+    "is_digit" -> s.rlike("^\\d+$").cast("int"),
+    "is_empty" -> (length(s) === 0).cast("int"),
+    "email_domain" -> regexp_extract(s, "@([A-Za-z0-9.-]+)$", 1))
+
+  // ---- A27 — histogram model -------------------------------------------
+
+  /** Fit summary per low-cardinality column: class count, top-class
+    * mass, and whether the histogram is "peaked" enough to be a model
+    * (reference: models/discrete.py:33-71 keeps histograms under 16
+    * classes whose top peaks carry most of the mass). Cardinality
+    * guard first — high-cardinality columns never build histograms
+    * (analyzers/utils.py cap). */
+  def histogramFit(long: DataFrame, maxClasses: Int = 16,
+      peakMass: Double = 0.8): DataFrame =
+    long.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+      .groupBy("column").agg(
+        count(lit(1)).as("n_classes"),
+        (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType)).as("top_mass"),
+        sum("cnt").as("n_values"))
+      .withColumn("peaked",
+        (col("n_classes") <= maxClasses && col("top_mass") >= peakMass).cast("int"))
+
+  /** Histogram outliers: cells in peaked columns whose value carries
+    * less than `minRatio` of the mass. */
+  def histogramOutliers(long: DataFrame, maxClasses: Int = 16,
+      peakMass: Double = 0.8, minRatio: Double = 0.05): DataFrame = {
+    val hist = long.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
+    val totals = hist.groupBy("column").agg(
+      count(lit(1)).as("n_classes"), sum("cnt").as("tot"), max("cnt").as("mx"))
+      .filter(col("n_classes") <= maxClasses &&
+        col("mx").cast(DoubleType) / col("tot").cast(DoubleType) >= peakMass)
+    hist.join(broadcast(totals), Seq("column"))
+      .filter(col("cnt").cast(DoubleType) / col("tot").cast(DoubleType) < minRatio)
+      .select(col("column"), col("value"), col("cnt"))
+  }
+
+  // ---- A24 — Pearson correlation matrix --------------------------------
+
+  /** Pairwise Pearson r over the given numeric columns in ONE scan:
+    * exact decimal sums of x, x², and x·y per pair, so r is
+    * bit-deterministic under any partitioning (reference:
+    * analyzers/statistical.py:25-77 reports pairs with |r| > ε). */
+  def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    def dsum(e: Column): Column = sum(e.cast(DecimalType(38, 10))).cast(DoubleType)
+    val aggs = cols.map(c => dsum(col(c)).as(s"s_$c")) ++
+      cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+      cols.combinations(2).toSeq.map { case Seq(a, b) =>
+        dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+      } :+ count(lit(1)).cast(DoubleType).as("n")
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+    val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        ((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
+          (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
+           sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))).as("r"))
+    }
+    stats.select(explode(array(pairRows: _*)).as("p")).select("p.*")
+  }
+
+  // ---- A25/A26 — contingency + chi-squared dependence ------------------
+
+  /** Contingency table of two categorical columns (A26), guarded: null
+    * cells excluded. */
+  def contingency(df: DataFrame, a: String, b: String): DataFrame =
+    df.filter(col(a).isNotNull && col(b).isNotNull)
+      .groupBy(col(a).as("a"), col(b).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** CORDS-style chi-squared statistic for dependence between two
+    * low-cardinality columns (reference: analyzers/cords.py:8-90).
+    * Per-cell contributions go through exact decimal summation so the
+    * statistic is deterministic. */
+  def chiSquared(df: DataFrame, a: String, b: String): DataFrame = {
+    val obs = contingency(df, a, b)
+    val rowTot = obs.groupBy("a").agg(sum("cnt").as("ra"))
+    val colTot = obs.groupBy("b").agg(sum("cnt").as("cb"))
+    val n = obs.agg(sum("cnt").as("n"))
+    val cells = obs.join(broadcast(rowTot), "a").join(broadcast(colTot), "b")
+      .join(broadcast(n))
+      .withColumn("e", col("ra").cast(DoubleType) * col("cb").cast(DoubleType) /
+        col("n").cast(DoubleType))
+      .withColumn("contrib",
+        (col("cnt").cast(DoubleType) - col("e")) * (col("cnt").cast(DoubleType) - col("e"))
+          / col("e"))
+    cells.agg(
+      sum(col("contrib").cast(DecimalType(38, 12))).cast(DoubleType).as("chi2"),
+      count(lit(1)).as("n_cells"),
+      countDistinct("a").as("card_a"),
+      countDistinct("b").as("card_b"))
+      .withColumn("dof", (col("card_a") - 1) * (col("card_b") - 1))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.Tables
+import graft.cluster.Clustering
+import graft.matching.ColumnMatcher
+import graft.profile.Profiler
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Correctness-gate queries for column matching and clustering
+  * (J6/J7, M1-M3). The match scorer is fully oracle-checked (profile
+  * features + levenshtein arithmetic mirrored in SQL); KMeans/DBSCAN
+  * assignments are algorithmic (seeded, driver-side) and covered by
+  * unit specs + rows-only checks. */
+object MatchQueries {
+
+  private val customerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+  private val supplierCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+  private def v(c: String) = s"CAST($c AS VARCHAR)"
+  private def nn(c: String) = s"($c IS NOT NULL AND TRIM(${v(c)}) <> '')"
+
+  private def typeCase(c: String): String = {
+    val intR = "'^[+-]?\\d+$'"
+    val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
+    val boolR = "'^(?i)(true|false|yes|no|t|f|y|n)$'"
+    val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
+    def r(re: String) =
+      s"COALESCE(CAST(SUM(CASE WHEN ${nn(c)} AND regexp_matches(${v(c)}, $re) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)"
+    s"""CASE
+       |    WHEN COUNT(*) = SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END) THEN 'empty'
+       |    WHEN ${r(dateR)} >= 0.7 THEN 'date'
+       |    WHEN ${r(boolR)} >= 0.7 THEN 'boolean'
+       |    WHEN ${r(intR)} >= 0.7 THEN 'integer'
+       |    WHEN ${r(floatR)} >= 0.7 THEN 'float'
+       |    WHEN COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) <= 20
+       |         AND CAST(COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS DOUBLE)
+       |             / CAST(COUNT(*) AS DOUBLE) <= 0.1 THEN 'categorical'
+       |    ELSE 'string'
+       |  END""".stripMargin
+  }
+
+  private def profileSql(table: String, cols: Seq[String]): String = cols.map { c =>
+    s"""SELECT '$c' AS "column", ${typeCase(c)} AS type,
+       |  CAST(COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS unique_ratio,
+       |  CAST(SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS null_ratio,
+       |  COALESCE(CAST(SUM(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END) AS DOUBLE)
+       |    / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS avg_len
+       |FROM $table""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  // ---- m1: cross-table column match scores (J6) ------------------------
+
+  def columnMatch(spark: SparkSession, dir: String): DataFrame = {
+    val src = Profiler.profileAuto(Tables.load(spark, dir, "customer"), "customer",
+      features = Set("mode"))
+    val tgt = Profiler.profileAuto(Tables.load(spark, dir, "supplier"), "supplier",
+      features = Set("mode"))
+    ColumnMatcher.candidates(src, tgt)
+      .orderBy("src_column", "tgt_column")
+  }
+
+  val columnMatchSql: String =
+    s"""WITH src AS (
+       |${profileSql("customer", customerCols)}
+       |), tgt AS (
+       |${profileSql("supplier", supplierCols)}
+       |)
+       |SELECT s."column" AS src_column, t."column" AS tgt_column,
+       |  ROUND(
+       |    (1.0 - CAST(levenshtein(s."column", t."column") AS DOUBLE)
+       |      / CAST(GREATEST(LENGTH(s."column"), LENGTH(t."column")) AS DOUBLE)) * 0.4
+       |    + (CASE WHEN s.type = t.type THEN 1.0 ELSE 0.0 END) * 0.2
+       |    + (1.0 - (ABS(s.unique_ratio - t.unique_ratio)
+       |            + ABS(s.null_ratio - t.null_ratio)
+       |            + LEAST(ABS(s.avg_len - t.avg_len) / 100.0, 1.0)) / 3.0) * 0.4
+       |  , 6) AS score
+       |FROM src s CROSS JOIN tgt t
+       |ORDER BY src_column, tgt_column""".stripMargin
+
+  // ---- c1: KMeans cluster sizes over all table profiles (rows-only) ----
+
+  def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq("customer", "supplier", "part", "orders", "nation")
+      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t))
+      .reduce(_.unionByName(_))
+    val vecs = Clustering.vectorize(profiles)
+    Clustering.kmeans(vecs, k = 4)
+      .groupBy("cluster_id").agg(count(lit(1)).as("n_columns"))
+      .orderBy("cluster_id")
+  }
+
+  // ---- c2: DBSCAN assignments (rows-only) ------------------------------
+
+  def dbscanClusters(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = Seq("customer", "supplier", "nation")
+      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t))
+      .reduce(_.unionByName(_))
+    Clustering.dbscanAssign(Clustering.vectorize(profiles), eps = 0.5, minPts = 2)
+      .orderBy("column_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "m1_column_match" -> (columnMatch _),
+    "c1_kmeans_clusters" -> (kmeansClusters _),
+    "c2_dbscan_clusters" -> (dbscanClusters _))
+
+  /** c1/c2 are algorithmic (seeded KMeans / driver DBSCAN) — no SQL
+    * equivalent; the driver records rows-only checks for them. */
+  def oracleSql: Map[String, String] = Map(
+    "m1_column_match" -> columnMatchSql)
+}

@@ -1,0 +1,88 @@
+package graft
+
+import graft.cluster.Clustering
+import graft.matching.ColumnMatcher
+import graft.rules._
+import graft.transfer.{LeveledRule, RuleTransfer}
+
+class ClusterMatchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("dbscan separates dense groups and flags noise") {
+    val pts = Seq(
+      "a1" -> Array(0.0, 0.0), "a2" -> Array(0.1, 0.0), "a3" -> Array(0.0, 0.1),
+      "b1" -> Array(5.0, 5.0), "b2" -> Array(5.1, 5.0), "b3" -> Array(5.0, 5.1),
+      "noise" -> Array(10.0, 0.0))
+    val labels = Clustering.dbscan(pts, eps = 0.5, minPts = 2)
+    assert(labels("a1") == labels("a2") && labels("a2") == labels("a3"))
+    assert(labels("b1") == labels("b2") && labels("b2") == labels("b3"))
+    assert(labels("a1") != labels("b1"))
+    assert(labels("noise") == -1)
+  }
+
+  test("ARI of identical assignments is 1") {
+    val a = Seq(("x", 0), ("y", 0), ("z", 1)).toDF("column_id", "cluster_id")
+    assert(math.abs(Clustering.adjustedRandIndex(a, a) - 1.0) < 1e-9)
+  }
+
+  test("pairing accuracy counts same-named columns across tables") {
+    val assign = Seq(
+      ("t1::id", 0), ("t2::id", 0), // paired correctly
+      ("t1::name", 1), ("t2::name", 2) // split — incorrect
+    ).toDF("column_id", "cluster_id")
+    assert(Clustering.pairingAccuracy(assign) == 0.5)
+  }
+
+  test("hungarian finds the obvious best assignment") {
+    val scores = Map(
+      ("a", "x") -> 0.9, ("a", "y") -> 0.1,
+      ("b", "x") -> 0.2, ("b", "y") -> 0.8)
+    assert(ColumnMatcher.hungarian(scores).toSet == Set("a" -> "x", "b" -> "y"))
+  }
+
+  test("hungarian maximizes total score, not greedy per-row") {
+    // greedy would give a->x (0.9) forcing b->y (0.1): total 1.0
+    // optimal is a->y (0.8) + b->x (0.7): total 1.5
+    val scores = Map(
+      ("a", "x") -> 0.9, ("a", "y") -> 0.8,
+      ("b", "x") -> 0.7, ("b", "y") -> 0.1)
+    assert(ColumnMatcher.hungarian(scores).toSet == Set("a" -> "y", "b" -> "x"))
+  }
+
+  test("matcher scores same-name same-type columns highest") {
+    val src = graft.profile.Profiler.profile(
+      Seq((1L, "x"), (2L, "y")).toDF("id", "name"), "t1")
+    val tgt = graft.profile.Profiler.profile(
+      Seq((3L, "z"), (4L, "w")).toDF("id", "label"), "t2")
+    val cands = ColumnMatcher.candidates(src, tgt).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    assert(cands(("id", "id")) > cands(("id", "label")))
+    assert(cands(("id", "id")) > 0.9)
+  }
+
+  test("rule binding remaps columns") {
+    val bound = ColumnMatcher.bindRules(
+      Seq(NotNullRule("a"), RangeRule("b", 0, 1), RegexRule("c", "x")),
+      Map("a" -> "a2", "b" -> "b2"))
+    assert(bound.map(_.column).toSet == Set("a2", "b2"))
+  }
+
+  test("transfer gates by level and decays confidence") {
+    val rules = Seq(
+      LeveledRule(NotNullRule("a"), 1, 1.0),
+      LeveledRule(RegexRule("a", "x"), 3, 1.0),
+      LeveledRule(SingleValueRule("a", "v"), 4, 1.0))
+    val out = RuleTransfer.transfer(rules, similarity = 0.7)
+    // level 4 gated out (needs 0.8); level 1 kept at 0.7; level 3 decays
+    assert(out.map(_.rule.name).toSet ==
+      Set("not_null(a)", "regex(a)"))
+    val l3 = out.find(_.level == 3).get
+    assert(math.abs(l3.confidence - 1.0 * 0.75 * 0.7) < 1e-9)
+  }
+
+  test("adaptation widens ranges") {
+    val RangeRule(_, lo, hi, _) =
+      RuleTransfer.adapt(RangeRule("x", 0.0, 10.0)): @unchecked
+    assert(lo == -1.0 && hi == 11.0)
+  }
+}
