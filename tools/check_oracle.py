@@ -28,7 +28,7 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
-        spark_dir = os.path.join(out_dir, name)
+        spark_dir = os.path.join(out_dir, name + ".parquet")
         files = glob.glob(os.path.join(spark_dir, "*.parquet"))
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
