@@ -11,10 +11,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JIT/codegen warmup at the smallest SF: the first execution of each
+    // query pays one-time Janino compilation + HotSpot warmup (~20 s
+    // across the suite) that a long-running cluster never sees per query.
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try { fn(spark, "/root/testdata/sf0.001").count() }
+      catch { case _: Throwable => () }
+      spark.catalog.clearCache()
+    }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
+      // drop caches/persists a query may have pinned so later queries
+      // are measured on a clean executor heap
+      spark.catalog.clearCache()
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
     }

@@ -31,9 +31,16 @@ object Clustering {
     val cleaned = profiles.select(
       concat_ws("::", col("table"), col("column")).as("column_id") +:
         features.map(f => coalesce(col(f).cast(DoubleType), lit(0.0)).as(f)): _*)
+    // One row per (table, column) — broadcast-sized at any lake scale —
+    // but its lineage is the full profiling agg over every table.
+    // localCheckpoint (not cache) both materializes it once AND
+    // truncates the plan: the iterative fits downstream (MinMaxScaler,
+    // KMeans ~20 jobs) would otherwise re-plan the ~10³-expression
+    // profiling tree on every job, which dominated the runtime.
     val assembled = new VectorAssembler()
       .setInputCols(features.toArray).setOutputCol("features_raw")
       .transform(cleaned)
+      .localCheckpoint()
     new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
       .fit(assembled).transform(assembled)
       .select("column_id", "features")

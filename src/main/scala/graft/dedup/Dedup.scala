@@ -147,7 +147,12 @@ object Dedup {
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // The shingle table feeds four consumers (signatures, sizes, both
+    // verify-join sides); without persist the split+explode+distinct
+    // shuffle re-runs per consumer. MEMORY_AND_DISK so the 100 TB case
+    // spills instead of OOMing.
     val sh = wordShingles(df, textCol, idCol, shingleSize)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cands = lshCandidates(lshBuckets(minhashSignatures(sh, numPerms), rowsPerBand))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("ida"), col("shingle"))

@@ -83,8 +83,12 @@ object MatchQueries {
   // ---- c1: KMeans cluster sizes over all table profiles (rows-only) ----
 
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
+    // Clustering reads only the 9 defaultFeatures — computing the
+    // char-explode / quartile / keyword branches here would dominate
+    // the runtime for features nobody consumes.
     val profiles = Seq("customer", "supplier", "part", "orders", "nation")
-      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t))
+      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t,
+        features = Set("mode", "pattern")))
       .reduce(_.unionByName(_))
     val vecs = Clustering.vectorize(profiles)
     Clustering.kmeans(vecs, k = 4)
@@ -96,7 +100,8 @@ object MatchQueries {
 
   def dbscanClusters(spark: SparkSession, dir: String): DataFrame = {
     val profiles = Seq("customer", "supplier", "nation")
-      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t))
+      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t,
+        features = Set("mode", "pattern")))
       .reduce(_.unionByName(_))
     Clustering.dbscanAssign(Clustering.vectorize(profiles), eps = 0.5, minPts = 2)
       .orderBy("column_id")
