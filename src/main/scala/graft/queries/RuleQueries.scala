@@ -144,11 +144,133 @@ object RuleQueries {
       |WHERE value IS NOT NULL AND ABS(value - m) > 3.0 * sqrt(m2 - m * m)
       |ORDER BY row_id""".stripMargin
 
+  // ---- r5: denial constraints (J4) -------------------------------------
+
+  private val dcs = Seq(
+    "t1&t2&EQ(t1.o_custkey,t2.o_custkey)&IQ(t1.o_orderpriority,t2.o_orderpriority)",
+    "t1&t2&EQ(t1.o_custkey,t2.o_custkey)&GT(t1.o_totalprice,t2.o_totalprice)&IQ(t1.o_orderstatus,t2.o_orderstatus)")
+
+  def denialConstraints(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    DenialConstraints.scan(o, "orders", dcs.map(DenialConstraints.parse), "o_orderkey")
+      .select("rule", "row_id")
+      .orderBy("rule", "row_id")
+  }
+
+  val denialConstraintsSql: String =
+    s"""SELECT * FROM (
+       |  SELECT '${dcs(0)}' AS rule, row_id FROM (
+       |    SELECT a.o_orderkey AS row_id FROM orders a JOIN orders b
+       |      ON a.o_custkey = b.o_custkey
+       |     AND a.o_orderpriority <> b.o_orderpriority
+       |     AND a.o_orderkey <> b.o_orderkey
+       |    UNION
+       |    SELECT b.o_orderkey FROM orders a JOIN orders b
+       |      ON a.o_custkey = b.o_custkey
+       |     AND a.o_orderpriority <> b.o_orderpriority
+       |     AND a.o_orderkey <> b.o_orderkey)
+       |  UNION ALL
+       |  SELECT '${dcs(1)}', row_id FROM (
+       |    SELECT a.o_orderkey AS row_id FROM orders a JOIN orders b
+       |      ON a.o_custkey = b.o_custkey
+       |     AND a.o_totalprice > b.o_totalprice
+       |     AND a.o_orderstatus <> b.o_orderstatus
+       |     AND a.o_orderkey <> b.o_orderkey
+       |    UNION
+       |    SELECT b.o_orderkey FROM orders a JOIN orders b
+       |      ON a.o_custkey = b.o_custkey
+       |     AND a.o_totalprice > b.o_totalprice
+       |     AND a.o_orderstatus <> b.o_orderstatus
+       |     AND a.o_orderkey <> b.o_orderkey)
+       |) ORDER BY rule, row_id""".stripMargin
+
+  // ---- r6: trained threshold bands (A18) -------------------------------
+
+  private val bandCols = Seq("l_quantity", "l_extendedprice", "l_discount")
+
+  def trainedBands(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    TrainedRules.thresholdBands(li, bandCols)
+      .select(col("column"), round(col("p05"), 6).as("p05"),
+        round(col("p95"), 6).as("p95"), round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"))
+      .orderBy("column")
+  }
+
+  val trainedBandsSql: String = bandCols.map { c =>
+    s"""SELECT '$c' AS "column",
+       |  ROUND(quantile_cont($c, 0.05), 6) AS p05,
+       |  ROUND(quantile_cont($c, 0.95), 6) AS p95,
+       |  ROUND(CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c), 6) AS mean,
+       |  ROUND(sqrt(CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c)
+       |    - (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))
+       |      * (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))), 6) AS std
+       |FROM lineitem""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  // ---- r7: trained-rule violation scan (A18 end to end) ----------------
+
+  def trainedViolations(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+      .withColumn("lkey", col("l_orderkey") * 10 + col("l_linenumber"))
+    TrainedRules.fitAndScan(li, li, "lineitem", bandCols, "lkey")
+      .select("column", "row_id")
+      .orderBy("row_id", "column")
+  }
+
+  val trainedViolationsSql: String = {
+    val scans = bandCols.map { c =>
+      s"""SELECT '$c' AS "column", l_orderkey * 10 + l_linenumber AS row_id
+         |FROM lineitem, b
+         |WHERE $c < b.${c}_lo OR $c > b.${c}_hi""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val bands = bandCols.map(c =>
+      s"quantile_cont($c, 0.05) AS ${c}_lo, quantile_cont($c, 0.95) AS ${c}_hi")
+      .mkString(", ")
+    s"""WITH b AS (SELECT $bands FROM lineitem)
+       |SELECT * FROM (
+       |$scans
+       |) ORDER BY row_id, "column"""".stripMargin
+  }
+
+  // ---- r8: dictionary membership misses (P8) ---------------------------
+
+  def dictionaryMisses(spark: SparkSession, dir: String): DataFrame = {
+    val nation = Tables.load(spark, dir, "nation")
+    val part = Tables.load(spark, dir, "part")
+    // probe: dotted-lowercase nation names (normalize to dictionary hits)
+    // plus part names (all misses)
+    val probe = nation.select(concat(lower(col("n_name")), lit(".")).as("v"))
+      .unionByName(part.select(col("p_name").as("v")))
+    Dictionary.misses(probe, "v", nation, "n_name")
+      .orderBy("value")
+  }
+
+  val dictionaryMissesSql: String = {
+    def norm(e: String) =
+      "trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(" +
+        s"regexp_replace(lower($e), '\\.', '', 'g'), " +
+        "'\\bst\\b', 'saint', 'g'), '\\bmt\\b', 'mount', 'g'), " +
+        "'\\bft\\b', 'fort', 'g'), '\\s+', ' ', 'g'))"
+    s"""WITH probe AS (
+       |  SELECT lower(n_name) || '.' AS v FROM nation
+       |  UNION ALL SELECT p_name FROM part),
+       |dict AS (SELECT DISTINCT ${norm("n_name")} AS dv FROM nation)
+       |SELECT DISTINCT v AS value FROM probe
+       |WHERE ${norm("v")} <> ''
+       |  AND ${norm("v")} NOT IN (SELECT dv FROM dict)
+       |ORDER BY value""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r1_rule_violations" -> (ruleViolations _),
     "r2_fd_conflicts" -> (fdConflicts _),
     "r3_inclusion_violations" -> (inclusionViolations _),
     "r4_unique_violations" -> (uniqueViolations _),
+    "r5_denial_constraints" -> (denialConstraints _),
+    "r6_trained_bands" -> (trainedBands _),
+    "r7_trained_violations" -> (trainedViolations _),
+    "r8_dictionary_misses" -> (dictionaryMisses _),
     "o1_sigma_outliers" -> (sigmaOutliers _),
     "o2_low_frequency" -> (lowFrequency _),
     "o3_grouped_sigma" -> (groupedSigma _))
@@ -158,6 +280,10 @@ object RuleQueries {
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,
     "r4_unique_violations" -> uniqueViolationsSql,
+    "r5_denial_constraints" -> denialConstraintsSql,
+    "r6_trained_bands" -> trainedBandsSql,
+    "r7_trained_violations" -> trainedViolationsSql,
+    "r8_dictionary_misses" -> dictionaryMissesSql,
     "o1_sigma_outliers" -> sigmaOutliersSql,
     "o2_low_frequency" -> lowFrequencySql,
     "o3_grouped_sigma" -> groupedSigmaSql)

@@ -96,15 +96,51 @@ object TextQueries {
        |FROM grams GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t5: OOV tokens (spell-check stand-in, P9) -----------------------
+
+  def oovTokens(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.oovTokens(Tables.load(spark, dir, "documents"),
+        "text", "doc_id", minDocFreq = 3)
+      .orderBy("word")
+
+  val oovTokensSql: String =
+    s"""WITH words0 AS (SELECT doc_id, unnest($WS) AS word FROM documents),
+       |words AS (SELECT DISTINCT doc_id, word FROM words0)
+       |SELECT word, COUNT(*) AS n_docs FROM words
+       |GROUP BY word HAVING COUNT(*) < 3
+       |ORDER BY word""".stripMargin
+
+  // ---- t6: typo-conflict pairs (F12 levenshtein) -----------------------
+
+  def typoPairs(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.typoPairs(Tables.load(spark, dir, "part"), "p_name",
+        maxDist = 2)
+      .orderBy("value_a", "value_b")
+
+  val typoPairsSql: String =
+    """WITH v AS (
+      |  SELECT DISTINCT p_name AS v FROM part
+      |  WHERE p_name IS NOT NULL AND p_name <> '')
+      |SELECT a.v AS value_a, b.v AS value_b,
+      |  levenshtein(a.v, b.v) AS distance
+      |FROM v a JOIN v b
+      |  ON a.v < b.v AND abs(length(a.v) - length(b.v)) <= 2
+      |WHERE levenshtein(a.v, b.v) <= 2
+      |ORDER BY value_a, value_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
     "t3_token_stats" -> (tokenStats _),
-    "t4_fingerprints" -> (fingerprints _))
+    "t4_fingerprints" -> (fingerprints _),
+    "t5_oov_tokens" -> (oovTokens _),
+    "t6_typo_pairs" -> (typoPairs _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
     "t2_quality" -> qualitySql,
     "t3_token_stats" -> tokenStatsSql,
-    "t4_fingerprints" -> fingerprintsSql)
+    "t4_fingerprints" -> fingerprintsSql,
+    "t5_oov_tokens" -> oovTokensSql,
+    "t6_typo_pairs" -> typoPairsSql)
 }

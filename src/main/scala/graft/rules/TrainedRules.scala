@@ -1,0 +1,58 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Threshold training from clean data (SURVEY.md §2.4 A18; reference:
+  * rules/train_clean_rules.py:46-103 — 5th/95th percentile bands plus
+  * mean/std per feature over clean columns).
+  *
+  * `exact = true` uses exact interpolated percentiles (oracle-
+  * comparable, one ObjectHashAggregate job); at 100 TB use the
+  * percentile_approx sketch path. Mean/std go through exact decimal
+  * sums so the fitted thresholds are bit-deterministic under any
+  * partitioning.
+  */
+object TrainedRules {
+
+  /** One row per column: (column, p05, p95, mean, std). */
+  def thresholdBands(df: DataFrame, cols: Seq[String],
+      lo: Double = 0.05, hi: Double = 0.95, exact: Boolean = true): DataFrame = {
+    val perCol = cols.map { c =>
+      val d = col(s"`$c`").cast(DoubleType)
+      val pcts =
+        if (exact) expr(s"percentile(cast(`$c` as double), array($lo, $hi))")
+        else percentile_approx(d, array(lit(lo), lit(hi)), lit(10000))
+      val mean = sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d)
+      val m2 = sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d)
+      struct(lit(c).as("column"),
+        pcts.getItem(0).as("p05"), pcts.getItem(1).as("p95"),
+        mean.as("mean"), sqrt(m2 - mean * mean).as("std"))
+    }
+    df.agg(perCol.head.as("b0"), perCol.tail.zipWithIndex.map {
+        case (c, i) => c.as(s"b${i + 1}")
+      }: _*)
+      .select(explode(array((0 until cols.size).map(i => col(s"b$i")): _*)).as("b"))
+      .select("b.*")
+  }
+
+  /** Collect fitted bands into RangeRules ([p05, p95] with optional
+    * slack widening — transferred rules are more permissive,
+    * reference's adaptation behavior). */
+  def bandRules(bands: DataFrame, slack: Double = 0.0): Seq[RangeRule] =
+    bands.collect().toSeq.map { r =>
+      val lo = r.getAs[Double]("p05")
+      val hi = r.getAs[Double]("p95")
+      val w = (hi - lo) * slack
+      RangeRule(r.getAs[String]("column"), lo - w, hi + w, "warning")
+    }
+
+  /** Train bands on `clean`, scan `target` for out-of-band cells —
+    * the reference's trained-rule detection end to end. */
+  def fitAndScan(clean: DataFrame, target: DataFrame, table: String,
+      cols: Seq[String], keyCol: String, exact: Boolean = true): DataFrame = {
+    val rules = bandRules(thresholdBands(clean, cols, exact = exact))
+    ViolationScanner.scan(target, table, rules, keyCol)
+  }
+}

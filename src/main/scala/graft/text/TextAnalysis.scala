@@ -87,4 +87,42 @@ object TextAnalysis {
     sh.groupBy("id")
       .agg(min(graft.dedup.Dedup.md5Long(col("shingle"))).as("fingerprint"))
   }
+
+  /** Out-of-vocabulary tokens: words appearing in fewer than
+    * `minDocFreq` documents — the deterministic, network-free stand-in
+    * for the reference's spell-check rule (SURVEY.md §2.2 P9; the
+    * Wikipedia/pyspellchecker path at rules/evaluation.py:15-99 is
+    * replaced by a corpus-derived wordlist per §7.3). One explode +
+    * two map-side-combined aggregations; no driver collection. */
+  def oovTokens(df: DataFrame, textCol: String, idCol: String,
+      minDocFreq: Long): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("word"))
+      .distinct()
+      .groupBy("word").agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") < minDocFreq)
+
+  /** Typo-conflict pairs (SURVEY.md §2.8 F12; reference:
+    * profile_similarity.py:67-74 — Levenshtein between column values):
+    * pairs of DISTINCT values within edit distance `maxDist`.
+    *
+    * The pair space is distinct-values², so it is guarded two ways:
+    * `maxDistinct` refuses high-cardinality columns outright (mirroring
+    * dBoost's cardinality caps), and the join prefilters on length-band
+    * (|len(a)−len(b)| ≤ maxDist, a necessary condition for edit
+    * distance) before evaluating levenshtein. */
+  def typoPairs(df: DataFrame, column: String, maxDist: Int = 2,
+      maxDistinct: Long = 10000): DataFrame = {
+    val values = df.select(col(s"`$column`").cast("string").as("v"))
+      .filter(col("v").isNotNull && col("v") =!= "")
+      .distinct()
+    require(values.count() <= maxDistinct,
+      s"$column has more than $maxDistinct distinct values; typo pairing would blow up")
+    val a = values.select(col("v").as("value_a"), length(col("v")).as("la"))
+    val b = values.select(col("v").as("value_b"), length(col("v")).as("lb"))
+    a.join(b, col("value_a") < col("value_b") &&
+        abs(col("la") - col("lb")) <= maxDist)
+      .withColumn("distance", levenshtein(col("value_a"), col("value_b")))
+      .filter(col("distance") <= maxDist)
+      .select("value_a", "value_b", "distance")
+  }
 }

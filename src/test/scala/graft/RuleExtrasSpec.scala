@@ -1,0 +1,86 @@
+package graft
+
+import graft.rules._
+import graft.text.TextAnalysis
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Specs for denial constraints (J4), trained thresholds (A18),
+  * dictionary membership (P8), OOV tokens (P9 stand-in) and typo pairs
+  * (F12). */
+class RuleExtrasSpec extends SparkSpec {
+
+  test("denial constraint parsing") {
+    val dc = DenialConstraints.parse(
+      "t1&t2&EQ(t1.ZipCode,t2.ZipCode)&IQ(t1.City,t2.City)")
+    assert(dc.predicates === Seq(
+      DCPredicate("EQ", "ZipCode", "ZipCode"), DCPredicate("IQ", "City", "City")))
+    assert(dc.eqPredicates.size === 1)
+    assertThrows[IllegalArgumentException](DenialConstraints.parse("t1&t2"))
+  }
+
+  test("denial constraint violations — EQ+IQ") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "02139", "Cambridge"), (2L, "02139", "Cambridge"),
+      (3L, "02139", "Boston"), (4L, "10001", "NYC")).toDF("id", "zip", "city")
+    val dc = DenialConstraints.parse("t1&t2&EQ(t1.zip,t2.zip)&IQ(t1.city,t2.city)")
+    val rows = DenialConstraints.violatingRows(df, dc, "id")
+      .collect().map(_.getLong(0)).sorted
+    // 1,2 agree; 3 conflicts with both; 4 alone
+    assert(rows === Array(1L, 2L, 3L))
+  }
+
+  test("denial constraint violations — asymmetric GT keeps both sides") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 10.0), (2L, "a", 5.0), (3L, "b", 1.0))
+      .toDF("id", "k", "x")
+    val dc = DenialConstraints.parse("t1&t2&EQ(t1.k,t2.k)&GT(t1.x,t2.x)")
+    val rows = DenialConstraints.violatingRows(df, dc, "id")
+      .collect().map(_.getLong(0)).sorted
+    assert(rows === Array(1L, 2L))
+  }
+
+  test("trained threshold bands and scan") {
+    import spark.implicits._
+    // 1..100: p05 ≈ 5.95, p95 ≈ 95.05 (interpolated)
+    val clean = (1 to 100).map(i => (i.toLong, i.toDouble)).toDF("id", "x")
+    val bands = TrainedRules.thresholdBands(clean, Seq("x")).collect().head
+    assert(math.abs(bands.getAs[Double]("p05") - 5.95) < 1e-9)
+    assert(math.abs(bands.getAs[Double]("p95") - 95.05) < 1e-9)
+    assert(math.abs(bands.getAs[Double]("mean") - 50.5) < 1e-9)
+    val v = TrainedRules.fitAndScan(clean, clean, "t", Seq("x"), "id")
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(v === ((1L to 5L) ++ (96L to 100L)).toArray)
+  }
+
+  test("dictionary normalization and misses") {
+    import spark.implicits._
+    val dict = Seq("Saint Louis", "Mount Vernon", "Boston").toDF("name")
+    val probe = Seq("st. louis", "MT VERNON", "boston", "springfield", "")
+      .toDF("city")
+    val misses = Dictionary.misses(probe, "city", dict, "name")
+      .collect().map(_.getString(0))
+    assert(misses === Array("springfield"))
+  }
+
+  test("oov tokens") {
+    import spark.implicits._
+    val docs = Seq((1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog"))
+      .toDF("doc_id", "text")
+    val oov = TextAnalysis.oovTokens(docs, "text", "doc_id", minDocFreq = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(oov === Map("sat" -> 1L, "ran" -> 1L, "dog" -> 1L))
+  }
+
+  test("typo pairs") {
+    import spark.implicits._
+    val df = Seq("Chicago", "Chicag0", "Chicagoo", "Boston").toDF("city")
+    val pairs = TextAnalysis.typoPairs(df, "city", maxDist = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs === Set(
+      ("Chicag0", "Chicago", 1), ("Chicag0", "Chicagoo", 2),
+      ("Chicago", "Chicagoo", 1)))
+    assertThrows[IllegalArgumentException](
+      TextAnalysis.typoPairs(df, "city", maxDist = 1, maxDistinct = 2))
+  }
+}
