@@ -72,6 +72,68 @@ object DBoost {
       .select(col("column"), col("value"), col("cnt"))
   }
 
+  // ---- A23 — one-pass streaming Stats ----------------------------------
+
+  /** dBoost's streaming Stats analyzer in ONE aggregation job per call
+    * (reference: analyzers/utils.py:5-47 — sum/sum², min/max, count,
+    * cardinality-capped distinct set). The distinct set is HLL
+    * (approx_count_distinct), reported capped at `cardinalityCap`
+    * exactly as dBoost stops tracking past its cap; exact=true uses
+    * countDistinct for oracle comparison. Mean/std go through exact
+    * decimal sums (deterministic under any partitioning). */
+  def streamStats(df: DataFrame, cols: Seq[String], cardinalityCap: Int = 25,
+      exact: Boolean = false): DataFrame = {
+    val perCol = cols.map { c =>
+      val d = col(s"`$c`").cast(DoubleType)
+      val mean = sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d)
+      val m2 = sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d)
+      val distinct =
+        if (exact) countDistinct(col(s"`$c`")) else approx_count_distinct(col(s"`$c`"))
+      struct(lit(c).as("column"), count(d).as("cnt"),
+        mean.as("mean"), sqrt(m2 - mean * mean).as("std"),
+        min(d).as("min"), max(d).as("max"),
+        least(distinct, lit(cardinalityCap.toLong)).as("distinct_capped"))
+    }
+    df.agg(perCol.head.as("s0"), perCol.tail.zipWithIndex.map {
+        case (c, i) => c.as(s"s${i + 1}")
+      }: _*)
+      .select(explode(array((0 until cols.size).map(i => col(s"s$i")): _*)).as("s"))
+      .select("s.*")
+  }
+
+  // ---- A29 — Gaussian mixture model outliers ---------------------------
+
+  /** GMM outlier detection on one numeric column (reference:
+    * models/mixture.py:33-57 — fit a GaussianMixture, flag points whose
+    * weighted density falls below `cutoff`).
+    *
+    * Estimator/transformer shape at scale: MLlib fits distributed; the
+    * fitted (weights, means, variances) — k scalars — compile into a
+    * closed-form density Column, so detection is a map-side codegen'd
+    * predicate with NO model object on the executors. */
+  def gmmOutliers(df: DataFrame, column: String, keyCol: String, k: Int = 2,
+      cutoff: Double = 1e-4, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.GaussianMixture
+    import org.apache.spark.ml.feature.VectorAssembler
+    val d = col(s"`$column`").cast(DoubleType)
+    val feats = new VectorAssembler().setInputCols(Array(column))
+      .setOutputCol("__features")
+      .transform(df.filter(d.isNotNull).select(col(s"`$keyCol`"), col(s"`$column`")))
+      .localCheckpoint() // truncate lineage: GMM runs ~100 jobs over this
+    val model = new GaussianMixture().setK(k).setSeed(seed)
+      .setFeaturesCol("__features").fit(feats)
+    val density = model.weights.zip(model.gaussians).map { case (w, g) =>
+      val mu = g.mean(0)
+      val sigma2 = g.cov(0, 0)
+      lit(w) * exp(lit(-0.5) * (d - mu) * (d - mu) / lit(sigma2)) /
+        lit(math.sqrt(2 * math.Pi * sigma2))
+    }.reduce(_ + _)
+    df.filter(d.isNotNull)
+      .select(col(s"`$keyCol`").cast("long").as("row_id"), d.as("value"),
+        density.as("density"))
+      .filter(col("density") < cutoff)
+  }
+
   // ---- A24 — Pearson correlation matrix --------------------------------
 
   /** Pairwise Pearson r over the given numeric columns in ONE scan:

@@ -1,0 +1,48 @@
+package graft.profile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** Benford first-digit analysis (SURVEY.md §2.4 A11; reference:
+  * profiling/profiler.py:275-276, reds.py:61-63; `benford_conformity`
+  * declared at rules.yaml:13).
+  *
+  * One groupBy over a 9-value keyspace — the shuffle carries at most
+  * 9 × #partitions pre-aggregated rows.
+  */
+object Benford {
+
+  /** Expected Benford share of first digit d: log10(1 + 1/d). */
+  val expected: Map[Int, Double] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d)).toMap
+
+  /** First significant digit of a (string-castable) value. */
+  def firstDigit(c: Column): Column =
+    regexp_extract(c.cast("string"), "[1-9]", 0)
+
+  /** Observed first-digit distribution: (digit, cnt, share, expected). */
+  def distribution(df: DataFrame, column: String): DataFrame = {
+    val fd = firstDigit(col(s"`$column`"))
+    val expectedCol = (1 to 9).foldLeft(lit(0.0)) { case (acc, d) =>
+      when(col("digit") === d, expected(d)).otherwise(acc)
+    }
+    df.select(fd.as("fd")).filter(col("fd") =!= "")
+      .groupBy(col("fd").cast("int").as("digit"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        col("cnt").cast(DoubleType) / sum("cnt").over().cast(DoubleType))
+      .withColumn("expected", expectedCol)
+  }
+
+  /** Benford conformity ∈ [0,1]: 1 − total-variation distance between
+    * the observed and expected first-digit distributions. */
+  def conformity(df: DataFrame, column: String): Double = {
+    val obs = distribution(df, column).collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Double]("share")).toMap
+    val tv = (1 to 9).map { d =>
+      math.abs(obs.getOrElse(d, 0.0) - expected(d))
+    }.sum / 2.0
+    1.0 - tv
+  }
+}

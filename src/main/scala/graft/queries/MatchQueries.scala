@@ -107,13 +107,47 @@ object MatchQueries {
       .orderBy("column_id")
   }
 
+  // ---- m2: KS + Wasserstein distribution distances (F13) ---------------
+
+  def ksWasserstein(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.load(spark, dir, "customer")
+    val s = Tables.load(spark, dir, "supplier")
+    graft.matching.DistributionDistance
+      .ksAndWasserstein(c, "c_acctbal", s, "s_acctbal")
+      .select(round(col("ks"), 6).as("ks"),
+        round(col("wasserstein"), 6).as("wasserstein"))
+  }
+
+  val ksWassersteinSql: String =
+    """WITH av AS (
+      |  SELECT CAST(c_acctbal AS DOUBLE) AS x, COUNT(*) AS na, 0 AS nb
+      |  FROM customer WHERE c_acctbal IS NOT NULL GROUP BY 1),
+      |bv AS (
+      |  SELECT CAST(s_acctbal AS DOUBLE) AS x, 0 AS na, COUNT(*) AS nb
+      |  FROM supplier WHERE s_acctbal IS NOT NULL GROUP BY 1),
+      |merged AS (
+      |  SELECT x, SUM(na) AS na, SUM(nb) AS nb
+      |  FROM (SELECT * FROM av UNION ALL SELECT * FROM bv) GROUP BY x),
+      |cum AS (
+      |  SELECT x,
+      |    CAST(SUM(na) OVER (ORDER BY x) AS DOUBLE) / CAST(SUM(na) OVER () AS DOUBLE) AS fa,
+      |    CAST(SUM(nb) OVER (ORDER BY x) AS DOUBLE) / CAST(SUM(nb) OVER () AS DOUBLE) AS fb,
+      |    LEAD(x) OVER (ORDER BY x) AS next_x
+      |  FROM merged)
+      |SELECT ROUND(MAX(ABS(fa - fb)), 6) AS ks,
+      |  ROUND(SUM(CASE WHEN next_x IS NOT NULL
+      |    THEN ABS(fa - fb) * (next_x - x) ELSE 0.0 END), 6) AS wasserstein
+      |FROM cum""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_column_match" -> (columnMatch _),
+    "m2_ks_wasserstein" -> (ksWasserstein _),
     "c1_kmeans_clusters" -> (kmeansClusters _),
     "c2_dbscan_clusters" -> (dbscanClusters _))
 
   /** c1/c2 are algorithmic (seeded KMeans / driver DBSCAN) — no SQL
     * equivalent; the driver records rows-only checks for them. */
   def oracleSql: Map[String, String] = Map(
-    "m1_column_match" -> columnMatchSql)
+    "m1_column_match" -> columnMatchSql,
+    "m2_ks_wasserstein" -> ksWassersteinSql)
 }

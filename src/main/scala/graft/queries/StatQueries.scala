@@ -137,17 +137,78 @@ object StatQueries {
       |FROM orders WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
       |GROUP BY 1, 2 ORDER BY a, b""".stripMargin
 
+  // ---- x6: Benford first-digit distribution (A11) ----------------------
+
+  def benford(spark: SparkSession, dir: String): DataFrame =
+    graft.profile.Benford.distribution(
+        Tables.load(spark, dir, "lineitem"), "l_extendedprice")
+      .select(col("digit"), col("cnt"), round(col("share"), 6).as("share"),
+        round(col("expected"), 6).as("expected"))
+      .orderBy("digit")
+
+  val benfordSql: String = {
+    val expectedCase = (1 to 9).map(d =>
+      s"WHEN $d THEN ${graft.profile.Benford.expected(d)}").mkString(" ")
+    s"""SELECT digit, cnt,
+       |  ROUND(CAST(cnt AS DOUBLE) / CAST(SUM(cnt) OVER () AS DOUBLE), 6) AS share,
+       |  ROUND(CASE digit $expectedCase END, 6) AS expected
+       |FROM (
+       |  SELECT CAST(regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') AS INT) AS digit,
+       |    COUNT(*) AS cnt
+       |  FROM lineitem
+       |  WHERE regexp_extract(CAST(l_extendedprice AS VARCHAR), '[1-9]') <> ''
+       |  GROUP BY 1)
+       |ORDER BY digit""".stripMargin
+  }
+
+  // ---- x7: one-pass stream stats (A23) ---------------------------------
+
+  private val statCols = Seq("value", "user_id")
+
+  def streamStats(spark: SparkSession, dir: String): DataFrame =
+    DBoost.streamStats(Tables.load(spark, dir, "events"), statCols, exact = true)
+      .select(col("column"), col("cnt"), round(col("mean"), 6).as("mean"),
+        round(col("std"), 6).as("std"), col("min"), col("max"),
+        col("distinct_capped"))
+      .orderBy("column")
+
+  val streamStatsSql: String = statCols.map { c =>
+    s"""SELECT '$c' AS "column", COUNT($c) AS cnt,
+       |  ROUND(CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c), 6) AS mean,
+       |  ROUND(sqrt(CAST(SUM(CAST(CAST($c AS DOUBLE) * CAST($c AS DOUBLE) AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c)
+       |    - (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))
+       |      * (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))), 6) AS std,
+       |  MIN(CAST($c AS DOUBLE)) AS min, MAX(CAST($c AS DOUBLE)) AS max,
+       |  LEAST(COUNT(DISTINCT $c), 25) AS distinct_capped
+       |FROM events""".stripMargin
+  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+
+  // ---- x8: GMM outliers (A29; seeded MLlib fit — rows-only check) ------
+
+  def gmmOutliers(spark: SparkSession, dir: String): DataFrame =
+    DBoost.gmmOutliers(Tables.load(spark, dir, "events"), "value", "event_id",
+        k = 2, cutoff = 1e-5)
+      .select("row_id", "value")
+      .orderBy("row_id")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x1_expansions" -> (expansions _),
     "x2_histogram_fit" -> (histogramFit _),
     "x3_correlations" -> (correlations _),
     "x4_chi_squared" -> (chiSquared _),
-    "x5_cooccurrence" -> (cooccurrence _))
+    "x5_cooccurrence" -> (cooccurrence _),
+    "x6_benford" -> (benford _),
+    "x7_stream_stats" -> (streamStats _),
+    "x8_gmm_outliers" -> (gmmOutliers _))
 
+  /** x8 is a seeded iterative MLlib fit — no SQL equivalent; the driver
+    * records a rows-only check for it. */
   def oracleSql: Map[String, String] = Map(
     "x1_expansions" -> expansionsSql,
     "x2_histogram_fit" -> histogramFitSql,
     "x3_correlations" -> correlationsSql,
     "x4_chi_squared" -> chiSquaredSql,
-    "x5_cooccurrence" -> cooccurrenceSql)
+    "x5_cooccurrence" -> cooccurrenceSql,
+    "x6_benford" -> benfordSql,
+    "x7_stream_stats" -> streamStatsSql)
 }

@@ -1,0 +1,69 @@
+package graft
+
+import graft.matching.DistributionDistance
+import graft.outlier.DBoost
+import graft.profile.Benford
+import org.apache.spark.sql.functions._
+
+/** Specs for Benford (A11), stream stats (A23), GMM outliers (A29)
+  * and KS/Wasserstein distances (F13). */
+class StatExtrasSpec extends SparkSpec {
+
+  test("benford distribution and conformity") {
+    import spark.implicits._
+    // values with first digits following Benford ~exactly on 100 rows
+    val counts = (1 to 9).map(d => d -> math.round(100 * Benford.expected(d)).toInt)
+    val values = counts.flatMap { case (d, n) => Seq.fill(n)(d * 11.0) }
+    val df = values.toDF("x")
+    val dist = Benford.distribution(df, "x").collect()
+      .map(r => r.getAs[Int]("digit") -> r.getAs[Long]("cnt")).toMap
+    assert(dist(1) === counts.toMap.apply(1).toLong)
+    assert(Benford.conformity(df, "x") > 0.98)
+    // uniform digits conform poorly
+    val uniform = (1 to 9).flatMap(d => Seq.fill(10)(d * 1.0)).toDF("x")
+    assert(Benford.conformity(uniform, "x") < 0.85)
+  }
+
+  test("stream stats") {
+    import spark.implicits._
+    val df = Seq(1.0, 2.0, 3.0, 4.0).toDF("x")
+    val s = DBoost.streamStats(df, Seq("x"), exact = true).collect().head
+    assert(s.getAs[Long]("cnt") === 4L)
+    assert(math.abs(s.getAs[Double]("mean") - 2.5) < 1e-9)
+    assert(s.getAs[Double]("min") === 1.0)
+    assert(s.getAs[Double]("max") === 4.0)
+    assert(s.getAs[Long]("distinct_capped") === 4L)
+    // cap respected
+    val big = (1 to 100).map(_.toDouble).toDF("x")
+    val capped = DBoost.streamStats(big, Seq("x"), cardinalityCap = 25,
+      exact = true).collect().head
+    assert(capped.getAs[Long]("distinct_capped") === 25L)
+  }
+
+  test("gmm outliers flag a planted point") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val cluster1 = Seq.fill(200)(10.0 + rng.nextGaussian() * 0.5)
+    val cluster2 = Seq.fill(200)(50.0 + rng.nextGaussian() * 0.5)
+    val data = (cluster1 ++ cluster2 :+ 1000.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }
+    val df = data.toDF("id", "x")
+    val out = DBoost.gmmOutliers(df, "x", "id", k = 2, cutoff = 1e-6)
+      .collect().map(_.getAs[Long]("row_id"))
+    assert(out.contains(400L)) // the planted 1000.0
+    assert(out.length < 10)    // and not half the data
+  }
+
+  test("ks and wasserstein — identical and shifted distributions") {
+    import spark.implicits._
+    val a = (1 to 100).map(_.toDouble).toDF("x")
+    val same = DistributionDistance.ksAndWasserstein(a, "x", a, "x").collect().head
+    assert(same.getAs[Double]("ks") === 0.0)
+    assert(same.getAs[Double]("wasserstein") === 0.0)
+    // b = a + 10 → KS well below 1, W1 = shift = 10
+    val b = (1 to 100).map(i => i + 10.0).toDF("x")
+    val shifted = DistributionDistance.ksAndWasserstein(a, "x", b, "x").collect().head
+    assert(math.abs(shifted.getAs[Double]("wasserstein") - 10.0) < 1e-9)
+    assert(math.abs(shifted.getAs[Double]("ks") - 0.1) < 1e-9)
+  }
+}
