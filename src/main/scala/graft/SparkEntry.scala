@@ -20,7 +20,8 @@ object SparkEntry {
     graft.queries.SimQueries.queries ++
     graft.queries.EvalQueries.queries ++
     graft.queries.StatQueries.queries ++
-    graft.queries.MatchQueries.queries
+    graft.queries.MatchQueries.queries ++
+    graft.queries.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
     graft.queries.SimQueries.oracleSql ++
     graft.queries.EvalQueries.oracleSql ++
     graft.queries.StatQueries.oracleSql ++
-    graft.queries.MatchQueries.oracleSql
+    graft.queries.MatchQueries.oracleSql ++
+    graft.queries.StreamQueries.oracleSql
 }

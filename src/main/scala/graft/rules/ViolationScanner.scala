@@ -44,10 +44,13 @@ object ViolationScanner {
     }
   }
 
-  private def isScalar(r: RuleSpec): Boolean = r match {
+  /** Scalar rules compile to per-row predicates (streamable); the rest
+    * need bounded input (windows/joins). */
+  def scalarRule(r: RuleSpec): Boolean = r match {
     case _: UniqueRule | _: FunctionalDependencyRule | _: InclusionRule => false
     case _ => true
   }
+  private def isScalar(r: RuleSpec): Boolean = scalarRule(r)
 
   /** Evaluate `rules` against `df`. `keyCol` provides the stable row
     * identity (a primary-key-ish column; cell addressing per SURVEY.md

@@ -1,0 +1,85 @@
+package graft.streaming
+
+import graft.rules.{RuleSpec, ViolationScanner}
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Streaming data-quality operators (SURVEY.md §7.1 item 11 — the
+  * reference has no streaming; its dBoost "stream" is a Python
+  * generator with no window/watermark semantics,
+  * profiling/dBoost/dboost/utils/read.py:8-47. Structured Streaming is
+  * the natural Spark extension).
+  *
+  * Three shapes:
+  *  - windowed profile stats: event-time tumbling windows + watermark →
+  *    append-mode aggregation (drift monitoring);
+  *  - violation scan: stateless map-side rule evaluation — scalar rules
+  *    compile to per-row predicates, so the SAME compiled rules run
+  *    identically on batch and stream;
+  *  - running per-key stats via mapGroupsWithState (incremental
+  *    trained-threshold updates).
+  *
+  * Every transform here accepts batch OR streaming frames: the plan is
+  * identical, only the sink differs.
+  */
+object StreamingQuality {
+
+  /** Tumbling-window per-type stats with watermark. Works unchanged on
+    * a batch frame (window() is an ordinary grouping expression).
+    * Decimal-exact mean: deterministic under any partitioning AND
+    * incremental-merge-safe for streaming partial aggregates. */
+  def windowedStats(events: DataFrame, tsCol: String, typeCol: String,
+      valueCol: String, windowLen: String = "1 hour",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val v = col(s"`$valueCol`").cast(DoubleType)
+    withWm
+      .groupBy(window(col(s"`$tsCol`"), windowLen).as("w"), col(s"`$typeCol`").as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        coalesce(sum(when(v.isNull, 1L)), lit(0L)).as("n_null"),
+        (sum(v.cast(DecimalType(30, 6))).cast(DoubleType) / count(v)).as("mean"),
+        min(v).as("min"), max(v).as("max"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("key"), col("n"), col("n_null"), col("mean"), col("min"), col("max"))
+  }
+
+  /** Stateless streaming violation scan: only scalar rules (relational
+    * rules need bounded input — run those on completed windows
+    * instead). The compiled predicate bundle is the batch scanner's. */
+  def violations(stream: DataFrame, table: String, rules: Seq[RuleSpec],
+      keyCol: String): DataFrame = {
+    val relational = rules.filterNot(r =>
+      ViolationScanner.scalarRule(r))
+    require(relational.isEmpty,
+      s"streaming scan is stateless; relational rules not allowed: ${relational.map(_.name)}")
+    ViolationScanner.scan(stream, table, rules, keyCol)
+  }
+
+  /** Running stats state per key. */
+  final case class RunningStats(key: String, n: Long, sum: Double,
+      min: Double, max: Double) {
+    def mean: Double = if (n == 0) Double.NaN else sum / n
+  }
+
+  /** Incrementally-updated per-key stats via mapGroupsWithState —
+    * the streaming form of trained-threshold refresh (A18): state is
+    * O(#keys), the per-batch work is map-side. */
+  def runningStats(events: Dataset[(String, Double)]): Dataset[RunningStats] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .mapGroupsWithState[RunningStats, RunningStats](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[RunningStats]) =>
+          val prev = state.getOption.getOrElse(
+            RunningStats(key, 0L, 0.0, Double.MaxValue, Double.MinValue))
+          val next = rows.foldLeft(prev) { case (s, (_, v)) =>
+            RunningStats(key, s.n + 1, s.sum + v, math.min(s.min, v), math.max(s.max, v))
+          }
+          state.update(next)
+          next
+      }
+  }
+}

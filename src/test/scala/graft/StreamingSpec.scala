@@ -1,0 +1,88 @@
+package graft
+
+import graft.rules.{NotNullRule, RangeRule, UniqueRule}
+import graft.streaming.StreamingQuality
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured Streaming specs: windowed stats with watermark, stateless
+  * streaming violation scan, mapGroupsWithState running stats. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  test("windowed stats aggregate a stream with watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val result = StreamingQuality.windowedStats(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value")
+    val q = result.writeStream.format("memory")
+      .queryName("win_stats").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), "click", 1.0),
+        (ts("2024-01-01 10:45:00"), "click", 3.0),
+        (ts("2024-01-01 11:05:00"), "click", 10.0),
+        (ts("2024-01-01 10:20:00"), "error", 5.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_stats").collect()
+        .map(r => (r.getString(0), r.getString(1)) ->
+          (r.getAs[Long]("n"), r.getAs[Double]("mean"))).toMap
+      assert(rows(("2024-01-01 10:00:00", "click")) === ((2L, 2.0)))
+      assert(rows(("2024-01-01 11:00:00", "click")) === ((1L, 10.0)))
+      assert(rows(("2024-01-01 10:00:00", "error")) === ((1L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("streaming violation scan flags bad rows as they arrive") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, String)]
+    val rules = Seq(RangeRule("x", 0.0, 100.0), NotNullRule("name"))
+    val result = StreamingQuality.violations(
+      input.toDF().toDF("id", "x", "name"), "t", rules, "id")
+    val q = result.writeStream.format("memory")
+      .queryName("stream_viol").outputMode("append").start()
+    try {
+      input.addData((1L, 50.0, "ok"), (2L, 500.0, "big"), (3L, 5.0, ""))
+      q.processAllAvailable()
+      val flagged = spark.table("stream_viol").collect()
+        .map(r => (r.getAs[Long]("row_id"), r.getAs[String]("rule"))).toSet
+      assert(flagged === Set((2L, "range(x)"), (3L, "not_null(name)")))
+    } finally q.stop()
+  }
+
+  test("streaming scan refuses relational rules") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Double, String)]
+    assertThrows[IllegalArgumentException] {
+      StreamingQuality.violations(input.toDF().toDF("id", "x", "name"),
+        "t", Seq(UniqueRule("x")), "id")
+    }
+  }
+
+  test("running stats accumulate across batches via mapGroupsWithState") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Double)]
+    val q = StreamingQuality.runningStats(input.toDS())
+      .writeStream.format("memory").queryName("run_stats")
+      .outputMode("update").start()
+    try {
+      input.addData(("a", 1.0), ("a", 3.0), ("b", 10.0))
+      q.processAllAvailable()
+      input.addData(("a", 5.0))
+      q.processAllAvailable()
+      // update mode: take the LAST emitted state per key
+      val last = spark.table("run_stats").collect()
+        .map(r => (r.getAs[String]("key"), r.getAs[Long]("n"),
+          r.getAs[Double]("sum"), r.getAs[Double]("min"), r.getAs[Double]("max")))
+        .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2) }
+      assert(last("a") === (("a", 3L, 9.0, 1.0, 5.0)))
+      assert(last("b") === (("b", 1L, 10.0, 10.0, 10.0)))
+    } finally q.stop()
+  }
+}
