@@ -21,7 +21,8 @@ object SparkEntry {
     graft.queries.EvalQueries.queries ++
     graft.queries.StatQueries.queries ++
     graft.queries.MatchQueries.queries ++
-    graft.queries.StreamQueries.queries
+    graft.queries.StreamQueries.queries ++
+    graft.queries.MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
     graft.queries.EvalQueries.oracleSql ++
     graft.queries.StatQueries.oracleSql ++
     graft.queries.MatchQueries.oracleSql ++
-    graft.queries.StreamQueries.oracleSql
+    graft.queries.StreamQueries.oracleSql ++
+    graft.queries.MultimodalQueries.oracleSql
 }

@@ -1,0 +1,96 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Multimodal columns for training-data pipelines (north-star mandate):
+  * image/audio/video as opaque `binary` columns with typed metadata.
+  *
+  * Two execution paths:
+  *  - **metadata path** — pure Column expressions (octet length, md5
+  *    checksum, md5-derived stub features): codegen'd, map-side, no
+  *    UDF; this is what the correctness gate checks.
+  *  - **decode path** — `mapPartitions` over typed rows with an
+  *    explicit batch shape (the Scala analogue of `mapInPandas`: one
+  *    decoder call per batch, not per row, so a real decoder can
+  *    amortize model/library setup per batch). The decoder itself is a
+  *    pluggable trait; the bundled [[StubDecoder]] is a DETERMINISTIC
+  *    FAKE (this environment ships no image/audio libraries) that
+  *    reproduces the metadata path bit-for-bit, which is exactly what
+  *    the spec asserts — the Spark-side plumbing (schema, partitioning,
+  *    batching, typed Encoders) is real and tested.
+  *
+  * Scale: media blobs never shuffle — both paths are narrow
+  * transformations; only the small feature rows move downstream.
+  */
+object Multimodal {
+
+  /** One decoded media item's features. For a real image decoder:
+    * width/height from the header, channels, etc. */
+  final case class MediaFeatures(id: Long, n_bytes: Long, checksum: String,
+      width: Int, height: Int, n_channels: Int)
+
+  /** Batch-oriented decoder boundary (one call per batch of blobs). */
+  trait MediaDecoder extends Serializable {
+    def decodeBatch(ids: Seq[Long], blobs: Seq[Array[Byte]]): Seq[MediaFeatures]
+  }
+
+  /** Deterministic stand-in for a real decoder: "dimensions" derived
+    * from the md5 of the bytes — matches [[stubFeatureColumns]]. */
+  object StubDecoder extends MediaDecoder {
+    def decodeBatch(ids: Seq[Long], blobs: Seq[Array[Byte]]): Seq[MediaFeatures] =
+      ids.zip(blobs).map { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        MediaFeatures(id, bytes.length.toLong, hex,
+          (1 + h % 1024).toInt, (1 + (h / 1024) % 1024).toInt,
+          (1 + h % 3).toInt)
+      }
+  }
+
+  /** Wrap a text corpus as a media table: (id, media binary, media_type)
+    * — the test stand-in for real image/audio blobs. */
+  def asMediaTable(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).cast(LongType).as("id"),
+      encode(col(textCol), "UTF-8").as("media"),
+      lit("text/plain").as("media_type"))
+
+  /** Metadata path: stub features as pure Column expressions —
+    * bit-identical to [[StubDecoder]]. */
+  def stubFeatureColumns(media: Column): Seq[(String, Column)] = {
+    val hex = md5(media)
+    val h = conv(substring(hex, 1, 15), 16, 10).cast(LongType)
+    Seq(
+      "n_bytes" -> octet_length(media).cast(LongType),
+      "checksum" -> hex,
+      "width" -> (lit(1) + pmod(h, lit(1024L))).cast("int"),
+      // h/1024 must be INTEGER division to match the decoder (Column./
+      // on longs is double division); 1024 = 2^10 → shiftright is exact
+      "height" -> (lit(1) + pmod(shiftright(h, 10), lit(1024L))).cast("int"),
+      "n_channels" -> (lit(1) + pmod(h, lit(3L))).cast("int"))
+  }
+
+  /** Metadata-path feature extraction (codegen'd, oracle-checkable). */
+  def mediaFeatures(mediaTable: DataFrame): DataFrame =
+    mediaTable.select(col("id") +: stubFeatureColumns(col("media")).map {
+      case (n, c) => c.as(n)
+    }: _*)
+
+  /** Decode path: typed mapPartitions with per-partition batching —
+    * the real-decoder integration point. `batchSize` bounds decoder
+    * memory (batch of blobs in flight, not the whole partition). */
+  def decodeFeatures(mediaTable: DataFrame, decoder: MediaDecoder,
+      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    val spark = mediaTable.sparkSession
+    import spark.implicits._
+    mediaTable.select(col("id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          decoder.decodeBatch(batch.map(_._1), batch.map(_._2))
+        }
+      }
+  }
+}
