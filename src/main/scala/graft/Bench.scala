@@ -14,10 +14,16 @@ object Bench {
     // JIT/codegen warmup at the smallest SF: the first execution of each
     // query pays one-time Janino compilation + HotSpot warmup (~20 s
     // across the suite) that a long-running cluster never sees per query.
+    // clearCache misses localCheckpoint RDDs — drop every persisted RDD
+    // so earlier queries can't pressure later ones
+    def dropState(): Unit = {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     SparkEntry.queries.foreach { case (_, fn) =>
       try { fn(spark, "/root/testdata/sf0.001").count() }
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
+      dropState()
     }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -25,7 +31,7 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // drop caches/persists a query may have pinned so later queries
       // are measured on a clean executor heap
-      spark.catalog.clearCache()
+      dropState()
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
     }

@@ -136,6 +136,32 @@ object Clustering {
     if (maxIdx == expected) 1.0 else (sumIj - expected) / (maxIdx - expected)
   }
 
+  /** Normalized Mutual Information between two assignments, from the
+    * same join-based contingency counts as ARI (M11; reference NMI at
+    * experiment/cluster_feature_ablation_study/cluster_experiment.py:1118-1130).
+    * Arithmetic-mean normalization (sklearn's default). */
+  def normalizedMutualInfo(a: DataFrame, b: DataFrame): Double = {
+    val joined = a.withColumnRenamed("cluster_id", "ca")
+      .join(b.withColumnRenamed("cluster_id", "cb"), "column_id")
+      .groupBy("ca", "cb").count()
+      .collect().map(r => (r.get(0), r.get(1), r.getLong(2)))
+    val n = joined.map(_._3).sum.toDouble
+    if (n == 0) return 1.0
+    val pa = joined.groupBy(_._1).map { case (k, v) => k -> v.map(_._3).sum / n }
+    val pb = joined.groupBy(_._2).map { case (k, v) => k -> v.map(_._3).sum / n }
+    def entropy(p: Iterable[Double]): Double =
+      -p.filter(_ > 0).map(x => x * math.log(x)).sum
+    val mi = joined.map { case (i, j, c) =>
+      val pij = c / n
+      if (pij > 0) pij * math.log(pij / (pa(i) * pb(j))) else 0.0
+    }.sum
+    val ha = entropy(pa.values)
+    val hb = entropy(pb.values)
+    if (ha == 0 && hb == 0) 1.0
+    else if (ha + hb == 0) 0.0
+    else mi / ((ha + hb) / 2.0)
+  }
+
   /** Pairing accuracy (M11): share of same-named columns from different
     * tables landing in the same cluster (reference's split-table
     * metric). */

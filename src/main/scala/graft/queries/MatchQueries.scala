@@ -139,9 +139,51 @@ object MatchQueries {
       |    THEN ABS(fa - fb) * (next_x - x) ELSE 0.0 END), 6) AS wasserstein
       |FROM cum""".stripMargin
 
+  // ---- m3: end-to-end rule transfer (family 6 + J7 + M13) --------------
+
+  /** Generate rules from customer's profile, 1-1 match columns to
+    * supplier (Hungarian), transfer with similarity gating + parameter
+    * adaptation, scan supplier — the reference's cross-table pipeline
+    * (rule_generation_piplepline_org.py) end to end. Seeded and
+    * deterministic, but generation/assignment are driver-side algorithms
+    * with no SQL equivalent → rows-only check. */
+  def ruleTransfer(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rules._
+    import graft.transfer._
+    val need = Set("quartiles", "mode", "pattern")
+    val srcProfiles = Profiler.profileAuto(Tables.load(spark, dir, "customer"),
+      "customer", features = need).localCheckpoint()
+    val tgtProfiles = Profiler.profileAuto(Tables.load(spark, dir, "supplier"),
+      "supplier", features = need).localCheckpoint()
+    val cands = ColumnMatcher.candidates(srcProfiles, tgtProfiles)
+      .localCheckpoint()
+    val mapping = ColumnMatcher.assign(cands).toMap
+    val scores = cands.collect().map { r =>
+      (r.getAs[String]("src_column"), r.getAs[String]("tgt_column")) ->
+        r.getAs[Double]("score")
+    }.toMap
+    val leveled = RuleGenerator.fromProfiles(srcProfiles)
+      .map(r => LeveledRule(r, RuleTransfer.levelOf(r), confidence = 1.0))
+    val transferred = leveled.flatMap { lr =>
+      mapping.get(lr.rule.column).toSeq.flatMap { tgt =>
+        RuleTransfer.transfer(Seq(lr), scores((lr.rule.column, tgt)))
+          .map(t => ColumnMatcher.bindRules(
+            Seq(RuleTransfer.adapt(t.rule)), Map(lr.rule.column -> tgt)).head)
+      }
+    }
+    if (transferred.isEmpty)
+      spark.emptyDataFrame
+    else
+      ViolationScanner.scan(Tables.load(spark, dir, "supplier"), "supplier",
+          transferred, "s_suppkey")
+        .groupBy("column", "rule").agg(count(lit(1)).as("n_violations"))
+        .orderBy("column", "rule")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_column_match" -> (columnMatch _),
     "m2_ks_wasserstein" -> (ksWasserstein _),
+    "m3_rule_transfer" -> (ruleTransfer _),
     "c1_kmeans_clusters" -> (kmeansClusters _),
     "c2_dbscan_clusters" -> (dbscanClusters _))
 

@@ -146,7 +146,28 @@ object ProfileQueries {
        |GROUP BY word ORDER BY cnt DESC, word LIMIT 25""".stripMargin
   }
 
+  // ---- p6: semantic typing (M8/M9 heuristic default) -------------------
+
+  def semanticTypes(spark: SparkSession, dir: String): DataFrame = {
+    import graft.profile.SemanticTyping
+    val profiles = Profiler.profileAuto(Tables.load(spark, dir, "customer"),
+      "customer", features = Set("mode"))
+    SemanticTyping.annotate(profiles)
+      .select("column", "semantic_type")
+      .orderBy("column")
+  }
+
+  /** Expected labels are known a priori from the heuristic's rules —
+    * a literal oracle pins them against regressions. */
+  val semanticTypesSql: String =
+    """SELECT * FROM (VALUES
+      |  ('c_acctbal', 'amount'), ('c_custkey', 'identifier'),
+      |  ('c_mktsegment', 'category'), ('c_name', 'name'),
+      |  ('c_nationkey', 'country')) AS t("column", semantic_type)
+      |ORDER BY "column"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p6_semantic_types" -> (semanticTypes _),
     "p1_profile_basic" -> (profileBasic _),
     "p2_profile_numeric" -> (profileNumeric _),
     "p3_profile_types" -> (profileTypes _),
@@ -154,6 +175,7 @@ object ProfileQueries {
     "p5_top_keywords" -> (topKeywords _))
 
   def oracleSql: Map[String, String] = Map(
+    "p6_semantic_types" -> semanticTypesSql,
     "p1_profile_basic" -> profileBasicSql,
     "p2_profile_numeric" -> profileNumericSql,
     "p3_profile_types" -> profileTypesSql,
