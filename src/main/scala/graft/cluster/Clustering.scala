@@ -116,6 +116,61 @@ object Clustering {
       .agg(count(lit(1)).as("n_columns"), aggs: _*)
   }
 
+  /** Within-cluster outlier columns (M14; reference:
+    * rules/cluster_matcher.py:146-175): columns whose average cosine
+    * similarity to their cluster peers falls below `threshold`.
+    * Driver-side pairwise over collected vectors (control plane). */
+  def clusterOutlierColumns(vectors: DataFrame, assignments: DataFrame,
+      threshold: Double = 0.5): Seq[(String, Int, Double)] = {
+    val joined = vectors.join(assignments, "column_id").collect().map { r =>
+      (r.getAs[String]("column_id"), r.getAs[Int]("cluster_id"),
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray)
+    }
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    joined.groupBy(_._2).toSeq.flatMap { case (cluster, members) =>
+      if (members.length < 2) Nil
+      else members.toSeq.map { case (id, _, v) =>
+        val avgSim = members.filter(_._1 != id)
+          .map(m => cos(v, m._3)).sum / (members.length - 1)
+        (id, cluster, avgSim)
+      }.filter(_._3 < threshold)
+    }.sortBy(_._1)
+  }
+
+  /** Cluster-merge suggestions (M15; reference:
+    * rules/cluster_matcher.py:177-198): cluster pairs whose centroid
+    * cosine similarity exceeds `threshold`. */
+  def mergeSuggestions(vectors: DataFrame, assignments: DataFrame,
+      threshold: Double = 0.75): Seq[(Int, Int, Double)] = {
+    val joined = vectors.join(assignments, "column_id").collect().map { r =>
+      (r.getAs[Int]("cluster_id"),
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray)
+    }
+    val centroids = joined.groupBy(_._1).map { case (c, ms) =>
+      val dim = ms.head._2.length
+      val sum = ms.map(_._2).foldLeft(new Array[Double](dim)) { (acc, v) =>
+        acc.indices.foreach(i => acc(i) += v(i)); acc
+      }
+      c -> sum.map(_ / ms.length)
+    }.toSeq.sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    for {
+      ((ci, vi), i) <- centroids.zipWithIndex
+      (cj, vj) <- centroids.drop(i + 1)
+      sim = cos(vi, vj) if sim > threshold
+    } yield (ci, cj, sim)
+  }
+
   /** Adjusted Rand Index between two assignments, computed from
     * join-based contingency counts (M11; reference ARI at
     * experiment/cluster_feature_ablation_study/cluster_experiment.py:1118-1130). */

@@ -41,6 +41,38 @@ object Metrics {
   def mergeErrors(violations: DataFrame): DataFrame =
     violations.select("row_id", "column").distinct()
 
+  /** Detection + correction evaluation (A33; reference:
+    * dataset.py:86-110): error-detection P/R/F1 plus error-correction
+    * scores where a repair counts as TP only when the repaired value
+    * EQUALS the clean value. `repairs` carries (row_id, column,
+    * repaired_value); `dirty`/`clean` are the golden pair. */
+  def repairScore(repairs: DataFrame, dirty: DataFrame, clean: DataFrame,
+      keyCol: String): DataFrame = {
+    val actual = actualErrorCells(dirty, clean, keyCol)
+    val joined = repairs
+      .select(col("row_id"), col("column"),
+        col("repaired_value").cast(StringType))
+      .join(actual.select("row_id", "column", "clean_value"),
+        Seq("row_id", "column"), "full_outer")
+    joined.agg(
+      sum(when(col("repaired_value").isNotNull && col("clean_value").isNotNull, 1)
+        .otherwise(0)).as("ed_tp"),
+      sum(when(col("repaired_value").isNotNull && col("clean_value").isNull, 1)
+        .otherwise(0)).as("ed_fp"),
+      sum(when(col("repaired_value").isNull && col("clean_value").isNotNull, 1)
+        .otherwise(0)).as("ed_fn"),
+      sum(when(col("repaired_value") === col("clean_value"), 1).otherwise(0))
+        .as("ec_tp"))
+      .withColumn("ed_precision", when(col("ed_tp") + col("ed_fp") > 0,
+        col("ed_tp").cast(DoubleType) / (col("ed_tp") + col("ed_fp"))).otherwise(0.0))
+      .withColumn("ed_recall", when(col("ed_tp") + col("ed_fn") > 0,
+        col("ed_tp").cast(DoubleType) / (col("ed_tp") + col("ed_fn"))).otherwise(0.0))
+      .withColumn("ec_precision", when(col("ed_tp") + col("ed_fp") > 0,
+        col("ec_tp").cast(DoubleType) / (col("ed_tp") + col("ed_fp"))).otherwise(0.0))
+      .withColumn("ec_recall", when(col("ed_tp") + col("ed_fn") > 0,
+        col("ec_tp").cast(DoubleType) / (col("ed_tp") + col("ed_fn"))).otherwise(0.0))
+  }
+
   /** Cell-level precision/recall/F1, overall row plus one row per
     * column (A31; reference: utils/metrics.py:112-319). `predicted`
     * and `actual` both at (row_id, column) grain. */

@@ -116,6 +116,24 @@ object ColumnMatcher {
     hungarian(m)
   }
 
+  /** Top-k keyword overlap similarity (SURVEY.md §2.3 J8; reference:
+    * rules/cluster_matcher.py:468-478, method_2/pipleline_2.py:104-111):
+    * Jaccard of the profiles' top_keywords arrays. Profiles are tiny →
+    * crossJoin + array_intersect/array_union, all codegen'd. */
+  def keywordSimilarity(src: DataFrame, tgt: DataFrame): DataFrame = {
+    val s = src.select(col("column").as("src_column"),
+      col("top_keywords").as("src_kw"))
+    val t = tgt.select(col("column").as("tgt_column"),
+      col("top_keywords").as("tgt_kw"))
+    s.crossJoin(t)
+      .withColumn("n_union", size(array_union(col("src_kw"), col("tgt_kw"))))
+      .withColumn("keyword_jaccard",
+        when(col("n_union") === 0, 0.0)
+          .otherwise(size(array_intersect(col("src_kw"), col("tgt_kw")))
+            .cast(DoubleType) / col("n_union").cast(DoubleType)))
+      .select("src_column", "tgt_column", "keyword_jaccard")
+  }
+
   /** Re-bind rules trained on source columns to their matched target
     * columns (reference: method_2/pipleline_2.py:507-531). Rules whose
     * column has no match are dropped. */

@@ -180,10 +180,24 @@ object MatchQueries {
         .orderBy("column", "rule")
   }
 
+  // ---- m4: top-keyword overlap similarity (J8; rows-only) --------------
+
+  def keywordOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val kw = Set("mode", "keywords")
+    val src = Profiler.profileAuto(Tables.load(spark, dir, "part"), "part",
+      features = kw)
+    val tgt = Profiler.profileAuto(Tables.load(spark, dir, "documents"),
+      "documents", features = kw)
+    ColumnMatcher.keywordSimilarity(src, tgt)
+      .withColumn("keyword_jaccard", round(col("keyword_jaccard"), 6))
+      .orderBy("src_column", "tgt_column")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "m1_column_match" -> (columnMatch _),
     "m2_ks_wasserstein" -> (ksWasserstein _),
     "m3_rule_transfer" -> (ruleTransfer _),
+    "m4_keyword_overlap" -> (keywordOverlap _),
     "c1_kmeans_clusters" -> (kmeansClusters _),
     "c2_dbscan_clusters" -> (dbscanClusters _))
 

@@ -166,8 +166,38 @@ object ProfileQueries {
       |  ('c_nationkey', 'country')) AS t("column", semantic_type)
       |ORDER BY "column"""".stripMargin
 
+  // ---- p7/p8: equi-width and equi-depth bins (A12/A13) -----------------
+
+  def equiWidthBins(spark: SparkSession, dir: String): DataFrame =
+    graft.profile.Histograms.equiWidthBins(
+        Tables.load(spark, dir, "lineitem"), "l_extendedprice", 10)
+      .orderBy("bin")
+
+  val equiWidthBinsSql: String =
+    """WITH s AS (SELECT MIN(l_extendedprice) AS mn, MAX(l_extendedprice) AS mx
+      |           FROM lineitem)
+      |SELECT CASE WHEN mx = mn THEN 0
+      |         ELSE LEAST(FLOOR((l_extendedprice - mn) * 10 / (mx - mn)), 9) END::INT AS bin,
+      |  MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi, COUNT(*) AS cnt
+      |FROM lineitem, s WHERE l_extendedprice IS NOT NULL
+      |GROUP BY 1 ORDER BY bin""".stripMargin
+
+  def equiDepthBins(spark: SparkSession, dir: String): DataFrame =
+    graft.profile.Histograms.equiDepthBins(
+        Tables.load(spark, dir, "lineitem"), "l_extendedprice", 10)
+      .orderBy("bin")
+
+  val equiDepthBinsSql: String =
+    """SELECT bin, MIN(x) AS lo, MAX(x) AS hi, COUNT(*) AS cnt FROM (
+      |  SELECT l_extendedprice AS x,
+      |    ntile(10) OVER (ORDER BY l_extendedprice) - 1 AS bin
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
+      |GROUP BY bin ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p6_semantic_types" -> (semanticTypes _),
+    "p7_equiwidth_bins" -> (equiWidthBins _),
+    "p8_equidepth_bins" -> (equiDepthBins _),
     "p1_profile_basic" -> (profileBasic _),
     "p2_profile_numeric" -> (profileNumeric _),
     "p3_profile_types" -> (profileTypes _),
@@ -176,6 +206,8 @@ object ProfileQueries {
 
   def oracleSql: Map[String, String] = Map(
     "p6_semantic_types" -> semanticTypesSql,
+    "p7_equiwidth_bins" -> equiWidthBinsSql,
+    "p8_equidepth_bins" -> equiDepthBinsSql,
     "p1_profile_basic" -> profileBasicSql,
     "p2_profile_numeric" -> profileNumericSql,
     "p3_profile_types" -> profileTypesSql,
