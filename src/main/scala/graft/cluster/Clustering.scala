@@ -26,8 +26,12 @@ object Clustering {
     "dominant_pattern_ratio")
 
   /** MinMax-scaled feature vectors (M1): one row per column, column id
-    * = "table::column" (reference: utils/clustering.py:48-50). */
-  def vectorize(profiles: DataFrame, features: Seq[String] = defaultFeatures): DataFrame = {
+    * = "table::column" (reference: utils/clustering.py:48-50).
+    * `scaler` picks the M12 feature-block scaling: "minmax" (default),
+    * "standard" (z-score) or "maxabs" (reference:
+    * experiment/cluster_feature_ablation_study/cluster_experiment.py:929-1047). */
+  def vectorize(profiles: DataFrame, features: Seq[String] = defaultFeatures,
+      scaler: String = "minmax"): DataFrame = {
     val cleaned = profiles.select(
       concat_ws("::", col("table"), col("column")).as("column_id") +:
         features.map(f => coalesce(col(f).cast(DoubleType), lit(0.0)).as(f)): _*)
@@ -41,9 +45,22 @@ object Clustering {
       .setInputCols(features.toArray).setOutputCol("features_raw")
       .transform(cleaned)
       .localCheckpoint()
-    new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
-      .fit(assembled).transform(assembled)
-      .select("column_id", "features")
+    val scaled = scaler match {
+      case "minmax" =>
+        new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
+          .fit(assembled).transform(assembled)
+      case "standard" =>
+        new org.apache.spark.ml.feature.StandardScaler()
+          .setWithMean(true).setWithStd(true)
+          .setInputCol("features_raw").setOutputCol("features")
+          .fit(assembled).transform(assembled)
+      case "maxabs" =>
+        new org.apache.spark.ml.feature.MaxAbsScaler()
+          .setInputCol("features_raw").setOutputCol("features")
+          .fit(assembled).transform(assembled)
+      case other => throw new IllegalArgumentException(s"unknown scaler: $other")
+    }
+    scaled.select("column_id", "features")
   }
 
   /** MLlib KMeans over profile vectors (M3), fixed seed. */
@@ -97,6 +114,43 @@ object Clustering {
         r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
     }.toSeq
     dbscan(pts, eps, minPts).toSeq.toDF("column_id", "cluster_id")
+  }
+
+  /** k-distance curve for DBSCAN eps selection (M4; reference:
+    * utils/clustering.py:9-21): sorted distance to the k-th nearest
+    * neighbor of every point. Driver-side (control plane). */
+  def kDistance(points: Seq[(String, Array[Double])], k: Int): Seq[Double] = {
+    def dist(a: Array[Double], b: Array[Double]): Double =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    points.map { case (_, v) =>
+      val ds = points.map { case (_, w) => dist(v, w) }.sorted
+      ds(math.min(k, ds.length - 1))
+    }.sorted
+  }
+
+  /** Rule-centric cosine assignment (M7; reference:
+    * utils/strategy2_rule_centric.py:23-57): each column goes to the
+    * rule whose feature unit-vector it is most cosine-similar to.
+    * `rulePrototypes` maps rule name → unit vector over the same
+    * feature space as the profile vectors. */
+  def ruleCentricAssign(vectors: DataFrame,
+      rulePrototypes: Map[String, Array[Double]]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(a.map(x => x * x).sum)
+      val nb = math.sqrt(b.map(x => x * x).sum)
+      if (na == 0 || nb == 0) 0.0 else dot / (na * nb)
+    }
+    val protos = rulePrototypes.toSeq.sortBy(_._1)
+    vectors.collect().toSeq.map { r =>
+      val id = r.getAs[String]("column_id")
+      val v = r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+      val (best, score) = protos.map { case (n, p) => (n, cos(v, p)) }
+        .maxBy { case (n, s) => (s, n) }
+      (id, best, score)
+    }.toDF("column_id", "rule", "cosine")
   }
 
   /** Per-cluster feature stats (A19/A20; reference:

@@ -53,6 +53,41 @@ class ClusterExtrasSpec extends SparkSpec {
     assert(typed("c_acctbal") === "amount")
   }
 
+  test("k-distance curve is sorted and sized like the input") {
+    val pts = Seq(
+      "a" -> Array(0.0, 0.0), "b" -> Array(0.0, 1.0),
+      "c" -> Array(1.0, 0.0), "d" -> Array(10.0, 10.0))
+    val curve = Clustering.kDistance(pts, k = 1)
+    assert(curve.length === 4)
+    assert(curve === curve.sorted)
+    assert(curve.last > 9.0) // the isolated point's nearest neighbor is far
+  }
+
+  test("rule-centric assignment picks the most similar prototype") {
+    import spark.implicits._
+    import org.apache.spark.ml.linalg.Vectors
+    val vecs = Seq(
+      ("t::unique_col", Vectors.dense(1.0, 0.0)),
+      ("t::nullable_col", Vectors.dense(0.0, 1.0))).toDF("column_id", "features")
+    val protos = Map(
+      "is_unique" -> Array(1.0, 0.0), "is_nullable" -> Array(0.0, 1.0))
+    val assigned = Clustering.ruleCentricAssign(vecs, protos).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(assigned("t::unique_col") === "is_unique")
+    assert(assigned("t::nullable_col") === "is_nullable")
+  }
+
+  test("vectorize supports standard and maxabs scaler blocks") {
+    val profiles = Profiler.profileAuto(Tables.load(spark, sf, "nation"),
+      "nation", features = Set("mode", "pattern"))
+    Seq("minmax", "standard", "maxabs").foreach { s =>
+      val v = Clustering.vectorize(profiles, scaler = s)
+      assert(v.count() === 3)
+    }
+    assertThrows[IllegalArgumentException](
+      Clustering.vectorize(profiles, scaler = "nope"))
+  }
+
   test("GBT predicts a planted monotone relation") {
     import spark.implicits._
     val rng = new scala.util.Random(3)
