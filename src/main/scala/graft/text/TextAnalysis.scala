@@ -112,9 +112,12 @@ object TextAnalysis {
     * distance) before evaluating levenshtein. */
   def typoPairs(df: DataFrame, column: String, maxDist: Int = 2,
       maxDistinct: Long = 10000): DataFrame = {
+    // localCheckpoint: the guard count and both join sides reuse one
+    // distinct computation instead of three scans
     val values = df.select(col(s"`$column`").cast("string").as("v"))
       .filter(col("v").isNotNull && col("v") =!= "")
       .distinct()
+      .localCheckpoint()
     require(values.count() <= maxDistinct,
       s"$column has more than $maxDistinct distinct values; typo pairing would blow up")
     val a = values.select(col("v").as("value_a"), length(col("v")).as("la"))
