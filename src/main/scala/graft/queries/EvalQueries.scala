@@ -139,11 +139,82 @@ object EvalQueries {
        |    ELSE 0.0 END, 6) AS f1
        |FROM per_col ORDER BY "column"""".stripMargin
 
+  // ---- e3: detection + correction eval (A33) ---------------------------
+
+  /** A deterministic constant-value "repairer": X-status → 'O',
+    * null priority → '1-URGENT'. Detection is perfect by construction;
+    * correction is right only where the constants match the clean
+    * values — so ed_* and ec_* separate measurably. */
+  def repairScore(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = dirtyOrders(spark, dir)
+    val repairs = dirty.filter(col("o_orderstatus") === "X")
+      .select(col("o_orderkey").as("row_id"),
+        lit("o_orderstatus").as("column"), lit("O").as("repaired_value"))
+      .unionByName(dirty.filter(col("o_orderpriority").isNull)
+        .select(col("o_orderkey").as("row_id"),
+          lit("o_orderpriority").as("column"),
+          lit("1-URGENT").as("repaired_value")))
+    Metrics.repairScore(repairs, dirty, cleanOrders(spark, dir), "o_orderkey")
+      .select(col("ed_tp"), col("ed_fp"), col("ed_fn"), col("ec_tp"),
+        round(col("ed_precision"), 6).as("ed_precision"),
+        round(col("ed_recall"), 6).as("ed_recall"),
+        round(col("ec_precision"), 6).as("ec_precision"),
+        round(col("ec_recall"), 6).as("ec_recall"))
+  }
+
+  val repairScoreSql: String =
+    s"""WITH dirty AS ($dirtySql),
+       |repairs AS (
+       |  SELECT o_orderkey AS row_id, 'o_orderstatus' AS "column",
+       |    'O' AS repaired_value FROM dirty WHERE o_orderstatus = 'X'
+       |  UNION ALL
+       |  SELECT o_orderkey, 'o_orderpriority', '1-URGENT' FROM dirty
+       |  WHERE o_orderpriority IS NULL),
+       |actual AS (
+       |  SELECT o_orderkey AS row_id, 'o_orderstatus' AS "column",
+       |    o.o_orderstatus AS clean_value
+       |  FROM dirty d JOIN orders o USING (o_orderkey)
+       |  WHERE d.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       |  UNION ALL
+       |  SELECT o_orderkey, 'o_orderpriority', o.o_orderpriority
+       |  FROM dirty d JOIN orders o USING (o_orderkey)
+       |  WHERE d.o_orderpriority IS DISTINCT FROM o.o_orderpriority
+       |  UNION ALL
+       |  SELECT o_orderkey, 'o_totalprice', CAST(o.o_totalprice AS VARCHAR)
+       |  FROM dirty d JOIN orders o USING (o_orderkey)
+       |  WHERE d.o_totalprice IS DISTINCT FROM o.o_totalprice),
+       |joined AS (
+       |  SELECT r.repaired_value, a.clean_value
+       |  FROM repairs r FULL OUTER JOIN actual a
+       |    ON r.row_id = a.row_id AND r."column" = a."column"),
+       |counts AS (
+       |  SELECT
+       |    SUM(CASE WHEN repaired_value IS NOT NULL AND clean_value IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS ed_tp,
+       |    SUM(CASE WHEN repaired_value IS NOT NULL AND clean_value IS NULL
+       |      THEN 1 ELSE 0 END) AS ed_fp,
+       |    SUM(CASE WHEN repaired_value IS NULL AND clean_value IS NOT NULL
+       |      THEN 1 ELSE 0 END) AS ed_fn,
+       |    SUM(CASE WHEN repaired_value = clean_value THEN 1 ELSE 0 END) AS ec_tp
+       |  FROM joined)
+       |SELECT ed_tp, ed_fp, ed_fn, ec_tp,
+       |  ROUND(CASE WHEN ed_tp + ed_fp > 0
+       |    THEN CAST(ed_tp AS DOUBLE) / (ed_tp + ed_fp) ELSE 0.0 END, 6) AS ed_precision,
+       |  ROUND(CASE WHEN ed_tp + ed_fn > 0
+       |    THEN CAST(ed_tp AS DOUBLE) / (ed_tp + ed_fn) ELSE 0.0 END, 6) AS ed_recall,
+       |  ROUND(CASE WHEN ed_tp + ed_fp > 0
+       |    THEN CAST(ec_tp AS DOUBLE) / (ed_tp + ed_fp) ELSE 0.0 END, 6) AS ec_precision,
+       |  ROUND(CASE WHEN ed_tp + ed_fn > 0
+       |    THEN CAST(ec_tp AS DOUBLE) / (ed_tp + ed_fn) ELSE 0.0 END, 6) AS ec_recall
+       |FROM counts""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_cell_diff" -> (cellDiff _),
-    "e2_detector_score" -> (detectorScore _))
+    "e2_detector_score" -> (detectorScore _),
+    "e3_repair_score" -> (repairScore _))
 
   def oracleSql: Map[String, String] = Map(
     "e1_cell_diff" -> cellDiffSql,
-    "e2_detector_score" -> detectorScoreSql)
+    "e2_detector_score" -> detectorScoreSql,
+    "e3_repair_score" -> repairScoreSql)
 }

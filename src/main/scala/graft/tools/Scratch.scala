@@ -2,31 +2,28 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.1"
-    import graft.profile._
-    import graft.cluster.Clustering
-    import graft.Tables
-    def time[T](label: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      r
+    val dir = "/root/testdata/sf0.01"
+    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+      println(s"\n======== $name ========")
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // keep it scannable: operators + pushed filters + readschema
+      plan.linesIterator
+        .filter(l => l.matches("^\\(\\d+\\).*") || l.contains("PushedFilters") ||
+          l.contains("ReadSchema") || l.contains("Arguments: ") && l.contains("Broadcast"))
+        .take(60).foreach(println)
     }
-    (1 to 2).foreach { i =>
-      val profiles = Seq("customer", "supplier", "part", "orders", "nation")
-        .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t,
-          features = Set("mode", "pattern")))
-        .reduce(_.unionByName(_))
-      time(s"iter$i profiles")(profiles.count())
-      val vecs = time(s"iter$i vectorize")(Clustering.vectorize(profiles))
-      time(s"iter$i vecs.count")(vecs.count())
-      time(s"iter$i kmeans")(Clustering.kmeans(vecs, 4).count())
-      spark.catalog.clearCache()
-    }
+    show("q1_pricing")(graft.queries.RelationalQueries.queries("q1_pricing_summary")(spark, dir))
+    show("q2_revenue")(graft.queries.RelationalQueries.queries("q2_revenue_by_nation")(spark, dir))
+    show("r5_denial")(graft.queries.RuleQueries.queries("r5_denial_constraints")(spark, dir))
+    show("d4_minhash")(graft.queries.DedupQueries.queries("d4_minhash_pairs")(spark, dir))
+    show("profiler_passA")(graft.profile.Profiler.profile(
+      graft.Tables.load(spark, dir, "nation"), "nation",
+      graft.profile.ProfilerConfig(features = Set.empty)))
     spark.stop()
   }
 }
