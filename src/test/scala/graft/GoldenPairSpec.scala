@@ -1,0 +1,91 @@
+package graft
+
+import graft.eval.Metrics
+import graft.ingest.Ingest
+import graft.rules._
+import graft.text.TextAnalysis
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** End-to-end golden-pair harness on the reference's OWN eval data
+  * (FIXTURES.md §1; reference: datasets/Quintet/hospital — 1,000×20
+  * dirty/clean pair with typo-substitution errors, and
+  * rules/hospital_constraints.txt denial constraints).
+  *
+  * Ground truth = cell-wise dirty/clean diff (reference:
+  * dataset.py:56-62); headers differ between the files, so columns
+  * align positionally under the clean header names.
+  */
+class GoldenPairSpec extends SparkSpec {
+
+  private val dir = "/root/reference/datasets/Quintet/hospital"
+
+  private def loadPair(): (DataFrame, DataFrame) = {
+    val dirtyRaw = Ingest.readCsvStrict(spark, s"$dir/dirty.csv")
+    val clean = Ingest.readCsvStrict(spark, s"$dir/clean.csv")
+    // positional alignment: dirty takes clean's (canonical) header names
+    val dirty = dirtyRaw.toDF(clean.columns.toIndexedSeq: _*)
+    (dirty, clean)
+  }
+
+  test("ground-truth diff finds the planted typos") {
+    val (dirty, clean) = loadPair()
+    val actual = Metrics.actualErrorCells(dirty, clean, "index")
+    val n = actual.count()
+    assert(n > 100, s"expected hundreds of error cells, got $n")
+    // the known typo class: x-substitutions in MeasureName
+    val measureErrors = actual.filter(col("column") === "MeasureName").count()
+    assert(measureErrors > 30) // 36 x-substitution typo cells in the pair
+  }
+
+  test("reference denial constraints parse and find conflicts on dirty") {
+    val (dirty, _) = loadPair()
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/root/reference/rules/hospital_constraints.txt")))
+    val dcs = DenialConstraints.parseAll(text)
+    assert(dcs.size >= 10)
+    assert(dcs.forall(_.eqPredicates.nonEmpty))
+    // zip→city conflicts exist in the dirty file (typos break agreement)
+    val zipCity = dcs.find(_.raw.contains("t2.City")).get
+    val conflicts = DenialConstraints.violatingRows(dirty, zipCity, "index").count()
+    assert(conflicts > 0)
+  }
+
+  test("regex + OOV detectors score against the golden diff") {
+    val (dirty, clean) = loadPair()
+    val actual = Metrics.actualErrorCells(dirty, clean, "index")
+
+    // reference-style regex rules (dictionary_rule.py profiles)
+    val regexRules: Seq[RuleSpec] = Seq(
+      RegexRule("ProviderNumber", "^\\d{5}$"),
+      RegexRule("ZipCode", "^\\d{5}$"),
+      RegexRule("PhoneNumber", "^\\d{10}$"))
+    val regexViolations = ViolationScanner
+      .scan(dirty, "hospital", regexRules, "index")
+
+    // spell-check stand-in (P9): cells whose MeasureName contains a
+    // corpus-rare token (the x-substitution typos are one-off strings)
+    val oov = TextAnalysis.oovTokens(dirty.select(col("index"),
+      col("MeasureName")), "MeasureName", "index", minDocFreq = 3)
+    val flagged = dirty
+      .select(col("index").cast("long").as("row_id"),
+        explode(split(lower(col("MeasureName")), "[^a-z0-9]+")).as("word"))
+      .join(oov, "word")
+      .select(col("row_id"), lit("MeasureName").as("column"))
+      .distinct()
+
+    val predicted = Metrics.mergeErrors(
+      regexViolations.select("row_id", "column")
+        .unionByName(flagged))
+    val scores = Metrics.score(predicted, actual).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    val (mp, mr) = scores("MeasureName")
+    // typo cells contain corpus-rare tokens → high recall; rare-but-real
+    // tokens cost some precision
+    assert(mr > 0.8, s"MeasureName recall $mr")
+    assert(mp > 0.5, s"MeasureName precision $mp")
+    val (op, orr) = scores("__overall__")
+    assert(orr > 0.1 && op > 0.3, s"overall precision=$op recall=$orr")
+  }
+}
