@@ -51,6 +51,32 @@ class GoldenPairSpec extends SparkSpec {
     assert(conflicts > 0)
   }
 
+  test("flights pair: time-format regex + not-null detection") {
+    val fdir = "/root/reference/datasets/Quintet/flights"
+    val dirtyRaw = Ingest.readCsvStrict(spark, s"$fdir/dirty.csv")
+    val clean = Ingest.readCsvStrict(spark, s"$fdir/clean.csv")
+    val dirty = dirtyRaw.toDF(clean.columns.toIndexedSeq: _*)
+    val key = clean.columns.head // tuple_id
+    val actual = Metrics.actualErrorCells(dirty, clean, key)
+    assert(actual.count() > 1000) // flights is heavily dirty
+    // reference rules: matches_regex_time + is_not_nullable
+    // (dictionary_rule.py:35-58)
+    val timeRe = "^\\d{1,2}:\\d{2}\\s?[ap]\\.m\\.$"
+    val timeCols = Seq("sched_dep_time", "act_dep_time",
+      "sched_arr_time", "act_arr_time")
+    val rules: Seq[RuleSpec] =
+      timeCols.map(c => RegexRule(c, timeRe): RuleSpec) ++
+        timeCols.map(c => NotNullRule(c): RuleSpec)
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "flights", rules, key))
+    val overall = Metrics.score(predicted, actual)
+      .filter(col("column") === "__overall__").collect().head
+    val recall = overall.getAs[Double]("recall")
+    val precision = overall.getAs[Double]("precision")
+    assert(recall > 0.3, s"recall $recall")
+    assert(precision > 0.5, s"precision $precision")
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
