@@ -1,29 +1,29 @@
 package graft.tools
+import graft.profile.{Profiler, ProfilerConfig}
 import org.apache.spark.sql.SparkSession
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = "/root/testdata/sf0.01"
-    def show(name: String)(df: org.apache.spark.sql.DataFrame): Unit = {
-      println(s"\n======== $name ========")
-      val plan = df.queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
-      // keep it scannable: operators + pushed filters + readschema
-      plan.linesIterator
-        .filter(l => l.matches("^\\(\\d+\\).*") || l.contains("PushedFilters") ||
-          l.contains("ReadSchema") || l.contains("Arguments: ") && l.contains("Broadcast"))
-        .take(60).foreach(println)
+    val docs = graft.Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    def time[T](label: String)(f: => T): Unit = {
+      val t0 = System.nanoTime()
+      f
+      println(f"$label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
-    show("q1_pricing")(graft.queries.RelationalQueries.queries("q1_pricing_summary")(spark, dir))
-    show("q2_revenue")(graft.queries.RelationalQueries.queries("q2_revenue_by_nation")(spark, dir))
-    show("r5_denial")(graft.queries.RuleQueries.queries("r5_denial_constraints")(spark, dir))
-    show("d4_minhash")(graft.queries.DedupQueries.queries("d4_minhash_pairs")(spark, dir))
-    show("profiler_passA")(graft.profile.Profiler.profile(
-      graft.Tables.load(spark, dir, "nation"), "nation",
-      graft.profile.ProfilerConfig(features = Set.empty)))
+    (1 to 2).foreach { i =>
+      time(s"docs regex  $i")(Profiler.profile(docs, "d",
+        ProfilerConfig(features = Set.empty, fusedCensus = false)).count())
+      time(s"docs census $i")(Profiler.profile(docs, "d",
+        ProfilerConfig(features = Set.empty, fusedCensus = true)).count())
+      time(s"li   regex  $i")(Profiler.profile(li, "l",
+        ProfilerConfig(features = Set.empty, fusedCensus = false)).count())
+      time(s"li   census $i")(Profiler.profile(li, "l",
+        ProfilerConfig(features = Set.empty, fusedCensus = true)).count())
+    }
     spark.stop()
   }
 }
