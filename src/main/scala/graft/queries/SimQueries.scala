@@ -122,11 +122,25 @@ object SimQueries {
        |FROM centroids ORDER BY label""".stripMargin
   }
 
+  // ---- s5: IVF approximate top-k (scale path; deterministic Lloyd
+  // quantizer but no SQL equivalent → rows-only) -------------------------
+
+  def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").localCheckpoint()
+    // corpus = all vectors; the query_id predicate pushes into the
+    // probe branch, so only NQueries vectors fan out to their lists
+    Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 3)
+      .filter(col("query_id") < NQueries)
+      .orderBy("query_id", "rk")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (cosineTopK _),
     "s2_lsh_buckets" -> (lshBuckets _),
     "s3_lsh_topk" -> (lshTopK _),
-    "s4_label_centroids" -> (labelCentroids _))
+    "s4_label_centroids" -> (labelCentroids _),
+    "s5_ivf_topk" -> (ivfTopK _))
 
   def oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> cosineTopKSql,

@@ -64,6 +64,91 @@ object Similarity {
         lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
+  /** Deterministic driver-side Lloyd's k-means for the IVF coarse
+    * quantizer: init = first `nlist` input points, fixed `iters`. The
+    * training sample is the collected control plane (bounded by
+    * `maxSample`); centroid count is tiny so they broadcast as
+    * literals. */
+  def trainCoarseCentroids(points: Seq[Array[Double]], nlist: Int,
+      iters: Int = 10): Seq[Array[Double]] = {
+    require(points.size >= nlist, s"need >= $nlist training points")
+    val dim = points.head.length
+    var centroids = points.take(nlist).map(_.clone()).toIndexedSeq
+    def d2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    (1 to iters).foreach { _ =>
+      val assign = points.map(p => (0 until nlist).minBy(i => d2(p, centroids(i))))
+      centroids = (0 until nlist).map { i =>
+        val members = points.zip(assign).collect { case (p, a) if a == i => p }
+        if (members.isEmpty) centroids(i)
+        else {
+          val acc = new Array[Double](dim)
+          members.foreach(p => acc.indices.foreach(j => acc(j) += p(j)))
+          acc.map(_ / members.size)
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Nearest-centroid list id as a Column (argmin over centroid
+    * literals — same array_min trick as the scorers; codegen'd). */
+  def listIdExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = s"array(${c.mkString("D,")}D)"
+      val d2 = expr(s"aggregate(zip_with(${vecCol.toString}, $arr, " +
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (acc, v) -> acc + v)")
+      struct(d2.as("d2"), lit(i).as("list_id"))
+    }
+    array_min(array(scored: _*)).getField("list_id")
+  }
+
+  /** IVF approximate top-k (the scale path past LSH): a coarse
+    * quantizer partitions the corpus into `nlist` inverted lists; each
+    * query probes only its `nprobe` nearest lists, so the candidate
+    * join is an equi-join on list_id over ~nprobe/nlist of the corpus.
+    * `nprobe = nlist` degenerates to exact brute force (spec-checked).
+    * Training is driver-side over a bounded sample; assignment and
+    * scoring are codegen'd map-side expressions. */
+  def ivfCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, nlist: Int, nprobe: Int, maxSample: Int = 10000,
+      scale: Int = 4): DataFrame = {
+    val sample = corpus.select(vecCol).limit(maxSample).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
+    val centroids = trainCoarseCentroids(sample, nlist).map(_.toSeq)
+    val listId = listIdExpr(col("v"), centroids)
+    val assigned = corpus
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("list_id", listId)
+    // query side: rank centroids ONCE per query, then explode just the
+    // nprobe nearest list ids
+    val probes = corpus.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .withColumn("probe_lists",
+        slice(rankToCentroidExpr(col("qv"), centroids), 1, nprobe))
+      .select(col("query_id"), col("qv"),
+        explode(col("probe_lists")).as("list_id"))
+    val scored = probes.join(assigned, Seq("list_id"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), scale).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "score", "rk")
+  }
+
+  /** Centroid indices sorted by ascending distance to the vector —
+    * probe order for IVF. */
+  private def rankToCentroidExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val arr = s"array(${c.mkString("D,")}D)"
+      val d2 = expr(s"aggregate(zip_with(${vecCol.toString}, $arr, " +
+        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (acc, v) -> acc + v)")
+      struct(d2.as("d2"), lit(i).as("list_id"))
+    }
+    transform(array_sort(array(scored: _*)), s => s.getField("list_id"))
+  }
+
   /** Approximate top-k: candidates restricted to the same LSH bucket.
     * Equi-join on bucket — no cross product; recall trades off with
     * `numPlanes` (more planes → smaller buckets). */
