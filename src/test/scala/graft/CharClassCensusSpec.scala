@@ -41,6 +41,17 @@ class CharClassCensusSpec extends SparkSpec {
     assert(df.count() > 0) // and the generated code actually runs
   }
 
+  test("char_class_census is SQL-callable after registration") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.load(spark, sf, "documents").limit(5)
+      .createOrReplaceTempView("census_docs")
+    val rows = spark.sql(
+      "SELECT char_class_census(text) AS c, length(text) AS n FROM census_docs")
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getSeq[Long](0).sum === r.getInt(1).toLong))
+  }
+
   test("fused and regex profiler paths agree on real data") {
     val docs = Tables.load(spark, sf, "documents")
     val censusCols = Seq("table", "column", "alpha_chars", "digit_chars",
