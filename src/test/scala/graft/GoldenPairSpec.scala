@@ -77,6 +77,27 @@ class GoldenPairSpec extends SparkSpec {
     assert(precision > 0.5, s"precision $precision")
   }
 
+  test("beers pair: unit-suffix and N/A noise caught by regex rules") {
+    val bdir = "/root/reference/datasets/Quintet/beers"
+    val dirtyRaw = Ingest.readCsvStrict(spark, s"$bdir/dirty.csv")
+    val clean = Ingest.readCsvStrict(spark, s"$bdir/clean.csv")
+    val dirty = dirtyRaw.toDF(clean.columns.toIndexedSeq: _*)
+    val actual = Metrics.actualErrorCells(dirty, clean, "index")
+    // reference rules: matches_regex_ounces (^\d+$ integers), ibu digits
+    // (dictionary_rule.py:59-72), decimal_precision on abv
+    val rules: Seq[RuleSpec] = Seq(
+      RegexRule("ounces", "^\\d+(\\.\\d+)?$"), // dirty holds "12.0 oz"
+      RegexRule("ibu", "^\\d+$"))              // dirty holds "N/A"
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "beers", rules, "index"))
+    val scores = Metrics.score(predicted, actual).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    val (op, orr) = scores("__overall__")
+    assert(op > 0.5, s"overall precision $op")
+    assert(orr > 0.2, s"overall recall $orr")
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")

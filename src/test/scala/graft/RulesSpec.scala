@@ -38,6 +38,26 @@ class RulesSpec extends SparkSpec {
     assert(v("date_format(day)") == Set(2L)) // Feb 30
   }
 
+  test("decimal precision rule counts significant decimals") {
+    import spark.implicits._
+    val df = Seq((1L, "1.25"), (2L, "1.250"), (3L, "1.2345"), (4L, "7"))
+      .toDF("id", "x")
+    val v = ViolationScanner.scan(df, "t", Seq(DecimalPrecisionRule("x", 2)), "id")
+      .collect().map(_.getAs[Long]("row_id")).toSet
+    assert(v === Set(3L)) // trailing zeros stripped; integers pass
+  }
+
+  test("single-value rule flags deviations from the expected constant") {
+    val v = violationsFor(Seq(SingleValueRule("state", "NY")))
+    assert(v("single_value(state)") === Set(2L, 4L))
+  }
+
+  test("length rule brackets string length") {
+    val v = violationsFor(Seq(LengthRule("name", 3, 4)))
+    // "" is absent (not present); "alice" (5) twice
+    assert(v("length(name)") === Set(1L, 5L))
+  }
+
   test("unique rule flags every duplicated row") {
     assert(violationsFor(Seq(UniqueRule("name")))("unique(name)") == Set(1L, 5L))
   }
