@@ -26,6 +26,10 @@ case class ColumnProfile(
     misc_chars: Long,
     // word-level (reference: profiling/profiler.py:212-227)
     word_count: Long,
+    alpha_words: Long,
+    digit_words: Long,
+    punct_words: Long,
+    misc_words: Long,
     avg_word_len: Double,
     // whole-cell classes (reference: profiling/profiler.py:229-242)
     numeric_cells: Long,

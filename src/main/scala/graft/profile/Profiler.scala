@@ -109,6 +109,14 @@ object Profiler {
     val spaceChars = if (cfg.fusedCensus) censusCnt(3) else charCnt("[^\\s]")
     val totalChars = coalesce(sum(when(nn, length(s).cast(LongType))), lit(0L))
     val wordCnt = coalesce(sum(when(nn, size(split(trim(s), "\\s+")).cast(LongType))), lit(0L))
+    // word-class counts (A5; reference: profiling/profiler.py:212-227):
+    // whitespace tokens classified whole-token
+    def wordClassCnt(re: String): Column = coalesce(sum(when(nn,
+      expr(s"size(filter(split(trim(value), '\\\\s+'), w -> w rlike '$re'))")
+        .cast(LongType))), lit(0L))
+    val alphaWords = wordClassCnt("^[A-Za-z]+$")
+    val digitWords = wordClassCnt("^[0-9]+$")
+    val punctWords = wordClassCnt("^\\\\p{Punct}+$")
     val ratioOf = (re: String) =>
       safeDiv(cntIf(nn && s.rlike(re)).cast(DoubleType), nnCnt.cast(DoubleType), lit(0.0))
 
@@ -122,6 +130,10 @@ object Profiler {
       spaceChars.as("space_chars"),
       (totalChars - alphaChars - digitChars - punctChars - spaceChars).as("misc_chars"),
       wordCnt.as("word_count"),
+      alphaWords.as("alpha_words"),
+      digitWords.as("digit_words"),
+      punctWords.as("punct_words"),
+      (wordCnt - alphaWords - digitWords - punctWords).as("misc_words"),
       safeDiv((totalChars - spaceChars).cast(DoubleType), wordCnt.cast(DoubleType), lit(0.0))
         .as("avg_word_len"),
       cntIf(nn && s.rlike(NUM_CELL_RE)).as("numeric_cells"),
@@ -303,6 +315,8 @@ object Profiler {
         col("null_ratio"), col("distinct_count"), col("unique_ratio"),
         col("alpha_chars"), col("digit_chars"), col("punct_chars"),
         col("space_chars"), col("misc_chars"), col("word_count"),
+        col("alpha_words"), col("digit_words"), col("punct_words"),
+        col("misc_words"),
         col("avg_word_len"), col("numeric_cells"), col("alpha_cells"),
         col("empty_cells"), col("other_cells"), col("min_len"), col("max_len"),
         col("avg_len"), col("num_count"), col("num_min"), col("num_max"),

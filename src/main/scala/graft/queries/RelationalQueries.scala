@@ -134,7 +134,25 @@ object RelationalQueries {
        |  COUNT(*) AS n_orders, ${dsumSql("o_totalprice")} AS total
        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** TPC-H Q6-style selective revenue scan: every predicate reaches
+    * the parquet reader as a pushed filter (spec'd via explain in
+    * development); the aggregate is a single map-side-combined sum —
+    * the canonical "scan only what you need" plan. */
+  def forecastRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    li.filter(col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+  }
+
+  val forecastRevenueSql: String =
+    s"""SELECT ${dsumSql("l_extendedprice * l_discount")} AS revenue,
+       |  COUNT(*) AS n_rows
+       |FROM lineitem
+       |WHERE l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (forecastRevenue _),
     "q1_pricing_summary" -> (pricingSummary _),
     "q2_revenue_by_nation" -> (revenueByNation _),
     "q3_top_customers" -> (topCustomers _),
@@ -142,6 +160,7 @@ object RelationalQueries {
     "q5_monthly_orders" -> (monthlyOrders _))
 
   def oracleSql: Map[String, String] = Map(
+    "q6_forecast_revenue" -> forecastRevenueSql,
     "q1_pricing_summary" -> pricingSummarySql,
     "q2_revenue_by_nation" -> revenueByNationSql,
     "q3_top_customers" -> topCustomersSql,
