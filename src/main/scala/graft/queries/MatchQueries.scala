@@ -193,7 +193,28 @@ object MatchQueries {
       .orderBy("src_column", "tgt_column")
   }
 
+  // ---- mp1: full multi-table pipeline (main.py --mode multi; rows-only)
+
+  def multiPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.load(spark, dir, "orders")
+    val cleanA = orders.filter(col("o_orderkey") % 2 === 0)
+    val cleanB = orders.filter(col("o_orderkey") % 2 === 1)
+    // deterministic dirtiness in half B: null priority on keys ≡0 (mod 89)
+    val dirtyB = cleanB.withColumn("o_orderpriority",
+      when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+        .otherwise(col("o_orderpriority")))
+    graft.pipeline.MultiTablePipeline.run(spark,
+        Map("orders_a" -> cleanA, "orders_b" -> dirtyB),
+        Map("orders_a" -> "o_orderkey", "orders_b" -> "o_orderkey"),
+        eps = 0.5, minPts = 2,
+        trainTables = Map("orders_a" -> cleanA, "orders_b" -> cleanB))
+      .groupBy("table", "column", "rule")
+      .agg(count(lit(1)).as("n_violations"))
+      .orderBy("table", "column", "rule")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mp1_multi_pipeline" -> (multiPipeline _),
     "m1_column_match" -> (columnMatch _),
     "m2_ks_wasserstein" -> (ksWasserstein _),
     "m3_rule_transfer" -> (ruleTransfer _),
