@@ -84,8 +84,12 @@ object MultiTablePipeline {
       features: Set[String] = Set("quartiles", "mode", "pattern"),
       trainTables: Map[String, DataFrame] = Map.empty): DataFrame = {
     val trainSide = if (trainTables.nonEmpty) trainTables else tables
+    // sketch statistics: rule generation reads quartiles only as IQR
+    // band endpoints — percentile_approx is the at-scale choice and
+    // deterministic for a fixed input
     val profiles = trainSide.toSeq.sortBy(_._1).map { case (name, df) =>
-      Profiler.profileAuto(df, name, features = features)
+      Profiler.profile(df, name,
+        graft.profile.ProfilerConfig(exact = false, features = features))
     }.reduce(_.unionByName(_)).localCheckpoint()
     val assignments = Clustering.dbscanAssign(
       Clustering.vectorize(profiles), eps, minPts)
