@@ -160,18 +160,24 @@ object Profiler {
       ratioOf(DATE_RE).as("ratio_date"))
   }
 
-  /** Quartiles in their own job (object-buffer aggregate — see class
-    * doc). */
-  private def pctAggs(cfg: ProfilerConfig): Seq[Column] = {
-    val d = expr("try_cast(value as double)")
-    val pcts: Column =
-      if (cfg.exact) expr("percentile(try_cast(value as double), array(0.25,0.5,0.75))")
-      else percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-    Seq(
-      coalesce(pcts.getItem(0), lit(Double.NaN)).as("num_q1"),
-      coalesce(pcts.getItem(1), lit(Double.NaN)).as("num_median"),
-      coalesce(pcts.getItem(2), lit(Double.NaN)).as("num_q3"))
-  }
+  /** Quartiles in their own job: exact mode sorts (ExactPercentiles —
+    * the builtin exact `percentile`'s value-map buffers degrade on
+    * high-cardinality doubles); approx mode is one sketch aggregate. */
+  private def quartilesFrame(present: DataFrame, cfg: ProfilerConfig): DataFrame =
+    if (cfg.exact)
+      ExactPercentiles.byGroup(
+        present.select(col("column"),
+          expr("try_cast(value as double)").as("num")),
+        "column", "num",
+        Seq("num_q1" -> 0.25, "num_median" -> 0.5, "num_q3" -> 0.75))
+    else {
+      val d = expr("try_cast(value as double)")
+      val pcts = percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+      present.groupBy("column").agg(
+        coalesce(pcts.getItem(0), lit(Double.NaN)).as("num_q1"),
+        coalesce(pcts.getItem(1), lit(Double.NaN)).as("num_median"),
+        coalesce(pcts.getItem(2), lit(Double.NaN)).as("num_q3"))
+    }
 
   /** Type-vote cascade (reference: profiling/profiler.py:74-127; vote
     * threshold 0.7, categorical when few distinct values). */
@@ -268,10 +274,7 @@ object Profiler {
     val passA = long.groupBy("column").agg(fa.head, fa.tail: _*)
 
     val branches = Seq.newBuilder[DataFrame]
-    if (cfg.features("quartiles")) {
-      val qa = pctAggs(cfg)
-      branches += present.groupBy("column").agg(qa.head, qa.tail: _*)
-    }
+    if (cfg.features("quartiles")) branches += quartilesFrame(present, cfg)
     if (cfg.features("mode")) branches += modeDistinctFrame(present)
     if (cfg.features("pattern")) branches += patternFrame(present)
     if (cfg.features("digits")) branches += firstDigitFrame(present)

@@ -18,34 +18,15 @@ import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
 object TrainedRules {
 
   /** Exact interpolated percentiles via sort (same math as
-    * quantile_cont / Spark `percentile`): one shuffle sort of the
-    * unpivoted (column, x) frame, then interpolation between the two
-    * bracketing ranks. Avoids the ObjectHashAggregate `percentile`
-    * path, whose per-partition value→count maps dominated runtime on
-    * high-cardinality doubles (measured 20 s vs 3 s on 600 k × 3). */
+    * quantile_cont): unpivot to (column, x), delegate to the shared
+    * [[graft.profile.ExactPercentiles]] sort kernel. */
   private def sortedPercentiles(df: DataFrame, cols: Seq[String],
       ps: Seq[(String, Double)]): DataFrame = {
     val entries = cols.map(c =>
       struct(lit(c).as("column"), col(s"`$c`").cast(DoubleType).as("x")))
     val long = df.select(explode(array(entries: _*)).as("e"))
       .select(col("e.column").as("column"), col("e.x").as("x"))
-      .filter(col("x").isNotNull)
-    val w = Window.partitionBy("column").orderBy("x")
-    val ranked = long
-      .withColumn("rn", row_number().over(w).cast(DoubleType) - 1)
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("column"))
-        .cast(DoubleType))
-    // target = p·(n−1) is constant within a column, so the bracketing
-    // ranks reduce with conditional max; the outer interpolation must
-    // re-derive target from an aggregated n
-    val pAggs = ps.map { case (name, p) =>
-      val rowTarget = lit(p) * (col("n") - 1)
-      val lower = max(when(col("rn") === floor(rowTarget), col("x")))
-      val upper = max(when(col("rn") === ceil(rowTarget), col("x")))
-      val target = lit(p) * (max(col("n")) - 1)
-      (lower + (upper - lower) * (target - floor(target))).as(name)
-    }
-    ranked.groupBy("column").agg(pAggs.head, pAggs.tail: _*)
+    graft.profile.ExactPercentiles.byGroup(long, "column", "x", ps)
   }
 
   /** One row per column: (column, p05, p95, mean, std). */
