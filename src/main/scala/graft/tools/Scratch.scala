@@ -1,7 +1,7 @@
 package graft.tools
-import graft.cluster.Clustering
-import graft.pipeline.MultiTablePipeline
-import graft.profile.Profiler
+import graft.ingest.Ingest
+import graft.eval.Metrics
+import graft.rules._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Scratch {
@@ -10,19 +10,17 @@ object Scratch {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val orders = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
-    val half1 = orders.filter(col("o_orderkey") % 2 === 0)
-    val half2 = orders.filter(col("o_orderkey") % 2 === 1)
-      .withColumn("o_totalprice",
-        when(col("o_orderkey") === 1, -99999.0).otherwise(col("o_totalprice")))
-    val feats = Set("quartiles", "mode", "pattern")
-    val profiles = Seq("orders_a" -> half1, "orders_b" -> half2).map {
-      case (n, df) => Profiler.profileAuto(df, n, features = feats)
-    }.reduce(_.unionByName(_)).localCheckpoint()
-    val assignments = Clustering.dbscanAssign(Clustering.vectorize(profiles), 0.5, 2)
-    assignments.orderBy("cluster_id", "column_id").show(40, false)
-    val bound = MultiTablePipeline.sharedClusterRules(profiles, assignments)
-    bound.foreach(println)
+    val rdir = "/root/reference/datasets/Quintet/rayyan"
+    val dirty = Ingest.readCsvStrict(spark, s"$rdir/dirty.csv")
+    println("rows: " + dirty.count())
+    val v = ViolationScanner.scan(dirty, "rayyan",
+      Seq(NotNullRule("article_jcreated_at")), "id")
+    println("notnull violations: " + v.count())
+    v.show(5, false)
+    val blank = dirty.filter(trim(col("article_jcreated_at")) === "" ||
+      col("article_jcreated_at").isNull).count()
+    println("blank created_at: " + blank)
+    dirty.select("id", "article_jcreated_at").show(5, false)
     spark.stop()
   }
 }

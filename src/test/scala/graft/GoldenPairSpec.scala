@@ -98,6 +98,37 @@ class GoldenPairSpec extends SparkSpec {
     assert(orr > 0.2, s"overall recall $orr")
   }
 
+  test("rayyan pair: format rules stay precise on rotation-style errors") {
+    val rdir = "/root/reference/datasets/Quintet/rayyan"
+    val dirty = Ingest.readCsvStrict(spark, s"$rdir/dirty.csv")
+    val clean = Ingest.readCsvStrict(spark, s"$rdir/clean.csv")
+    val actual = Metrics.actualErrorCells(dirty, clean, "id")
+    assert(actual.count() > 100)
+    // rayyan's created_at errors are DAY/MONTH ROTATIONS ("4/2/15" →
+    // "2/15/04"): every dirty value still conforms to M/D/YY, and the
+    // 87 blanks are blank in clean too. A format rule must therefore
+    // flag NOTHING — zero false positives is the correct behavior
+    // (value-level rotations need cross-field/reference knowledge).
+    val rules: Seq[RuleSpec] = Seq(
+      NotNullRule("article_jcreated_at"),
+      RegexRule("article_jcreated_at", "^\\d{1,2}/\\d{1,2}/\\d{2}$"))
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "rayyan", rules, "id"))
+    val fp = predicted.join(actual.select("row_id", "column"),
+      Seq("row_id", "column"), "left_anti").count()
+    val tp = predicted.count() - fp
+    assert(tp === 0L, s"format rules cannot see rotations; tp=$tp")
+    assert(fp <= 90L, // ~87 cells blank in dirty AND clean
+      s"only clean-blank/format-quirk cells may be flagged, got $fp")
+    // case/format inconsistency (eng / English / ENG) is real in the
+    // data and surfaces through the low-frequency detector
+    val lowFreq = graft.outlier.Outliers.lowFrequencyValues(
+      dirty, "article_language", minRatio = 0.02)
+      .collect().map(_.getString(0)).toSet
+    assert(lowFreq.exists(v => v.equalsIgnoreCase("eng") || v == "jpn" ||
+      v == "ger" || v == "fre"))
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
