@@ -17,10 +17,10 @@ object MatchQueries {
   private val customerCols = Seq("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
   private val supplierCols = Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
 
-  private def v(c: String) = s"CAST($c AS VARCHAR)"
-  private def nn(c: String) = s"($c IS NOT NULL AND TRIM(${v(c)}) <> '')"
+  private[queries] def v(c: String) = s"CAST($c AS VARCHAR)"
+  private[queries] def nn(c: String) = s"($c IS NOT NULL AND TRIM(${v(c)}) <> '')"
 
-  private def typeCase(c: String): String = {
+  private[queries] def typeCase(c: String): String = {
     val intR = "'^[+-]?\\d+$'"
     val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
     val boolR = "'^(?i)(true|false|yes|no|t|f|y|n)$'"

@@ -194,7 +194,53 @@ object ProfileQueries {
       |  FROM lineitem WHERE l_extendedprice IS NOT NULL)
       |GROUP BY bin ORDER BY bin""".stripMargin
 
+  // ---- p9: dataset-level profile rollup (A17) --------------------------
+
+  def datasetProfile(spark: SparkSession, dir: String): DataFrame = {
+    val profiles = Profiler.profileAuto(Tables.load(spark, dir, "customer"),
+      "customer", features = Set("mode"))
+    Profiler.datasetProfile(profiles)
+      .select(col("table"), col("n_columns"), col("n_rows"),
+        round(col("avg_null_ratio"), 6).as("avg_null_ratio"),
+        round(col("var_null_ratio"), 6).as("var_null_ratio"),
+        round(col("avg_unique_ratio"), 6).as("avg_unique_ratio"),
+        round(col("var_unique_ratio"), 6).as("var_unique_ratio"),
+        round(col("avg_len_mean"), 6).as("avg_len_mean"),
+        round(col("numeric_column_ratio"), 6).as("numeric_column_ratio"),
+        round(col("string_column_ratio"), 6).as("string_column_ratio"))
+  }
+
+  val datasetProfileSql: String = {
+    val perCol = customerCols.map { c =>
+      s"""SELECT COUNT(*) AS row_count,
+         |  CAST(SUM(CASE WHEN NOT ${MatchQueries.nn(c)} THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS null_ratio,
+         |  CAST(COUNT(DISTINCT CASE WHEN ${MatchQueries.nn(c)} THEN ${MatchQueries.v(c)} END) AS DOUBLE)
+         |    / CAST(COUNT(*) AS DOUBLE) AS unique_ratio,
+         |  COALESCE(CAST(SUM(CASE WHEN ${MatchQueries.nn(c)} THEN LENGTH(${MatchQueries.v(c)}) END) AS DOUBLE)
+         |    / CAST(SUM(CASE WHEN ${MatchQueries.nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0) AS avg_len,
+         |  ${MatchQueries.typeCase(c)} AS type
+         |FROM customer""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH profs AS (
+       |$perCol
+       |)
+       |SELECT 'customer' AS "table", COUNT(*) AS n_columns,
+       |  MAX(row_count) AS n_rows,
+       |  ROUND(AVG(null_ratio), 6) AS avg_null_ratio,
+       |  ROUND(COALESCE(var_pop(null_ratio), 0.0), 6) AS var_null_ratio,
+       |  ROUND(AVG(unique_ratio), 6) AS avg_unique_ratio,
+       |  ROUND(COALESCE(var_pop(unique_ratio), 0.0), 6) AS var_unique_ratio,
+       |  ROUND(AVG(avg_len), 6) AS avg_len_mean,
+       |  ROUND(AVG(CASE WHEN type IN ('integer', 'float') THEN 1.0 ELSE 0.0 END), 6)
+       |    AS numeric_column_ratio,
+       |  ROUND(AVG(CASE WHEN type = 'string' THEN 1.0 ELSE 0.0 END), 6)
+       |    AS string_column_ratio
+       |FROM profs""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p9_dataset_profile" -> (datasetProfile _),
     "p6_semantic_types" -> (semanticTypes _),
     "p7_equiwidth_bins" -> (equiWidthBins _),
     "p8_equidepth_bins" -> (equiDepthBins _),
@@ -205,6 +251,7 @@ object ProfileQueries {
     "p5_top_keywords" -> (topKeywords _))
 
   def oracleSql: Map[String, String] = Map(
+    "p9_dataset_profile" -> datasetProfileSql,
     "p6_semantic_types" -> semanticTypesSql,
     "p7_equiwidth_bins" -> equiWidthBinsSql,
     "p8_equidepth_bins" -> equiDepthBinsSql,

@@ -1,26 +1,23 @@
 package graft.tools
-import graft.ingest.Ingest
-import graft.eval.Metrics
-import graft.rules._
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val rdir = "/root/reference/datasets/Quintet/rayyan"
-    val dirty = Ingest.readCsvStrict(spark, s"$rdir/dirty.csv")
-    println("rows: " + dirty.count())
-    val v = ViolationScanner.scan(dirty, "rayyan",
-      Seq(NotNullRule("article_jcreated_at")), "id")
-    println("notnull violations: " + v.count())
-    v.show(5, false)
-    val blank = dirty.filter(trim(col("article_jcreated_at")) === "" ||
-      col("article_jcreated_at").isNull).count()
-    println("blank created_at: " + blank)
-    dirty.select("id", "article_jcreated_at").show(5, false)
+    val li = graft.Tables.load(spark, "/root/testdata/sf0.1", "lineitem")
+    def time[T](l: String)(f: => T): Unit = {
+      val t0 = System.nanoTime(); f
+      println(f"$l: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    }
+    (1 to 2).foreach { i =>
+      time(s"benford $i")(graft.profile.Benford.distribution(li, "l_extendedprice").count())
+      time(s"scan-only $i")(li.select(col("l_extendedprice")).count())
+      time(s"cast-str $i")(li.select(col("l_extendedprice").cast("string")).filter(col("l_extendedprice").isNotNull).count())
+      time(s"regex $i")(li.select(regexp_extract(col("l_extendedprice").cast("string"), "[1-9]", 0).as("fd")).filter(col("fd") =!= "").count())
+    }
     spark.stop()
   }
 }
