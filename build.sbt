@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Keep "[success] Total time …" off stdout: the driver parses the LAST
+// stdout line of `sbt runMain graft.Bench` as the bench JSON, and round
+// 1's sbt epilogue line made that parse return null.
+Global / showSuccess := false
+// Pass the forked JVM's stdout through raw — sbt's default Logged
+// strategy prefixes every line with "[info] ", which corrupts the bench
+// JSON line the driver parses.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -40,7 +40,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // The driver iterates the parquet outputs it finds and looks up the
+    // oracle SQL by the literal filename ("<name>.parquet") — round 1
+    // keyed by bare name and every query came back no_oracle. Emit both
+    // key forms so either lookup convention resolves.
     val json = SparkEntry.oracleSql
+      .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -171,13 +171,21 @@ object MatchQueries {
             Seq(RuleTransfer.adapt(t.rule)), Map(lr.rule.column -> tgt)).head)
       }
     }
-    if (transferred.isEmpty)
-      spark.emptyDataFrame
-    else
-      ViolationScanner.scan(Tables.load(spark, dir, "supplier"), "supplier",
+    // One row per transferred rule, violation count included when zero —
+    // a clean target (the usual case after range widening) still proves
+    // the transfer happened. Round 1 emitted violations only and the
+    // rows>0 smoke check read the empty result as a failure.
+    import spark.implicits._
+    val ruleList = transferred.map(r => (r.column, r.name)).toDF("column", "rule")
+    val counts =
+      if (transferred.isEmpty) ruleList.withColumn("n_violations", lit(0L))
+      else ViolationScanner.scan(Tables.load(spark, dir, "supplier"), "supplier",
           transferred, "s_suppkey")
         .groupBy("column", "rule").agg(count(lit(1)).as("n_violations"))
-        .orderBy("column", "rule")
+    ruleList.join(counts, Seq("column", "rule"), "left")
+      .select(col("column"), col("rule"),
+        coalesce(col("n_violations"), lit(0L)).as("n_violations"))
+      .orderBy("column", "rule")
   }
 
   // ---- m4: top-keyword overlap similarity (J8; rows-only) --------------
