@@ -12,8 +12,27 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** A parquet file smaller than this reads as one (or few) splits; a
+    * single row group is one task no matter how Spark splits the file.
+    * Such inputs leave the whole map side of every downstream operator
+    * on one core, so rebalance them across the cluster — the shuffle
+    * moves less data than one row group, and at real scale (files with
+    * many row groups) the rule never fires. Filters/pruning still reach
+    * the scan: Catalyst pushes both through Repartition. */
+  private val rebalanceBytes = 256L * 1024 * 1024
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val path = s"$sfDir/$name.parquet"
+    val df = spark.read.parquet(path)
+    val size =
+      try new java.io.File(path).length()
+      catch { case _: Throwable => Long.MaxValue }
+    // floor: sub-64KB dimension tables are broadcast fodder; spreading
+    // 25 rows over 32 tasks only adds scheduling overhead
+    if (size > 64L * 1024 && size < rebalanceBytes)
+      df.repartition(spark.sparkContext.defaultParallelism)
+    else df
+  }
 
   /** `events` ships with nanosecond parquet timestamps, which Spark only
     * reads as raw Long nanos (spark.sql.legacy.parquet.nanosAsLong=true,

@@ -1,7 +1,6 @@
 package graft.cluster
 
 import org.apache.spark.ml.clustering.KMeans
-import org.apache.spark.ml.feature.{MinMaxScaler, VectorAssembler}
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -32,43 +31,122 @@ object Clustering {
     * experiment/cluster_feature_ablation_study/cluster_experiment.py:929-1047). */
   def vectorize(profiles: DataFrame, features: Seq[String] = defaultFeatures,
       scaler: String = "minmax"): DataFrame = {
+    if (!Set("minmax", "standard", "maxabs")(scaler))
+      throw new IllegalArgumentException(s"unknown scaler: $scaler")
     val cleaned = profiles.select(
       concat_ws("::", col("table"), col("column")).as("column_id") +:
         features.map(f => coalesce(col(f).cast(DoubleType), lit(0.0)).as(f)): _*)
     // One row per (table, column) — broadcast-sized at any lake scale —
     // but its lineage is the full profiling agg over every table.
     // localCheckpoint (not cache) both materializes it once AND
-    // truncates the plan: the iterative fits downstream (MinMaxScaler,
-    // KMeans ~20 jobs) would otherwise re-plan the ~10³-expression
-    // profiling tree on every job, which dominated the runtime.
-    val assembled = new VectorAssembler()
-      .setInputCols(features.toArray).setOutputCol("features_raw")
-      .transform(cleaned)
-      .localCheckpoint()
-    val scaled = scaler match {
-      case "minmax" =>
-        new MinMaxScaler().setInputCol("features_raw").setOutputCol("features")
-          .fit(assembled).transform(assembled)
-      case "standard" =>
-        new org.apache.spark.ml.feature.StandardScaler()
-          .setWithMean(true).setWithStd(true)
-          .setInputCol("features_raw").setOutputCol("features")
-          .fit(assembled).transform(assembled)
-      case "maxabs" =>
-        new org.apache.spark.ml.feature.MaxAbsScaler()
-          .setInputCol("features_raw").setOutputCol("features")
-          .fit(assembled).transform(assembled)
-      case other => throw new IllegalArgumentException(s"unknown scaler: $other")
+    // truncates the plan: everything downstream (the stats agg here,
+    // driver clustering, MLlib fits) would otherwise re-plan the
+    // ~10³-expression profiling tree on every job.
+    val checkpointed = cleaned.localCheckpoint()
+    // Scaling statistics come from ONE tiny agg and compile into plain
+    // column expressions — an MLlib Scaler.fit costs extra jobs and
+    // non-codegen transform overhead for the same arithmetic
+    // (semantics mirror MinMaxScaler / StandardScaler(withMean=true) /
+    // MaxAbsScaler, including their constant-feature conventions).
+    val statAggs = features.flatMap { f =>
+      Seq(min(col(f)).as(s"min_$f"), max(col(f)).as(s"max_$f"),
+        avg(col(f)).as(s"mean_$f"),
+        coalesce(stddev_samp(col(f)), lit(0.0)).as(s"std_$f"),
+        max(abs(col(f))).as(s"maxabs_$f"))
     }
-    scaled.select("column_id", "features")
+    val st = checkpointed.agg(statAggs.head, statAggs.tail: _*).head()
+    def stat(n: String, f: String): Double = st.getAs[Double](s"${n}_$f")
+    val scaledCols = features.map { f =>
+      scaler match {
+        case "minmax" =>
+          val (lo, hi) = (stat("min", f), stat("max", f))
+          if (hi == lo) lit(0.5) else (col(f) - lo) / (hi - lo)
+        case "standard" =>
+          val (mu, sd) = (stat("mean", f), stat("std", f))
+          if (sd == 0.0) lit(0.0) else (col(f) - mu) / sd
+        case "maxabs" =>
+          val m = stat("maxabs", f)
+          col(f) / (if (m == 0.0) 1.0 else m)
+      }
+    }
+    checkpointed.select(col("column_id"),
+      org.apache.spark.ml.functions.array_to_vector(
+        array(scaledCols: _*)).as("features"))
   }
 
-  /** MLlib KMeans over profile vectors (M3), fixed seed. */
+  /** MLlib KMeans over profile vectors (M3), fixed seed. The
+    * distributed path — use [[kmeansLocal]] when the vectors are
+    * control-plane-sized (one row per column), which is every profile
+    * clustering: MLlib's ~20 iterative jobs dominate at that size. */
   def kmeans(vectors: DataFrame, k: Int, seed: Long = 42L): DataFrame =
     new KMeans().setK(k).setSeed(seed).setFeaturesCol("features")
       .setPredictionCol("cluster_id")
       .fit(vectors).transform(vectors)
       .select("column_id", "cluster_id")
+
+  /** Seeded driver-side KMeans (kmeans++ init + Lloyd's) over a
+    * collected vector frame — the control-plane twin of [[kmeans]].
+    * Profiles are O(#columns) at any lake scale, so local iteration
+    * replaces ~20 MLlib jobs with microseconds of driver work.
+    * Cluster ids are relabeled by first appearance in `column_id`
+    * order, so output is deterministic for a fixed seed. */
+  def kmeansLocal(vectors: DataFrame, k: Int, seed: Long = 42L,
+      maxIter: Int = 50): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val pts = vectors.collect().map { r =>
+      r.getAs[String]("column_id") ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+    }
+    require(pts.nonEmpty, "kmeansLocal on empty vectors")
+    val kk = math.min(k, pts.length)
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val rng = new scala.util.Random(seed)
+    // kmeans++ seeding
+    val centers = scala.collection.mutable.ArrayBuffer(
+      pts(rng.nextInt(pts.length))._2.clone())
+    while (centers.length < kk) {
+      val dists = pts.map(p => centers.map(c => d2(p._2, c)).min)
+      val total = dists.sum
+      if (total == 0.0) centers += pts(rng.nextInt(pts.length))._2.clone()
+      else {
+        var r = rng.nextDouble() * total
+        var i = 0
+        while (i < pts.length - 1 && r > dists(i)) { r -= dists(i); i += 1 }
+        centers += pts(i)._2.clone()
+      }
+    }
+    var assign = Array.fill(pts.length)(-1)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      changed = false
+      val next = pts.map(p => centers.indices.minBy(c => d2(p._2, centers(c))))
+      if (!java.util.Arrays.equals(next.toArray, assign)) {
+        assign = next.toArray; changed = true
+      }
+      for (c <- centers.indices) {
+        val members = pts.indices.filter(assign(_) == c)
+        if (members.nonEmpty) {
+          val dim = centers(c).length
+          val m = new Array[Double](dim)
+          members.foreach(i => (0 until dim).foreach(j => m(j) += pts(i)._2(j)))
+          centers(c) = m.map(_ / members.length)
+        }
+      }
+      iter += 1
+    }
+    // relabel by first appearance for stable output
+    val relabel = scala.collection.mutable.LinkedHashMap[Int, Int]()
+    val ordered = pts.map(_._1).zip(assign).sortBy(_._1)
+    ordered.foreach { case (_, c) => relabel.getOrElseUpdate(c, relabel.size) }
+    ordered.map { case (id, c) => (id, relabel(c)) }.toSeq
+      .toDF("column_id", "cluster_id")
+  }
 
   /** Driver-side DBSCAN (M2) — the reference's default clusterer
     * (eps-neighborhood density, noise dropped to cluster -1). Operates

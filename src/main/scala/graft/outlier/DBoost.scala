@@ -103,30 +103,104 @@ object DBoost {
 
   // ---- A29 — Gaussian mixture model outliers ---------------------------
 
+  /** Fitted 1-D mixture component. */
+  final case class Gaussian1D(weight: Double, mean: Double, variance: Double)
+
+  /** Seeded 1-D EM fit of a k-component Gaussian mixture on a local
+    * sample. Init is deterministic: the sorted sample splits into k
+    * equal segments whose means/variances seed the components — no
+    * RNG, so the fit is reproducible for a fixed input. The E step
+    * runs in log space (log-sum-exp), so far-tail points keep exact
+    * responsibilities instead of underflowing to zero. */
+  def fitGmm1D(sample: Array[Double], k: Int, maxIter: Int = 100,
+      tol: Double = 1e-6): Seq[Gaussian1D] = {
+    require(sample.nonEmpty, "fitGmm1D on empty sample")
+    val n = sample.length
+    val kk = math.min(k, n)
+    val sorted = sample.sorted
+    def segStats(j: Int): (Double, Double) = {
+      val from = j * n / kk
+      val until = math.max((j + 1) * n / kk, from + 1)
+      val seg = sorted.slice(from, until)
+      val m = seg.sum / seg.length
+      (m, math.max(seg.map(x => (x - m) * (x - m)).sum / seg.length, 1e-12))
+    }
+    var weights = Array.fill(kk)(1.0 / kk)
+    var means = Array.tabulate(kk)(segStats(_)._1)
+    var vars = Array.tabulate(kk)(segStats(_)._2)
+    val resp = Array.ofDim[Double](n, kk)
+    var prevLl = Double.NegativeInfinity
+    var iter = 0
+    var done = false
+    while (iter < maxIter && !done) {
+      // E step (log space)
+      var ll = 0.0
+      var i = 0
+      while (i < n) {
+        var maxLog = Double.NegativeInfinity
+        var j = 0
+        while (j < kk) {
+          val v = math.max(vars(j), 1e-12)
+          val z = sample(i) - means(j)
+          val lp = math.log(math.max(weights(j), 1e-300)) -
+            0.5 * z * z / v - 0.5 * math.log(2 * math.Pi * v)
+          resp(i)(j) = lp
+          if (lp > maxLog) maxLog = lp
+          j += 1
+        }
+        var tot = 0.0
+        var j2 = 0
+        while (j2 < kk) {
+          resp(i)(j2) = math.exp(resp(i)(j2) - maxLog); tot += resp(i)(j2); j2 += 1
+        }
+        var j3 = 0
+        while (j3 < kk) { resp(i)(j3) /= tot; j3 += 1 }
+        ll += maxLog + math.log(tot)
+        i += 1
+      }
+      // M step
+      val nk = Array.tabulate(kk)(j => sample.indices.map(resp(_)(j)).sum)
+      weights = nk.map(_ / n)
+      means = Array.tabulate(kk)(j =>
+        if (nk(j) == 0) means(j)
+        else sample.indices.map(i2 => resp(i2)(j) * sample(i2)).sum / nk(j))
+      vars = Array.tabulate(kk)(j =>
+        if (nk(j) == 0) vars(j)
+        else math.max(sample.indices.map { i2 =>
+          val z = sample(i2) - means(j); resp(i2)(j) * z * z
+        }.sum / nk(j), 1e-12))
+      if (math.abs(ll - prevLl) < tol * math.abs(ll).max(1.0)) done = true
+      prevLl = ll
+      iter += 1
+    }
+    (0 until kk).map(j => Gaussian1D(weights(j), means(j), vars(j)))
+  }
+
   /** GMM outlier detection on one numeric column (reference:
     * models/mixture.py:33-57 — fit a GaussianMixture, flag points whose
     * weighted density falls below `cutoff`).
     *
-    * Estimator/transformer shape at scale: MLlib fits distributed; the
-    * fitted (weights, means, variances) — k scalars — compile into a
-    * closed-form density Column, so detection is a map-side codegen'd
-    * predicate with NO model object on the executors. */
+    * Estimator/transformer shape at scale: the fit runs on a seeded
+    * capped sample (dBoost itself trains on 1k-100k row samples,
+    * scripts/scalability_experiment.py) collected to the driver — a
+    * bounded O(trainCap) payload at any data size — and the fitted
+    * (weight, mean, variance) triples compile into a closed-form
+    * density Column, so detection is a map-side codegen'd predicate
+    * with NO model object or iterative jobs on the executors. */
   def gmmOutliers(df: DataFrame, column: String, keyCol: String, k: Int = 2,
-      cutoff: Double = 1e-4, seed: Long = 42L): DataFrame = {
-    import org.apache.spark.ml.clustering.GaussianMixture
-    import org.apache.spark.ml.feature.VectorAssembler
+      cutoff: Double = 1e-4, seed: Long = 42L, trainCap: Int = 100000): DataFrame = {
     val d = col(s"`$column`").cast(DoubleType)
-    val feats = new VectorAssembler().setInputCols(Array(column))
-      .setOutputCol("__features")
-      .transform(df.filter(d.isNotNull).select(col(s"`$keyCol`"), col(s"`$column`")))
-      .localCheckpoint() // truncate lineage: GMM runs ~100 jobs over this
-    val model = new GaussianMixture().setK(k).setSeed(seed)
-      .setFeaturesCol("__features").fit(feats)
-    val density = model.weights.zip(model.gaussians).map { case (w, g) =>
-      val mu = g.mean(0)
-      val sigma2 = g.cov(0, 0)
-      lit(w) * exp(lit(-0.5) * (d - mu) * (d - mu) / lit(sigma2)) /
-        lit(math.sqrt(2 * math.Pi * sigma2))
+    val values = df.filter(d.isNotNull).select(d.as("__v")).localCheckpoint()
+    val n = values.count()
+    val sample =
+      (if (n <= trainCap) values
+       else values.sample(withReplacement = false,
+         math.min(1.0, trainCap.toDouble / n * 1.05), seed))
+        .collect().map(_.getDouble(0))
+    val model = fitGmm1D(sample, k)
+    val density = model.map { g =>
+      lit(g.weight) * exp(lit(-0.5) * (d - g.mean) * (d - g.mean) / lit(g.variance)) /
+        lit(math.sqrt(2 * math.Pi * g.variance))
     }.reduce(_ + _)
     df.filter(d.isNotNull)
       .select(col(s"`$keyCol`").cast("long").as("row_id"), d.as("value"),

@@ -5,17 +5,21 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
-/** Exact interpolated percentiles by group via sort — same math as
-  * SQL `quantile_cont` (index p·(n−1), linear interpolation between
-  * the bracketing ranks).
+/** Exact interpolated percentiles by group — same math as SQL
+  * `quantile_cont` (index p·(n−1), linear interpolation between the
+  * bracketing ranks).
   *
   * Spark's builtin exact `percentile` is an ObjectHashAggregate that
   * materializes a value→count map per partition; on high-cardinality
   * doubles that map IS the data and the aggregate degrades badly
   * (measured 20 s vs 3 s on 600 k×3 values, and 400 s on a wide
-  * table). A partitioned sort + conditional max is the shuffle-native
-  * formulation: one exchange on the group key, spill-friendly,
-  * whole-stage codegen throughout.
+  * table). This kernel instead aggregates a (group, value) → count
+  * histogram first — map-side combine shrinks the shuffle to distinct
+  * values — and ranks the histogram with a window: each distinct value
+  * covers the rank interval [cum−cnt, cum−1], so the bracketing order
+  * statistics are conditional maxes over it. The per-group sort
+  * touches distinct values only, not data rows (a 600 k-row column
+  * with 50 distinct values sorts 50 rows).
   */
 object ExactPercentiles {
 
@@ -25,16 +29,21 @@ object ExactPercentiles {
   def byGroup(long: DataFrame, groupCol: String, valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val x = col(s"`$valueCol`").cast(DoubleType)
+    val hist = long.filter(x.isNotNull)
+      .groupBy(col(s"`$groupCol`"), x.as("__x"))
+      .agg(count(lit(1)).as("__cnt"))
     val w = Window.partitionBy(groupCol).orderBy("__x")
-    val ranked = long.filter(x.isNotNull)
-      .select(col(s"`$groupCol`"), x.as("__x"))
-      .withColumn("__rn", row_number().over(w).cast(DoubleType) - 1)
+    val ranked = hist
+      .withColumn("__cum", sum("__cnt").over(w).cast(DoubleType))
       .withColumn("__n",
-        count(lit(1)).over(Window.partitionBy(groupCol)).cast(DoubleType))
+        sum("__cnt").over(Window.partitionBy(groupCol)).cast(DoubleType))
+      .withColumn("__start", col("__cum") - col("__cnt"))
     val pAggs = ps.map { case (name, p) =>
       val rowTarget = lit(p) * (col("__n") - 1)
-      val lower = max(when(col("__rn") === floor(rowTarget), col("__x")))
-      val upper = max(when(col("__rn") === ceil(rowTarget), col("__x")))
+      def covers(r: org.apache.spark.sql.Column) =
+        col("__start") <= r && r < col("__cum")
+      val lower = max(when(covers(floor(rowTarget)), col("__x")))
+      val upper = max(when(covers(ceil(rowTarget)), col("__x")))
       val target = lit(p) * (max(col("__n")) - 1)
       (lower + (upper - lower) * (target - floor(target))).as(name)
     }

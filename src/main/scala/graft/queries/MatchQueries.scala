@@ -91,7 +91,7 @@ object MatchQueries {
         features = Set("mode", "pattern")))
       .reduce(_.unionByName(_))
     val vecs = Clustering.vectorize(profiles)
-    Clustering.kmeans(vecs, k = 4)
+    Clustering.kmeansLocal(vecs, k = 4)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_columns"))
       .orderBy("cluster_id")
   }
