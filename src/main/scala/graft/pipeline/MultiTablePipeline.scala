@@ -87,10 +87,9 @@ object MultiTablePipeline {
     // sketch statistics: rule generation reads quartiles only as IQR
     // band endpoints — percentile_approx is the at-scale choice and
     // deterministic for a fixed input
-    val profiles = trainSide.toSeq.sortBy(_._1).map { case (name, df) =>
-      Profiler.profile(df, name,
+    val profiles = Profiler.profileMany(trainSide.toSeq.sortBy(_._1),
         graft.profile.ProfilerConfig(exact = false, features = features))
-    }.reduce(_.unionByName(_)).localCheckpoint()
+      .localCheckpoint()
     val assignments = Clustering.dbscanAssign(
       Clustering.vectorize(profiles), eps, minPts)
     val bound = sharedClusterRules(profiles, assignments)

@@ -27,16 +27,22 @@ object ExactPercentiles {
     * ignored). Output: one row per group with one column per requested
     * percentile; groups with no values are absent. */
   def byGroup(long: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame =
+    byGroups(long, Seq(groupCol), valueCol, ps)
+
+  /** Multi-column-group variant of [[byGroup]]. */
+  def byGroups(long: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val x = col(s"`$valueCol`").cast(DoubleType)
+    val gs = groupCols.map(g => col(s"`$g`"))
     val hist = long.filter(x.isNotNull)
-      .groupBy(col(s"`$groupCol`"), x.as("__x"))
+      .groupBy(gs :+ x.as("__x"): _*)
       .agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy(groupCol).orderBy("__x")
+    val w = Window.partitionBy(gs: _*).orderBy("__x")
     val ranked = hist
       .withColumn("__cum", sum("__cnt").over(w).cast(DoubleType))
       .withColumn("__n",
-        sum("__cnt").over(Window.partitionBy(groupCol)).cast(DoubleType))
+        sum("__cnt").over(Window.partitionBy(gs: _*)).cast(DoubleType))
       .withColumn("__start", col("__cum") - col("__cnt"))
     val pAggs = ps.map { case (name, p) =>
       val rowTarget = lit(p) * (col("__n") - 1)
@@ -47,6 +53,6 @@ object ExactPercentiles {
       val target = lit(p) * (max(col("__n")) - 1)
       (lower + (upper - lower) * (target - floor(target))).as(name)
     }
-    ranked.groupBy(groupCol).agg(pAggs.head, pAggs.tail: _*)
+    ranked.groupBy(gs: _*).agg(pAggs.head, pAggs.tail: _*)
   }
 }

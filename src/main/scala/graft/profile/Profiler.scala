@@ -77,6 +77,15 @@ object Profiler {
       .select(col("cv.column").as("column"), col("cv.value").as("value"))
   }
 
+  /** Long format over a whole lake slice: every table's rows in one
+    * frame keyed by (table, column). One union of scans → one shuffle
+    * per aggregation pass for ALL tables, instead of a job set per
+    * table. */
+  private def longFormatMany(tables: Seq[(String, DataFrame)]): DataFrame =
+    tables.map { case (t, df) =>
+      longFormat(df).select(lit(t).as("table"), col("column"), col("value"))
+    }.reduce(_.unionByName(_))
+
   /** Long format restricted to present (non-missing) values. */
   def longValues(df: DataFrame): DataFrame =
     longFormat(df).filter(!isMissing(col("value")))
@@ -165,15 +174,15 @@ object Profiler {
     * high-cardinality doubles); approx mode is one sketch aggregate. */
   private def quartilesFrame(present: DataFrame, cfg: ProfilerConfig): DataFrame =
     if (cfg.exact)
-      ExactPercentiles.byGroup(
-        present.select(col("column"),
+      ExactPercentiles.byGroups(
+        present.select(col("table"), col("column"),
           expr("try_cast(value as double)").as("num")),
-        "column", "num",
+        Seq("table", "column"), "num",
         Seq("num_q1" -> 0.25, "num_median" -> 0.5, "num_q3" -> 0.75))
     else {
       val d = expr("try_cast(value as double)")
       val pcts = percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-      present.groupBy("column").agg(
+      present.groupBy("table", "column").agg(
         coalesce(pcts.getItem(0), lit(Double.NaN)).as("num_q1"),
         coalesce(pcts.getItem(1), lit(Double.NaN)).as("num_median"),
         coalesce(pcts.getItem(2), lit(Double.NaN)).as("num_q3"))
@@ -206,47 +215,51 @@ object Profiler {
     * they aggregate straight off the scan with map-side combine; their
     * shuffles carry keyspace-sized data only. */
   private def modeDistinctFrame(long: DataFrame): DataFrame =
-    long.groupBy("column", "value").agg(count(lit(1)).as("cnt"))
-      .groupBy("column").agg(
+    long.groupBy("table", "column", "value").agg(count(lit(1)).as("cnt"))
+      .groupBy("table", "column").agg(
         min_by(col("value"), struct((-col("cnt")).as("n"), col("value"))).as("mode_value"),
         (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType)).as("mode_ratio"),
         count(lit(1)).cast(LongType).as("distinct_count"))
 
   private def patternFrame(long: DataFrame): DataFrame =
-    long.groupBy(col("column"), patternOf(col("value")).as("pattern"))
+    long.groupBy(col("table"), col("column"), patternOf(col("value")).as("pattern"))
       .agg(count(lit(1)).as("cnt"))
-      .groupBy("column").agg(
+      .groupBy("table", "column").agg(
         min_by(col("pattern"), struct((-col("cnt")).as("n"), col("pattern")))
           .as("dominant_pattern"),
         (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType))
           .as("dominant_pattern_ratio"))
 
   private def firstDigitFrame(long: DataFrame): DataFrame =
-    long.select(col("column"), regexp_extract(col("value"), "[1-9]", 0).as("fd"))
+    long.select(col("table"), col("column"),
+        regexp_extract(col("value"), "[1-9]", 0).as("fd"))
       .filter(col("fd") =!= "")
-      .groupBy("column", "fd").agg(count(lit(1)).as("cnt"))
-      .groupBy("column").agg(
+      .groupBy("table", "column", "fd").agg(count(lit(1)).as("cnt"))
+      .groupBy("table", "column").agg(
         min_by(col("fd"), struct((-col("cnt")).as("n"), col("fd")))
           .cast(IntegerType).as("first_digit_mode"))
 
   private def charsFrame(long: DataFrame, cfg: ProfilerConfig): DataFrame =
-    long.select(col("column"), explode(split(col("value"), "")).as("ch"))
-      .groupBy("column")
+    long.select(col("table"), col("column"),
+        explode(split(col("value"), "")).as("ch"))
+      .groupBy("table", "column")
       .agg((if (cfg.exact) countDistinct(col("ch"))
             else approx_count_distinct(col("ch"))).cast(LongType).as("distinct_chars"))
 
   private def keywordsFrame(long: DataFrame, cfg: ProfilerConfig): DataFrame = {
     val words = long
-      .select(col("column"), explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
+      .select(col("table"), col("column"),
+        explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
       .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
-      .groupBy("column", "word").agg(count(lit(1)).as("cnt"))
-    val wWin = Window.partitionBy("column").orderBy(desc("cnt"), asc("word"))
+      .groupBy("table", "column", "word").agg(count(lit(1)).as("cnt"))
+    val wWin = Window.partitionBy("table", "column")
+      .orderBy(desc("cnt"), asc("word"))
     words
       .withColumn("rk", row_number().over(wWin))
       .filter(col("rk") <= cfg.topK)
-      .groupBy("column")
+      .groupBy("table", "column")
       .agg(collect_list(struct(col("rk"), col("word"))).as("kw"))
-      .select(col("column"),
+      .select(col("table"), col("column"),
         expr("transform(array_sort(kw), x -> x.word)").as("top_keywords"))
   }
 
@@ -263,15 +276,34 @@ object Profiler {
     profile(df, table, ProfilerConfig(exact = n <= exactThreshold, features = features))
   }
 
+  /** [[profileMany]] with the exact/sketch switch of [[profileAuto]],
+    * decided by the largest table in the set. */
+  def profileManyAuto(tables: Seq[(String, DataFrame)],
+      exactThreshold: Long = 200000L,
+      features: Set[String] = AllFeatures): DataFrame = {
+    val maxN = tables.map(_._2.count()).max
+    profileMany(tables,
+      ProfilerConfig(exact = maxN <= exactThreshold, features = features))
+  }
+
   /** Profile every column of `df` in three jobs (features, quartiles,
     * frequency aggs). Returns one row per column, schema matching
     * [[graft.model.ColumnProfile]]. */
-  def profile(df: DataFrame, table: String, cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
-    val long = longFormat(df)
+  def profile(df: DataFrame, table: String, cfg: ProfilerConfig = ProfilerConfig()): DataFrame =
+    profileMany(Seq(table -> df), cfg)
+
+  /** Profile a whole set of tables in the SAME three jobs: the long
+    * formats union into one frame keyed by (table, column), so every
+    * aggregation pass shuffles once for all tables. Callers profiling
+    * a lake (clustering, multi-table pipeline) get #jobs independent
+    * of #tables. */
+  def profileMany(tables: Seq[(String, DataFrame)],
+      cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
+    val long = longFormatMany(tables)
     val present = long.filter(!isMissing(col("value")))
 
     val fa = featureAggs(cfg)
-    val passA = long.groupBy("column").agg(fa.head, fa.tail: _*)
+    val passA = long.groupBy("table", "column").agg(fa.head, fa.tail: _*)
 
     val branches = Seq.newBuilder[DataFrame]
     if (cfg.features("quartiles")) branches += quartilesFrame(present, cfg)
@@ -282,8 +314,8 @@ object Profiler {
     if (cfg.features("keywords")) branches += keywordsFrame(present, cfg)
 
     val joined = branches.result()
-      .foldLeft(passA)((acc, b) => acc.join(broadcast(b), Seq("column"), "left_outer"))
-      .withColumn("table", lit(table))
+      .foldLeft(passA)((acc, b) =>
+        acc.join(broadcast(b), Seq("table", "column"), "left_outer"))
     // columns of disabled feature groups get schema-stable defaults
     // (distinct_count = -1 marks "not computed" so type inference does
     // not mistake it for a real low cardinality)

@@ -54,11 +54,13 @@ object MatchQueries {
   // ---- m1: cross-table column match scores (J6) ------------------------
 
   def columnMatch(spark: SparkSession, dir: String): DataFrame = {
-    val src = Profiler.profileAuto(Tables.load(spark, dir, "customer"), "customer",
-      features = Set("mode"))
-    val tgt = Profiler.profileAuto(Tables.load(spark, dir, "supplier"), "supplier",
-      features = Set("mode"))
-    ColumnMatcher.candidates(src, tgt)
+    // one profiling pass for both sides (profileMany), split by table
+    val both = Profiler.profileManyAuto(
+      Seq("customer" -> Tables.load(spark, dir, "customer"),
+        "supplier" -> Tables.load(spark, dir, "supplier")),
+      features = Set("mode")).localCheckpoint()
+    ColumnMatcher.candidates(both.filter(col("table") === "customer"),
+        both.filter(col("table") === "supplier"))
       .orderBy("src_column", "tgt_column")
   }
 
@@ -86,10 +88,10 @@ object MatchQueries {
     // Clustering reads only the 9 defaultFeatures — computing the
     // char-explode / quartile / keyword branches here would dominate
     // the runtime for features nobody consumes.
-    val profiles = Seq("customer", "supplier", "part", "orders", "nation")
-      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t,
-        features = Set("mode", "pattern")))
-      .reduce(_.unionByName(_))
+    val profiles = Profiler.profileManyAuto(
+      Seq("customer", "supplier", "part", "orders", "nation")
+        .map(t => t -> Tables.load(spark, dir, t)),
+      features = Set("mode", "pattern"))
     val vecs = Clustering.vectorize(profiles)
     Clustering.kmeansLocal(vecs, k = 4)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_columns"))
@@ -99,10 +101,10 @@ object MatchQueries {
   // ---- c2: DBSCAN assignments (rows-only) ------------------------------
 
   def dbscanClusters(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = Seq("customer", "supplier", "nation")
-      .map(t => Profiler.profileAuto(Tables.load(spark, dir, t), t,
-        features = Set("mode", "pattern")))
-      .reduce(_.unionByName(_))
+    val profiles = Profiler.profileManyAuto(
+      Seq("customer", "supplier", "nation")
+        .map(t => t -> Tables.load(spark, dir, t)),
+      features = Set("mode", "pattern"))
     Clustering.dbscanAssign(Clustering.vectorize(profiles), eps = 0.5, minPts = 2)
       .orderBy("column_id")
   }
@@ -151,10 +153,12 @@ object MatchQueries {
     import graft.rules._
     import graft.transfer._
     val need = Set("quartiles", "mode", "pattern")
-    val srcProfiles = Profiler.profileAuto(Tables.load(spark, dir, "customer"),
-      "customer", features = need).localCheckpoint()
-    val tgtProfiles = Profiler.profileAuto(Tables.load(spark, dir, "supplier"),
-      "supplier", features = need).localCheckpoint()
+    val both = Profiler.profileManyAuto(
+      Seq("customer" -> Tables.load(spark, dir, "customer"),
+        "supplier" -> Tables.load(spark, dir, "supplier")),
+      features = need).localCheckpoint()
+    val srcProfiles = both.filter(col("table") === "customer")
+    val tgtProfiles = both.filter(col("table") === "supplier")
     val cands = ColumnMatcher.candidates(srcProfiles, tgtProfiles)
       .localCheckpoint()
     val mapping = ColumnMatcher.assign(cands).toMap
@@ -192,10 +196,12 @@ object MatchQueries {
 
   def keywordOverlap(spark: SparkSession, dir: String): DataFrame = {
     val kw = Set("mode", "keywords")
-    val src = Profiler.profileAuto(Tables.load(spark, dir, "part"), "part",
-      features = kw)
-    val tgt = Profiler.profileAuto(Tables.load(spark, dir, "documents"),
-      "documents", features = kw)
+    val both = Profiler.profileManyAuto(
+      Seq("part" -> Tables.load(spark, dir, "part"),
+        "documents" -> Tables.load(spark, dir, "documents")),
+      features = kw).localCheckpoint()
+    val src = both.filter(col("table") === "part")
+    val tgt = both.filter(col("table") === "documents")
     ColumnMatcher.keywordSimilarity(src, tgt)
       .withColumn("keyword_jaccard", round(col("keyword_jaccard"), 6))
       .orderBy("src_column", "tgt_column")
