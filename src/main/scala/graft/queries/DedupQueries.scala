@@ -168,17 +168,70 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- d6: embedding-cosine near-duplicate pairs -----------------------
+
+  /** embeddings ∪ perturbed copy (every component +0.02 in double —
+    * bit-identical arithmetic in both engines) → every vector has one
+    * planted near-dup at cosine ≈0.99 while natural pairs stay ≤0.52.
+    * Banded sign-LSH candidates, exact rounded-cosine verify ≥0.95. */
+  def embeddingDups(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+    val copy = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      expr("transform(embedding, x -> cast(x as double) + 0.02D)").as("vd"))
+    graft.sim.Similarity.cosineNearDupPairs(
+        base.unionByName(copy), "vec_id", "vd",
+        threshold = 0.95, bands = 4, planesPerBand = 8, dim = 64)
+      .orderBy("ida", "idb")
+  }
+
+  val embeddingDupsSql: String = {
+    import graft.sim.Similarity
+    def bitsFor(t: String, planes: Seq[Seq[Double]]) =
+      planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($t.vd, $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      val planes = Similarity.hyperplanes(8, 64, seed = 42L + b)
+      s"SELECT vec_id AS id, $b AS band, (${bitsFor("doubled", planes)})::BIGINT AS key FROM doubled"
+    }.mkString("\nUNION ALL\n")
+    val cos = "list_dot_product(va.vd, vb.vd) / " +
+      "(sqrt(list_dot_product(va.vd, va.vd)) * sqrt(list_dot_product(vb.vd, vb.vd)))"
+    s"""WITH doubled AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+       |  FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id)
+       |SELECT ida, idb, score FROM (
+       |  SELECT ida, idb, ROUND($cos, 4) AS score
+       |  FROM cands
+       |  JOIN doubled va ON ida = va.vec_id
+       |  JOIN doubled vb ON idb = vb.vec_id)
+       |WHERE score >= 0.95
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_signatures" -> (minhashSignatures _),
     "d4_minhash_pairs" -> (minhashPairs _),
-    "d5_simhash_pairs" -> (simhashPairs _))
+    "d5_simhash_pairs" -> (simhashPairs _),
+    "d6_embedding_dups" -> (embeddingDups _))
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dup_groups" -> exactDupGroupsSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_signatures" -> minhashSignaturesSql,
     "d4_minhash_pairs" -> minhashPairsSql,
-    "d5_simhash_pairs" -> simhashPairsSql)
+    "d5_simhash_pairs" -> simhashPairsSql,
+    "d6_embedding_dups" -> embeddingDupsSql)
 }

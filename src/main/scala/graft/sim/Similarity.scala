@@ -47,6 +47,37 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rk")
   }
 
+  /** Embedding-cosine near-duplicate pairs (dedup suite): banded
+    * sign-LSH candidates verified with the exact cosine. Each of
+    * `bands` bands buckets on `planesPerBand` hyperplane signs
+    * (independent seeds); pairs colliding in ANY band verify with the
+    * exact rounded cosine ≥ `threshold`. The candidate join is an
+    * equi-join on (band, key) — never a cross product — and the
+    * verify join rejoins vectors by id, so the shuffles carry ids +
+    * short keys. Missed-band pairs are missed deterministically (the
+    * planes are fixed), which keeps the operator reproducible. */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 4, planesPerBand: Int = 8,
+      dim: Int = 64, scale: Int = 4): DataFrame = {
+    val banded = (0 until bands).map { b =>
+      val planes = hyperplanes(planesPerBand, dim, seed = 42L + b)
+      df.select(col(idCol).as("id"), lit(b).as("band"),
+        lshBucket(col(s"`$vecCol`"), planes).as("key"))
+    }.reduce(_.unionByName(_))
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+    val va = df.select(col(idCol).as("ida"), col(s"`$vecCol`").as("va"))
+    val vb = df.select(col(idCol).as("idb"), col(s"`$vecCol`").as("vb"))
+    cands.join(va, "ida").join(vb, "idb")
+      .select(col("ida"), col("idb"),
+        round(cosine(col("va"), col("vb")), scale).as("score"))
+      .filter(col("score") >= threshold)
+  }
+
   /** Deterministic random hyperplanes: `numPlanes` × `dim` weights in
     * [-1, 1) from a fixed-seed generator. Returned as plain Scala so
     * the oracle SQL can embed identical literals. */

@@ -70,6 +70,25 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("embedding cosine near-dup pairs find the planted neighbor") {
+    val rng = new scala.util.Random(11)
+    val dim = 64
+    def unit(): Array[Double] = {
+      val v = Array.fill(dim)(rng.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val vecs = (0L until 20L).map(i => (i, unit()))
+    // plant: id 100 = id 0 nudged, stays near-parallel
+    val planted = (100L, vecs.head._2.map(_ + 0.02))
+    val df = (vecs :+ planted).toDF("vec_id", "vd")
+    val pairs = Similarity.cosineNearDupPairs(df, "vec_id", "vd",
+        threshold = 0.95, bands = 4, planesPerBand = 8, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.length < 5) // random unit vectors are not near-dups
+  }
+
   test("fingerprint stable under small tail edit") {
     val fp = TextAnalysis.fingerprint(docs, "text", "doc_id")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("fingerprint")).toMap
