@@ -207,6 +207,54 @@ object MatchQueries {
       .orderBy("src_column", "tgt_column")
   }
 
+  private val m4SrcCols =
+    Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+  private val m4TgtCols = Seq("doc_id", "text", "lang", "source", "n_chars")
+
+  /** DuckDB mirror of the profiler keyword pipeline: same tokenizer
+    * ([^a-z0-9]+ on lowered values), same len>1 + stopword filter, same
+    * (count desc, word asc) top-10 tie-break, then set Jaccard. */
+  val keywordOverlapSql: String = {
+    val stop = graft.profile.StopWords.english.map(w => s"'$w'").mkString(", ")
+    def topKw(table: String, cols: Seq[String]): String = {
+      val words = cols.map { c =>
+        s"""SELECT '$c' AS "column", unnest(list_filter(
+           |    string_split_regex(lower(CAST($c AS VARCHAR)), '[^a-z0-9]+'),
+           |    w -> len(w) > 1 AND w NOT IN ($stop))) AS word
+           |  FROM $table
+           |  WHERE $c IS NOT NULL AND TRIM(CAST($c AS VARCHAR)) <> ''""".stripMargin
+      }.mkString("\n  UNION ALL\n")
+      s"""SELECT "column", list(word) AS kw FROM (
+         |  SELECT "column", word,
+         |    ROW_NUMBER() OVER (PARTITION BY "column" ORDER BY cnt DESC, word) AS rk
+         |  FROM (SELECT "column", word, COUNT(*) AS cnt FROM (
+         |  $words
+         |  ) GROUP BY 1, 2))
+         |WHERE rk <= 10 GROUP BY "column"""".stripMargin
+    }
+    def colList(cols: Seq[String]) = cols.map(c => s"'$c'").mkString(", ")
+    s"""WITH skw AS (
+       |${topKw("part", m4SrcCols)}),
+       |tkw AS (
+       |${topKw("documents", m4TgtCols)}),
+       |s AS (
+       |  SELECT sc."column" AS src_column, COALESCE(skw.kw, []::VARCHAR[]) AS src_kw
+       |  FROM (SELECT unnest([${colList(m4SrcCols)}]) AS "column") sc
+       |  LEFT JOIN skw ON sc."column" = skw."column"),
+       |t AS (
+       |  SELECT tc."column" AS tgt_column, COALESCE(tkw.kw, []::VARCHAR[]) AS tgt_kw
+       |  FROM (SELECT unnest([${colList(m4TgtCols)}]) AS "column") tc
+       |  LEFT JOIN tkw ON tc."column" = tkw."column")
+       |SELECT src_column, tgt_column,
+       |  ROUND(CASE WHEN u = 0 THEN 0.0 ELSE i / u END, 6) AS keyword_jaccard
+       |FROM (
+       |  SELECT src_column, tgt_column,
+       |    len(list_intersect(src_kw, tgt_kw))::DOUBLE AS i,
+       |    len(list_distinct(list_concat(src_kw, tgt_kw)))::DOUBLE AS u
+       |  FROM s CROSS JOIN t)
+       |ORDER BY src_column, tgt_column""".stripMargin
+  }
+
   // ---- mp1: full multi-table pipeline (main.py --mode multi; rows-only)
 
   def multiPipeline(spark: SparkSession, dir: String): DataFrame = {
@@ -240,5 +288,6 @@ object MatchQueries {
     * equivalent; the driver records rows-only checks for them. */
   def oracleSql: Map[String, String] = Map(
     "m1_column_match" -> columnMatchSql,
-    "m2_ks_wasserstein" -> ksWassersteinSql)
+    "m2_ks_wasserstein" -> ksWassersteinSql,
+    "m4_keyword_overlap" -> keywordOverlapSql)
 }
