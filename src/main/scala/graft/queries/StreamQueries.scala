@@ -28,9 +28,41 @@ object StreamQueries {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  def sessionStats(spark: SparkSession, dir: String): DataFrame =
+    StreamingQuality.sessionStats(Tables.loadEvents(spark, dir),
+        "ts", "user_id", "value", gap = "30 minutes")
+      .withColumn("mean", round(col("mean"), 6))
+      .orderBy("key", "session_start")
+
+  /** Gaps-and-islands mirror of session_window: a session breaks when
+    * the gap to the previous event is >= the window gap (Spark's
+    * session interval is half-open [first, last+gap)); session end is
+    * last event + gap. */
+  val sessionStatsSql: String =
+    """WITH o AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |         THEN 1 ELSE 0 END AS brk
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |s AS (
+      |  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM o)
+      |SELECT user_id AS key,
+      |  strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+      |  strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value), 6) AS mean
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY key, session_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "w1_windowed_stats" -> (windowedStats _))
+    "w1_windowed_stats" -> (windowedStats _),
+    "w2_session_stats" -> (sessionStats _))
 
   def oracleSql: Map[String, String] = Map(
-    "w1_windowed_stats" -> windowedStatsSql)
+    "w1_windowed_stats" -> windowedStatsSql,
+    "w2_session_stats" -> sessionStatsSql)
 }

@@ -47,6 +47,29 @@ object StreamingQuality {
         col("key"), col("n"), col("n_null"), col("mean"), col("min"), col("max"))
   }
 
+  /** Per-key session-window stats (gap-merged event-time sessions —
+    * the Structured Streaming `session_window`, which is an ordinary
+    * grouping expression in batch too). A session spans consecutive
+    * events whose gaps stay under `gap`; its end is last event + gap.
+    * State is bounded by the watermark in streaming mode. */
+  def sessionStats(events: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, gap: String = "30 minutes",
+      watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val v = col(s"`$valueCol`").cast(DoubleType)
+    withWm
+      .groupBy(session_window(col(s"`$tsCol`"), gap).as("w"),
+        col(s"`$keyCol`").as("key"))
+      .agg(
+        count(lit(1)).as("n"),
+        (sum(v.cast(DecimalType(30, 6))).cast(DoubleType) / count(v)).as("mean"))
+      .select(col("key"),
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n"), col("mean"))
+  }
+
   /** Stateless streaming violation scan: only scalar rules (relational
     * rules need bounded input — run those on completed windows
     * instead). The compiled predicate bundle is the batch scanner's. */

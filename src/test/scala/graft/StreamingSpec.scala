@@ -36,6 +36,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows merge gap-close events on a stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val result = StreamingQuality.sessionStats(
+      input.toDF().toDF("ts", "user_id", "value"), "ts", "user_id", "value",
+      gap = "30 minutes")
+    val q = result.writeStream.format("memory")
+      .queryName("sess_stats").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, 1.0),
+        (ts("2024-01-01 10:20:00"), 1L, 3.0),  // merges: gap 20m < 30m
+        (ts("2024-01-01 11:30:00"), 1L, 10.0), // new session
+        (ts("2024-01-01 10:00:00"), 2L, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess_stats").collect()
+        .map(r => (r.getAs[Long]("key"), r.getString(1)) ->
+          (r.getString(2), r.getAs[Long]("n"), r.getAs[Double]("mean"))).toMap
+      // session end = last event + gap
+      assert(rows((1L, "2024-01-01 10:00:00")) === (("2024-01-01 10:50:00", 2L, 2.0)))
+      assert(rows((1L, "2024-01-01 11:30:00")) === (("2024-01-01 12:00:00", 1L, 10.0)))
+      assert(rows((2L, "2024-01-01 10:00:00")) === (("2024-01-01 10:30:00", 1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("streaming violation scan flags bad rows as they arrive") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
