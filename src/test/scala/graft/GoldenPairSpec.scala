@@ -129,6 +129,41 @@ class GoldenPairSpec extends SparkSpec {
       v == "ger" || v == "fre"))
   }
 
+  test("movies pair: format rules are exact on rotation and separator errors") {
+    // movies_1 — the reference's largest golden pair (3,999 x 17;
+    // BASELINE.md row 1). Error classes: thousands-separator commas in
+    // RatingCount, slug-for-id rotations in Id/Year, "5/10,5/10"
+    // rotations in RatingValue. Multi-line quoted descriptions need
+    // the multiLine reader path.
+    val mdir = "/root/reference/datasets/Quintet_Split/movies_1"
+    val clean0 = Ingest.readCsvStrict(spark, s"$mdir/clean.csv", multiLine = true)
+    val dirty0 = Ingest.readCsvStrict(spark, s"$mdir/dirty.csv", multiLine = true)
+      .toDF(clean0.columns.toIndexedSeq: _*)
+    assert(dirty0.count() === 3999 && clean0.count() === 3999)
+    val dirty = Ingest.withRowId(dirty0).localCheckpoint()
+    val clean = Ingest.withRowId(clean0).localCheckpoint()
+
+    val actual = Metrics.actualErrorCells(dirty, clean, "row_id")
+    val rules: Seq[RuleSpec] = Seq(
+      RegexRule("Id", "^tt\\d+$"),
+      RegexRule("RatingCount", "^\\d+$"),
+      RegexRule("Year", "^\\d{4}$"),
+      RegexRule("RatingValue", "^\\d+(\\.\\d+)?$"))
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "movies", rules, "row_id")
+        .select("row_id", "column"))
+    val scores = Metrics.score(predicted, actual).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    // format violations ARE the planted errors for these columns
+    assert(scores("Id") === ((1.0, 1.0)))
+    assert(scores("RatingCount") === ((1.0, 1.0)))
+    assert(scores("Year") === ((1.0, 1.0)))
+    // the 7.0-vs-7 class is format-valid — invisible to validity rules
+    val (pv, rv) = scores("RatingValue")
+    assert(pv === 1.0 && rv > 0.15 && rv < 0.25, s"RatingValue P=$pv R=$rv")
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
