@@ -26,6 +26,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "char_class_census(str) takes one argument")
         CharClassCensus(args.head)
+      }),
+    (new FunctionIdentifier("cell_type_vote"),
+      new ExpressionInfo(classOf[CellTypeVote].getName, "cell_type_vote"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "cell_type_vote(str) takes one argument")
+        CellTypeVote(args.head)
       }))
 
   /** Register on an already-built session (tests, notebooks). */

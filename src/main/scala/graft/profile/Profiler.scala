@@ -126,8 +126,17 @@ object Profiler {
     val alphaWords = wordClassCnt("^[A-Za-z]+$")
     val digitWords = wordClassCnt("^[0-9]+$")
     val punctWords = wordClassCnt("^\\\\p{Punct}+$")
-    val ratioOf = (re: String) =>
-      safeDiv(cntIf(nn && s.rlike(re)).cast(DoubleType), nnCnt.cast(DoubleType), lit(0.0))
+    // fused path: ONE byte-loop evaluates all six type votes per cell
+    // (regex parity spec-checked, incl. trailing-terminator semantics)
+    val vote = graft.functions.CellTypeVote(s)
+    def voteCnt(bit: Long): Column =
+      cntIf(nn && vote.bitwiseAND(lit(bit)) =!= 0)
+    def typeCnt(bit: Long, re: String): Column =
+      if (cfg.fusedCensus) voteCnt(bit) else cntIf(nn && s.rlike(re))
+    val ratioOf = (bit: Long, re: String) =>
+      safeDiv(typeCnt(bit, re).cast(DoubleType), nnCnt.cast(DoubleType), lit(0.0))
+    val numCells = typeCnt(graft.functions.CellTypeVote.NumCellBit, NUM_CELL_RE)
+    val alphaCells = typeCnt(graft.functions.CellTypeVote.AlphaCellBit, ALPHA_CELL_RE)
 
     Seq(
       cnt.as("row_count"),
@@ -145,11 +154,10 @@ object Profiler {
       (wordCnt - alphaWords - digitWords - punctWords).as("misc_words"),
       safeDiv((totalChars - spaceChars).cast(DoubleType), wordCnt.cast(DoubleType), lit(0.0))
         .as("avg_word_len"),
-      cntIf(nn && s.rlike(NUM_CELL_RE)).as("numeric_cells"),
-      cntIf(nn && s.rlike(ALPHA_CELL_RE)).as("alpha_cells"),
+      numCells.as("numeric_cells"),
+      alphaCells.as("alpha_cells"),
       nullCnt.as("empty_cells"),
-      (nnCnt - cntIf(nn && s.rlike(NUM_CELL_RE)) - cntIf(nn && s.rlike(ALPHA_CELL_RE)))
-        .as("other_cells"),
+      (nnCnt - numCells - alphaCells).as("other_cells"),
       coalesce(min(when(nn, length(s))), lit(0)).as("min_len"),
       coalesce(max(when(nn, length(s))), lit(0)).as("max_len"),
       safeDiv(sum(when(nn, length(s).cast(LongType))).cast(DoubleType), nnCnt.cast(DoubleType),
@@ -163,10 +171,10 @@ object Profiler {
       coalesce(max(when(nn, length(regexp_replace(s, "[^0-9]", "")))), lit(0)).as("max_digits"),
       coalesce(max(length(regexp_extract(s, "^[+-]?\\d+\\.(\\d*?)0*$", 1))), lit(0))
         .as("max_decimals"),
-      ratioOf(INT_RE).as("ratio_int"),
-      ratioOf(FLOAT_RE).as("ratio_float"),
-      ratioOf(BOOL_RE).as("ratio_bool"),
-      ratioOf(DATE_RE).as("ratio_date"))
+      ratioOf(graft.functions.CellTypeVote.IntBit, INT_RE).as("ratio_int"),
+      ratioOf(graft.functions.CellTypeVote.FloatBit, FLOAT_RE).as("ratio_float"),
+      ratioOf(graft.functions.CellTypeVote.BoolBit, BOOL_RE).as("ratio_bool"),
+      ratioOf(graft.functions.CellTypeVote.DateBit, DATE_RE).as("ratio_date"))
   }
 
   /** Quartiles in their own job: exact mode sorts (ExactPercentiles —
