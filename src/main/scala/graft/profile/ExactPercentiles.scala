@@ -30,8 +30,92 @@ object ExactPercentiles {
       ps: Seq[(String, Double)]): DataFrame =
     byGroups(long, Seq(groupCol), valueCol, ps)
 
-  /** Multi-column-group variant of [[byGroup]]. */
+  /** Default kernel: the sketch-bracketed exact path — every stage is a
+    * partially-aggregable groupBy, so it parallelizes within a group
+    * (the window kernel serializes each group into one task). */
   def byGroups(long: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame =
+    byGroupsSketched(long, groupCols, valueCol, ps)
+
+  /** Exact percentiles with NO per-group sort anywhere — the 100 TB
+    * path. A `percentile_approx` sketch (rank error ≤ n/accuracy,
+    * Greenwald-Khanna guarantee) brackets each target percentile p with
+    * values at p±4/accuracy; the exact answer's order statistics are
+    * then guaranteed to lie inside the bracket. One more pass computes,
+    * per group: the exact count below the bracket (a plain conditional
+    * sum) and the in-bracket value histogram (collect_list bounded to
+    * ~8n/accuracy rows by the sketch guarantee, duplicates collapsed by
+    * the histogram grouping first). The bracketing order statistics for
+    * rank p·(n−1) are then read off the sorted candidate histogram by a
+    * cumulative-walk `aggregate` expression — exact interpolation,
+    * identical math to the window kernel, but every aggregation
+    * partial-combines map-side: a single group spread over 1000
+    * executors does 1/1000 of the work on each, where the window kernel
+    * would sort the whole group on one.
+    *
+    * Brackets only select candidates — the result is exact no matter
+    * how the sketch merges, so percentile_approx's partition-order
+    * sensitivity cannot leak into the output. Coverage failure (a
+    * bracket narrower than the guarantee promises) would surface as a
+    * NULL percentile, not a wrong value; the parity spec cross-checks
+    * against the window kernel on adversarial distributions. */
+  def byGroupsSketched(long: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)],
+      accuracy: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.Column
+    val x0 = col(s"`$valueCol`").cast(DoubleType)
+    val gs = groupCols.map(g => col(s"`$g`"))
+    val present = long.filter(x0.isNotNull).select(gs :+ x0.as("__x"): _*)
+    val delta = 4.0 / accuracy
+    val brackets: Seq[Column] =
+      count(lit(1)).as("__na") +: ps.zipWithIndex.map { case ((_, p), i) =>
+        percentile_approx(col("__x"),
+          array(lit(math.max(0.0, p - delta)), lit(math.min(1.0, p + delta))),
+          lit(accuracy)).as(s"__b_$i")
+      }
+    val sketch = present.groupBy(gs: _*).agg(brackets.head, brackets.tail: _*)
+    val hist = present.groupBy(gs :+ col("__x"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val joined = hist.join(broadcast(sketch), groupCols)
+    // Small groups (n < 2·accuracy) take the whole histogram as
+    // candidates: below that size the sketch's rank margin (3εn) can
+    // undershoot the ≤2-rank slack between p·n and the floor/ceil
+    // order statistics of p·(n−1), and "whole histogram" is ≤ 2·accuracy
+    // rows — trivially collectable. Large groups keep the bracket,
+    // whose margin 3εn ≥ 6 ranks then provably covers.
+    val small = col("__na") < lit(2L * accuracy)
+    val bAggs: Seq[Column] =
+      sum("__cnt").cast(DoubleType).as("__n") +: ps.indices.toSeq.flatMap { i =>
+        Seq(
+          coalesce(sum(when(!small && col("__x") < col(s"__b_$i").getItem(0),
+            col("__cnt"))), lit(0L)).as(s"__below_$i"),
+          array_sort(collect_list(when(
+            small || (col("__x") >= col(s"__b_$i").getItem(0) &&
+              col("__x") <= col(s"__b_$i").getItem(1)),
+            struct(col("__x").as("x"), col("__cnt").as("cnt")))))
+            .as(s"__cand_$i"))
+      }
+    val b = joined.groupBy(gs: _*).agg(bAggs.head, bAggs.tail: _*)
+    val outCols = gs ++ ps.zipWithIndex.map { case ((name, p), i) =>
+      expr(
+        s"""aggregate(__cand_$i,
+           |  named_struct('cum', cast(__below_$i as bigint),
+           |    'lo', cast(null as double), 'hi', cast(null as double)),
+           |  (acc, e) -> named_struct(
+           |    'cum', acc.cum + e.cnt,
+           |    'lo', if(acc.lo is null and floor($p * (__n - 1)) >= acc.cum
+           |             and floor($p * (__n - 1)) < acc.cum + e.cnt, e.x, acc.lo),
+           |    'hi', if(acc.hi is null and ceil($p * (__n - 1)) >= acc.cum
+           |             and ceil($p * (__n - 1)) < acc.cum + e.cnt, e.x, acc.hi)),
+           |  acc -> acc.lo + (acc.hi - acc.lo)
+           |    * ($p * (__n - 1) - floor($p * (__n - 1))))""".stripMargin).as(name)
+    }
+    b.select(outCols: _*)
+  }
+
+  /** Window-ranked kernel (the original formulation; kept as the
+    * parity reference for the sketched kernel's spec). */
+  def byGroupsSorted(long: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame = {
     val x = col(s"`$valueCol`").cast(DoubleType)
     val gs = groupCols.map(g => col(s"`$g`"))

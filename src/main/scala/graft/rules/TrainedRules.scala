@@ -44,22 +44,26 @@ object TrainedRules {
       }: _*)
       .select(explode(array((0 until cols.size).map(i => col(s"b$i")): _*)).as("b"))
       .select("b.*")
-    val pcts =
-      if (exact) sortedPercentiles(df, cols, Seq("p05" -> lo, "p95" -> hi))
-      else {
-        val entries = cols.map(c =>
-          struct(lit(c).as("column"), col(s"`$c`").cast(DoubleType).as("x")))
-        df.select(explode(array(entries: _*)).as("e"))
-          .select(col("e.column").as("column"), col("e.x").as("x"))
-          .groupBy("column")
-          .agg(percentile_approx(col("x"), array(lit(lo), lit(hi)), lit(10000))
-            .as("p"))
-          .select(col("column"), col("p").getItem(0).as("p05"),
-            col("p").getItem(1).as("p95"))
-      }
-    moments.join(pcts, "column")
+    moments.join(percentileBands(df, cols, lo, hi, exact), "column")
       .select("column", "p05", "p95", "mean", "std")
   }
+
+  /** Just the (column, p05, p95) percentile band — what rule fitting
+    * consumes. Split out so [[fitAndScan]] skips the moments pass. */
+  def percentileBands(df: DataFrame, cols: Seq[String], lo: Double = 0.05,
+      hi: Double = 0.95, exact: Boolean = true): DataFrame =
+    if (exact) sortedPercentiles(df, cols, Seq("p05" -> lo, "p95" -> hi))
+    else {
+      val entries = cols.map(c =>
+        struct(lit(c).as("column"), col(s"`$c`").cast(DoubleType).as("x")))
+      df.select(explode(array(entries: _*)).as("e"))
+        .select(col("e.column").as("column"), col("e.x").as("x"))
+        .groupBy("column")
+        .agg(percentile_approx(col("x"), array(lit(lo), lit(hi)), lit(10000))
+          .as("p"))
+        .select(col("column"), col("p").getItem(0).as("p05"),
+          col("p").getItem(1).as("p95"))
+    }
 
   /** Collect fitted bands into RangeRules ([p05, p95] with optional
     * slack widening — transferred rules are more permissive,
@@ -76,7 +80,9 @@ object TrainedRules {
     * the reference's trained-rule detection end to end. */
   def fitAndScan(clean: DataFrame, target: DataFrame, table: String,
       cols: Seq[String], keyCol: String, exact: Boolean = true): DataFrame = {
-    val rules = bandRules(thresholdBands(clean, cols, exact = exact))
+    // fit reads only the percentile band — the moments pass of
+    // thresholdBands would be a wasted full-table aggregation here
+    val rules = bandRules(percentileBands(clean, cols, exact = exact))
     ViolationScanner.scan(target, table, rules, keyCol)
   }
 }

@@ -17,15 +17,32 @@ import org.apache.spark.sql.types.StringType
   */
 object ViolationScanner {
 
-  /** True when the cell VIOLATES the rule. Scalar rules only. */
-  def violationPredicate(rule: RuleSpec): Column = {
+  /** True when the cell VIOLATES the rule. Scalar rules only.
+    *
+    * The rule model is stringly-typed (CSV lake semantics: missing =
+    * NULL or blank, numbers parsed from text). When the actual column
+    * is already numeric the string round-trip is the identity —
+    * `cast(d as string)` is never blank and `try_cast` back returns
+    * the same value — so `schema` lets the hot predicates (presence,
+    * range) compile to direct numeric comparisons. That matters
+    * because the predicate runs over EVERY row pre-filter, while the
+    * string `value` in the output is only built for flagged rows. */
+  def violationPredicate(rule: RuleSpec,
+      schema: Option[org.apache.spark.sql.types.StructType] = None): Column = {
+    import org.apache.spark.sql.types.NumericType
+    def numericField(c: String): Boolean =
+      schema.flatMap(_.find(_.name == c)).exists(_.dataType.isInstanceOf[NumericType])
     def s(c: String): Column = col(s"`$c`").cast(StringType)
-    def present(c: String): Column = s(c).isNotNull && trim(s(c)) =!= ""
+    def present(c: String): Column =
+      if (numericField(c)) col(s"`$c`").isNotNull
+      else s(c).isNotNull && trim(s(c)) =!= ""
     rule match {
       case NotNullRule(c, _) => !present(c)
       case RegexRule(c, p, _) => present(c) && !s(c).rlike(p)
       case RangeRule(c, lo, hi, _) =>
-        val d = expr(s"try_cast(cast(`$c` as string) as double)")
+        val d =
+          if (numericField(c)) col(s"`$c`").cast("double")
+          else expr(s"try_cast(cast(`$c` as string) as double)")
         present(c) && (d.isNull || d < lo || d > hi)
       case EnumRule(c, allowed, _) =>
         present(c) && !s(c).isin(allowed: _*)
@@ -66,16 +83,24 @@ object ViolationScanner {
     val scalarViolations: Option[DataFrame] =
       if (scalarRules.isEmpty) None
       else {
+        val schemaOpt = Some(df.schema)
         val hits = scalarRules.map { r =>
           val valueCol = r match {
             case cf: CrossFieldRule => lit(cf.predicate)
             case _ => coalesce(col(s"`${r.column}`").cast(StringType), lit(""))
           }
-          when(violationPredicate(r),
+          when(violationPredicate(r, schemaOpt),
             struct(lit(r.column).as("column"), valueCol.as("value"),
               lit(r.name).as("rule"), lit(r.severity).as("severity")))
         }
+        // Pre-filter on "any rule violated" BEFORE building/exploding
+        // the hit structs: violations are sparse, so the explode then
+        // touches only flagged rows. The predicates are evaluated twice
+        // for flagged rows only — the clean-row majority pays one
+        // codegen'd boolean OR and never allocates a struct.
+        val anyHit = scalarRules.map(violationPredicate(_, schemaOpt)).reduce(_ || _)
         Some(df
+          .filter(anyHit)
           .select(key.as("row_id"), array(hits: _*).as("hits"))
           .select(col("row_id"), explode(col("hits")).as("h"))
           .filter(col("h").isNotNull)

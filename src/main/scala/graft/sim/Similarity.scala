@@ -59,22 +59,37 @@ object Similarity {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, planesPerBand: Int = 8,
       dim: Int = 64, scale: Int = 4): DataFrame = {
-    val banded = (0 until bands).map { b =>
+    // All band keys in ONE pass over the corpus (explode), then
+    // materialize: the banded frame is self-joined, and without the
+    // checkpoint both join sides recompute every plane dot product.
+    // It holds 3 longs × bands per vector — negligible next to the
+    // vectors themselves, so it persists even at corpus scale.
+    val bandKeys = (0 until bands).map { b =>
       val planes = hyperplanes(planesPerBand, dim, seed = 42L + b)
-      df.select(col(idCol).as("id"), lit(b).as("band"),
-        lshBucket(col(s"`$vecCol`"), planes).as("key"))
-    }.reduce(_.unionByName(_))
+      struct(lit(b).as("band"), lshBucket(col(s"`$vecCol`"), planes).as("key"))
+    }
+    val banded = df
+      .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
-    val va = df.select(col(idCol).as("ida"), col(s"`$vecCol`").as("va"))
-    val vb = df.select(col(idCol).as("idb"), col(s"`$vecCol`").as("vb"))
-    cands.join(va, "ida").join(vb, "idb")
+    // Norms once per VECTOR, not per pair: the verify join then
+    // evaluates one dot product per candidate instead of three.
+    // sqrt-then-multiply keeps the arithmetic bit-identical to
+    // cosine() (x / (sqrt(p) * sqrt(q))).
+    val vn = df.select(col(idCol).as("id"), col(s"`$vecCol`").as("v"),
+      sqrt(dot(col(s"`$vecCol`"), col(s"`$vecCol`"))).as("nrm"))
+    cands
+      .join(vn.select(col("id").as("ida"), col("v").as("va"), col("nrm").as("na")), "ida")
+      .join(vn.select(col("id").as("idb"), col("v").as("vb"), col("nrm").as("nb")), "idb")
       .select(col("ida"), col("idb"),
-        round(cosine(col("va"), col("vb")), scale).as("score"))
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), scale).as("score"))
       .filter(col("score") >= threshold)
   }
 

@@ -1,0 +1,71 @@
+package graft
+
+import graft.profile.ExactPercentiles
+import org.apache.spark.sql.functions._
+
+/** Parity of the sketch-bracketed exact-percentile kernel against the
+  * window-ranked reference kernel and the builtin exact `percentile`,
+  * on distributions chosen to stress the bracket logic: heavy
+  * duplicates (bracket values carry large mass), high cardinality,
+  * tiny groups (n = 1, 2), and exact-hit ranks (p·(n−1) integral). */
+class ExactPercentilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ps = Seq("p05" -> 0.05, "q1" -> 0.25, "med" -> 0.5, "p95" -> 0.95)
+
+  private def crossCheck(rows: Seq[(String, Double)], clue: String): Unit = {
+    val long = rows.toDF("g", "x")
+    val a = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val b = ExactPercentiles.byGroupsSorted(long, Seq("g"), "x", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(a.keySet == b.keySet, clue)
+    for (g <- a.keySet; (name, _) <- ps) {
+      val va = a(g).getAs[Double](name)
+      val vb = b(g).getAs[Double](name)
+      assert(!va.isNaN && math.abs(va - vb) < 1e-12,
+        s"$clue: group $g $name sketched=$va sorted=$vb")
+    }
+  }
+
+  test("sketched kernel matches sorted kernel on mixed distributions") {
+    val rng = new scala.util.Random(7)
+    val highCard = Seq.fill(5000)("hc" -> rng.nextDouble() * 1000)
+    val dupHeavy = Seq.fill(5000)("dup" -> (rng.nextInt(7).toDouble))
+    // half the mass on one single value: percentile brackets land ON it
+    val spiked = Seq.fill(2500)("spike" -> 42.0) ++
+      Seq.fill(2500)("spike" -> rng.nextDouble() * 100)
+    val tiny1 = Seq("t1" -> 3.14)
+    val tiny2 = Seq("t2" -> 1.0, "t2" -> 2.0)
+    // n = 21 makes p·(n−1) integral for q1/med/p95 (exact-hit ranks)
+    val exactHit = (0 to 20).map(i => "eh" -> i.toDouble)
+    crossCheck(highCard ++ dupHeavy ++ spiked ++ tiny1 ++ tiny2 ++ exactHit,
+      "mixed")
+  }
+
+  test("sketched kernel matches builtin exact percentile") {
+    val rng = new scala.util.Random(11)
+    val rows = Seq.tabulate(4000)(i => ("g" + i % 3) -> rng.nextGaussian() * 50)
+    val long = rows.toDF("g", "x")
+    val ours = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val builtin = long.groupBy("g")
+      .agg(percentile(col("x"), lit(0.05)).as("p05"),
+        percentile(col("x"), lit(0.25)).as("q1"),
+        percentile(col("x"), lit(0.5)).as("med"),
+        percentile(col("x"), lit(0.95)).as("p95"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    for (g <- builtin.keySet; (name, _) <- ps)
+      assert(math.abs(ours(g).getAs[Double](name) -
+        builtin(g).getAs[Double](name)) < 1e-9, s"$g $name")
+  }
+
+  test("groups with only nulls are absent; null values ignored") {
+    val long = Seq(("a", Some(1.0)), ("a", None), ("b", None))
+      .toDF("g", "x")
+    val out = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x",
+      Seq("med" -> 0.5)).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("a"))
+    assert(out.head.getAs[Double]("med") == 1.0)
+  }
+}
