@@ -81,6 +81,10 @@ object Dedup {
     * joins at scale. Pairs are emitted once (idA < idB). */
   def jaccardPairs(shingles: DataFrame, threshold: Double,
       maxDocFreq: Long = 1000): DataFrame = {
+    // four consumers (sizes, df filter, both join sides) share the
+    // shingle distinct's exchange via ReusedExchange — an explicit
+    // persist was measured SLOWER (cache write-through on a frame the
+    // reused shuffle already serves)
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = shingles.join(
       shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -119,16 +123,23 @@ object Dedup {
     * #shingles × k rows: measured ~3× slower at k=16.) The long
     * (id, perm_id, min_hash) layout is exploded AFTER aggregation. */
   def minhashSignatures(shingles: DataFrame, numPerms: Int): DataFrame = {
+    val rows = (0 until numPerms).map(i =>
+      struct(lit(i).as("perm_id"), col(s"__h$i").as("min_hash")))
+    minhashWide(shingles, numPerms)
+      .select(col("id"), explode(array(rows: _*)).as("ph"))
+      .select(col("id"), col("ph.perm_id").as("perm_id"),
+        col("ph.min_hash").as("min_hash"))
+  }
+
+  /** One row per doc with all `numPerms` minhashes as columns
+    * (__h0..__hk) — the single wide groupBy both the long layout and
+    * the LSH buckets derive from. */
+  private def minhashWide(shingles: DataFrame, numPerms: Int): DataFrame = {
     val x = pmod(md5Long(col("shingle")), lit(1073741824L)) // 2^30
     val aggs = perm(numPerms).zipWithIndex.map { case ((a, b), i) =>
       min(pmod(lit(a) * x + lit(b), lit(P))).as(s"__h$i")
     }
-    val rows = (0 until numPerms).map(i =>
-      struct(lit(i).as("perm_id"), col(s"__h$i").as("min_hash")))
     shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
-      .select(col("id"), explode(array(rows: _*)).as("ph"))
-      .select(col("id"), col("ph.perm_id").as("perm_id"),
-        col("ph.min_hash").as("min_hash"))
   }
 
   /** LSH band buckets: signatures split into bands of `rowsPerBand`;
@@ -140,6 +151,21 @@ object Dedup {
       .agg(md5(array_join(
         expr("transform(array_sort(collect_list(struct(perm_id, min_hash))), x -> cast(x.min_hash as string))"),
         ",")).as("bucket"))
+
+  /** [[lshBuckets]] straight off the wide signature row: the bucket
+    * string is just a concat of adjacent minhash columns — no explode,
+    * no second shuffle, no per-group sort. Byte-identical keys to
+    * [[lshBuckets]] (same comma-joined perm order under md5). */
+  private def lshBucketsWide(wide: DataFrame, numPerms: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bands = (0 until numPerms / rowsPerBand).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"__h$i").cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", hs: _*)).as("bucket"))
+    }
+    wide.select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
 
   /** Candidate near-duplicate pairs: ids sharing any LSH bucket. */
   def lshCandidates(buckets: DataFrame): DataFrame = {
@@ -161,7 +187,13 @@ object Dedup {
     // spills instead of OOMing.
     val sh = wordShingles(df, textCol, idCol, shingleSize)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cands = lshCandidates(lshBuckets(minhashSignatures(sh, numPerms), rowsPerBand))
+    // buckets are self-joined by lshCandidates: checkpoint the tiny
+    // (id, band, bucket) frame so the signature aggregation doesn't run
+    // once per join side
+    val buckets = lshBucketsWide(minhashWide(sh, numPerms), numPerms, rowsPerBand)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
+    val cands = lshCandidates(buckets)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("ida"), col("shingle"))
     val b = sh.select(col("id").as("idb"), col("shingle"))
@@ -208,11 +240,16 @@ object Dedup {
     * Blocking: 4 bands of 8 bits — pairs within distance ≤ 3 are
     * guaranteed to collide on at least one intact band (pigeonhole). */
   def simhashPairs(sigs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    // 4 rows of 4 longs per doc, self-joined below: checkpoint so the
+    // signature pipeline (distinct words + 32 bit votes) runs once,
+    // not once per join side
     val banded = sigs.select(col("id"), col("simhash"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),
           pmod(shiftright(col("simhash"), b * 8), lit(256L)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val a = banded.select(col("band"), col("key"), col("id").as("ida"),
       col("simhash").as("siga"))
     val b = banded.select(col("band"), col("key"), col("id").as("idb"),

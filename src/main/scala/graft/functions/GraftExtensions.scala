@@ -32,6 +32,12 @@ object GraftFunctions {
       (args: Seq[Expression]) => {
         require(args.size == 1, "cell_type_vote(str) takes one argument")
         CellTypeVote(args.head)
+      }),
+    (new FunctionIdentifier("pattern_generalize"),
+      new ExpressionInfo(classOf[PatternGeneralize].getName, "pattern_generalize"),
+      (args: Seq[Expression]) => {
+        require(args.size == 1, "pattern_generalize(str) takes one argument")
+        PatternGeneralize(args.head)
       }))
 
   /** Register on an already-built session (tests, notebooks). */

@@ -212,54 +212,64 @@ object Profiler {
 
   /** Generalize a value to its character-class pattern: digits→9,
     * letters→A, whitespace→space, punctuation kept
-    * (reference: profiling/profiler.py:134-165). */
-  def patternOf(v: Column): Column =
+    * (reference: profiling/profiler.py:134-165). One fused byte pass
+    * ([[graft.functions.PatternGeneralize]]); regex formulation kept
+    * below as the parity-spec reference. */
+  def patternOf(v: Column): Column = graft.functions.PatternGeneralize(v)
+
+  /** The original three-rewrite formulation ([[patternOf]] must match
+    * it byte for byte — spec-checked). */
+  def patternOfRegex(v: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(v, "[0-9]", "9"), "[A-Za-z]", "A"), "\\s", " ")
 
-  /** Frequency features, each an independent per-column frame.
-    * Shuffle discipline: mode/distinct is the only data-cardinality
-    * shuffle (one pass, argmax via min_by — no window sort over data).
-    * Patterns, first digits, chars and words have small keyspaces, so
-    * they aggregate straight off the scan with map-side combine; their
-    * shuffles carry keyspace-sized data only. */
-  private def modeDistinctFrame(long: DataFrame): DataFrame =
-    long.groupBy("table", "column", "value").agg(count(lit(1)).as("cnt"))
-      .groupBy("table", "column").agg(
+  /** Frequency features. ALL of them are functions of the
+    * (table, column, value) → count histogram, so that histogram is the
+    * ONLY data-cardinality shuffle: every branch below consumes the
+    * same `valueHist` frame, Spark serves it from one exchange
+    * (ReusedExchange — the branches join into a single query), and the
+    * per-value work (pattern generalization, tokenization, char
+    * explode) runs once per DISTINCT value instead of once per row.
+    * Downstream shuffles carry keyspace-sized data only. */
+  private def valueHist(present: DataFrame): DataFrame =
+    present.groupBy("table", "column", "value").agg(count(lit(1)).as("cnt"))
+
+  private def modeDistinctFrame(hist: DataFrame): DataFrame =
+    hist.groupBy("table", "column").agg(
         min_by(col("value"), struct((-col("cnt")).as("n"), col("value"))).as("mode_value"),
         (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType)).as("mode_ratio"),
         count(lit(1)).cast(LongType).as("distinct_count"))
 
-  private def patternFrame(long: DataFrame): DataFrame =
-    long.groupBy(col("table"), col("column"), patternOf(col("value")).as("pattern"))
-      .agg(count(lit(1)).as("cnt"))
+  private def patternFrame(hist: DataFrame): DataFrame =
+    hist.groupBy(col("table"), col("column"), patternOf(col("value")).as("pattern"))
+      .agg(sum("cnt").as("cnt"))
       .groupBy("table", "column").agg(
         min_by(col("pattern"), struct((-col("cnt")).as("n"), col("pattern")))
           .as("dominant_pattern"),
         (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType))
           .as("dominant_pattern_ratio"))
 
-  private def firstDigitFrame(long: DataFrame): DataFrame =
-    long.select(col("table"), col("column"),
+  private def firstDigitFrame(hist: DataFrame): DataFrame =
+    hist.select(col("table"), col("column"), col("cnt"),
         regexp_extract(col("value"), "[1-9]", 0).as("fd"))
       .filter(col("fd") =!= "")
-      .groupBy("table", "column", "fd").agg(count(lit(1)).as("cnt"))
+      .groupBy("table", "column", "fd").agg(sum("cnt").as("cnt"))
       .groupBy("table", "column").agg(
         min_by(col("fd"), struct((-col("cnt")).as("n"), col("fd")))
           .cast(IntegerType).as("first_digit_mode"))
 
-  private def charsFrame(long: DataFrame, cfg: ProfilerConfig): DataFrame =
-    long.select(col("table"), col("column"),
+  private def charsFrame(hist: DataFrame, cfg: ProfilerConfig): DataFrame =
+    hist.select(col("table"), col("column"),
         explode(split(col("value"), "")).as("ch"))
       .groupBy("table", "column")
       .agg((if (cfg.exact) countDistinct(col("ch"))
             else approx_count_distinct(col("ch"))).cast(LongType).as("distinct_chars"))
 
-  private def keywordsFrame(long: DataFrame, cfg: ProfilerConfig): DataFrame = {
-    val words = long
-      .select(col("table"), col("column"),
+  private def keywordsFrame(hist: DataFrame, cfg: ProfilerConfig): DataFrame = {
+    val words = hist
+      .select(col("table"), col("column"), col("cnt"),
         explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
       .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
-      .groupBy("table", "column", "word").agg(count(lit(1)).as("cnt"))
+      .groupBy("table", "column", "word").agg(sum("cnt").as("cnt"))
     val wWin = Window.partitionBy("table", "column")
       .orderBy(desc("cnt"), asc("word"))
     words
@@ -277,11 +287,18 @@ object Profiler {
     * above (exact `percentile` materializes a value→count map per
     * partition — measured 400 s on 600 k×11 values vs ~2 s for the
     * sketch; at 100 TB only sketches are viable). */
+  /** The exact/sketch flag only reaches the quartiles and
+    * distinct-chars branches; when neither feature is requested the
+    * sizing counts (a full job per table — through the rebalance
+    * repartition they shuffle every row just to count) are pure waste. */
+  private def exactnessMatters(features: Set[String]): Boolean =
+    features("quartiles") || features("chars")
+
   def profileAuto(df: DataFrame, table: String,
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
-    val n = df.count()
-    profile(df, table, ProfilerConfig(exact = n <= exactThreshold, features = features))
+    val exact = !exactnessMatters(features) || df.count() <= exactThreshold
+    profile(df, table, ProfilerConfig(exact = exact, features = features))
   }
 
   /** [[profileMany]] with the exact/sketch switch of [[profileAuto]],
@@ -289,9 +306,9 @@ object Profiler {
   def profileManyAuto(tables: Seq[(String, DataFrame)],
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
-    val maxN = tables.map(_._2.count()).max
-    profileMany(tables,
-      ProfilerConfig(exact = maxN <= exactThreshold, features = features))
+    val exact = !exactnessMatters(features) ||
+      tables.map(_._2.count()).max <= exactThreshold
+    profileMany(tables, ProfilerConfig(exact = exact, features = features))
   }
 
   /** Profile every column of `df` in three jobs (features, quartiles,
@@ -313,13 +330,15 @@ object Profiler {
     val fa = featureAggs(cfg)
     val passA = long.groupBy("table", "column").agg(fa.head, fa.tail: _*)
 
+    // shared distinct-value histogram — see the frequency-frame note
+    val hist = valueHist(present)
     val branches = Seq.newBuilder[DataFrame]
     if (cfg.features("quartiles")) branches += quartilesFrame(present, cfg)
-    if (cfg.features("mode")) branches += modeDistinctFrame(present)
-    if (cfg.features("pattern")) branches += patternFrame(present)
-    if (cfg.features("digits")) branches += firstDigitFrame(present)
-    if (cfg.features("chars")) branches += charsFrame(present, cfg)
-    if (cfg.features("keywords")) branches += keywordsFrame(present, cfg)
+    if (cfg.features("mode")) branches += modeDistinctFrame(hist)
+    if (cfg.features("pattern")) branches += patternFrame(hist)
+    if (cfg.features("digits")) branches += firstDigitFrame(hist)
+    if (cfg.features("chars")) branches += charsFrame(hist, cfg)
+    if (cfg.features("keywords")) branches += keywordsFrame(hist, cfg)
 
     val joined = branches.result()
       .foldLeft(passA)((acc, b) =>
