@@ -44,10 +44,13 @@ object Bench {
     // 3-decimal rounding keeps the JSON line short enough to survive
     // tail-window capture by the driver (round 1's full-precision line
     // overflowed the window and parsed as null).
-    val qs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
+    // comma decimal separator would emit invalid JSON.
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s""""$k":${d3(v)}""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

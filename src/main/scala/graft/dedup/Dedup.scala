@@ -158,6 +158,9 @@ object Dedup {
     * [[lshBuckets]] (same comma-joined perm order under md5). */
   private def lshBucketsWide(wide: DataFrame, numPerms: Int,
       rowsPerBand: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand): " +
+        "a remainder would silently drop trailing permutations and lose recall")
     val bands = (0 until numPerms / rowsPerBand).map { b =>
       val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
         .map(i => col(s"__h$i").cast("string"))

@@ -37,8 +37,8 @@ case class ColumnProfile(
     empty_cells: Long,
     other_cells: Long,
     // string lengths (reference: profiling/profiler.py:292-295)
-    min_len: Int,
-    max_len: Int,
+    min_len: Long,
+    max_len: Long,
     avg_len: Double,
     // numeric stats on parseable values (reference: profiling/profiler.py:248-274)
     num_count: Long,

@@ -158,8 +158,10 @@ object Profiler {
       alphaCells.as("alpha_cells"),
       nullCnt.as("empty_cells"),
       (nnCnt - numCells - alphaCells).as("other_cells"),
-      coalesce(min(when(nn, length(s))), lit(0)).as("min_len"),
-      coalesce(max(when(nn, length(s))), lit(0)).as("max_len"),
+      // long, not int: DuckDB LENGTH() is BIGINT and the driver's hash
+      // compare is dtype-sensitive (CORRECTNESS_r02 p1)
+      coalesce(min(when(nn, length(s))), lit(0)).cast(LongType).as("min_len"),
+      coalesce(max(when(nn, length(s))), lit(0)).cast(LongType).as("max_len"),
       safeDiv(sum(when(nn, length(s).cast(LongType))).cast(DoubleType), nnCnt.cast(DoubleType),
         lit(0.0)).as("avg_len"),
       count(d).as("num_count"),
@@ -294,10 +296,26 @@ object Profiler {
   private def exactnessMatters(features: Set[String]): Boolean =
     features("quartiles") || features("chars")
 
+  /** Row count with top-level repartition/rebalance nodes stripped from
+    * the plan: they are row-preserving, so the count is identical, but
+    * counting THROUGH them shuffles every row just to size the job
+    * (BENCH_r02 p2: a 600k-row full shuffle per sizing decision). The
+    * stripped count stays a pure scan aggregate — parquet count(*)
+    * reads row-group metadata, no column decode. */
+  private def cheapCount(df: DataFrame): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, Repartition, RepartitionByExpression}
+    val stripped = df.queryExecution.analyzed.transform {
+      case Repartition(_, _, child) => child
+      case r: RepartitionByExpression => r.child
+      case r: RebalancePartitions => r.child
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(df.sparkSession, stripped).count()
+  }
+
   def profileAuto(df: DataFrame, table: String,
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
-    val exact = !exactnessMatters(features) || df.count() <= exactThreshold
+    val exact = !exactnessMatters(features) || cheapCount(df) <= exactThreshold
     profile(df, table, ProfilerConfig(exact = exact, features = features))
   }
 
@@ -307,7 +325,7 @@ object Profiler {
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
     val exact = !exactnessMatters(features) ||
-      tables.map(_._2.count()).max <= exactThreshold
+      tables.map(t => cheapCount(t._2)).max <= exactThreshold
     profileMany(tables, ProfilerConfig(exact = exact, features = features))
   }
 

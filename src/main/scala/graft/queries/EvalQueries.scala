@@ -125,7 +125,8 @@ object EvalQueries {
        |    SUM(CASE WHEN has_p AND NOT has_a THEN 1 ELSE 0 END),
        |    SUM(CASE WHEN NOT has_p AND has_a THEN 1 ELSE 0 END)
        |  FROM joined)
-       |SELECT "column", tp, fp, fn,
+       |SELECT "column", CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+       |  CAST(fn AS BIGINT) AS fn,
        |  ROUND(CASE WHEN tp + fp > 0
        |    THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) ELSE 0.0 END, 6) AS precision,
        |  ROUND(CASE WHEN tp + fn > 0
@@ -197,7 +198,8 @@ object EvalQueries {
        |      THEN 1 ELSE 0 END) AS ed_fn,
        |    SUM(CASE WHEN repaired_value = clean_value THEN 1 ELSE 0 END) AS ec_tp
        |  FROM joined)
-       |SELECT ed_tp, ed_fp, ed_fn, ec_tp,
+       |SELECT CAST(ed_tp AS BIGINT) AS ed_tp, CAST(ed_fp AS BIGINT) AS ed_fp,
+       |  CAST(ed_fn AS BIGINT) AS ed_fn, CAST(ec_tp AS BIGINT) AS ec_tp,
        |  ROUND(CASE WHEN ed_tp + ed_fp > 0
        |    THEN CAST(ed_tp AS DOUBLE) / (ed_tp + ed_fp) ELSE 0.0 END, 6) AS ed_precision,
        |  ROUND(CASE WHEN ed_tp + ed_fn > 0

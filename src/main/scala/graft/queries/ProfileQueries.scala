@@ -33,7 +33,7 @@ object ProfileQueries {
 
   val profileBasicSql: String = documentsCols.map { c =>
     s"""SELECT '$c' AS "column", COUNT(*) AS row_count,
-       |  COALESCE(SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END), 0) AS null_count,
+       |  CAST(COALESCE(SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END), 0) AS BIGINT) AS null_count,
        |  COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS distinct_count,
        |  COALESCE(MIN(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END), 0) AS min_len,
        |  COALESCE(MAX(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) END), 0) AS max_len,

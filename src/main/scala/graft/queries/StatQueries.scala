@@ -55,7 +55,7 @@ object StatQueries {
     def part(c: String) =
       s"""SELECT '$c' AS "column", COUNT(*) AS n_classes,
          |  ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 6) AS top_mass,
-         |  SUM(cnt) AS n_values,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_values,
          |  CASE WHEN COUNT(*) <= 16
          |    AND CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE) >= 0.4
          |    THEN 1 ELSE 0 END AS peaked

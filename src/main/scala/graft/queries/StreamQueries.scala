@@ -22,7 +22,7 @@ object StreamQueries {
   val windowedStatsSql: String =
     """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
       |  event_type AS key, COUNT(*) AS n,
-      |  SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null,
+      |  CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) / COUNT(value), 6) AS mean,
       |  MIN(value) AS min, MAX(value) AS max
       |FROM events

@@ -44,8 +44,8 @@ object RuleGenerator {
     val numCount = p.getAs[Long]("num_count")
     val q1 = p.getAs[Double]("num_q1")
     val q3 = p.getAs[Double]("num_q3")
-    val minLen = p.getAs[Int]("min_len")
-    val maxLen = p.getAs[Int]("max_len")
+    val minLen = p.getAs[Long]("min_len")
+    val maxLen = p.getAs[Long]("max_len")
     val maxDec = p.getAs[Int]("max_decimals")
     val mode = p.getAs[String]("mode_value")
 
@@ -60,7 +60,7 @@ object RuleGenerator {
     }
     if (inferred == "float" && maxDec > 0) b += DecimalPrecisionRule(c, maxDec)
     if (minLen > 0 && maxLen > 0 && inferred == "string")
-      b += LengthRule(c, minLen, maxLen)
+      b += LengthRule(c, minLen.toInt, maxLen.toInt)
     b.result()
   }
 

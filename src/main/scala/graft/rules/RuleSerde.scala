@@ -34,6 +34,8 @@ object RuleSerde {
       case SingleValueRule(c, e, s) =>
         put("kind" -> "single_value", "column" -> c, "expected" -> e, "severity" -> s)
       case UniqueRule(c, s) => put("kind" -> "unique", "column" -> c, "severity" -> s)
+      case CompositeUniqueRule(cs, s) =>
+        put("kind" -> "composite_unique", "columns" -> cs.asJava, "severity" -> s)
       case CrossFieldRule(n, p, s) =>
         put("kind" -> "cross_field", "rule_name" -> n, "predicate" -> p, "severity" -> s)
       case FunctionalDependencyRule(l, rr, s) =>
@@ -60,6 +62,8 @@ object RuleSerde {
       case "length" => LengthRule(s("column"), i("min_len"), i("max_len"), sev)
       case "single_value" => SingleValueRule(s("column"), s("expected"), sev)
       case "unique" => UniqueRule(s("column"), sev)
+      case "composite_unique" => CompositeUniqueRule(
+        m.get("columns").asInstanceOf[java.util.List[String]].asScala.toSeq, sev)
       case "cross_field" => CrossFieldRule(s("rule_name"), s("predicate"), sev)
       case "fd" => FunctionalDependencyRule(s("lhs"), s("rhs"), sev)
       case "inclusion" => InclusionRule(s("column"), s("parent_table"),

@@ -76,6 +76,16 @@ final case class UniqueRule(column: String,
   val name = s"unique($column)"
 }
 
+/** is_composite_key — the VALUE TUPLE of `columns` must be unique
+  * (reference rules.yaml:22 `is_composite_key`). Relational: window
+  * count partitioned by the multi-column key (generalizes
+  * [[UniqueRule]]'s single-column window). */
+final case class CompositeUniqueRule(columns: Seq[String],
+    severity: String = "error") extends RuleSpec {
+  val name = s"composite_unique(${columns.mkString(",")})"
+  val column = columns.mkString(",")
+}
+
 /** Cross-field comparison, e.g. "start_date <= end_date"
   * (reference rules.yaml:24-27 `field_comparison`/`cross_field_sum` —
   * declared but unimplemented in the reference; implemented here).

@@ -29,9 +29,14 @@ object ViolationScanner {
     * string `value` in the output is only built for flagged rows. */
   def violationPredicate(rule: RuleSpec,
       schema: Option[org.apache.spark.sql.types.StructType] = None): Column = {
-    import org.apache.spark.sql.types.NumericType
+    import org.apache.spark.sql.types.{NumericType, FloatType}
+    // FloatType is excluded: cast(float as double) widens 0.1f to
+    // 0.10000000149…, while the string round-trip parses the shortest
+    // decimal "0.1" to 0.1 — band-edge verdicts would flip. Floats take
+    // the string path, which IS the documented semantics.
     def numericField(c: String): Boolean =
-      schema.flatMap(_.find(_.name == c)).exists(_.dataType.isInstanceOf[NumericType])
+      schema.flatMap(_.find(_.name == c)).exists(f =>
+        f.dataType.isInstanceOf[NumericType] && f.dataType != FloatType)
     def s(c: String): Column = col(s"`$c`").cast(StringType)
     def present(c: String): Column =
       if (numericField(c)) col(s"`$c`").isNotNull
@@ -64,7 +69,8 @@ object ViolationScanner {
   /** Scalar rules compile to per-row predicates (streamable); the rest
     * need bounded input (windows/joins). */
   def scalarRule(r: RuleSpec): Boolean = r match {
-    case _: UniqueRule | _: FunctionalDependencyRule | _: InclusionRule => false
+    case _: UniqueRule | _: CompositeUniqueRule | _: FunctionalDependencyRule |
+         _: InclusionRule => false
     case _ => true
   }
   private def isScalar(r: RuleSpec): Boolean = scalarRule(r)
@@ -117,6 +123,20 @@ object ViolationScanner {
           lit(UniqueRule(c, sev).name).as("rule"), lit(sev).as("severity"))
     }
 
+    // --- composite-key rules: window count over the multi-column tuple.
+    // Partitioning is by the ACTUAL columns (not a concatenation — "a,b"+"c"
+    // and "a"+"b,c" must not collide); the joined string is display-only.
+    val compositeViolations = rules.collect { case r @ CompositeUniqueRule(cols, sev) =>
+      val keyCols = cols.map(c => col(s"`$c`"))
+      df.select(key.as("row_id") +: keyCols: _*)
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
+        .filter(col("n") > 1)
+        .select(lit(r.column).as("column"), col("row_id"),
+          concat_ws(",", cols.map(c =>
+            coalesce(col(s"`$c`").cast(StringType), lit(""))): _*).as("value"),
+          lit(r.name).as("rule"), lit(sev).as("severity"))
+    }
+
     // --- FD rules: flag all rows of lhs groups with >1 distinct rhs
     val fdViolations = rules.collect { case r @ FunctionalDependencyRule(lhs, rhs, sev) =>
       val bad = df.groupBy(col(s"`$lhs`").as("__lhs"))
@@ -139,7 +159,8 @@ object ViolationScanner {
           lit(r.name).as("rule"), lit(sev).as("severity"))
     }
 
-    val parts = scalarViolations.toSeq ++ uniqueViolations ++ fdViolations ++ inclViolations
+    val parts = scalarViolations.toSeq ++ uniqueViolations ++
+      compositeViolations ++ fdViolations ++ inclViolations
     val all = parts.reduceLeft(_.unionByName(_))
     all.select(lit(table).as("table"), col("column"), col("row_id"),
       col("value"), col("rule"), col("severity"))

@@ -137,17 +137,25 @@ object Similarity {
     centroids
   }
 
-  /** Nearest-centroid list id as a Column (argmin over centroid
-    * literals — same array_min trick as the scorers; codegen'd). */
-  def listIdExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val arr = s"array(${c.mkString("D,")}D)"
-      val d2 = expr(s"aggregate(zip_with(${vecCol.toString}, $arr, " +
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (acc, v) -> acc + v)")
-      struct(d2.as("d2"), lit(i).as("list_id"))
-    }
-    array_min(array(scored: _*)).getField("list_id")
-  }
+  /** (d2, list_id) struct per centroid, computed against ONE nested-array
+    * literal (`typedLit(centroids)`) instead of nlist separate literal
+    * expression trees. A single constant ArrayData reference keeps the
+    * generated code O(1) in nlist — the per-centroid-literal form was
+    * measured compiling for ~12s at nlist=8 (BENCH_r02 s5) and would be
+    * megabytes of Java source at nlist=1024. */
+  private def centroidDistances(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(typedLit(centroids), (c, i) =>
+      struct(
+        aggregate(
+          zip_with(vecCol, c, (x, y) =>
+            (x.cast(DoubleType) - y) * (x.cast(DoubleType) - y)),
+          lit(0.0), (acc, v) => acc + v).as("d2"),
+        i.as("list_id")))
+
+  /** Nearest-centroid list id as a Column (argmin = array_min over
+    * (d2, list_id) structs; ties break to the lowest index). */
+  def listIdExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+    array_min(centroidDistances(vecCol, centroids)).getField("list_id")
 
   /** IVF approximate top-k (the scale path past LSH): a coarse
     * quantizer partitions the corpus into `nlist` inverted lists; each
@@ -159,7 +167,13 @@ object Similarity {
   def ivfCosineTopK(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, nlist: Int, nprobe: Int, maxSample: Int = 10000,
       scale: Int = 4): DataFrame = {
-    val sample = corpus.select(vecCol).limit(maxSample).collect()
+    // Deterministic pseudo-random sample: order by a hash of the id and
+    // take the first maxSample. Spark plans orderBy+limit as
+    // TakeOrderedAndProject (per-partition top-k, driver merge) — no full
+    // sort shuffle — and unlike limit() it is not first-k-rows biased.
+    val sample = corpus
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
+      .orderBy("__h").limit(maxSample).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     val centroids = trainCoarseCentroids(sample, nlist).map(_.toSeq)
     val listId = listIdExpr(col("v"), centroids)
@@ -184,16 +198,10 @@ object Similarity {
   }
 
   /** Centroid indices sorted by ascending distance to the vector —
-    * probe order for IVF. */
-  private def rankToCentroidExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val arr = s"array(${c.mkString("D,")}D)"
-      val d2 = expr(s"aggregate(zip_with(${vecCol.toString}, $arr, " +
-        "(x, y) -> (cast(x as double) - y) * (cast(x as double) - y)), 0D, (acc, v) -> acc + v)")
-      struct(d2.as("d2"), lit(i).as("list_id"))
-    }
-    transform(array_sort(array(scored: _*)), s => s.getField("list_id"))
-  }
+    * probe order for IVF. Same single-literal form as [[listIdExpr]]. */
+  private def rankToCentroidExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
+    transform(array_sort(centroidDistances(vecCol, centroids)),
+      s => s.getField("list_id"))
 
   /** Approximate top-k: candidates restricted to the same LSH bucket.
     * Equi-join on bucket — no cross product; recall trades off with

@@ -107,9 +107,14 @@ object TextAnalysis {
     *
     * The pair space is distinct-values², so it is guarded two ways:
     * `maxDistinct` refuses high-cardinality columns outright (mirroring
-    * dBoost's cardinality caps), and the join prefilters on length-band
-    * (|len(a)−len(b)| ≤ maxDist, a necessary condition for edit
-    * distance) before evaluating levenshtein. */
+    * dBoost's cardinality caps), and the length window (|len(a)−len(b)|
+    * ≤ maxDist, a necessary condition for edit distance) is a join KEY,
+    * not a theta-filter: each value explodes to bands len..len+maxDist
+    * and pairs equi-join on band, colliding exactly once at
+    * band = max(la, lb). The plan is a shuffled/broadcast HASH join on
+    * the band key — never a nested loop over distinct² — so the
+    * quadratic is per-band, and the operator scales with the largest
+    * same-length cohort instead of the column cardinality. */
   def typoPairs(df: DataFrame, column: String, maxDist: Int = 2,
       maxDistinct: Long = 10000): DataFrame = {
     // localCheckpoint: the guard count and both join sides reuse one
@@ -120,10 +125,15 @@ object TextAnalysis {
       .localCheckpoint()
     require(values.count() <= maxDistinct,
       s"$column has more than $maxDistinct distinct values; typo pairing would blow up")
-    val a = values.select(col("v").as("value_a"), length(col("v")).as("la"))
-    val b = values.select(col("v").as("value_b"), length(col("v")).as("lb"))
-    a.join(b, col("value_a") < col("value_b") &&
-        abs(col("la") - col("lb")) <= maxDist)
+    val banded = values.select(col("v"), length(col("v")).as("len"),
+      explode(sequence(length(col("v")), length(col("v")) + maxDist)).as("band"))
+    val a = banded.select(col("band"), col("v").as("value_a"), col("len").as("la"))
+    val b = banded.select(col("band"), col("v").as("value_b"), col("len").as("lb"))
+    a.join(b, Seq("band"))
+      // band == max(la, lb) holds for exactly ONE shared band per pair:
+      // dedup-by-construction, no distinct() needed
+      .filter(col("value_a") < col("value_b") &&
+        col("band") === greatest(col("la"), col("lb")))
       .withColumn("distance", levenshtein(col("value_a"), col("value_b")))
       .filter(col("distance") <= maxDist)
       .select("value_a", "value_b", "distance")

@@ -28,4 +28,18 @@ class IvfSpec extends SparkSpec {
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall > 0.5, s"recall@10 = $recall")
   }
+
+  test("nlist=64 stays bounded: one centroid-array literal, fast codegen") {
+    // With per-centroid literal trees this took O(minutes) of Janino
+    // compilation (BENCH_r02 s5 regression); the single typedLit form
+    // must run in seconds and still return k rows per query.
+    val emb = Tables.load(spark, sf, "embeddings").limit(300).localCheckpoint()
+    val t0 = System.nanoTime()
+    val out = Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+      k = 3, nlist = 64, nprobe = 8, maxSample = 300)
+    val n = out.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(n > 0)
+    assert(sec < 60.0, s"IVF nlist=64 took ${sec}s — codegen blowup?")
+  }
 }

@@ -35,8 +35,8 @@ class ProfilerPropertySpec extends SparkSpec {
         val nullRatio = p.getAs[Double]("null_ratio")
         val distinct = p.getAs[Long]("distinct_count")
         val uniqueRatio = p.getAs[Double]("unique_ratio")
-        val minLen = p.getAs[Int]("min_len")
-        val maxLen = p.getAs[Int]("max_len")
+        val minLen = p.getAs[Long]("min_len")
+        val maxLen = p.getAs[Long]("max_len")
         val avgLen = p.getAs[Double]("avg_len")
         assert(rowCount === rows.length.toLong)
         assert(nullCount >= 0 && nullCount <= rowCount)

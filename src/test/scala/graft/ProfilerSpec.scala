@@ -43,8 +43,8 @@ class ProfilerSpec extends SparkSpec {
 
   test("lengths") {
     val c = prof("city")
-    assert(c.getAs[Int]("min_len") == 6)
-    assert(c.getAs[Int]("max_len") == 8)
+    assert(c.getAs[Long]("min_len") == 6)
+    assert(c.getAs[Long]("max_len") == 8)
     assert(math.abs(c.getAs[Double]("avg_len") - (8 + 6 + 8) / 3.0) < 1e-9)
   }
 

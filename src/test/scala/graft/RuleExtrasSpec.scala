@@ -83,4 +83,13 @@ class RuleExtrasSpec extends SparkSpec {
     assertThrows[IllegalArgumentException](
       TextAnalysis.typoPairs(df, "city", maxDist = 1, maxDistinct = 2))
   }
+
+  test("typo pairs plan is a hash join on the band key, not a nested loop") {
+    import spark.implicits._
+    val df = (1 to 200).map(i => s"value_$i").toDF("city")
+    val plan = TextAnalysis.typoPairs(df, "city", maxDist = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"typoPairs must equi-join on the length band:\n$plan")
+  }
 }

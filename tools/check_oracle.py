@@ -61,7 +61,6 @@ def main(sf_dir, out_dir):
         try:
             pd.testing.assert_frame_equal(got, want, check_dtype=False,
                                           check_exact=True)
-            print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
         except AssertionError as e:
             print(f"FAIL {name}: {str(e).splitlines()[-1]}")
             # show first mismatching rows for debugging
@@ -70,7 +69,22 @@ def main(sf_dir, out_dir):
                 i = neq.idxmax()
                 print("  spark:", got.iloc[i].to_dict())
                 print("  duck :", want.iloc[i].to_dict())
-            n_fail += 1
+            n_fail += 1; continue
+        # Values match; the driver's hash is dtype-KIND-sensitive: int64
+        # vs float64 hash differently (5 vs 5.0), but integer widths are
+        # canonicalized (r02: s3/t6 hash-passed with int32 vs int64).
+        bad = [(c, str(got[c].dtype), str(want[c].dtype))
+               for c in got.columns if got[c].dtype.kind != want[c].dtype.kind]
+        if bad:
+            print(f"FAIL {name}: dtype mismatch {bad}")
+            n_fail += 1; continue
+        print(f"PASS {name} ({len(got)} rows)"); n_pass += 1
+    # Oracle entries with no spark output on disk = crashed-before-write.
+    seen = set(out_dirs) | {f[:-len('.parquet')] for f in out_dirs}
+    for key in sorted(oracle):
+        base = key[:-len('.parquet')] if key.endswith('.parquet') else key
+        if key not in seen and base not in seen and f"{base}.parquet" not in seen:
+            print(f"FAIL {key}: no spark output on disk"); n_fail += 1
     print(f"== {n_pass} pass, {n_fail} fail, {n_skip} skip (rows-only) ==")
     return 1 if n_fail else 0
 
