@@ -94,6 +94,26 @@ object RuleQueries {
       |GROUP BY l_orderkey HAVING COUNT(*) > 1
       |ORDER BY l_orderkey""".stripMargin
 
+  // ---- r9: composite-key uniqueness violations (is_composite_key) ------
+
+  def compositeKeyViolations(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.load(spark, dir, "orders")
+    // (o_custkey, o_orderdate) is ALMOST a key — the few same-day repeat
+    // customers are the violations, exercising the multi-column tuple path
+    ViolationScanner.scan(o.select("o_orderkey", "o_custkey", "o_orderdate"),
+        "orders", Seq(CompositeUniqueRule(Seq("o_custkey", "o_orderdate"))),
+        "o_orderkey")
+      .select("row_id", "value")
+      .orderBy("row_id")
+  }
+
+  val compositeKeyViolationsSql: String =
+    """SELECT o_orderkey AS row_id,
+      |  CAST(o_custkey AS VARCHAR) || ',' || CAST(o_orderdate AS VARCHAR) AS value
+      |FROM orders
+      |QUALIFY COUNT(*) OVER (PARTITION BY o_custkey, o_orderdate) > 1
+      |ORDER BY row_id""".stripMargin
+
   // ---- o1: 3-sigma outliers (A21) --------------------------------------
 
   def sigmaOutliers(spark: SparkSession, dir: String): DataFrame =
@@ -271,6 +291,7 @@ object RuleQueries {
     "r6_trained_bands" -> (trainedBands _),
     "r7_trained_violations" -> (trainedViolations _),
     "r8_dictionary_misses" -> (dictionaryMisses _),
+    "r9_composite_key" -> (compositeKeyViolations _),
     "o1_sigma_outliers" -> (sigmaOutliers _),
     "o2_low_frequency" -> (lowFrequency _),
     "o3_grouped_sigma" -> (groupedSigma _))
@@ -284,6 +305,7 @@ object RuleQueries {
     "r6_trained_bands" -> trainedBandsSql,
     "r7_trained_violations" -> trainedViolationsSql,
     "r8_dictionary_misses" -> dictionaryMissesSql,
+    "r9_composite_key" -> compositeKeyViolationsSql,
     "o1_sigma_outliers" -> sigmaOutliersSql,
     "o2_low_frequency" -> lowFrequencySql,
     "o3_grouped_sigma" -> groupedSigmaSql)

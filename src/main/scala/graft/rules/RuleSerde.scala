@@ -50,20 +50,27 @@ object RuleSerde {
     def s(k: String) = m.get(k).asInstanceOf[String]
     def d(k: String) = m.get(k) match { case n: Number => n.doubleValue() }
     def i(k: String) = m.get(k) match { case n: Number => n.intValue() }
+    def strList(k: String): Seq[String] = m.get(k) match {
+      case l: java.util.List[_] => l.asScala.toSeq.map {
+        case str: String => str
+        case other => throw new IllegalArgumentException(
+          s"rule field '$k' must hold strings, got: $other")
+      }
+      case other => throw new IllegalArgumentException(
+        s"rule field '$k' must be a list of strings, got: $other")
+    }
     val sev = s("severity")
     s("kind") match {
       case "not_null" => NotNullRule(s("column"), sev)
       case "regex" => RegexRule(s("column"), s("pattern"), sev)
       case "range" => RangeRule(s("column"), d("lo"), d("hi"), sev)
-      case "enum" => EnumRule(s("column"),
-        m.get("allowed").asInstanceOf[java.util.List[String]].asScala.toSeq, sev)
+      case "enum" => EnumRule(s("column"), strList("allowed"), sev)
       case "date_format" => DateFormatRule(s("column"), s("format"), sev)
       case "decimal_precision" => DecimalPrecisionRule(s("column"), i("max_decimals"), sev)
       case "length" => LengthRule(s("column"), i("min_len"), i("max_len"), sev)
       case "single_value" => SingleValueRule(s("column"), s("expected"), sev)
       case "unique" => UniqueRule(s("column"), sev)
-      case "composite_unique" => CompositeUniqueRule(
-        m.get("columns").asInstanceOf[java.util.List[String]].asScala.toSeq, sev)
+      case "composite_unique" => CompositeUniqueRule(strList("columns"), sev)
       case "cross_field" => CrossFieldRule(s("rule_name"), s("predicate"), sev)
       case "fd" => FunctionalDependencyRule(s("lhs"), s("rhs"), sev)
       case "inclusion" => InclusionRule(s("column"), s("parent_table"),

@@ -114,24 +114,37 @@ object ViolationScanner {
             col("h.rule"), col("h.severity")))
       }
 
-    // --- unique rules: window count per value
-    val uniqueViolations = rules.collect { case UniqueRule(c, sev) =>
-      df.select(key.as("row_id"), col(s"`$c`").cast(StringType).as("value"))
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(col("value"))))
-        .filter(col("n") > 1)
-        .select(lit(c).as("column"), col("row_id"), col("value"),
-          lit(UniqueRule(c, sev).name).as("rule"), lit(sev).as("severity"))
+    // --- unique rules: duplicate-key semi-join (skew-safe at scale).
+    // A window `count().over(partitionBy(value))` buffers each key group
+    // in ONE task, so a hot key (a mostly-constant column a uniqueness
+    // rule got mis-assigned to) becomes an unsplittable straggler. The
+    // groupBy form partial-aggregates map-side and the semi-join back is
+    // AQE-broadcastable/skew-splittable. Null-safe equality keeps the
+    // window semantics for NULL keys (NULLs group together).
+    val uniqueViolations = rules.collect { case r @ UniqueRule(c, sev) =>
+      val v = col(s"`$c`").cast(StringType)
+      val dup = df.groupBy(v.as("__dupv")).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).select(col("__dupv"))
+      df.join(dup, v <=> dup("__dupv"), "left_semi")
+        .select(lit(c).as("column"), key.as("row_id"), v.as("value"),
+          lit(r.name).as("rule"), lit(sev).as("severity"))
     }
 
-    // --- composite-key rules: window count over the multi-column tuple.
-    // Partitioning is by the ACTUAL columns (not a concatenation — "a,b"+"c"
-    // and "a"+"b,c" must not collide); the joined string is display-only.
+    // --- composite-key rules: same duplicate semi-join over the
+    // multi-column tuple. Grouping is by the ACTUAL columns (not a
+    // concatenation — "a,b"+"c" and "a"+"b,c" must not collide); the key
+    // columns are aliased to positional __k0.. so a table column named
+    // row_id/n/value cannot collide with the scan's working columns. The
+    // joined string in the output is display-only.
     val compositeViolations = rules.collect { case r @ CompositeUniqueRule(cols, sev) =>
-      val keyCols = cols.map(c => col(s"`$c`"))
-      df.select(key.as("row_id") +: keyCols: _*)
-        .withColumn("n", count(lit(1)).over(Window.partitionBy(keyCols: _*)))
-        .filter(col("n") > 1)
-        .select(lit(r.column).as("column"), col("row_id"),
+      val aliased = cols.zipWithIndex.map { case (c, i) => col(s"`$c`").as(s"__k$i") }
+      val dup = df.groupBy(aliased: _*).agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > 1).drop("__n")
+      val joinCond = cols.zipWithIndex
+        .map { case (c, i) => col(s"`$c`") <=> dup(s"__k$i") }
+        .reduce(_ && _)
+      df.join(dup, joinCond, "left_semi")
+        .select(lit(r.column).as("column"), key.as("row_id"),
           concat_ws(",", cols.map(c =>
             coalesce(col(s"`$c`").cast(StringType), lit(""))): _*).as("value"),
           lit(r.name).as("rule"), lit(sev).as("severity"))

@@ -17,6 +17,7 @@ class InventoryExtrasSpec extends SparkSpec {
       EnumRule("d", Seq("x", "y")), DateFormatRule("e", "yyyy-MM-dd"),
       DecimalPrecisionRule("f", 2), LengthRule("g", 1, 10),
       SingleValueRule("h", "only"), UniqueRule("i"),
+      CompositeUniqueRule(Seq("j1", "j2")),
       CrossFieldRule("dates", "start_date <= end_date"),
       FunctionalDependencyRule("zip", "city"),
       InclusionRule("k", "parent", "pk"))

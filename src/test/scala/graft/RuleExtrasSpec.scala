@@ -84,6 +84,66 @@ class RuleExtrasSpec extends SparkSpec {
       TextAnalysis.typoPairs(df, "city", maxDist = 1, maxDistinct = 2))
   }
 
+  test("composite unique scan flags tuple duplicates, not column-wise ones") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a", "x"), (2L, "a", "x"),   // duplicate (a,x) tuple
+      (3L, "a", "y"), (4L, "b", "x"),   // column values repeat, tuples don't
+      (5L, null.asInstanceOf[String], "z"), (6L, null, "z")) // NULLs group
+      .toDF("id", "u", "v")
+    val hits = ViolationScanner.scan(df, "t",
+        Seq(CompositeUniqueRule(Seq("u", "v"))), "id")
+      .select("row_id", "value").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hits === Map(1L -> "a,x", 2L -> "a,x", 5L -> ",z", 6L -> ",z"))
+  }
+
+  test("composite unique keys do not collide through concatenation") {
+    import spark.implicits._
+    // ("a,b","c") and ("a","b,c") concatenate identically; they are
+    // DIFFERENT tuples and each occurs once → zero violations
+    val df = Seq((1L, "a,b", "c"), (2L, "a", "b,c")).toDF("id", "u", "v")
+    val n = ViolationScanner.scan(df, "t",
+      Seq(CompositeUniqueRule(Seq("u", "v"))), "id").count()
+    assert(n === 0L)
+  }
+
+  test("composite unique scan survives hostile column names") {
+    import spark.implicits._
+    // table columns named like the scan's working columns
+    val df = Seq((1L, "a", "a"), (2L, "a", "a"), (3L, "b", "c"))
+      .toDF("row_id", "value", "n")
+    val hits = ViolationScanner.scan(df, "t",
+        Seq(CompositeUniqueRule(Seq("value", "n"))), "row_id")
+      .select("row_id").collect().map(_.getLong(0)).sorted
+    assert(hits === Array(1L, 2L))
+  }
+
+  test("uniqueness scans aggregate+join instead of windowing (skew-safe)") {
+    import spark.implicits._
+    // one hot key dominating the table — a window partition would buffer
+    // it in a single task; the groupBy+semi-join form must not plan a Window
+    val df = ((1 to 5000).map(i => (i.toLong, "hot")) ++
+      Seq((9001L, "cold"), (9002L, "cool"))).toDF("id", "k")
+    val scan = ViolationScanner.scan(df, "t", Seq(UniqueRule("k")), "id")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unique scan must not window:\n$plan")
+    assert(scan.count() === 5000L)
+    val comp = ViolationScanner.scan(df, "t",
+      Seq(CompositeUniqueRule(Seq("k", "k"))), "id")
+    val compPlan = comp.queryExecution.executedPlan.toString
+    assert(!compPlan.contains("Window"),
+      s"composite scan must not window:\n$compPlan")
+    assert(comp.count() === 5000L)
+  }
+
+  test("composite unique serde rejects malformed columns") {
+    val json = """[{"kind":"composite_unique","columns":"a,b","severity":"error"}]"""
+    assertThrows[IllegalArgumentException](RuleSerde.fromJson(json))
+    val json2 = """[{"kind":"composite_unique","columns":["a",3],"severity":"error"}]"""
+    assertThrows[IllegalArgumentException](RuleSerde.fromJson(json2))
+  }
+
   test("typo pairs plan is a hash join on the band key, not a nested loop") {
     import spark.implicits._
     val df = (1 to 200).map(i => s"value_$i").toDF("city")
