@@ -141,30 +141,44 @@ object DedupQueries {
       .orderBy("ida", "idb")
   }
 
+  /** Mirrors the 64-bit [[Dedup.simhash]]: 64 word-hash bits from two
+    * 32-bit md5 slices. DuckDB BIGINT errors on overflow, so the
+    * signature accumulates as unsigned HUGEINT (`usig`) and converts to
+    * the signed two's-complement BIGINT (`ssig`) once for xor/bit_count
+    * — bit-identical to Spark's signed Long. Band keys slice `usig`,
+    * matching Spark's shiftright+pmod on the signed value. */
   val simhashPairsSql: String = {
-    val bits = (0 until 32).map { i =>
-      s"SUM(CASE WHEN (h // ${1L << i}) % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    val bits = (0 until 64).map { i =>
+      val src = if (i < 32) s"(hlo // ${1L << i})" else s"(hhi // ${1L << (i - 32)})"
+      s"SUM(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
     }.mkString(",\n    ")
-    val sig = (0 until 32).map(i => s"CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END")
+    val sig = (0 until 64).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(i)}::HUGEINT ELSE 0::HUGEINT END")
       .mkString(" + ")
     val bandStructs = (0 until 4).map(b =>
-      s"SELECT id, simhash, $b AS band, (simhash // ${1L << (b * 8)}) % 256 AS key FROM sigs")
+      s"SELECT id, ssig, $b AS band, ((usig // ${1L << (b * 16)}) % 65536)::BIGINT AS key FROM sigs2")
       .mkString("\nUNION ALL\n")
     s"""WITH words0 AS (
        |  SELECT doc_id, unnest($WS) AS word FROM documents),
        |words AS (SELECT DISTINCT doc_id, word FROM words0 WHERE word <> ''),
-       |hw AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::UBIGINT % 4294967296 AS h
+       |hw AS (SELECT doc_id,
+       |         ('0x' || substr(md5(word), 1, 8))::UBIGINT::BIGINT AS hlo,
+       |         ('0x' || substr(md5(word), 9, 8))::UBIGINT::BIGINT AS hhi
        |       FROM words),
        |votes AS (
        |  SELECT doc_id AS id,
        |    $bits
        |  FROM hw GROUP BY doc_id),
-       |sigs AS (SELECT id, ($sig)::BIGINT AS simhash FROM votes),
+       |sigs AS (SELECT id, ($sig) AS usig FROM votes),
+       |sigs2 AS (SELECT id, usig,
+       |  (CASE WHEN usig >= 9223372036854775808::HUGEINT
+       |        THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS ssig
+       |  FROM sigs),
        |banded AS ($bandStructs)
        |SELECT DISTINCT a.id AS ida, b.id AS idb,
-       |  bit_count(xor(a.simhash, b.simhash)) AS hamming
+       |  bit_count(xor(a.ssig, b.ssig)) AS hamming
        |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
-       |WHERE a.id < b.id AND bit_count(xor(a.simhash, b.simhash)) <= 3
+       |WHERE a.id < b.id AND bit_count(xor(a.ssig, b.ssig)) <= 3
        |ORDER BY ida, idb""".stripMargin
   }
 

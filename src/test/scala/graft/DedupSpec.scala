@@ -70,6 +70,31 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhash signatures use all 64 bits; band keys span the 16-bit space") {
+    import org.apache.spark.sql.functions._
+    // 500 real docs: the high 32 bits must actually vary (a 32-bit hash
+    // truncation would leave them constant) and every 16-bit band key
+    // must stay in [0, 65536).
+    val docs500 = spark.read.parquet(s"$sf/documents.parquet")
+    val sigs = Dedup.simhash(docs500, "text", "doc_id")
+    val hi = sigs.select(countDistinct(expr("simhash div 4294967296")).as("n"))
+      .collect().head.getLong(0)
+    assert(hi > 100, s"high 32 bits nearly constant ($hi distinct) — not a 64-bit hash")
+    val keys = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b =>
+          pmod(shiftright(col("simhash"), b * 16), lit(65536L))): _*)).as("key"))
+      .agg(min("key"), max("key")).collect().head
+    assert(keys.getLong(0) >= 0L && keys.getLong(1) < 65536L)
+    // pigeonhole at distance exactly 3: flipping 3 bits in distinct
+    // bands still collides on the untouched band
+    val s0 = 0x0123456789abcdefL
+    val s3 = s0 ^ (1L << 0) ^ (1L << 16) ^ (1L << 32) // bands 0,1,2 hit; band 3 intact
+    val two = Seq((1L, s0), (2L, s3)).toDF("id", "simhash")
+    val got = Dedup.simhashPairs(two, maxDistance = 3)
+      .select("ida", "idb", "hamming").as[(Long, Long, Int)].collect().toSeq
+    assert(got === Seq((1L, 2L, 3)))
+  }
+
   test("embedding cosine near-dup pairs find the planted neighbor") {
     val rng = new scala.util.Random(11)
     val dim = 64
