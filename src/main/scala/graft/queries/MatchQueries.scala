@@ -255,25 +255,93 @@ object MatchQueries {
        |ORDER BY src_column, tgt_column""".stripMargin
   }
 
-  // ---- mp1: full multi-table pipeline (main.py --mode multi; rows-only)
+  // ---- mp1: full multi-table pipeline (main.py --mode multi)
 
+  /** Flagship end-to-end: profile the clean lake halves, cluster
+    * columns across tables, derive the shared rules, scan the dirty
+    * halves. Four deterministic error kinds are injected so several
+    * generated rule families fire on both halves; the quartiles feature
+    * is excluded so every generated rule is parameter-deterministic
+    * (pattern/length/presence — no approx-quantile bands) and the
+    * per-(table, column, rule) counts are DuckDB-mirrorable. */
   def multiPipeline(spark: SparkSession, dir: String): DataFrame = {
     val orders = Tables.load(spark, dir, "orders")
     val cleanA = orders.filter(col("o_orderkey") % 2 === 0)
     val cleanB = orders.filter(col("o_orderkey") % 2 === 1)
-    // deterministic dirtiness in half B: null priority on keys ≡0 (mod 89)
-    val dirtyB = cleanB.withColumn("o_orderpriority",
-      when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
-        .otherwise(col("o_orderpriority")))
+    // half A: malformed status on keys ≡0 (mod 103) — breaks the
+    // dominant-pattern regex AND the [1,1] length band; overlong
+    // priority on keys ≡0 (mod 97) — breaks the length band only
+    val dirtyA = cleanA
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 103 === 0, lit("ZZ"))
+          .otherwise(col("o_orderstatus")))
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 97 === 0, lit("X" * 20))
+          .otherwise(col("o_orderpriority")))
+    // half B: null priority on keys ≡0 (mod 89), null custkey on
+    // keys ≡0 (mod 101) — presence violations on two columns
+    val dirtyB = cleanB
+      .withColumn("o_orderpriority",
+        when(col("o_orderkey") % 89 === 0, lit(null).cast("string"))
+          .otherwise(col("o_orderpriority")))
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 101 === 0, lit(null).cast("long"))
+          .otherwise(col("o_custkey")))
     graft.pipeline.MultiTablePipeline.run(spark,
-        Map("orders_a" -> cleanA, "orders_b" -> dirtyB),
+        Map("orders_a" -> dirtyA, "orders_b" -> dirtyB),
         Map("orders_a" -> "o_orderkey", "orders_b" -> "o_orderkey"),
         eps = 0.5, minPts = 2,
+        features = Set("mode", "pattern"),
         trainTables = Map("orders_a" -> cleanA, "orders_b" -> cleanB))
       .groupBy("table", "column", "rule")
       .agg(count(lit(1)).as("n_violations"))
       .orderBy("table", "column", "rule")
   }
+
+  /** Recomputes each expected (table, column, rule) violation count by
+    * applying the rule semantics directly: the length bands derive from
+    * the clean data in SQL (the cluster hull of both halves = overall
+    * min/max length), the status regex is the generalization of its
+    * uniform 1-letter pattern. */
+  val multiPipelineSql: String =
+    """WITH a AS (SELECT * FROM orders WHERE o_orderkey % 2 = 0),
+      |b AS (SELECT * FROM orders WHERE o_orderkey % 2 = 1),
+      |dirty_a AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 103 = 0 THEN 'ZZ' ELSE o_orderstatus END AS o_orderstatus,
+      |  CASE WHEN o_orderkey % 97 = 0 THEN repeat('X', 20) ELSE o_orderpriority END AS o_orderpriority
+      |  FROM a),
+      |dirty_b AS (SELECT o_orderkey,
+      |  CASE WHEN o_orderkey % 101 = 0 THEN NULL ELSE o_custkey END AS o_custkey,
+      |  CASE WHEN o_orderkey % 89 = 0 THEN NULL ELSE o_orderpriority END AS o_orderpriority
+      |  FROM b),
+      |prio_band AS (SELECT min(length(o_orderpriority)) AS lo,
+      |                     max(length(o_orderpriority)) AS hi FROM orders),
+      |status_band AS (SELECT min(length(o_orderstatus)) AS lo,
+      |                       max(length(o_orderstatus)) AS hi FROM orders)
+      |SELECT * FROM (
+      |  SELECT 'orders_a' AS "table", 'o_orderpriority' AS "column",
+      |    'length(o_orderpriority)' AS rule, count(*) AS n_violations
+      |  FROM dirty_a, prio_band
+      |  WHERE o_orderpriority IS NOT NULL AND trim(o_orderpriority) <> ''
+      |    AND (length(o_orderpriority) < lo OR length(o_orderpriority) > hi)
+      |  UNION ALL
+      |  SELECT 'orders_a', 'o_orderstatus', 'length(o_orderstatus)', count(*)
+      |  FROM dirty_a, status_band
+      |  WHERE o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> ''
+      |    AND (length(o_orderstatus) < lo OR length(o_orderstatus) > hi)
+      |  UNION ALL
+      |  SELECT 'orders_a', 'o_orderstatus', 'regex(o_orderstatus)', count(*)
+      |  FROM dirty_a
+      |  WHERE o_orderstatus IS NOT NULL AND trim(o_orderstatus) <> ''
+      |    AND NOT regexp_matches(o_orderstatus, '^[A-Za-z]$')
+      |  UNION ALL
+      |  SELECT 'orders_b', 'o_custkey', 'not_null(o_custkey)', count(*)
+      |  FROM dirty_b WHERE o_custkey IS NULL
+      |  UNION ALL
+      |  SELECT 'orders_b', 'o_orderpriority', 'not_null(o_orderpriority)', count(*)
+      |  FROM dirty_b
+      |  WHERE o_orderpriority IS NULL OR trim(o_orderpriority) = '')
+      |ORDER BY "table", "column", rule""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mp1_multi_pipeline" -> (multiPipeline _),
@@ -287,6 +355,7 @@ object MatchQueries {
   /** c1/c2 are algorithmic (seeded KMeans / driver DBSCAN) — no SQL
     * equivalent; the driver records rows-only checks for them. */
   def oracleSql: Map[String, String] = Map(
+    "mp1_multi_pipeline" -> multiPipelineSql,
     "m1_column_match" -> columnMatchSql,
     "m2_ks_wasserstein" -> ksWassersteinSql,
     "m4_keyword_overlap" -> keywordOverlapSql)

@@ -59,7 +59,9 @@ object RuleGenerator {
       b += RangeRule(c, q1 - 1.5 * iqr, q3 + 1.5 * iqr)
     }
     if (inferred == "float" && maxDec > 0) b += DecimalPrecisionRule(c, maxDec)
-    if (minLen > 0 && maxLen > 0 && inferred == "string")
+    // length bands apply to any textual type — categorical columns
+    // (few distinct values) have the tightest, most useful bands
+    if (minLen > 0 && maxLen > 0 && (inferred == "string" || inferred == "categorical"))
       b += LengthRule(c, minLen.toInt, maxLen.toInt)
     b.result()
   }
