@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Dev scratchpad — current use: inspect mp1's generated rules/output. */
+/** Dev scratchpad — current use: snapshot c2/x8 exact outputs at sf0.001. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[16]")
@@ -11,7 +11,12 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val dir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.01"
-    graft.queries.MatchQueries.multiPipeline(spark, dir).show(50, false)
+    val dir = "/root/testdata/sf0.001"
+    println("== c2 ==")
+    graft.queries.MatchQueries.dbscanClusters(spark, dir)
+      .collect().foreach(r => println(s"${r.get(0)} -> ${r.get(1)}"))
+    println("== x8 ==")
+    graft.queries.StatQueries.gmmOutliers(spark, dir)
+      .collect().foreach(r => println(s"${r.get(0)} ${r.get(1)}"))
   }
 }

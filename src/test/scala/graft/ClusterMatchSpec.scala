@@ -85,4 +85,23 @@ class ClusterMatchSpec extends SparkSpec {
       RuleTransfer.adapt(RangeRule("x", 0.0, 10.0)): @unchecked
     assert(lo == -1.0 && hi == 11.0)
   }
+
+  test("c2 gate query: exact DBSCAN membership at sf0.001") {
+    // The driver only rows-checks c2 (no SQL oracle exists for DBSCAN);
+    // this pins the exact deterministic partition: name columns cluster,
+    // key columns with matching profiles cluster, account balances
+    // cluster, everything else is noise.
+    val rows = graft.queries.MatchQueries.dbscanClusters(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val byCluster = rows.groupBy(_._2).view
+      .mapValues(_.map(_._1).toSet).toMap
+    assert(byCluster(-1) === Set(
+      "customer::c_mktsegment", "customer::c_nationkey", "nation::n_name",
+      "nation::n_regionkey", "supplier::s_nationkey", "supplier::s_suppkey"))
+    val clusters = byCluster.removed(-1).values.toSet
+    assert(clusters === Set(
+      Set("customer::c_name", "supplier::s_name"),
+      Set("customer::c_custkey", "nation::n_nationkey"),
+      Set("customer::c_acctbal", "supplier::s_acctbal")))
+  }
 }

@@ -66,4 +66,12 @@ class StatExtrasSpec extends SparkSpec {
     assert(math.abs(shifted.getAs[Double]("wasserstein") - 10.0) < 1e-9)
     assert(math.abs(shifted.getAs[Double]("ks") - 0.1) < 1e-9)
   }
+
+  test("x8 gate query: exact seeded GMM outlier ids at sf0.001") {
+    // The driver only rows-checks x8 (an iterative MLlib fit has no SQL
+    // oracle); this pins the exact ids the seeded fit flags.
+    val ids = graft.queries.StatQueries.gmmOutliers(spark, sf)
+      .collect().map(_.getAs[Long]("row_id"))
+    assert(ids === Array(25L, 88L, 107L, 288L, 556L, 574L, 645L))
+  }
 }
