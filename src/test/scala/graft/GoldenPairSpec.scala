@@ -164,6 +164,60 @@ class GoldenPairSpec extends SparkSpec {
     assert(pv === 1.0 && rv > 0.15 && rv < 0.25, s"RatingValue P=$pv R=$rv")
   }
 
+  test("DGov lake pair: diff matches clean_changes; enum rules are exact") {
+    // datasets/DGov/305b_Assessed_Lake_2018 — the one reference dataset
+    // family with an explicit change log (clean_changes.csv:
+    // "<objectid>.<column>,<dirty>,<clean>", 693 cells). Headers differ
+    // (dirty carries "(long)" type suffixes) → positional alignment.
+    val gdir = "/root/reference/datasets/DGov/305b_Assessed_Lake_2018"
+    val clean = Ingest.readCsvStrict(spark, s"$gdir/clean.csv", multiLine = true)
+    val dirty = Ingest.readCsvStrict(spark, s"$gdir/dirty.csv", multiLine = true)
+      .toDF(clean.columns.toIndexedSeq: _*)
+
+    // 1. our cell diff must reproduce the published change log exactly
+    val actual = Metrics.actualErrorCells(dirty, clean, "objectid")
+    val actualSet = actual.select("row_id", "column")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // the change log itself holds multi-line quoted values — CSV-parse it
+    val changeSet = spark.read
+      .option("multiLine", "true").option("header", "false")
+      .csv(s"$gdir/clean_changes.csv")
+      .collect().map { r =>
+        val Array(row, col) = r.getString(0).split("\\.", 2)
+        (row.toLong, col)
+      }.toSet
+    assert(changeSet.size === 693)
+    assert(actualSet === changeSet)
+
+    // 2. enum rules trained on CLEAN catch every categorical typo with
+    // zero false positives: the planted typos always leave the domain
+    val cats = Seq("sizeunit", "watertype", "impaired", "classname",
+      "aquatic_life_attainment", "recreational_attainment",
+      "fish_consumption_attainment", "drinking_water_attainment",
+      "aquatic_life_attainment_code", "recreational_attainment_code",
+      "fish_consumptin_attainment_code", "drinking_water_attainment_code")
+    // enum (domain) + not-null per column — the pair a clean-profile
+    // generation would produce (all 12 are fully present in clean);
+    // the *_code typos include blanked cells, which are presence errors
+    val rules: Seq[RuleSpec] =
+      cats.flatMap(c => RuleGenerator.enumRule(clean, c)) ++
+        cats.map(c => NotNullRule(c))
+    assert(rules.size === 2 * cats.size)
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "lake", rules, "objectid"))
+    val scores = Metrics.score(predicted, actual).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    cats.foreach { c =>
+      assert(scores(c) === ((1.0, 1.0)), s"$c: ${scores(c)}")
+    }
+    // free-text columns (watername/locationvalue/id) hold the other 150
+    // cells — invisible to domain rules by design
+    val (op, orr) = scores("__overall__")
+    assert(op === 1.0)
+    assert(math.abs(orr - 543.0 / 693.0) < 1e-9, s"overall recall $orr")
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
