@@ -69,4 +69,31 @@ class EvalIngestSpec extends SparkSpec {
     assert(lake.keySet == Set("t1", "t2"))
     assert(lake("t1")._2.isDefined && lake("t2")._2.isEmpty)
   }
+
+  test("jdbc scan enters the all-string lake dialect (embedded Derby)") {
+    // Derby ships on Spark's classpath (Hive metastore dependency) —
+    // an embedded in-memory DB exercises the real JDBC source path
+    val url = "jdbc:derby:memory:graftdb;create=true"
+    val conn = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      st.execute("CREATE TABLE people (id INT, name VARCHAR(20), score DOUBLE)")
+      st.execute("INSERT INTO people VALUES (1, ' alice ', 9.5), (2, 'bob', NULL)")
+      st.close()
+      val df = Ingest.readJdbc(spark, url, "people")
+      assert(df.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.StringType))
+      val rows = df.orderBy("ID").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      assert(rows === Array(("1", "alice", "9.5"), ("2", "bob", null)))
+      // violation scan runs directly on the JDBC frame
+      val v = graft.rules.ViolationScanner.scan(
+        df, "people", Seq(graft.rules.NotNullRule("SCORE")), "ID")
+      assert(v.select("row_id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    } finally {
+      conn.close()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graftdb;drop=true")
+      catch { case _: java.sql.SQLException => () } // drop always throws 08006
+    }
+  }
 }
