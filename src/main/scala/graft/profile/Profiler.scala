@@ -296,19 +296,27 @@ object Profiler {
   private def exactnessMatters(features: Set[String]): Boolean =
     features("quartiles") || features("chars")
 
-  /** Row count with top-level repartition/rebalance nodes stripped from
-    * the plan: they are row-preserving, so the count is identical, but
+  /** Row count with ROOT repartition/rebalance nodes unwrapped from the
+    * plan: they are row-preserving, so the count is identical, but
     * counting THROUGH them shuffles every row just to size the job
     * (BENCH_r02 p2: a 600k-row full shuffle per sizing decision). The
     * stripped count stays a pure scan aggregate — parquet count(*)
-    * reads row-group metadata, no column decode. */
+    * reads row-group metadata, no column decode.
+    *
+    * Only the root chain is unwrapped (not a full-tree transform): a
+    * repartition deeper in the plan may feed partition-dependent
+    * expressions (spark_partition_id, monotonically_increasing_id in a
+    * filter), where removing it would change the count. */
   private def cheapCount(df: DataFrame): Long = {
-    import org.apache.spark.sql.catalyst.plans.logical.{RebalancePartitions, Repartition, RepartitionByExpression}
-    val stripped = df.queryExecution.analyzed.transform {
-      case Repartition(_, _, child) => child
-      case r: RepartitionByExpression => r.child
-      case r: RebalancePartitions => r.child
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RebalancePartitions, Repartition, RepartitionByExpression}
+    @scala.annotation.tailrec
+    def unwrap(p: LogicalPlan): LogicalPlan = p match {
+      case Repartition(_, _, child) => unwrap(child)
+      case r: RepartitionByExpression => unwrap(r.child)
+      case r: RebalancePartitions => unwrap(r.child)
+      case other => other
     }
+    val stripped = unwrap(df.queryExecution.analyzed)
     org.apache.spark.sql.GraftSqlBridge.ofRows(df.sparkSession, stripped).count()
   }
 

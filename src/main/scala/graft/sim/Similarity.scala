@@ -171,9 +171,11 @@ object Similarity {
     // take the first maxSample. Spark plans orderBy+limit as
     // TakeOrderedAndProject (per-partition top-k, driver merge) — no full
     // sort shuffle — and unlike limit() it is not first-k-rows biased.
+    // The id is a secondary sort key so hash ties at the maxSample
+    // boundary cut deterministically regardless of partition order.
     val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"))
-      .orderBy("__h").limit(maxSample).collect()
+      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
+      .orderBy(col("__h"), col("__id")).limit(maxSample).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     val centroids = trainCoarseCentroids(sample, nlist).map(_.toSeq)
     val listId = listIdExpr(col("v"), centroids)

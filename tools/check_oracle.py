@@ -73,8 +73,22 @@ def main(sf_dir, out_dir):
         # Values match; the driver's hash is dtype-KIND-sensitive: int64
         # vs float64 hash differently (5 vs 5.0), but integer widths are
         # canonicalized (r02: s3/t6 hash-passed with int32 vs int64).
+        # Exception: a NULL-bearing int column materializes as float64 on
+        # whichever side promoted it (DuckDB .df() vs pyarrow nullable) —
+        # treat an i/f pair as matching when the float side is integral
+        # wherever non-null.
+        def kind_ok(c):
+            a, b = got[c], want[c]
+            if a.dtype.kind == b.dtype.kind:
+                return True
+            pair = {a.dtype.kind, b.dtype.kind}
+            if pair == {"i", "f"}:
+                f = a if a.dtype.kind == "f" else b
+                nn = f.dropna()
+                return bool((nn == nn.round()).all())
+            return False
         bad = [(c, str(got[c].dtype), str(want[c].dtype))
-               for c in got.columns if got[c].dtype.kind != want[c].dtype.kind]
+               for c in got.columns if not kind_ok(c)]
         if bad:
             print(f"FAIL {name}: dtype mismatch {bad}")
             n_fail += 1; continue
