@@ -218,6 +218,43 @@ class GoldenPairSpec extends SparkSpec {
     assert(math.abs(orr - 543.0 / 693.0) < 1e-9, s"overall recall $orr")
   }
 
+  test("DGov 2020 lake pair: same harness, second schema generation") {
+    // the 2020 cycle renames every column (assessmentunitid,
+    // ct_two_zero_two_zero_* use columns) — same error process
+    val gdir = "/root/reference/datasets/DGov/305b_Assessed_Lake_2020"
+    val clean = Ingest.readCsvStrict(spark, s"$gdir/clean.csv", multiLine = true)
+    val dirty = Ingest.readCsvStrict(spark, s"$gdir/dirty.csv", multiLine = true)
+      .toDF(clean.columns.toIndexedSeq: _*)
+    val actual = Metrics.actualErrorCells(dirty, clean, "objectid")
+    val changeSet = spark.read
+      .option("multiLine", "true").option("header", "false")
+      .csv(s"$gdir/clean_changes.csv")
+      .collect().map { r =>
+        val Array(row, col) = r.getString(0).split("\\.", 2)
+        (row.toLong, col)
+      }.toSet
+    assert(changeSet.size === 442)
+    assert(actual.select("row_id", "column").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet === changeSet)
+
+    val cats = Seq("watertypename", "units", "useclassname", "impaired") ++
+      Seq("aql", "rec", "fshcon", "dw").flatMap(u => Seq(
+        s"ct_two_zero_two_zero_${u}_use_usename",
+        s"ct_two_zero_two_zero_${u}_use_attainment"))
+    val rules: Seq[RuleSpec] =
+      cats.flatMap(c => RuleGenerator.enumRule(clean, c)) ++
+        cats.map(c => NotNullRule(c))
+    val predicted = Metrics.mergeErrors(
+      ViolationScanner.scan(dirty, "lake2020", rules, "objectid"))
+    val scores = Metrics.score(predicted, actual).collect()
+      .map(r => r.getAs[String]("column") ->
+        (r.getAs[Double]("precision"), r.getAs[Double]("recall"))).toMap
+    cats.foreach(c => assert(scores(c) === ((1.0, 1.0)), s"$c: ${scores(c)}"))
+    val (op, orr) = scores("__overall__")
+    assert(op === 1.0)
+    assert(math.abs(orr - 343.0 / 442.0) < 1e-9, s"overall recall $orr")
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
