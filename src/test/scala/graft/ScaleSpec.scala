@@ -32,4 +32,41 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_orders")
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
+
+  test("filters and projections reach the parquet scan") {
+    // A scan that decodes all columns for a 2-column filter+projection
+    // would be wrong at 100 TB: assert pushdown + pruning survive our
+    // loader (Tables.load wraps the raw read with a conditional
+    // rebalance — filters must still push THROUGH it to the source).
+    val li = Tables.load(spark, sf, "lineitem")
+      .filter(col("l_quantity") > 30.0)
+      .select("l_orderkey", "l_quantity")
+    val scan = li.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,30.0)]"),
+      s"filter not pushed to parquet:\n$scan")
+    assert(scan.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"),
+      s"column pruning lost:\n$scan")
+  }
+
+  test("whole-stage codegen covers the scalar rule scan") {
+    // The one-pass violation scan must stay inside WholeStageCodegen —
+    // a codegen break in the per-row predicate bundle would interpret
+    // every rule on every row.
+    val li = Tables.load(spark, sf, "lineitem")
+    val rules: Seq[graft.rules.RuleSpec] = Seq(
+      graft.rules.NotNullRule("l_returnflag"),
+      graft.rules.RangeRule("l_quantity", 0, 40),
+      graft.rules.RegexRule("l_returnflag", "^[A-Z]$"))
+    val scan = graft.rules.ViolationScanner
+      .scan(li, "lineitem", rules, "l_orderkey")
+    scan.collect() // AQE only finalizes (and codegens) the plan on execution
+    val plan = scan.queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark WholeStageCodegen stages in the final plan;
+    // the predicate bundle, hit structs, and explode must all carry one
+    assert(plan.contains("*("), s"no codegen span:\n$plan")
+    assert(plan.linesIterator.count(l =>
+      l.contains("*(") && (l.contains("Project") || l.contains("Filter"))) >= 2,
+      s"rule predicates outside codegen:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+  }
 }
