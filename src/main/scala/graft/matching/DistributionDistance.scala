@@ -1,6 +1,6 @@
 package graft.matching
 
-import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
@@ -10,13 +10,12 @@ import org.apache.spark.sql.types.DoubleType
   * KS statistic + Wasserstein distance feed the column matcher's
   * distribution-similarity score).
   *
-  * Exact path: both statistics fall out of ONE cumulative frame — the
-  * union of the two columns grouped by value with per-side cumulative
-  * counts. The window orders by value over the DISTINCT-value frame
-  * (cardinality ≤ distinct values, not rows), so the single-partition
-  * sort is bounded by value cardinality; at 100 TB with genuinely
-  * continuous data, compute the same statistics on percentile_approx
-  * grids instead (sketch-sized ECDFs) — same formulas, bounded input.
+  * Exact at scale: the cumulative ECDF is a distributed prefix sum —
+  * range-partition the distinct values, per-partition running sums in
+  * parallel windows keyed by the physical partition id, then add each
+  * partition's broadcast offset (the control-plane per-partition totals,
+  * O(#partitions) rows, computed once and reused for the next-value
+  * boundary handoff). No global single-partition sort anywhere.
   */
 object DistributionDistance {
 
@@ -33,19 +32,60 @@ object DistributionDistance {
       .withColumn("na", lit(0L))
     val merged = av.unionByName(bv)
       .groupBy("x").agg(sum("na").as("na"), sum("nb").as("nb"))
-    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    merged
-      .withColumn("ca", sum("na").over(w))
-      .withColumn("cb", sum("nb").over(w))
-      .withColumn("ta", sum("na").over(Window.partitionBy()))
-      .withColumn("tb", sum("nb").over(Window.partitionBy()))
+
+    // Range-partition by value: partition i holds values strictly below
+    // partition i+1's. Persisted because three consumers follow (the
+    // per-partition stats, the prefix windows, and the totals).
+    val ranged = merged
+      .repartitionByRange(col("x"))
+      .sortWithinPartitions("x")
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // Control plane: per-partition sums + first value, O(#partitions)
+    // rows → cumulative offsets and the next partition's first value
+    // (the boundary row's lead target) computed on the driver.
+    val pidStats = ranged.groupBy("__pid")
+      .agg(sum("na").as("pa"), sum("nb").as("pb"), min("x").as("firstx"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    var (offA, offB) = (0L, 0L)
+    val offsetRows = pidStats.zipWithIndex.map { case ((pid, pa, pb, _), i) =>
+      val row = (pid, offA, offB,
+        if (i + 1 < pidStats.length) Some(pidStats(i + 1)._4) else None)
+      offA += pa; offB += pb
+      row
+    }
+    val ta = offA
+    val tb = offB
+    import a.sparkSession.implicits._
+    val offsets = offsetRows.toSeq
+      .toDF("__pid", "__offa", "__offb", "__nextfirst")
+
+    // Data plane: per-partition prefix sums — each window partition is
+    // ONE range partition, so every task sorts only its own slice.
+    val pidWin = Window.partitionBy("__pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val leadWin = Window.partitionBy("__pid").orderBy("x")
+    ranged
+      .withColumn("__ca", sum("na").over(pidWin))
+      .withColumn("__cb", sum("nb").over(pidWin))
+      .withColumn("__nx", lead("x", 1).over(leadWin))
+      .join(broadcast(offsets), Seq("__pid"))
+      .withColumn("ca", col("__ca") + col("__offa"))
+      .withColumn("cb", col("__cb") + col("__offb"))
+      .withColumn("ta", lit(ta))
+      .withColumn("tb", lit(tb))
       .withColumn("fa", col("ca").cast(DoubleType) / col("ta").cast(DoubleType))
       .withColumn("fb", col("cb").cast(DoubleType) / col("tb").cast(DoubleType))
-      .withColumn("next_x", lead("x", 1).over(Window.orderBy("x")))
+      .withColumn("next_x", coalesce(col("__nx"), col("__nextfirst")))
+      .drop("__pid", "__ca", "__cb", "__nx", "__offa", "__offb", "__nextfirst")
   }
 
-  /** (ks, wasserstein) in one job: KS = max |Fa − Fb|; W1 = Σ |Fa − Fb|
-    * · (next_x − x) over the sorted distinct values. */
+  /** (ks, wasserstein) in one pass over the ECDF frame: KS = max
+    * |Fa − Fb|; W1 = Σ |Fa − Fb| · (next_x − x) over sorted distinct
+    * values. */
   def ksAndWasserstein(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame =
     ecdfFrame(a, aCol, b, bCol).agg(
       max(abs(col("fa") - col("fb"))).as("ks"),

@@ -41,11 +41,15 @@ object Outliers {
     * (reference: rules/evaluation.py:441-446 flags values under 1%). */
   def lowFrequencyValues(df: DataFrame, column: String,
       minRatio: Double = 0.01): DataFrame = {
+    // total via a one-row agg + broadcast cross join — an empty-key
+    // window (`sum().over(Window.partitionBy())`) would pull every
+    // distinct value into a single task, which a mis-assigned
+    // high-cardinality column turns into a straggler
     val counts = df.filter(col(s"`$column`").isNotNull)
       .groupBy(col(s"`$column`").cast(StringType).as("value"))
       .agg(count(lit(1)).as("cnt"))
-      .withColumn("total", sum("cnt").over(Window.partitionBy()))
-    counts
+    val total = counts.agg(sum("cnt").as("total"))
+    counts.crossJoin(broadcast(total))
       .filter(col("cnt").cast(DoubleType) / col("total").cast(DoubleType) < minRatio)
       .select(col("value"), col("cnt"))
   }

@@ -272,9 +272,22 @@ object Profiler {
         explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
       .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
       .groupBy("table", "column", "word").agg(sum("cnt").as("cnt"))
+    // Two-phase top-k: a per-(column) window alone would buffer a
+    // column's whole vocabulary in one task. Phase 1 takes the top-k
+    // within 32 word-hash salt buckets (each ~vocab/32, parallel);
+    // the global top-k is a subset of the per-bucket top-ks (each word
+    // occurs once per column here), so phase 2's exact window sees at
+    // most 32·k rows per column.
+    val saltWin = Window.partitionBy("table", "column", "__salt")
+      .orderBy(desc("cnt"), asc("word"))
+    val candidates = words
+      .withColumn("__salt", pmod(xxhash64(col("word")), lit(32)))
+      .withColumn("__prk", row_number().over(saltWin))
+      .filter(col("__prk") <= cfg.topK)
+      .drop("__salt", "__prk")
     val wWin = Window.partitionBy("table", "column")
       .orderBy(desc("cnt"), asc("word"))
-    words
+    candidates
       .withColumn("rk", row_number().over(wWin))
       .filter(col("rk") <= cfg.topK)
       .groupBy("table", "column")

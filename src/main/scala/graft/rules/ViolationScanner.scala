@@ -181,12 +181,17 @@ object ViolationScanner {
 
   /** Precision guard P11 (reference: rules/evaluation.py:637-647): drop
     * (column, rule) groups that flag every row — the rule was
-    * mis-assigned. `rowCount` is the table's row count. */
+    * mis-assigned. `rowCount` is the table's row count.
+    *
+    * groupBy + broadcast join, not `count().over(Window.partitionBy(...))`:
+    * a mis-assigned rule's violations are O(rows) BY DEFINITION — the
+    * exact case this guard exists for — and a window would buffer all of
+    * them in one task. The per-rule count frame is O(#rules) rows. */
   def allRowsGuard(violations: DataFrame, rowCount: Long): DataFrame = {
-    val w = Window.partitionBy("table", "column", "rule")
-    violations
-      .withColumn("__n", count(lit(1)).over(w))
+    val keep = violations.groupBy("table", "column", "rule")
+      .agg(count(lit(1)).as("__n"))
       .filter(col("__n") < rowCount)
       .drop("__n")
+    violations.join(broadcast(keep), Seq("table", "column", "rule"), "left_semi")
   }
 }
