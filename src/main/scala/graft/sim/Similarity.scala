@@ -55,7 +55,16 @@ object Similarity {
     * equi-join on (band, key) — never a cross product — and the
     * verify join rejoins vectors by id, so the shuffles carry ids +
     * short keys. Missed-band pairs are missed deterministically (the
-    * planes are fixed), which keeps the operator reproducible. */
+    * planes are fixed), which keeps the operator reproducible.
+    *
+    * Sizing at corpus scale: each band has at most 2^planesPerBand
+    * buckets, and the candidate join grows as Σ(bucket²). The defaults
+    * (4×8 signs) suit ~10⁶-10⁷ vectors; at 10⁸-10⁹ raise planesPerBand
+    * to 12-16 AND bands to keep recall (P[band match] ≈
+    * (1 − θ/π)^planes — more planes per band means more bands for the
+    * same recall; sign buckets also skew with the data, which AQE's
+    * skew-join split absorbs). For top-k search at that scale prefer
+    * [[ivfCosineTopK]], whose list count is set directly. */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 4, planesPerBand: Int = 8,
       dim: Int = 64, scale: Int = 4): DataFrame = {
