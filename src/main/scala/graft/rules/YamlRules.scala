@@ -121,6 +121,24 @@ object YamlRules {
       s"$other is not a scan-kind rule (kind: ${kindOf(other)})")
   }
 
+  /** End-to-end: scan `df` with every scan-kind entry of a parsed YAML
+    * rule file (the reference's main_with_yaml.py flow — load rules,
+    * bind to columns, evaluate). `bindings` maps rule name → parameter
+    * map; entries without bindings are skipped (declared but unbound,
+    * as in the reference's structure-only load). Profile/matching-kind
+    * entries never scan rows — route them through [[profilePredicate]]
+    * / the column matcher. */
+  def scanWith(df: org.apache.spark.sql.DataFrame, table: String,
+      entries: Seq[YamlRuleDef], bindings: Map[String, Map[String, Any]],
+      keyCol: String,
+      parents: Map[String, org.apache.spark.sql.DataFrame] = Map.empty)
+      : org.apache.spark.sql.DataFrame = {
+    val rules = entries
+      .filter(e => kindOf(e.name) == ScanKind)
+      .flatMap(e => bindings.get(e.name).toSeq.flatMap(b => toScanRules(e.name, b)))
+    ViolationScanner.scan(df, table, rules, keyCol, parents)
+  }
+
   // --- profile-feature condition evaluator ------------------------------
   // Grammar of the profile-kind conditions in the dialect:
   //   cond   := clause (AND clause)*

@@ -96,6 +96,21 @@ class YamlRulesSpec extends SparkSpec {
     assert(hit === Array(1L, 2L))
   }
 
+  test("scanWith runs the whole reference file end to end") {
+    import spark.implicits._
+    val df = Seq((1L, "AB1", "US"), (2L, "ab2", "US"), (3L, "AB3", "FR"))
+      .toDF("id", "code", "country")
+    val entries = YamlRules.loadFile(referenceYaml)
+    // bind only two entries — unbound entries are skipped, profile-kind
+    // entries never reach the row scan
+    val out = YamlRules.scanWith(df, "t", entries, Map(
+        "matches_regex" -> Map("column" -> "code", "expected_pattern" -> "^[A-Z]{2}\\d$"),
+        "domain_is" -> Map("column" -> "country", "approved_list" -> Seq("US"))),
+      keyCol = "id")
+      .select("row_id", "rule").as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "regex(code)"), (3L, "enum(country)")))
+  }
+
   test("malformed bindings are rejected, not deferred") {
     assertThrows[IllegalArgumentException](
       toScanRules("value_in_range", Map("column" -> "x", "domain_min" -> "zero")))
