@@ -119,6 +119,26 @@ class RuleExtrasSpec extends SparkSpec {
     assert(hits === Array(1L, 2L))
   }
 
+  test("profile, generate, and scan survive dots and spaces in names") {
+    import spark.implicits._
+    // real lakes carry CSV headers like "a.b" and "c d" — the whole
+    // pipeline must treat them as plain names, never as field paths
+    val df = Seq((1L, "x", 5.0), (2L, null, 6.0), (3L, "z", 700.0))
+      .toDF("id", "a.b", "c d")
+    val prof = graft.profile.Profiler.profile(df, "t")
+    assert(prof.select("column").collect().map(_.getString(0)).toSet ===
+      Set("id", "a.b", "c d"))
+    val rules = RuleGenerator.fromProfiles(prof)
+    assert(rules.exists(_.name == "regex(a.b)"))
+    assert(rules.exists(_.name == "range(c d)"))
+    val out = ViolationScanner.scan(df, "t",
+        Seq(NotNullRule("a.b"), RangeRule("c d", 0, 10),
+          UniqueRule("a.b"), CompositeUniqueRule(Seq("a.b", "c d")),
+          FunctionalDependencyRule("a.b", "c d")), "id")
+      .select("row_id", "rule").as[(Long, String)].collect().toSet
+    assert(out === Set((2L, "not_null(a.b)"), (3L, "range(c d)")))
+  }
+
   test("uniqueness scans aggregate+join instead of windowing (skew-safe)") {
     import spark.implicits._
     // one hot key dominating the table — a window partition would buffer
