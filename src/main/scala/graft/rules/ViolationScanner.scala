@@ -47,12 +47,14 @@ object ViolationScanner {
       case RangeRule(c, lo, hi, _) =>
         val d =
           if (numericField(c)) col(s"`$c`").cast("double")
-          else expr(s"try_cast(cast(`$c` as string) as double)")
+          else s(c).try_cast("double")
         present(c) && (d.isNull || d < lo || d > hi)
       case EnumRule(c, allowed, _) =>
         present(c) && !s(c).isin(allowed: _*)
       case DateFormatRule(c, f, _) =>
-        present(c) && expr(s"try_to_timestamp(cast(`$c` as string), '$f')").isNull
+        // DSL call, not an interpolated expr(): a quote in the format or
+        // a backtick in the column name must stay data, not SQL
+        present(c) && try_to_timestamp(s(c), lit(f)).isNull
       case DecimalPrecisionRule(c, k, _) =>
         present(c) &&
           length(regexp_extract(s(c), "^[+-]?\\d+\\.(\\d*?)0*$", 1)) > k
