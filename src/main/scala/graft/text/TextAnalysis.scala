@@ -21,16 +21,16 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "del", "por", "como"),
     "it" -> Seq("il", "di", "che", "della", "per", "con", "sono", "una", "anche", "dei"))
 
+  // DSL lambdas (functions.filter/split), not interpolated expr()
+  // strings: column names stay names, and the expressions are the same
+  // codegen'd higher-order functions either way
   private def tokens(textCol: Column): Column =
-    expr(s"filter(split(lower(${textCol.toString}), '[^a-zà-ÿ0-9]+'), w -> w <> '')")
-
-  private def tokensSql(c: String): String =
-    s"filter(split(lower($c), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    filter(split(lower(textCol), "[^a-zà-ÿ0-9]+"), w => w =!= "")
 
   /** Count of marker hits for one language over the token array. */
   private def markerHits(c: String, lang: String): Column = {
-    val set = markers(lang).map(w => s"'$w'").mkString("array(", ",", ")")
-    expr(s"size(filter(${tokensSql(c)}, w -> array_contains($set, w)))")
+    val set = array(markers(lang).map(lit): _*)
+    size(filter(tokens(col(s"`$c`")), w => array_contains(set, w)))
   }
 
   /** Heuristic language ID: the language with the most marker-word hits;
@@ -46,24 +46,26 @@ object TextAnalysis {
   }
 
   /** Whitespace-ish token count. */
-  def tokenCount(c: String): Column = expr(s"size(${tokensSql(c)})").cast(LongType)
+  def tokenCount(c: String): Column =
+    size(tokens(col(s"`$c`"))).cast(LongType)
 
   /** BPE-ish subword proxy: letter runs, digit runs, and single
     * punctuation marks each count as one piece (a deterministic stand-in
     * for a real tokenizer's piece count). */
   def pieceCount(c: String): Column =
-    expr(s"size(filter(split($c, '(?<=[^\\\\p{L}\\\\p{N}])|(?=[^\\\\p{L}\\\\p{N}])'), p -> trim(p) <> ''))")
-      .cast(LongType)
+    size(filter(split(col(s"`$c`"), "(?<=[^\\p{L}\\p{N}])|(?=[^\\p{L}\\p{N}])"),
+      p => trim(p) =!= "")).cast(LongType)
 
   /** Quality heuristics (reference gestures: length/punct/stopword
     * ratios). Returns [0,1]; higher is better. Components:
     * reasonable length, low punct share, low digit share, words neither
     * too short nor too long. */
   def qualityScore(c: String): Column = {
-    val len = length(col(c)).cast(DoubleType)
-    val alpha = length(regexp_replace(col(c), "[^A-Za-zà-ÿ]", "")).cast(DoubleType)
-    val digits = length(regexp_replace(col(c), "[^0-9]", "")).cast(DoubleType)
-    val punct = length(regexp_replace(col(c), "[^\\p{Punct}]", "")).cast(DoubleType)
+    val v = col(s"`$c`")
+    val len = length(v).cast(DoubleType)
+    val alpha = length(regexp_replace(v, "[^A-Za-zà-ÿ]", "")).cast(DoubleType)
+    val digits = length(regexp_replace(v, "[^0-9]", "")).cast(DoubleType)
+    val punct = length(regexp_replace(v, "[^\\p{Punct}]", "")).cast(DoubleType)
     val nTok = tokenCount(c).cast(DoubleType)
     val lenScore = when(len >= 200 && len <= 20000, 1.0)
       .when(len < 200, len / 200.0)
