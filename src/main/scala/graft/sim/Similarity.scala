@@ -21,10 +21,13 @@ import org.apache.spark.sql.types.DoubleType
 object Similarity {
 
   /** Sequential-order double dot product of two float array columns
-    * (higher-order functions evaluate left-to-right — deterministic). */
+    * (higher-order functions evaluate left-to-right — deterministic).
+    * DSL aggregate/zip_with, not an expr() string: a computed Column's
+    * toString need not reparse as SQL. */
   def dot(a: Column, b: Column): Column =
-    expr(s"aggregate(zip_with(${a.toString}, ${b.toString}, " +
-      "(x, y) -> cast(x as double) * cast(y as double)), 0D, (acc, v) -> acc + v)")
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
 
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
@@ -113,10 +116,11 @@ object Similarity {
   /** Sign-bucket id: bit p set when v · plane_p > 0. */
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeArr = s"array(${p.mkString("D,")}D)"
-      when(expr(s"aggregate(zip_with(${vecCol.toString}, $planeArr, " +
-        "(x, y) -> cast(x as double) * y), 0D, (acc, v) -> acc + v)") > 0,
-        lit(1L << i)).otherwise(0L)
+      val planeArr = array(p.map(lit): _*)
+      val d = aggregate(
+        zip_with(vecCol, planeArr, (x, y) => x.cast("double") * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(d > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 
   /** Deterministic driver-side Lloyd's k-means for the IVF coarse
