@@ -192,6 +192,61 @@ object MatchQueries {
       .orderBy("column", "rule")
   }
 
+  /** Recomputes each transferred rule's violation count on supplier with
+    * the rule semantics inlined: range bands derive from CUSTOMER
+    * quantiles (q1 − 1.9·IQR, q3 + 1.9·IQR — the trained 1.5·IQR band
+    * widened 10% of its span per side by transfer adaptation), the name
+    * regex/length from its uniform profile. The 12-rule set itself is
+    * the fixture-deterministic transfer surface (Hungarian maps the four
+    * profile-compatible column pairs; level-4 rules gate out). */
+  val ruleTransferSql: String = {
+    def band(src: String, tgt: String): String =
+      s"""SELECT '$tgt' AS "column", 'range($tgt)' AS rule, count(*) AS n_violations
+         |FROM supplier, (SELECT quantile_cont($src, 0.25) AS q1,
+         |                       quantile_cont($src, 0.75) AS q3 FROM customer)
+         |WHERE $tgt IS NOT NULL
+         |  AND (CAST($tgt AS DOUBLE) < q1 - 1.9 * (q3 - q1)
+         |    OR CAST($tgt AS DOUBLE) > q3 + 1.9 * (q3 - q1))""".stripMargin
+    def dupRows(c: String): String =
+      s"""SELECT '$c', 'unique($c)', COALESCE(SUM(n), 0)::BIGINT FROM (
+         |  SELECT COUNT(*) AS n FROM supplier GROUP BY $c HAVING COUNT(*) > 1)""".stripMargin
+    s"""SELECT * FROM (
+       |${band("c_acctbal", "s_acctbal")}
+       |UNION ALL
+       |SELECT 's_acctbal', 'decimal_precision(s_acctbal)', count(*) FROM supplier
+       |WHERE s_acctbal IS NOT NULL AND length(regexp_extract(
+       |  CAST(s_acctbal AS VARCHAR), '^[+-]?\\d+\\.(\\d*?)0*$$', 1)) > 2
+       |UNION ALL
+       |SELECT 's_acctbal', 'not_null(s_acctbal)', count(*) FROM supplier
+       |WHERE s_acctbal IS NULL
+       |UNION ALL
+       |SELECT 's_name', 'not_null(s_name)', count(*) FROM supplier
+       |WHERE s_name IS NULL OR trim(s_name) = ''
+       |UNION ALL
+       |SELECT 's_name', 'regex(s_name)', count(*) FROM supplier
+       |WHERE s_name IS NOT NULL AND trim(s_name) <> ''
+       |  AND NOT regexp_matches(s_name, '^[A-Za-z]{8}#[0-9]{9}$$')
+       |UNION ALL
+       |SELECT 's_name', 'length(s_name)', count(*) FROM supplier
+       |WHERE s_name IS NOT NULL AND trim(s_name) <> ''
+       |  AND (length(s_name) < 17 OR length(s_name) > 19)
+       |UNION ALL
+       |${dupRows("s_name")}
+       |UNION ALL
+       |SELECT 's_nationkey', 'not_null(s_nationkey)', count(*) FROM supplier
+       |WHERE s_nationkey IS NULL
+       |UNION ALL
+       |${band("c_nationkey", "s_nationkey")}
+       |UNION ALL
+       |SELECT 's_suppkey', 'not_null(s_suppkey)', count(*) FROM supplier
+       |WHERE s_suppkey IS NULL
+       |UNION ALL
+       |${band("c_custkey", "s_suppkey")}
+       |UNION ALL
+       |${dupRows("s_suppkey")})
+       |ORDER BY "column", rule""".stripMargin
+  }
+
   // ---- m4: top-keyword overlap similarity (J8; rows-only) --------------
 
   def keywordOverlap(spark: SparkSession, dir: String): DataFrame = {
@@ -358,5 +413,6 @@ object MatchQueries {
     "mp1_multi_pipeline" -> multiPipelineSql,
     "m1_column_match" -> columnMatchSql,
     "m2_ks_wasserstein" -> ksWassersteinSql,
+    "m3_rule_transfer" -> ruleTransferSql,
     "m4_keyword_overlap" -> keywordOverlapSql)
 }
