@@ -176,6 +176,45 @@ object YamlRules {
     }
   }
 
+  /** The dialect's feature names for one profiler row (the reference's
+    * FeatureExtractor, modular_rule_system.py:14-27, over OUR profile
+    * schema) — so profile-kind conditions evaluate directly against a
+    * [[graft.profile.Profiler]] frame. Bindings (min_threshold,
+    * expected_class, ...) merge in via `extra`. */
+  def featuresOf(p: org.apache.spark.sql.Row,
+      extra: Map[String, Any] = Map.empty): Map[String, Any] = {
+    def d(c: String): Double = p.getAs[Double](c)
+    val base = Map[String, Any](
+      "num_rows" -> p.getAs[Long]("row_count"),
+      "nulls" -> p.getAs[Long]("null_count"),
+      "null_ratio" -> d("null_ratio"),
+      "distinct" -> p.getAs[Long]("distinct_count"),
+      "unique_ratio" -> d("unique_ratio"),
+      "min" -> d("num_min"), "max" -> d("num_max"),
+      "q1" -> d("num_q1"), "q3" -> d("num_q3"),
+      "length_min" -> p.getAs[Long]("min_len"),
+      "length_max" -> p.getAs[Long]("max_len"),
+      "decimal_places" -> p.getAs[Int]("max_decimals"),
+      "pattern" -> p.getAs[String]("dominant_pattern"),
+      "inferred_class" -> p.getAs[String]("inferred_type"))
+    // NaN features (no numeric values) drop out → clauses on them are
+    // FALSE, matching the reference's missing-feature semantics
+    base.filterNot {
+      case (_, v: Double) => v.isNaN
+      case _ => false
+    } ++ extra
+  }
+
+  /** Classify one profiled column: the profile-kind entries whose
+    * condition holds for its features. */
+  def classify(entries: Seq[YamlRuleDef], p: org.apache.spark.sql.Row,
+      extra: Map[String, Any] = Map.empty): Seq[String] = {
+    val feats = featuresOf(p, extra)
+    entries.filter(e => kindOf(e.name) == ProfileKind)
+      .filter(e => profilePredicate(e.condition)(feats))
+      .map(_.name)
+  }
+
   /** First-digit probabilities under Benford's law — injected as the
     * `benford_distribution` feature so the dialect's
     * `first_digit_distribution matches benford_distribution` entry

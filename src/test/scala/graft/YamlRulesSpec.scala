@@ -154,6 +154,36 @@ class YamlRulesSpec extends SparkSpec {
       Map("first_digit_distribution" -> Seq.fill(9)(1.0 / 9))))
   }
 
+  test("profile-kind entries classify real profiled columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "US", null.asInstanceOf[java.lang.Double]),
+      (2L, "US", java.lang.Double.valueOf(2.0)),
+      (3L, "CA", java.lang.Double.valueOf(3.0)),
+      (4L, "US", java.lang.Double.valueOf(4.0)))
+      .toDF("id", "cc", "v")
+    val prof = graft.profile.Profiler.profile(df, "t")
+      .collect().map(r => r.getAs[String]("column") -> r).toMap
+    val entries = YamlRules.loadFile(referenceYaml)
+    // id: 4 distinct of 4 rows, no nulls → NOT nullable, NOT low-card
+    assert(YamlRules.classify(entries, prof("id")) === Seq.empty)
+    // the primary-key CONDITION (scan-kind, so not in classify) holds
+    assert(YamlRules.profilePredicate(
+      "distinct == num_rows AND nulls == 0")(YamlRules.featuresOf(prof("id"))))
+    // v: one null → is_nullable fires
+    assert(YamlRules.classify(entries, prof("v")).contains("is_nullable"))
+    // quartile_thresholds via merged bindings on v (q1=2.5, q3=3.5)
+    assert(YamlRules.classify(entries, prof("v"),
+      Map("min_threshold" -> 0.0, "max_threshold" -> 10.0))
+      .contains("quartile_thresholds"))
+    // semantic_class_is with a matching expected class (cc is 2-of-4
+    // distinct → "string"; categorical needs unique_ratio ≤ 0.1)
+    assert(YamlRules.classify(entries, prof("cc"),
+      Map("expected_class" -> "string")).contains("semantic_class_is"))
+    assert(!YamlRules.classify(entries, prof("cc"),
+      Map("expected_class" -> "categorical")).contains("semantic_class_is"))
+  }
+
   test("primary-key condition evaluates over profiler features too") {
     // is_primary_key doubles as a profile classifier: distinct == num_rows AND nulls == 0
     val p = profilePredicate("distinct == num_rows AND nulls == 0")
