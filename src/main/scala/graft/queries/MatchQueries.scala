@@ -213,6 +213,14 @@ object MatchQueries {
     s"""SELECT * FROM (
        |${band("c_acctbal", "s_acctbal")}
        |UNION ALL
+       |-- unique(s_acctbal) transfers only when the SOURCE column is
+       |-- all-distinct (uniqueRatio == 1 generates UniqueRule) — true at
+       |-- small SFs, false once balances collide at larger row counts
+       |SELECT 's_acctbal', 'unique(s_acctbal)', (
+       |  SELECT COALESCE(SUM(n), 0)::BIGINT FROM (
+       |    SELECT COUNT(*) AS n FROM supplier GROUP BY s_acctbal HAVING COUNT(*) > 1))
+       |WHERE (SELECT COUNT(DISTINCT c_acctbal) = COUNT(*) AND COUNT(*) > 1 FROM customer)
+       |UNION ALL
        |SELECT 's_acctbal', 'decimal_precision(s_acctbal)', count(*) FROM supplier
        |WHERE s_acctbal IS NOT NULL AND length(regexp_extract(
        |  CAST(s_acctbal AS VARCHAR), '^[+-]?\\d+\\.(\\d*?)0*$$', 1)) > 2
