@@ -36,6 +36,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops too-late events in append mode") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val result = StreamingQuality.windowedStats(
+      input.toDF().toDF("ts", "event_type", "value"), "ts", "event_type", "value",
+      windowLen = "1 hour", watermark = "2 hours")
+    // append mode only emits windows the watermark has closed — the
+    // mode a 100 TB pipeline runs in (complete mode re-emits all state)
+    val q = result.writeStream.format("memory")
+      .queryName("late_stats").outputMode("append").start()
+    try {
+      input.addData((ts("2024-01-01 10:30:00"), "click", 2.0))
+      q.processAllAvailable()
+      // advance the watermark far past the 10:00 window...
+      input.addData((ts("2024-01-01 20:00:00"), "click", 7.0))
+      q.processAllAvailable()
+      // ...then a 9h-late event for the closed window: must be dropped
+      input.addData((ts("2024-01-01 10:40:00"), "click", 100.0))
+      input.addData((ts("2024-01-02 09:00:00"), "click", 1.0)) // closes 20:00 too
+      q.processAllAvailable()
+      val rows = spark.table("late_stats").collect()
+        .map(r => r.getString(0) -> (r.getAs[Long]("n"), r.getAs[Double]("mean")))
+        .toMap
+      // the 10:00 window emitted with ONLY the on-time event
+      assert(rows("2024-01-01 10:00:00") === ((1L, 2.0)))
+      assert(rows("2024-01-01 20:00:00") === ((1L, 7.0)))
+    } finally q.stop()
+  }
+
   test("session windows merge gap-close events on a stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
