@@ -11,9 +11,12 @@ import org.apache.spark.sql.types.DoubleType
   *
   * Equi-width: one min/max pre-agg (broadcast) + one bin groupBy whose
   * keyspace is `nBins` — map-side combine makes the shuffle trivial.
-  * Equi-depth: ntile over a global sort; at 100 TB replace with
-  * percentile_approx cutpoints (sketch) — only the max-bin share is
-  * consumed downstream, which the sketch preserves.
+  * Equi-depth: exact ntile semantics WITHOUT a global sort — ranks come
+  * from a distributed prefix sum over the (value, count) histogram
+  * (range partition + per-partition windows + broadcast offsets), and
+  * each value maps onto the rank intervals of the bins it overlaps by
+  * pure integer arithmetic. Ties split across bins exactly as ntile
+  * splits them; the heavy work is a map-side-combined groupBy(value).
   */
 object Histograms {
 
@@ -33,13 +36,60 @@ object Histograms {
       .select("bin", "lo", "hi", "cnt")
   }
 
-  /** Equi-depth bins via ntile: (bin, cnt, lo, hi); counts differ by at
-    * most 1 by construction. */
+  /** Equi-depth bins with exact `ntile(nBins)` semantics: (bin, cnt,
+    * lo, hi); counts differ by at most 1, ties split across adjacent
+    * bins by rank exactly as the window function splits them. */
   def equiDepthBins(df: DataFrame, column: String, nBins: Int = 10): DataFrame = {
     val d = col(s"`$column`").cast(DoubleType)
-    df.filter(d.isNotNull).select(d.as("x"))
-      .withColumn("bin", ntile(nBins).over(Window.orderBy("x")) - 1)
-      .groupBy("bin").agg(count(lit(1)).as("cnt"), min("x").as("lo"), max("x").as("hi"))
+    val counts = df.filter(d.isNotNull).select(d.as("x"))
+      .groupBy("x").agg(count(lit(1)).as("cnt"))
+
+    // distributed prefix sum of counts in value order → each value's
+    // 0-based start rank (same shape as the ECDF kernel: range
+    // partition, per-partition running sums, broadcast offsets)
+    val ranged = counts.repartitionByRange(col("x"))
+      .sortWithinPartitions("x")
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pidStats = ranged.groupBy("__pid").agg(sum("cnt").as("pc"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    var off = 0L
+    val offsets = pidStats.map { case (pid, pc) =>
+      val row = (pid, off); off += pc; row
+    }
+    val total = off
+    if (total == 0) return counts.select(
+      lit(0).as("bin"), col("x").as("lo"), col("x").as("hi"), col("cnt"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val offsetsDf = offsets.toSeq.toDF("__pid", "__off")
+
+    // ntile(n) over N rows: the first N % n buckets hold N/n + 1 rows
+    val q = total / nBins
+    val rem = total % nBins
+    def bucketOf(r: org.apache.spark.sql.Column) =
+      when(r < rem * (q + 1), floor(r / (q + 1)))
+        .otherwise(lit(rem) + floor((r - rem * (q + 1)) / math.max(q, 1L)))
+        .cast("int")
+    def bucketStart(b: org.apache.spark.sql.Column) =
+      when(b < rem, b * (q + 1)).otherwise(lit(rem * (q + 1)) + (b - rem) * q)
+    def bucketEnd(b: org.apache.spark.sql.Column) =
+      bucketStart(b) + when(b < rem, q + 1).otherwise(q)
+
+    val pidWin = Window.partitionBy("__pid").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .withColumn("__cum", sum("cnt").over(pidWin))
+      .join(broadcast(offsetsDf), Seq("__pid"))
+      .withColumn("__start", col("__cum") + col("__off") - col("cnt"))
+      // a value spans at most nBins rank intervals — explode only those
+      .withColumn("bin", explode(sequence(
+        bucketOf(col("__start")), bucketOf(col("__start") + col("cnt") - 1))))
+      .withColumn("__overlap",
+        least(col("__start") + col("cnt"), bucketEnd(col("bin"))) -
+          greatest(col("__start"), bucketStart(col("bin"))))
+      .groupBy("bin").agg(
+        sum("__overlap").as("cnt"), min("x").as("lo"), max("x").as("hi"))
       .select("bin", "lo", "hi", "cnt")
   }
 

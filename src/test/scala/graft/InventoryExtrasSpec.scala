@@ -39,6 +39,27 @@ class InventoryExtrasSpec extends SparkSpec {
     assert(share.getAs[Double]("max_bin_share") === 0.1)
   }
 
+  test("equi-depth splits ties across bins exactly like ntile") {
+    import spark.implicits._
+    // 8 rows, 3 bins → ntile sizes 3,3,2; the five 1.0s straddle the
+    // bin 0/1 boundary and the two 2.0s straddle bin 1/2
+    val df = Seq(1.0, 1.0, 1.0, 1.0, 1.0, 2.0, 2.0, 3.0).toDF("x")
+    val ed = Histograms.equiDepthBins(df, "x", 3).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(3), r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(ed(0) === ((3L, 1.0, 1.0)))
+    assert(ed(1) === ((3L, 1.0, 2.0)))
+    assert(ed(2) === ((2L, 2.0, 3.0)))
+    // fewer rows than bins: one row per occupied bin
+    val tiny = Seq(5.0, 7.0).toDF("x")
+    val tb = Histograms.equiDepthBins(tiny, "x", 10).collect()
+      .map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(tb === Map(0 -> 1L, 1 -> 1L))
+    // empty input: no bins
+    assert(Histograms.equiDepthBins(Seq.empty[Double].toDF("x"), "x", 4)
+      .count() === 0L)
+  }
+
   test("keyword overlap jaccard") {
     import spark.implicits._
     val src = Seq(("t", "c1", Seq("apple", "pear", "plum"))).toDF(
