@@ -32,55 +32,16 @@ object DistributionDistance {
       .withColumn("na", lit(0L))
     val merged = av.unionByName(bv)
       .groupBy("x").agg(sum("na").as("na"), sum("nb").as("nb"))
-
-    // Range-partition by value: partition i holds values strictly below
-    // partition i+1's. Persisted because three consumers follow (the
-    // per-partition stats, the prefix windows, and the totals).
-    val ranged = merged
-      .repartitionByRange(col("x"))
-      .sortWithinPartitions("x")
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
-    // Control plane: per-partition sums + first value, O(#partitions)
-    // rows → cumulative offsets and the next partition's first value
-    // (the boundary row's lead target) computed on the driver.
-    val pidStats = ranged.groupBy("__pid")
-      .agg(sum("na").as("pa"), sum("nb").as("pb"), min("x").as("firstx"))
-      .collect()
-      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
-      .sortBy(_._1)
-    var (offA, offB) = (0L, 0L)
-    val offsetRows = pidStats.zipWithIndex.map { case ((pid, pa, pb, _), i) =>
-      val row = (pid, offA, offB,
-        if (i + 1 < pidStats.length) Some(pidStats(i + 1)._4) else None)
-      offA += pa; offB += pb
-      row
-    }
-    val ta = offA
-    val tb = offB
-    import a.sparkSession.implicits._
-    val offsets = offsetRows.toSeq
-      .toDF("__pid", "__offa", "__offb", "__nextfirst")
-
-    // Data plane: per-partition prefix sums — each window partition is
-    // ONE range partition, so every task sorts only its own slice.
-    val pidWin = Window.partitionBy("__pid").orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val leadWin = Window.partitionBy("__pid").orderBy("x")
-    ranged
-      .withColumn("__ca", sum("na").over(pidWin))
-      .withColumn("__cb", sum("nb").over(pidWin))
-      .withColumn("__nx", lead("x", 1).over(leadWin))
-      .join(broadcast(offsets), Seq("__pid"))
-      .withColumn("ca", col("__ca") + col("__offa"))
-      .withColumn("cb", col("__cb") + col("__offb"))
-      .withColumn("ta", lit(ta))
-      .withColumn("tb", lit(tb))
+    val (cum, totals) = graft.ops.Scale.prefixSums(
+      merged, "x", Seq("na", "nb"), withNext = true)
+    cum
+      .withColumnRenamed("__cum_na", "ca")
+      .withColumnRenamed("__cum_nb", "cb")
+      .withColumn("ta", lit(totals("na")))
+      .withColumn("tb", lit(totals("nb")))
       .withColumn("fa", col("ca").cast(DoubleType) / col("ta").cast(DoubleType))
       .withColumn("fb", col("cb").cast(DoubleType) / col("tb").cast(DoubleType))
-      .withColumn("next_x", coalesce(col("__nx"), col("__nextfirst")))
-      .drop("__pid", "__ca", "__cb", "__nx", "__offa", "__offb", "__nextfirst")
+      .withColumnRenamed("__next", "next_x")
   }
 
   /** (ks, wasserstein) in one pass over the ECDF frame: KS = max

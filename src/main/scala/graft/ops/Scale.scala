@@ -45,4 +45,70 @@ object Scale {
   def bucketedJoin(spark: SparkSession, left: String, right: String,
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
+
+  /** Distributed prefix sums in `orderCol` order — the scale-safe form
+    * of `sum(c).over(Window.orderBy(orderCol))`, which would pull every
+    * row into one task. Range-partition by the order column, run the
+    * cumulative sums per partition in parallel windows keyed by the
+    * physical partition id, and add each partition's offset (collected
+    * per-partition totals — an O(#partitions) control-plane frame —
+    * broadcast back).
+    *
+    * Returns the frame with `__cum_<c>` (INCLUSIVE running sum) per
+    * requested column and, when `withNext`, `__next` (the following
+    * row's order value — per-partition lead with the boundary handed
+    * off from the next partition's first value), plus the grand total
+    * per column. The input should be one row per order value (group
+    * first); the returned frame is persisted (two consumers minimum:
+    * the stats pass already ran, the caller's pass follows). */
+  def prefixSums(df: DataFrame, orderCol: String, sumCols: Seq[String],
+      withNext: Boolean = false): (DataFrame, Map[String, Long]) = {
+    val ranged = df
+      .repartitionByRange(col(s"`$orderCol`"))
+      .sortWithinPartitions(orderCol)
+      .withColumn("__pid", spark_partition_id())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val aggs = sumCols.map(c => sum(col(s"`$c`")).as(s"__p_$c")) :+
+      min(col(s"`$orderCol`")).as("__first")
+    val pidStats = ranged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map(r => (r.getInt(0), sumCols.map(c => r.getAs[Long](s"__p_$c")),
+        r.get(r.fieldIndex("__first"))))
+      .sortBy(_._1)
+    val offs = Array.fill(sumCols.size)(0L)
+    val offsetRows = pidStats.zipWithIndex.map { case ((pid, ps, _), i) =>
+      val row = org.apache.spark.sql.Row.fromSeq(
+        pid +: offs.toSeq :+
+          (if (i + 1 < pidStats.length) pidStats(i + 1)._3 else null))
+      ps.zipWithIndex.foreach { case (p, j) => offs(j) += p }
+      row
+    }
+    val totals = sumCols.zip(offs).toMap
+    val spark = df.sparkSession
+    val orderType = df.schema(orderCol).dataType
+    val offSchema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("__pid",
+        org.apache.spark.sql.types.IntegerType, nullable = false) +:
+      sumCols.map(c => org.apache.spark.sql.types.StructField(s"__off_$c",
+        org.apache.spark.sql.types.LongType, nullable = false)) :+
+      org.apache.spark.sql.types.StructField("__nextfirst", orderType))
+    val offsets = spark.createDataFrame(
+      java.util.Arrays.asList(offsetRows: _*), offSchema)
+
+    val pidWin = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy(orderCol)
+    val cumWin = pidWin.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    var out = ranged.join(broadcast(offsets), Seq("__pid"))
+    sumCols.foreach { c =>
+      out = out.withColumn(s"__cum_$c",
+        sum(col(s"`$c`")).over(cumWin) + col(s"__off_$c"))
+    }
+    if (withNext)
+      out = out.withColumn("__next",
+        coalesce(lead(col(s"`$orderCol`"), 1).over(pidWin), col("__nextfirst")))
+    (out.drop("__pid" +: "__nextfirst" +: sumCols.map(c => s"__off_$c"): _*),
+      totals)
+  }
 }

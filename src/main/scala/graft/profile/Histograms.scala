@@ -45,24 +45,11 @@ object Histograms {
       .groupBy("x").agg(count(lit(1)).as("cnt"))
 
     // distributed prefix sum of counts in value order → each value's
-    // 0-based start rank (same shape as the ECDF kernel: range
-    // partition, per-partition running sums, broadcast offsets)
-    val ranged = counts.repartitionByRange(col("x"))
-      .sortWithinPartitions("x")
-      .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pidStats = ranged.groupBy("__pid").agg(sum("cnt").as("pc"))
-      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
-    var off = 0L
-    val offsets = pidStats.map { case (pid, pc) =>
-      val row = (pid, off); off += pc; row
-    }
-    val total = off
+    // 0-based start rank
+    val (cum, totals) = graft.ops.Scale.prefixSums(counts, "x", Seq("cnt"))
+    val total = totals("cnt")
     if (total == 0) return counts.select(
       lit(0).as("bin"), col("x").as("lo"), col("x").as("hi"), col("cnt"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val offsetsDf = offsets.toSeq.toDF("__pid", "__off")
 
     // ntile(n) over N rows: the first N % n buckets hold N/n + 1 rows
     val q = total / nBins
@@ -76,12 +63,8 @@ object Histograms {
     def bucketEnd(b: org.apache.spark.sql.Column) =
       bucketStart(b) + when(b < rem, q + 1).otherwise(q)
 
-    val pidWin = Window.partitionBy("__pid").orderBy("x")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .withColumn("__cum", sum("cnt").over(pidWin))
-      .join(broadcast(offsetsDf), Seq("__pid"))
-      .withColumn("__start", col("__cum") + col("__off") - col("cnt"))
+    cum
+      .withColumn("__start", col("__cum_cnt") - col("cnt"))
       // a value spans at most nBins rank intervals — explode only those
       .withColumn("bin", explode(sequence(
         bucketOf(col("__start")), bucketOf(col("__start") + col("cnt") - 1))))
