@@ -33,6 +33,27 @@ class ScaleSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("prefixSums equals the global-window cumulative sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val df = Seq((3.0, 2L, 10L), (1.0, 5L, 1L), (2.0, 1L, 7L), (5.0, 4L, 2L))
+      .toDF("x", "a", "b")
+    val (cum, totals) = graft.ops.Scale.prefixSums(df, "x", Seq("a", "b"),
+      withNext = true)
+    val got = cum.orderBy("x")
+      .select("x", "__cum_a", "__cum_b", "__next")
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    val w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, 0)
+    val want = df.orderBy("x")
+      .select(col("x"), sum("a").over(w), sum("b").over(w),
+        lead("x", 1).over(Window.orderBy("x")))
+      .collect().map(r => (r.getDouble(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(got === want)
+    assert(totals === Map("a" -> 12L, "b" -> 20L))
+  }
+
   test("filters and projections reach the parquet scan") {
     // A scan that decodes all columns for a 2-column filter+projection
     // would be wrong at 100 TB: assert pushdown + pruning survive our
