@@ -44,8 +44,14 @@ object ProfileQueries {
 
   // ---- p2: numeric stats -----------------------------------------------
 
+  /** exactThreshold raised to cover sf0.1's 600k rows: the oracle
+    * computes quantile_cont, which only the exact kernel reproduces —
+    * the auto-switch itself is exercised by the profileManyAuto users.
+    * The exact kernel is the sketch-bracketed one (no per-group sort),
+    * so this stays scale-shaped either way. */
   def profileNumeric(spark: SparkSession, dir: String): DataFrame =
     Profiler.profileAuto(Tables.load(spark, dir, "lineitem"), "lineitem",
+        exactThreshold = 1000000L,
         features = Set("quartiles"))
       .filter(col("column").isin(lineitemNumCols: _*))
       .select("column", "num_count", "num_min", "num_max", "num_mean",
