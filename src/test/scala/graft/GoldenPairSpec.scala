@@ -255,6 +255,29 @@ class GoldenPairSpec extends SparkSpec {
     assert(math.abs(orr - 343.0 / 442.0) < 1e-9, s"overall recall $orr")
   }
 
+  test("Quintet_Match pairs: profile matching recovers the identity mapping") {
+    // The reference's matching fixtures (datasets/Quintet_Match) pair a
+    // table with a copy of itself: the matcher must align every column
+    // with its counterpart from PROFILES alone, despite several columns
+    // sharing a type (city/state/beer_name are all strings). Hungarian
+    // 1-1 assignment over candidate scores must return the identity.
+    Seq("beers", "hospital").foreach { name =>
+      val mdir = s"/root/reference/datasets/Quintet_Match/${name}_1"
+      val mdir2 = s"/root/reference/datasets/Quintet_Match/${name}_2"
+      val t1 = Ingest.readCsvStrict(spark, s"$mdir/dirty.csv")
+      val t2 = Ingest.readCsvStrict(spark, s"$mdir2/dirty.csv")
+      val profiles = graft.profile.Profiler.profileMany(
+        Seq("t1" -> t1, "t2" -> t2)).localCheckpoint()
+      val cands = graft.matching.ColumnMatcher.candidates(
+        profiles.filter(col("table") === "t1"),
+        profiles.filter(col("table") === "t2"))
+      val mapping = graft.matching.ColumnMatcher.assign(cands).toMap
+      val wrong = mapping.filter { case (s, t) => s != t }
+      assert(wrong.isEmpty, s"$name mis-pairs: $wrong")
+      assert(mapping.size === t1.columns.length)
+    }
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
