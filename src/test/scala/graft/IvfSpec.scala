@@ -42,6 +42,11 @@ class IvfSpec extends SparkSpec {
     // small and mentions no per-centroid struct literals.
     val plan = out.queryExecution.executedPlan.toString
     assert(plan.length < 2000000, s"plan blew up: ${plan.length} chars")
+    // the 64-centroid matrix appears as array literals, not as 64
+    // separate CASE/struct expression trees: the branchy keyword count
+    // stays far below the centroid count
+    assert(plan.split("CASE WHEN", -1).length - 1 < 64,
+      s"per-centroid expression trees leaked into the plan")
     assert(out.count() > 0)
   }
 }
