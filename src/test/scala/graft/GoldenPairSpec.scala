@@ -278,6 +278,26 @@ class GoldenPairSpec extends SparkSpec {
     }
   }
 
+  test("lake discovery + YAML rules run the reference lake end to end") {
+    // datasets/Quintet is exactly the <dir>/<table>/dirty.csv layout
+    // discoverLake expects; drive the declared-rule surface over it
+    val lake = Ingest.discoverLake(spark, "/root/reference/datasets/Quintet")
+    assert(lake.keySet === Set("hospital", "flights", "beers", "rayyan"))
+    assert(lake.values.forall(_._2.isDefined)) // every table has a clean side
+    val entries = YamlRules.loadFile("/root/reference/rules.yaml")
+    val (hospital, _) = lake("hospital")
+    val out = YamlRules.scanWith(hospital, "hospital", entries, Map(
+        "matches_regex" -> Map("column" -> "zip", "expected_pattern" -> "^\\d{5}$"),
+        "length_within" -> Map("column" -> "state",
+          "min_length" -> 2, "max_length" -> 2)),
+      keyCol = "index")
+    val byRule = out.groupBy("rule").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the hospital pair plants x-substitution typos in zips and states
+    assert(byRule.getOrElse("regex(zip)", 0L) > 10L)
+    assert(byRule.getOrElse("length(state)", 0L) === 0L) // typos keep length 2
+  }
+
   test("regex + OOV detectors score against the golden diff") {
     val (dirty, clean) = loadPair()
     val actual = Metrics.actualErrorCells(dirty, clean, "index")
