@@ -184,6 +184,21 @@ class YamlRulesSpec extends SparkSpec {
       Map("expected_class" -> "categorical")).contains("semantic_class_is"))
   }
 
+  test("condition grammar: arithmetic, strings, and malformed input") {
+    // expr arithmetic (+, /) on both clause sides
+    val p1 = profilePredicate("distinct + nulls == num_rows")
+    assert(p1(Map("distinct" -> 95, "nulls" -> 5, "num_rows" -> 100)))
+    assert(!p1(Map("distinct" -> 95, "nulls" -> 4, "num_rows" -> 100)))
+    // quoted string literal comparison
+    val p2 = profilePredicate("inferred_class == 'date'")
+    assert(p2(Map("inferred_class" -> "date")))
+    assert(!p2(Map("inferred_class" -> "float")))
+    // numeric-vs-string clause is false, not an error
+    assert(!profilePredicate("pattern == 5")(Map("pattern" -> "999")))
+    // unparseable clause fails at compile time, not evaluation time
+    assertThrows[IllegalArgumentException](profilePredicate("just words"))
+  }
+
   test("primary-key condition evaluates over profiler features too") {
     // is_primary_key doubles as a profile classifier: distinct == num_rows AND nulls == 0
     val p = profilePredicate("distinct == num_rows AND nulls == 0")
