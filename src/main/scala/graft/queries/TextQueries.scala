@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.Tables
 import graft.text.TextAnalysis
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Correctness-gate queries for text analysis (language ID, quality
@@ -36,10 +36,19 @@ object TextQueries {
 
   // ---- t2: quality scores ----------------------------------------------
 
+  /** Half-up rounding spelled as floor(x·10⁴ + ½)/10⁴ instead of
+    * round(x, 4): every step is an exactly-specified IEEE-754 op on a
+    * bit-identical input, so Spark and DuckDB cannot disagree at
+    * .xxxx5 boundaries (Spark rounds the double's shortest decimal
+    * repr, DuckDB rounds x·10⁴ — they split on raw scores within one
+    * ulp of a boundary; 4 docs at sf0.1 did exactly that). */
+  private[graft] def round4(x: Column): Column =
+    floor(x * 10000d + 0.5d) / 10000d
+
   def quality(spark: SparkSession, dir: String): DataFrame =
     Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
-        round(TextAnalysis.qualityScore("text"), 4).as("quality"))
+        round4(TextAnalysis.qualityScore("text")).as("quality"))
       .orderBy("doc_id")
 
   val qualitySql: String = {
@@ -49,7 +58,7 @@ object TextQueries {
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
     val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
     val nTok = s"CAST(len($WS) AS DOUBLE)"
-    s"""SELECT doc_id, ROUND(
+    s"""SELECT doc_id, FLOOR((
        |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
        |        WHEN $len < 200 THEN $len / 200.0
        |        ELSE 20000.0 / $len END) * 0.3
@@ -60,7 +69,7 @@ object TextQueries {
        |     ELSE 0.0 END) * 0.2
        |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
        |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |, 4) AS quality
+       |) * 10000 + 0.5) / 10000.0 AS quality
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 

@@ -141,6 +141,19 @@ class DedupSpec extends SparkSpec {
     assert(q.forall(v => v >= 0.0 && v <= 1.0))
   }
 
+  test("round4 is IEEE-deterministic at .xxxx5 boundaries") {
+    // The two sf0.1 docs whose raw scores sat within one ulp of a
+    // 4-decimal boundary and split Spark's round() from DuckDB's:
+    // floor(x*1e4 + 0.5)/1e4 is pure IEEE arithmetic, so both engines
+    // compute the identical bits. Expected values pinned from the
+    // same formula evaluated in CPython (also IEEE-754).
+    val in = Seq(0.94524999999999992, 0.78774999999999995, 0.12345)
+    val got = in.toDF("x")
+      .select(graft.queries.TextQueries.round4(col("x")).as("r"))
+      .as[Double].collect().toSeq
+    assert(got == Seq(0.9453, 0.7877, 0.1235))
+  }
+
   test("cosine top-k ranks identical vector first") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f, 0.0f)),
