@@ -94,10 +94,14 @@ object Clustering {
       maxIter: Int = 50): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    // Sort by column_id: collect() order follows physical partitioning
+    // (thread count, shuffle partitions), and the seeded kmeans++ draw
+    // indexes into this array — without the sort the "deterministic"
+    // fit silently depends on the session's parallelism.
     val pts = vectors.collect().map { r =>
       r.getAs[String]("column_id") ->
         r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
-    }
+    }.sortBy(_._1)
     require(pts.nonEmpty, "kmeansLocal on empty vectors")
     val kk = math.min(k, pts.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {

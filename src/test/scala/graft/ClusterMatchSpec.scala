@@ -104,4 +104,36 @@ class ClusterMatchSpec extends SparkSpec {
       Set("customer::c_custkey", "nation::n_nationkey"),
       Set("customer::c_acctbal", "supplier::s_acctbal")))
   }
+
+  test("c1 gate query: exact seeded KMeans partition at sf0.001") {
+    // The driver only rows-checks c1 (an iterative seeded fit has no SQL
+    // oracle); this pins the exact deterministic partition the seeded
+    // kmeans++ produces, stated as cluster-member sets so a label
+    // permutation cannot hide a real assignment change: monetary/text
+    // amounts, key columns, name-ish strings, small-int codes.
+    val profiles = graft.profile.Profiler.profileManyAuto(
+      Seq("customer", "supplier", "part", "orders", "nation")
+        .map(t => t -> graft.Tables.load(spark, sf, t)),
+      features = Set("mode", "pattern"))
+    val assign = graft.cluster.Clustering
+      .kmeansLocal(graft.cluster.Clustering.vectorize(profiles), k = 4)
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val clusters = assign.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(clusters === Set(
+      Set("customer::c_acctbal", "orders::o_totalprice",
+        "part::p_retailprice", "supplier::s_acctbal"),
+      Set("customer::c_custkey", "customer::c_nationkey",
+        "nation::n_nationkey", "nation::n_regionkey", "orders::o_custkey",
+        "orders::o_orderkey", "part::p_partkey", "part::p_size",
+        "supplier::s_nationkey", "supplier::s_suppkey"),
+      Set("customer::c_mktsegment", "orders::o_orderpriority",
+        "orders::o_orderstatus", "part::p_brand", "part::p_name",
+        "part::p_type"),
+      Set("customer::c_name", "nation::n_name", "orders::o_orderdate",
+        "supplier::s_name")))
+    // and the gate query's shape on top of it: 4 clusters sized 10/6/4/4
+    val sizes = graft.queries.MatchQueries.kmeansClusters(spark, sf)
+      .collect().map(r => r.getLong(1))
+    assert(sizes.sorted.toSeq === Seq(4L, 4L, 6L, 10L))
+  }
 }
