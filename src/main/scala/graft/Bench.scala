@@ -25,11 +25,13 @@ object Bench {
       catch { case _: Throwable => () }
       dropState()
     }
-    // Best of 2 runs per query: this host's load is bursty (±50%
-    // run-to-run on the same code), and the minimum is the
-    // reproducible number — contention only ever adds time.
+    // Median of 3 runs per query: this host's load is bursty (±50%
+    // run-to-run on the same code), and single-shot numbers were
+    // noise-dominated — round 4 showed 3×-inflated readings that a
+    // median reproduces within ±30%. The median absorbs one bad run
+    // without the min's bias toward lucky cache states.
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = (1 to 2).map { _ =>
+      val sec = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
@@ -37,7 +39,7 @@ object Bench {
         // are measured on a clean executor heap
         dropState()
         s
-      }.min
+      }.sorted.apply(1)
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
     }
