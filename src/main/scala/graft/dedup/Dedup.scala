@@ -254,6 +254,11 @@ object Dedup {
     * bits the pmod masks away, so every key is the exact unsigned
     * 16-bit slice. */
   def simhashPairs(sigs: DataFrame, maxDistance: Int = 3): DataFrame = {
+    // 4 bands only pigeonhole-guarantee a shared intact band for
+    // distance ≤ 3; a larger maxDistance would silently under-recall
+    // pairs that differ in all four bands
+    require(maxDistance >= 0 && maxDistance <= 3,
+      s"simhashPairs with 4 bands guarantees recall only for maxDistance <= 3, got $maxDistance")
     // 4 rows of 4 longs per doc, self-joined below: checkpoint so the
     // signature pipeline (distinct words + 64 bit votes) runs once,
     // not once per join side

@@ -63,11 +63,24 @@ object Scale {
     * the stats pass already ran, the caller's pass follows). */
   def prefixSums(df: DataFrame, orderCol: String, sumCols: Seq[String],
       withNext: Boolean = false): (DataFrame, Map[String, Long]) = {
+    sumCols.foreach { c =>
+      val dt = df.schema(s"$c").dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"prefixSums accumulates in Long; column $c is $dt — cast first")
+    }
+    // Eager localCheckpoint, not persist: repartitionByRange samples its
+    // boundaries, so a lineage replay (lost block after executor
+    // failure) could land rows in DIFFERENT partitions than the ones
+    // whose offsets were collected below — silently corrupting every
+    // cumulative sum. The checkpoint freezes the __pid→rows mapping,
+    // and its blocks are released when the frame is GC'd instead of
+    // pinning the cache for the session lifetime (the old persist
+    // handle was dropped on return and could never be unpersisted).
     val ranged = df
       .repartitionByRange(col(s"`$orderCol`"))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     val aggs = sumCols.map(c => sum(col(s"`$c`")).as(s"__p_$c")) :+
       min(col(s"`$orderCol`")).as("__first")
     val pidStats = ranged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)

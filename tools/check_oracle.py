@@ -77,6 +77,11 @@ def main(sf_dir, out_dir):
         # whichever side promoted it (DuckDB .df() vs pyarrow nullable) —
         # treat an i/f pair as matching when the float side is integral
         # wherever non-null.
+        # ... but ONLY when the float side actually carries nulls: an
+        # all-integral float column against an int column is the
+        # regression this gate exists to catch (an engine silently
+        # materializing a float-typed result as int64), not a pandas
+        # promotion artifact.
         def kind_ok(c):
             a, b = got[c], want[c]
             if a.dtype.kind == b.dtype.kind:
@@ -84,6 +89,8 @@ def main(sf_dir, out_dir):
             pair = {a.dtype.kind, b.dtype.kind}
             if pair == {"i", "f"}:
                 f = a if a.dtype.kind == "f" else b
+                if not f.isna().any():
+                    return False
                 nn = f.dropna()
                 return bool((nn == nn.round()).all())
             return False
