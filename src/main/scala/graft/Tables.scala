@@ -41,7 +41,13 @@ object Tables {
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
     load(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000"))) // integer div: exact
+      // nanos → micros must be EXACT integer division: epoch nanos
+      // (~1.7e18) exceed double's 2^53, so a float divide would drift.
+      // Decimal divide is exact at scale 6 (true quotient has 3
+      // decimals), floor drops them, and the long cast is lossless.
+      .withColumn("ts", timestamp_micros(
+        floor(col("ts").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          / lit(1000L)).cast(org.apache.spark.sql.types.LongType)))
   }
 
   /** Register every table as a temp view so spark.sql(...) works too. */

@@ -58,19 +58,19 @@ object Dedup {
     * the text per shingle index (O(len²); measured 60 s vs 4 s on 5 k
     * docs). */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val grams = expr(
-      s"""CASE WHEN size(__ws) >= $n THEN
-         |  transform(sequence(0, size(__ws) - $n),
-         |            i -> array_join(slice(__ws, i + 1, $n), ' '))
-         |ELSE array() END""".stripMargin)
-    df.select(col(idCol).as("id"), expr(wordsSql(textCol)).as("__ws"))
+    val ws = col("__ws")
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
       .select(col("id"), explode(grams).as("shingle"))
       .filter(length(col("shingle")) > 0)
       .distinct()
   }
 
-  private def wordsSql(textCol: String): String =
-    s"filter(split(lower($textCol), '[^a-z0-9]+'), w -> w <> '')"
+  private def words(textCol: Column): Column =
+    filter(split(lower(textCol), "[^a-z0-9]+"), w => w =!= "")
 
   // ---- n-gram Jaccard near-duplicates ----------------------------------
 
@@ -149,7 +149,8 @@ object Dedup {
       .withColumn("band", (col("perm_id") / rowsPerBand).cast("int"))
       .groupBy("id", "band")
       .agg(md5(array_join(
-        expr("transform(array_sort(collect_list(struct(perm_id, min_hash))), x -> cast(x.min_hash as string))"),
+        transform(array_sort(collect_list(struct(col("perm_id"), col("min_hash")))),
+          x => x.getField("min_hash").cast("string")),
         ",")).as("bucket"))
 
   /** [[lshBuckets]] straight off the wide signature row: the bucket
@@ -227,9 +228,9 @@ object Dedup {
     * No ANSI overflow: bits 0..62 sum to at most Long.MaxValue and the
     * bit-63 term is Long.MinValue, so every partial sum stays in range. */
   def simhash(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val words = df
+    val toks = df
       .select(col(idCol).as("id"),
-        explode(expr(wordsSql(textCol))).as("word"))
+        explode(words(col(textCol))).as("word"))
       .filter(length(col("word")) > 0)
       .distinct()
       .withColumn("hlo", conv(substring(md5(col("word")), 1, 8), 16, 10).cast(LongType))
@@ -238,7 +239,7 @@ object Dedup {
       val src = if (i < 32) shiftright(col("hlo"), i) else shiftright(col("hhi"), i - 32)
       sum(when(pmod(src, lit(2L)) === 1, 1).otherwise(-1)).as(s"b$i")
     }
-    val votes = words.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
+    val votes = toks.groupBy("id").agg(bitCols.head, bitCols.tail: _*)
     val sig = (0 until 64).map { i =>
       when(col(s"b$i") > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
@@ -276,7 +277,7 @@ object Dedup {
     a.join(b, Seq("band", "key"))
       .filter(col("ida") < col("idb"))
       .select(col("ida"), col("idb"),
-        expr("bit_count(siga ^ sigb)").cast("int").as("hamming"))
+        bit_count(col("siga").bitwiseXOR(col("sigb"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxDistance)
   }

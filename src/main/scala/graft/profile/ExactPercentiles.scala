@@ -96,19 +96,28 @@ object ExactPercentiles {
             .as(s"__cand_$i"))
       }
     val b = joined.groupBy(gs: _*).agg(bAggs.head, bAggs.tail: _*)
+    // cumulative walk over the sorted candidate histogram: carry
+    // (cum rank, bracketing lo/hi once their rank interval is hit)
     val outCols = gs ++ ps.zipWithIndex.map { case ((name, p), i) =>
-      expr(
-        s"""aggregate(__cand_$i,
-           |  named_struct('cum', cast(__below_$i as bigint),
-           |    'lo', cast(null as double), 'hi', cast(null as double)),
-           |  (acc, e) -> named_struct(
-           |    'cum', acc.cum + e.cnt,
-           |    'lo', if(acc.lo is null and floor($p * (__n - 1)) >= acc.cum
-           |             and floor($p * (__n - 1)) < acc.cum + e.cnt, e.x, acc.lo),
-           |    'hi', if(acc.hi is null and ceil($p * (__n - 1)) >= acc.cum
-           |             and ceil($p * (__n - 1)) < acc.cum + e.cnt, e.x, acc.hi)),
-           |  acc -> acc.lo + (acc.hi - acc.lo)
-           |    * ($p * (__n - 1) - floor($p * (__n - 1))))""".stripMargin).as(name)
+      val target = lit(p) * (col("__n") - 1)
+      val loRank = floor(target)
+      val hiRank = ceil(target)
+      def pick(rank: Column, field: String, acc: Column, e: Column): Column =
+        when(acc.getField(field).isNull && rank >= acc.getField("cum") &&
+          rank < acc.getField("cum") + e.getField("cnt"), e.getField("x"))
+          .otherwise(acc.getField(field))
+      aggregate(
+        col(s"__cand_$i"),
+        struct(col(s"__below_$i").cast("bigint").as("cum"),
+          lit(null).cast(DoubleType).as("lo"),
+          lit(null).cast(DoubleType).as("hi")),
+        (acc, e) => struct(
+          (acc.getField("cum") + e.getField("cnt")).as("cum"),
+          pick(loRank, "lo", acc, e).as("lo"),
+          pick(hiRank, "hi", acc, e).as("hi")),
+        acc => acc.getField("lo") +
+          (acc.getField("hi") - acc.getField("lo")) * (target - loRank))
+        .as(name)
     }
     b.select(outCols: _*)
   }

@@ -96,7 +96,7 @@ object Profiler {
     val s = col("value")
     val miss = isMissing(s)
     val nn = !miss
-    val d = expr("try_cast(value as double)")
+    val d = col("value").try_cast(DoubleType)
     val one = lit(1L)
     def cntIf(p: Column): Column = coalesce(sum(when(p, one)), lit(0L))
     // ANSI mode (Spark 4 default) throws on x/0 — guard every ratio
@@ -121,11 +121,11 @@ object Profiler {
     // word-class counts (A5; reference: profiling/profiler.py:212-227):
     // whitespace tokens classified whole-token
     def wordClassCnt(re: String): Column = coalesce(sum(when(nn,
-      expr(s"size(filter(split(trim(value), '\\\\s+'), w -> w rlike '$re'))")
+      size(filter(split(trim(s), "\\s+"), w => w.rlike(re)))
         .cast(LongType))), lit(0L))
     val alphaWords = wordClassCnt("^[A-Za-z]+$")
     val digitWords = wordClassCnt("^[0-9]+$")
-    val punctWords = wordClassCnt("^\\\\p{Punct}+$")
+    val punctWords = wordClassCnt("^\\p{Punct}+$")
     // fused path: ONE byte-loop evaluates all six type votes per cell
     // (regex parity spec-checked, incl. trailing-terminator semantics)
     val vote = graft.functions.CellTypeVote(s)
@@ -186,11 +186,11 @@ object Profiler {
     if (cfg.exact)
       ExactPercentiles.byGroups(
         present.select(col("table"), col("column"),
-          expr("try_cast(value as double)").as("num")),
+          col("value").try_cast(DoubleType).as("num")),
         Seq("table", "column"), "num",
         Seq("num_q1" -> 0.25, "num_median" -> 0.5, "num_q3" -> 0.75))
     else {
-      val d = expr("try_cast(value as double)")
+      val d = col("value").try_cast(DoubleType)
       val pcts = percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
       present.groupBy("table", "column").agg(
         coalesce(pcts.getItem(0), lit(Double.NaN)).as("num_q1"),
@@ -293,7 +293,7 @@ object Profiler {
       .groupBy("table", "column")
       .agg(collect_list(struct(col("rk"), col("word"))).as("kw"))
       .select(col("table"), col("column"),
-        expr("transform(array_sort(kw), x -> x.word)").as("top_keywords"))
+        transform(array_sort(col("kw")), x => x.getField("word")).as("top_keywords"))
   }
 
   /** Like [[profile]] but picks exact vs sketch statistics from the

@@ -191,9 +191,9 @@ object DedupQueries {
   def embeddingDups(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val base = emb.select(col("vec_id"),
-      expr("transform(embedding, x -> cast(x as double))").as("vd"))
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
     val copy = emb.select((col("vec_id") + 1000000).as("vec_id"),
-      expr("transform(embedding, x -> cast(x as double) + 0.02D)").as("vd"))
+      transform(col("embedding"), x => x.cast("double") + lit(0.02)).as("vd"))
     graft.sim.Similarity.cosineNearDupPairs(
         base.unionByName(copy), "vec_id", "vd",
         threshold = 0.95, bands = 4, planesPerBand = 8, dim = 64)

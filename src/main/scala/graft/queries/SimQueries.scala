@@ -101,8 +101,8 @@ object SimQueries {
   def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings")
     val dims = (0 until Dim).map(i =>
-      (sum(expr(s"cast(cast(embedding[$i] as double) as decimal(30,12))")).cast("double") /
-        count(lit(1))).as(s"c$i"))
+      (sum(col("embedding").getItem(i).cast("double").cast("decimal(30,12)"))
+        .cast("double") / count(lit(1))).as(s"c$i"))
     val centroids = emb.groupBy("label").agg(dims.head, dims.tail: _*)
     val normExpr = (0 until Dim).map(i => col(s"c$i") * col(s"c$i")).reduce(_ + _)
     centroids.select(col("label"), round(sqrt(normExpr), 4).as("centroid_norm"))
