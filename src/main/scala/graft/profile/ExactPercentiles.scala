@@ -1,7 +1,6 @@
 package graft.profile
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DoubleType
 
@@ -122,30 +121,4 @@ object ExactPercentiles {
     b.select(outCols: _*)
   }
 
-  /** Window-ranked kernel (the original formulation; kept as the
-    * parity reference for the sketched kernel's spec). */
-  def byGroupsSorted(long: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    val x = col(s"`$valueCol`").cast(DoubleType)
-    val gs = groupCols.map(g => col(s"`$g`"))
-    val hist = long.filter(x.isNotNull)
-      .groupBy(gs :+ x.as("__x"): _*)
-      .agg(count(lit(1)).as("__cnt"))
-    val w = Window.partitionBy(gs: _*).orderBy("__x")
-    val ranked = hist
-      .withColumn("__cum", sum("__cnt").over(w).cast(DoubleType))
-      .withColumn("__n",
-        sum("__cnt").over(Window.partitionBy(gs: _*)).cast(DoubleType))
-      .withColumn("__start", col("__cum") - col("__cnt"))
-    val pAggs = ps.map { case (name, p) =>
-      val rowTarget = lit(p) * (col("__n") - 1)
-      def covers(r: org.apache.spark.sql.Column) =
-        col("__start") <= r && r < col("__cum")
-      val lower = max(when(covers(floor(rowTarget)), col("__x")))
-      val upper = max(when(covers(ceil(rowTarget)), col("__x")))
-      val target = lit(p) * (max(col("__n")) - 1)
-      (lower + (upper - lower) * (target - floor(target))).as(name)
-    }
-    ranked.groupBy(gs: _*).agg(pAggs.head, pAggs.tail: _*)
-  }
 }

@@ -13,11 +13,42 @@ class ExactPercentilesSpec extends SparkSpec {
 
   private val ps = Seq("p05" -> 0.05, "q1" -> 0.25, "med" -> 0.5, "p95" -> 0.95)
 
+  /** Window-ranked reference kernel (the original product formulation,
+    * retired from src/main once the sketched kernel became the only
+    * production path; kept here as the independent parity reference —
+    * its own correctness is pinned against the builtin below). */
+  private def byGroupsSorted(long: org.apache.spark.sql.DataFrame,
+      groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val x = col(s"`$valueCol`").cast("double")
+    val gs = groupCols.map(g => col(s"`$g`"))
+    val hist = long.filter(x.isNotNull)
+      .groupBy(gs :+ x.as("__x"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val w = Window.partitionBy(gs: _*).orderBy("__x")
+    val ranked = hist
+      .withColumn("__cum", sum("__cnt").over(w).cast("double"))
+      .withColumn("__n",
+        sum("__cnt").over(Window.partitionBy(gs: _*)).cast("double"))
+      .withColumn("__start", col("__cum") - col("__cnt"))
+    val pAggs = ps.map { case (name, p) =>
+      val rowTarget = lit(p) * (col("__n") - 1)
+      def covers(r: org.apache.spark.sql.Column) =
+        col("__start") <= r && r < col("__cum")
+      val lower = max(when(covers(floor(rowTarget)), col("__x")))
+      val upper = max(when(covers(ceil(rowTarget)), col("__x")))
+      val target = lit(p) * (max(col("__n")) - 1)
+      (lower + (upper - lower) * (target - floor(target))).as(name)
+    }
+    ranked.groupBy(gs: _*).agg(pAggs.head, pAggs.tail: _*)
+  }
+
   private def crossCheck(rows: Seq[(String, Double)], clue: String): Unit = {
     val long = rows.toDF("g", "x")
     val a = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps)
       .collect().map(r => r.getString(0) -> r).toMap
-    val b = ExactPercentiles.byGroupsSorted(long, Seq("g"), "x", ps)
+    val b = byGroupsSorted(long, Seq("g"), "x", ps)
       .collect().map(r => r.getString(0) -> r).toMap
     assert(a.keySet == b.keySet, clue)
     for (g <- a.keySet; (name, _) <- ps) {
@@ -43,11 +74,13 @@ class ExactPercentilesSpec extends SparkSpec {
       "mixed")
   }
 
-  test("sketched kernel matches builtin exact percentile") {
+  test("sketched AND reference kernels match builtin exact percentile") {
     val rng = new scala.util.Random(11)
     val rows = Seq.tabulate(4000)(i => ("g" + i % 3) -> rng.nextGaussian() * 50)
     val long = rows.toDF("g", "x")
     val ours = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val ref = byGroupsSorted(long, Seq("g"), "x", ps)
       .collect().map(r => r.getString(0) -> r).toMap
     val builtin = long.groupBy("g")
       .agg(percentile(col("x"), lit(0.05)).as("p05"),
@@ -55,9 +88,14 @@ class ExactPercentilesSpec extends SparkSpec {
         percentile(col("x"), lit(0.5)).as("med"),
         percentile(col("x"), lit(0.95)).as("p95"))
       .collect().map(r => r.getString(0) -> r).toMap
-    for (g <- builtin.keySet; (name, _) <- ps)
+    for (g <- builtin.keySet; (name, _) <- ps) {
       assert(math.abs(ours(g).getAs[Double](name) -
-        builtin(g).getAs[Double](name)) < 1e-9, s"$g $name")
+        builtin(g).getAs[Double](name)) < 1e-9, s"sketched $g $name")
+      // the parity reference must itself agree with the independent
+      // oracle, or crossCheck could bless two identically-wrong kernels
+      assert(math.abs(ref(g).getAs[Double](name) -
+        builtin(g).getAs[Double](name)) < 1e-9, s"sorted $g $name")
+    }
   }
 
   test("groups with only nulls are absent; null values ignored") {
