@@ -86,10 +86,22 @@ object MultiTablePipeline {
     val trainSide = if (trainTables.nonEmpty) trainTables else tables
     // sketch statistics: rule generation reads quartiles only as IQR
     // band endpoints — percentile_approx is the at-scale choice and
-    // deterministic for a fixed input
-    val profiles = Profiler.profileMany(trainSide.toSeq.sortBy(_._1),
-        graft.profile.ProfilerConfig(exact = false, features = features))
-      .localCheckpoint()
+    // deterministic for a fixed input. profileManyCached: the pipeline
+    // consumes the profile twice (vectorize + rule derivation), so the
+    // value histogram is persisted across Pass-A and the branches and
+    // the O(#columns) result materialized once.
+    // the pipeline's two consumers (vectorize features + RuleGenerator
+    // .fromProfileRow) read exactly these columns
+    val consumed = Seq("table", "column", "row_count", "null_ratio",
+      "distinct_count", "unique_ratio", "avg_len", "avg_word_len",
+      "ratio_int", "ratio_float", "ratio_bool", "ratio_date",
+      "mode_value", "mode_ratio", "dominant_pattern",
+      "dominant_pattern_ratio", "inferred_type", "num_count",
+      "num_q1", "num_median", "num_q3", "min_len", "max_len",
+      "max_decimals")
+    val profiles = Profiler.profileManyCached(trainSide.toSeq.sortBy(_._1),
+        graft.profile.ProfilerConfig(exact = false, features = features),
+        columns = consumed)
     val assignments = Clustering.dbscanAssign(
       Clustering.vectorize(profiles), eps, minPts)
     val bound = sharedClusterRules(profiles, assignments)

@@ -91,38 +91,46 @@ object Profiler {
     longFormat(df).filter(!isMissing(col("value")))
 
   /** Pass-A features over the long format — table-independent
-    * expressions, all primitive-buffer aggregates (codegen'd). */
-  private def featureAggs(cfg: ProfilerConfig): Seq[Column] = {
+    * expressions, all primitive-buffer aggregates (codegen'd).
+    *
+    * Every aggregate is weighted by `w`: `lit(1L)` when aggregating
+    * data rows directly, or the histogram count when aggregating the
+    * (table, column, value) → cnt frame — the per-value expressions
+    * (census, type votes, word splits, regex scans) then evaluate once
+    * per DISTINCT value instead of once per row, with bit-identical
+    * results (counts and sums scale linearly in the multiplicity;
+    * min/max are multiplicity-blind; the decimal mean is exact under
+    * any grouping of its terms). */
+  private def featureAggs(cfg: ProfilerConfig, w: Column): Seq[Column] = {
     val s = col("value")
     val miss = isMissing(s)
     val nn = !miss
     val d = col("value").try_cast(DoubleType)
-    val one = lit(1L)
-    def cntIf(p: Column): Column = coalesce(sum(when(p, one)), lit(0L))
+    def cntIf(p: Column): Column = coalesce(sum(when(p, w)), lit(0L))
     // ANSI mode (Spark 4 default) throws on x/0 — guard every ratio
     def safeDiv(a: Column, b: Column, dflt: Column): Column =
       when(b =!= 0, a / b).otherwise(dflt)
     def charCnt(re: String): Column =
-      coalesce(sum(when(nn, length(regexp_replace(s, re, "")).cast(LongType))), lit(0L))
+      coalesce(sum(when(nn, length(regexp_replace(s, re, "")).cast(LongType) * w)), lit(0L))
     // fused path: ONE byte-loop per cell instead of 4 regex rewrites
     val census = graft.functions.CharClassCensus(s)
     def censusCnt(i: Int): Column =
-      coalesce(sum(when(nn, census.getItem(i))), lit(0L))
+      coalesce(sum(when(nn, census.getItem(i) * w)), lit(0L))
 
-    val cnt = count(lit(1))
+    val cnt = coalesce(sum(w), lit(0L))
     val nullCnt = cntIf(miss)
     val nnCnt = cnt - nullCnt
     val alphaChars = if (cfg.fusedCensus) censusCnt(0) else charCnt("[^A-Za-z]")
     val digitChars = if (cfg.fusedCensus) censusCnt(1) else charCnt("[^0-9]")
     val punctChars = if (cfg.fusedCensus) censusCnt(2) else charCnt("[^\\p{Punct}]")
     val spaceChars = if (cfg.fusedCensus) censusCnt(3) else charCnt("[^\\s]")
-    val totalChars = coalesce(sum(when(nn, length(s).cast(LongType))), lit(0L))
-    val wordCnt = coalesce(sum(when(nn, size(split(trim(s), "\\s+")).cast(LongType))), lit(0L))
+    val totalChars = coalesce(sum(when(nn, length(s).cast(LongType) * w)), lit(0L))
+    val wordCnt = coalesce(sum(when(nn, size(split(trim(s), "\\s+")).cast(LongType) * w)), lit(0L))
     // word-class counts (A5; reference: profiling/profiler.py:212-227):
     // whitespace tokens classified whole-token
     def wordClassCnt(re: String): Column = coalesce(sum(when(nn,
-      size(filter(split(trim(s), "\\s+"), w => w.rlike(re)))
-        .cast(LongType))), lit(0L))
+      size(filter(split(trim(s), "\\s+"), t => t.rlike(re)))
+        .cast(LongType) * w)), lit(0L))
     val alphaWords = wordClassCnt("^[A-Za-z]+$")
     val digitWords = wordClassCnt("^[0-9]+$")
     val punctWords = wordClassCnt("^\\p{Punct}+$")
@@ -162,13 +170,17 @@ object Profiler {
       // compare is dtype-sensitive (CORRECTNESS_r02 p1)
       coalesce(min(when(nn, length(s))), lit(0)).cast(LongType).as("min_len"),
       coalesce(max(when(nn, length(s))), lit(0)).cast(LongType).as("max_len"),
-      safeDiv(sum(when(nn, length(s).cast(LongType))).cast(DoubleType), nnCnt.cast(DoubleType),
+      safeDiv(totalChars.cast(DoubleType), nnCnt.cast(DoubleType),
         lit(0.0)).as("avg_len"),
-      count(d).as("num_count"),
+      cntIf(d.isNotNull).as("num_count"),
       coalesce(min(d), lit(Double.NaN)).as("num_min"),
       coalesce(max(d), lit(Double.NaN)).as("num_max"),
-      // decimal-exact mean: deterministic under any partitioning
-      safeDiv(sum(d.cast(DecimalType(30, 6))).cast(DoubleType), count(d), lit(Double.NaN))
+      // decimal-exact mean: deterministic under any partitioning and
+      // under the histogram grouping. (24,6)×(13,0) → (38,6) without a
+      // precision cap, so the product and sum stay exact for numeric
+      // magnitudes < 10^18 with per-value multiplicities < 10^13.
+      safeDiv(sum(d.cast(DecimalType(24, 6)) * w.cast(DecimalType(13, 0)))
+          .cast(DoubleType), cntIf(d.isNotNull), lit(Double.NaN))
         .as("num_mean"),
       coalesce(max(when(nn, length(regexp_replace(s, "[^0-9]", "")))), lit(0)).as("max_digits"),
       coalesce(max(length(regexp_extract(s, "^[+-]?\\d+\\.(\\d*?)0*$", 1))), lit(0))
@@ -240,6 +252,23 @@ object Profiler {
         min_by(col("value"), struct((-col("cnt")).as("n"), col("value"))).as("mode_value"),
         (max("cnt").cast(DoubleType) / sum("cnt").cast(DoubleType)).as("mode_ratio"),
         count(lit(1)).cast(LongType).as("distinct_count"))
+
+  /** [[modeDistinctFrame]]'s aggregates restated over the UNFILTERED
+    * histogram (missing-value rows masked per-aggregate), so they fold
+    * into the Pass-A aggregation — same groupBy(table, column), one
+    * fewer branch join. Identical semantics: a null ordering struct
+    * makes min_by skip the row exactly as the branch's filter dropped
+    * it, and an all-missing column yields null/0 which the assembly's
+    * coalesce maps to the same defaults as a missing join row. */
+  private def modeAggsInline: Seq[Column] = {
+    val nn = !isMissing(col("value"))
+    Seq(
+      min_by(col("value"),
+        when(nn, struct((-col("cnt")).as("n"), col("value")))).as("mode_value"),
+      (max(when(nn, col("cnt"))).cast(DoubleType) /
+        sum(when(nn, col("cnt"))).cast(DoubleType)).as("mode_ratio"),
+      count(when(nn, lit(1))).cast(LongType).as("distinct_count"))
+  }
 
   private def patternFrame(hist: DataFrame): DataFrame =
     hist.groupBy(col("table"), col("column"), patternOf(col("value")).as("pattern"))
@@ -364,16 +393,88 @@ object Profiler {
   def profileMany(tables: Seq[(String, DataFrame)],
       cfg: ProfilerConfig = ProfilerConfig()): DataFrame = {
     val long = longFormatMany(tables)
+    val histNeeded = Seq("mode", "pattern", "digits", "chars", "keywords")
+      .exists(cfg.features)
+    val fullHist =
+      if (histNeeded) Some(long.groupBy("table", "column", "value")
+        .agg(count(lit(1)).as("cnt")))
+      else None
+    assemble(long, fullHist, cfg)
+  }
+
+  /** [[profileMany]] with the value histogram persisted for the
+    * duration and the result — an O(#columns) frame — materialized
+    * eagerly: the data scan and the histogram shuffle run ONCE for
+    * Pass-A and every frequency branch, instead of once per consumer
+    * (exchange/stage reuse does not fire across the branch subtrees —
+    * verified post-execution on the physical plan). The persisted
+    * histogram is bounded by the distinct-value count, spills to disk
+    * under pressure, and is released before returning. Use when the
+    * profile will actually be consumed (pipelines, clustering);
+    * [[profileMany]] stays lazy so narrow gate queries keep Catalyst's
+    * column pruning. */
+  def profileManyCached(tables: Seq[(String, DataFrame)],
+      cfg: ProfilerConfig = ProfilerConfig(),
+      columns: Seq[String] = Nil): DataFrame = {
+    val long = longFormatMany(tables)
+    val histNeeded = Seq("mode", "pattern", "digits", "chars", "keywords")
+      .exists(cfg.features)
+    // `columns` narrows the materialized frame BEFORE the eager
+    // checkpoint — the projection sits above the aggregation in the
+    // same plan, so Catalyst prunes the unrequested Pass-A aggregates
+    // instead of computing them into the checkpoint
+    def narrow(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df else df.select(columns.map(c => col(c)): _*)
+    if (!histNeeded) narrow(assemble(long, None, cfg)).localCheckpoint(true)
+    else {
+      val fullHist = long.groupBy("table", "column", "value")
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try narrow(assemble(long, Some(fullHist), cfg)).localCheckpoint(true)
+      finally fullHist.unpersist(false)
+    }
+  }
+
+  /** [[profileManyCached]] with [[profileManyAuto]]'s exact/sketch
+    * switch. */
+  def profileManyAutoCached(tables: Seq[(String, DataFrame)],
+      exactThreshold: Long = 200000L,
+      features: Set[String] = AllFeatures,
+      columns: Seq[String] = Nil): DataFrame = {
+    val exact = !exactnessMatters(features) ||
+      tables.map(t => cheapCount(t._2)).max <= exactThreshold
+    profileManyCached(tables,
+      ProfilerConfig(exact = exact, features = features), columns)
+  }
+
+  /** Joins Pass-A with the requested feature branches into the final
+    * profile frame.
+    *
+    * When the value histogram is available (any frequency branch
+    * requested), Pass-A aggregates FROM it, weighted by cnt: the
+    * per-value expressions (census, type votes, word splits, regex
+    * scans) evaluate once per DISTINCT value instead of once per row,
+    * and no second scan of the data is needed. Otherwise Pass-A is a
+    * direct map-side partial aggregation over rows — no
+    * data-cardinality shuffle at all. */
+  private def assemble(long: DataFrame, fullHistOpt: Option[DataFrame],
+      cfg: ProfilerConfig): DataFrame = {
     val present = long.filter(!isMissing(col("value")))
-
-    val fa = featureAggs(cfg)
-    val passA = long.groupBy("table", "column").agg(fa.head, fa.tail: _*)
-
-    // shared distinct-value histogram — see the frequency-frame note
-    val hist = valueHist(present)
+    val (passA, hist) = fullHistOpt match {
+      case Some(fullHist) =>
+        val fa = featureAggs(cfg, col("cnt")) ++
+          (if (cfg.features("mode")) modeAggsInline else Nil)
+        (fullHist.groupBy("table", "column").agg(fa.head, fa.tail: _*),
+          fullHist.filter(!isMissing(col("value"))))
+      case None =>
+        val fa = featureAggs(cfg, lit(1L))
+        (long.groupBy("table", "column").agg(fa.head, fa.tail: _*),
+          valueHist(present))
+    }
+    val modeFolded = cfg.features("mode") && fullHistOpt.nonEmpty
     val branches = Seq.newBuilder[DataFrame]
     if (cfg.features("quartiles")) branches += quartilesFrame(present, cfg)
-    if (cfg.features("mode")) branches += modeDistinctFrame(hist)
+    if (cfg.features("mode") && !modeFolded) branches += modeDistinctFrame(hist)
     if (cfg.features("pattern")) branches += patternFrame(hist)
     if (cfg.features("digits")) branches += firstDigitFrame(hist)
     if (cfg.features("chars")) branches += charsFrame(hist, cfg)

@@ -87,11 +87,13 @@ object MatchQueries {
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     // Clustering reads only the 9 defaultFeatures — computing the
     // char-explode / quartile / keyword branches here would dominate
-    // the runtime for features nobody consumes.
-    val profiles = Profiler.profileManyAuto(
+    // the runtime for features nobody consumes. Cached: the value
+    // histogram is shared across Pass-A and the mode/pattern branches.
+    val profiles = Profiler.profileManyAutoCached(
       Seq("customer", "supplier", "part", "orders", "nation")
         .map(t => t -> Tables.load(spark, dir, t)),
-      features = Set("mode", "pattern"))
+      features = Set("mode", "pattern"),
+      columns = "table" +: "column" +: Clustering.defaultFeatures)
     val vecs = Clustering.vectorize(profiles)
     Clustering.kmeansLocal(vecs, k = 4)
       .groupBy("cluster_id").agg(count(lit(1)).as("n_columns"))
@@ -101,10 +103,11 @@ object MatchQueries {
   // ---- c2: DBSCAN assignments (rows-only) ------------------------------
 
   def dbscanClusters(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = Profiler.profileManyAuto(
+    val profiles = Profiler.profileManyAutoCached(
       Seq("customer", "supplier", "nation")
         .map(t => t -> Tables.load(spark, dir, t)),
-      features = Set("mode", "pattern"))
+      features = Set("mode", "pattern"),
+      columns = "table" +: "column" +: Clustering.defaultFeatures)
     Clustering.dbscanAssign(Clustering.vectorize(profiles), eps = 0.5, minPts = 2)
       .orderBy("column_id")
   }
