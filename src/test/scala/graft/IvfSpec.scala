@@ -29,6 +29,21 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.5, s"recall@10 = $recall")
   }
 
+  test("s5 gate configuration holds recall@10 >= 0.9 vs brute force") {
+    // The s5 gate query is rows-only (ANN has no SQL oracle); this is
+    // its quality bound: at the gate parameters (k=10, nlist=8,
+    // nprobe=6) the IVF result must recover >= 90% of the exact
+    // brute-force top-10 pairs for the gate's query vectors.
+    val emb = Tables.load(spark, sf, "embeddings").localCheckpoint()
+    val qs = emb.filter(col("vec_id") < 10)
+    val exact = topkSet(Similarity.cosineTopK(emb, qs, "vec_id", "embedding", k = 10))
+    val ivf = topkSet(Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+        k = 10, nlist = 8, nprobe = 6)
+      .filter(col("query_id") < 10))
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"gate-config recall@10 = $recall")
+  }
+
   test("nlist=64 stays bounded: one centroid-array literal, fast codegen") {
     // With per-centroid literal trees this took O(minutes) of Janino
     // compilation (BENCH_r02 s5 regression); the single typedLit form
