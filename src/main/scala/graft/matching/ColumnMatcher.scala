@@ -138,7 +138,13 @@ object ColumnMatcher {
     * columns (reference: method_2/pipleline_2.py:507-531). Rules whose
     * column has no match are dropped. */
   def bindRules(rules: Seq[RuleSpec], mapping: Map[String, String]): Seq[RuleSpec] =
-    rules.flatMap { r =>
+    rules.flatMap {
+      // the composite key survives only if EVERY component column has a
+      // match — a partial tuple is a different (weaker) constraint
+      case x: CompositeUniqueRule =>
+        val mapped = x.columns.map(mapping.get)
+        if (mapped.forall(_.isDefined)) Some(x.copy(columns = mapped.flatten)) else None
+      case r =>
       mapping.get(r.column).map { tgt =>
         r match {
           case x: NotNullRule => x.copy(column = tgt)
@@ -153,6 +159,7 @@ object ColumnMatcher {
           case x: FunctionalDependencyRule => x.copy(rhs = tgt)
           case x: InclusionRule => x.copy(column = tgt)
           case x: CrossFieldRule => x
+          case x: CompositeUniqueRule => x // unreachable: handled above
         }
       }
     }

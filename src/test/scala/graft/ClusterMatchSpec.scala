@@ -67,6 +67,13 @@ class ClusterMatchSpec extends SparkSpec {
     assert(bound.map(_.column).toSet == Set("a2", "b2"))
   }
 
+  test("rule binding remaps composite keys only when every column matches") {
+    val bound = ColumnMatcher.bindRules(
+      Seq(CompositeUniqueRule(Seq("a", "b")), CompositeUniqueRule(Seq("a", "c"))),
+      Map("a" -> "a2", "b" -> "b2"))
+    assert(bound == Seq(CompositeUniqueRule(Seq("a2", "b2"))))
+  }
+
   test("transfer gates by level and decays confidence") {
     val rules = Seq(
       LeveledRule(NotNullRule("a"), 1, 1.0),
