@@ -54,6 +54,25 @@ class StatExtrasSpec extends SparkSpec {
     assert(out.length < 10)    // and not half the data
   }
 
+  test("fixed-point correlation kernel matches the decimal kernel") {
+    // the fast Long-sum kernel must agree with the exact Decimal(38,10)
+    // reference at the gate's rounding on real data...
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("r", round(col("r"), 6)).orderBy("col_a", "col_b").collect().toSeq
+    assert(rows(DBoost.correlationPairsFixedPoint(li, cols)) ===
+      rows(DBoost.correlationPairs(li, cols)))
+
+    // ...including negative fixed-point values (the hi/lo split must
+    // carry the sign through % and the exact double division)
+    import spark.implicits._
+    val neg = Seq((-1.25, 3.50), (2.75, -4.00), (-3.10, -0.05), (0.0, 1.15))
+      .toDF("a", "b")
+    assert(rows(DBoost.correlationPairsFixedPoint(neg, Seq("a", "b"))) ===
+      rows(DBoost.correlationPairs(neg, Seq("a", "b"))))
+  }
+
   test("ks and wasserstein — identical and shifted distributions") {
     import spark.implicits._
     val a = (1 to 100).map(_.toDouble).toDF("x")
