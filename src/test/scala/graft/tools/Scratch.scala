@@ -6,6 +6,9 @@ import java.nio.file.{Files, Paths}
 object Scratch {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    val names = Seq("q1_pricing_summary", "q2_revenue_by_nation",
+      "q3_top_customers", "q4_orders_window", "q5_monthly_orders",
+      "q6_forecast_revenue")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -13,15 +16,19 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     new java.io.File(outDir).mkdirs()
-    graft.SparkEntry.queries("x3_correlations")(spark, sfDir)
-      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/x3_correlations.parquet")
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
     def q(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case c => c.toString
     } + "\""
-    val sql = graft.SparkEntry.oracleSql("x3_correlations")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      s"""{${q("x3_correlations")}: ${q(sql)}, ${q("x3_correlations.parquet")}: ${q(sql)}}""")
+    val json = names.flatMap { n =>
+      val sql = graft.SparkEntry.oracleSql(n)
+      Seq(s"${q(n)}: ${q(sql)}", s"${q(n + ".parquet")}: ${q(sql)}")
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
