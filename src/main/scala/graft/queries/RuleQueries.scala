@@ -208,25 +208,31 @@ object RuleQueries {
 
   private val bandCols = Seq("l_quantity", "l_extendedprice", "l_discount")
 
+  /** The lineitem band columns are money-style 2-decimal values, so
+    * the moments run the exact Long fixed-point kernel; the oracle
+    * mirrors the identical integer arithmetic. */
   def trainedBands(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.load(spark, dir, "lineitem")
-    TrainedRules.thresholdBands(li, bandCols)
+    TrainedRules.thresholdBands(li, bandCols, fixedPointDecimals = Some(2))
       .select(col("column"), round(col("p05"), 6).as("p05"),
         round(col("p95"), 6).as("p95"), round(col("mean"), 6).as("mean"),
         round(col("std"), 6).as("std"))
       .orderBy("column")
   }
 
-  val trainedBandsSql: String = bandCols.map { c =>
-    s"""SELECT '$c' AS "column",
-       |  ROUND(quantile_cont($c, 0.05), 6) AS p05,
-       |  ROUND(quantile_cont($c, 0.95), 6) AS p95,
-       |  ROUND(CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c), 6) AS mean,
-       |  ROUND(sqrt(CAST(SUM(CAST($c * $c AS DECIMAL(38,6))) AS DOUBLE) / COUNT($c)
-       |    - (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))
-       |      * (CAST(SUM(CAST($c AS DECIMAL(30,6))) AS DOUBLE) / COUNT($c))), 6) AS std
-       |FROM lineitem""".stripMargin
-  }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  val trainedBandsSql: String = {
+    import graft.ops.FixedPoint.{favgSql, fsumSql}
+    def meanSql(c: String) = favgSql(c, 2)
+    def m2Sql(c: String) = s"(${fsumSql(s"$c * $c", 4, base = 1000000000L)} / COUNT($c))"
+    bandCols.map { c =>
+      s"""SELECT '$c' AS "column",
+         |  ROUND(quantile_cont($c, 0.05), 6) AS p05,
+         |  ROUND(quantile_cont($c, 0.95), 6) AS p95,
+         |  ROUND(${meanSql(c)}, 6) AS mean,
+         |  ROUND(sqrt(${m2Sql(c)} - ${meanSql(c)} * ${meanSql(c)}), 6) AS std
+         |FROM lineitem""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+  }
 
   // ---- r7: trained-rule violation scan (A18 end to end) ----------------
 

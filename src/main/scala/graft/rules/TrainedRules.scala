@@ -29,13 +29,30 @@ object TrainedRules {
     graft.profile.ExactPercentiles.byGroup(long, "column", "x", ps)
   }
 
-  /** One row per column: (column, p05, p95, mean, std). */
+  /** One row per column: (column, p05, p95, mean, std).
+    *
+    * `fixedPointDecimals = Some(d)` declares every trained column
+    * fixed-point with ≤ d true decimal digits (money-style): the
+    * moment sums then run in exact Long arithmetic
+    * ([[graft.ops.FixedPoint]], ~10× the Decimal sums' throughput —
+    * squares carry 2d digits, so d must satisfy
+    * max(x²)·10^2d < 2^53). Default keeps the general Decimal path
+    * for arbitrary doubles. */
   def thresholdBands(df: DataFrame, cols: Seq[String],
-      lo: Double = 0.05, hi: Double = 0.95, exact: Boolean = true): DataFrame = {
+      lo: Double = 0.05, hi: Double = 0.95, exact: Boolean = true,
+      fixedPointDecimals: Option[Int] = None): DataFrame = {
     val perCol = cols.map { c =>
       val d = col(s"`$c`").cast(DoubleType)
-      val mean = sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d)
-      val m2 = sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d)
+      val (mean, m2) = fixedPointDecimals match {
+        case Some(dec) =>
+          (graft.ops.FixedPoint.favg(d, dec),
+            // squares: 2·dec true digits, wider hi/lo base for the
+            // larger scaled magnitudes
+            graft.ops.FixedPoint.fsum(d * d, 2 * dec, base = 1000000000L) / count(d))
+        case None =>
+          (sum(d.cast(DecimalType(30, 6))).cast(DoubleType) / count(d),
+            sum((d * d).cast(DecimalType(38, 6))).cast(DoubleType) / count(d))
+      }
       struct(lit(c).as("column"), mean.as("mean"),
         sqrt(m2 - mean * mean).as("std"))
     }

@@ -53,6 +53,20 @@ class RuleExtrasSpec extends SparkSpec {
     assert(v === ((1L to 5L) ++ (96L to 100L)).toArray)
   }
 
+  test("fixed-point threshold bands match the decimal moments") {
+    // the Long moment kernel must agree with the Decimal reference at
+    // the gate's rounding on real money columns
+    import org.apache.spark.sql.functions.{col, round}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount")
+    def rows(fp: Option[Int]) =
+      TrainedRules.thresholdBands(li, cols, fixedPointDecimals = fp)
+        .select(col("column"), round(col("p05"), 6), round(col("p95"), 6),
+          round(col("mean"), 6), round(col("std"), 6))
+        .orderBy("column").collect().toSeq
+    assert(rows(Some(2)) === rows(None))
+  }
+
   test("dictionary normalization and misses") {
     import spark.implicits._
     val dict = Seq("Saint Louis", "Mount Vernon", "Boston").toDF("name")

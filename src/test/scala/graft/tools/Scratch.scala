@@ -5,10 +5,9 @@ import java.nio.file.{Files, Paths}
 /** Disposable experiment harness (test scope, rewritten per experiment). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
-    val names = Seq("q1_pricing_summary", "q2_revenue_by_nation",
-      "q3_top_customers", "q4_orders_window", "q5_monthly_orders",
-      "q6_forecast_revenue")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
