@@ -58,11 +58,37 @@ object StreamQueries {
       |FROM s GROUP BY user_id, sid
       |ORDER BY key, session_start""".stripMargin
 
+  /** Batch twin of the streaming first-seen dedup: the deterministic
+    * summary (first event per content key) the converged stream
+    * produces; the streaming dropDuplicates path is spec-driven. */
+  def streamDedup(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    StreamingQuality.firstSeenSummary(ev, "ts", "event_id",
+        StreamingQuality.contentKey(col("user_id"), col("event_type")))
+      .orderBy("content_key")
+  }
+
+  val streamDedupSql: String =
+    """WITH h AS (
+      |  SELECT md5(CAST(user_id AS VARCHAR) || '|' || event_type) AS content_key,
+      |    ts, event_id
+      |  FROM events),
+      |r AS (
+      |  SELECT content_key, ts, event_id,
+      |    ROW_NUMBER() OVER (PARTITION BY content_key ORDER BY ts, event_id) AS rn,
+      |    COUNT(*) OVER (PARTITION BY content_key) AS n_events
+      |  FROM h)
+      |SELECT content_key, strftime(ts, '%Y-%m-%d %H:%M:%S') AS first_ts,
+      |  event_id AS first_event_id, n_events
+      |FROM r WHERE rn = 1 ORDER BY content_key""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_windowed_stats" -> (windowedStats _),
-    "w2_session_stats" -> (sessionStats _))
+    "w2_session_stats" -> (sessionStats _),
+    "w3_stream_dedup" -> (streamDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "w1_windowed_stats" -> windowedStatsSql,
-    "w2_session_stats" -> sessionStatsSql)
+    "w2_session_stats" -> sessionStatsSql,
+    "w3_stream_dedup" -> streamDedupSql)
 }

@@ -137,13 +137,50 @@ object TextQueries {
       |WHERE levenshtein(a.v, b.v) <= 2
       |ORDER BY value_a, value_b""".stripMargin
 
+  // ---- t7: token-window chunking -----------------------------------------
+
+  def chunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.tokenChunks(Tables.load(spark, dir, "documents"),
+        "doc_id", "text", window = 32, step = 24)
+      .orderBy("doc_id", "token_start")
+
+  /** Mirror of Chunking.tokenChunks: \S+ tokens, starts every 24,
+    * 1-based inclusive 32-token slices truncating at the tail. */
+  val chunksSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |starts AS (
+      |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
+      |  FROM toks WHERE len(t) > 0)
+      |SELECT doc_id, CAST(token_start AS INT) AS token_start,
+      |  CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens,
+      |  array_to_string(t[token_start + 1 : token_start + 32], ' ') AS chunk
+      |FROM starts ORDER BY doc_id, token_start""".stripMargin
+
+  // ---- t8: per-language quota sample --------------------------------------
+
+  def langQuota(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.quotaSample(Tables.load(spark, dir, "documents"),
+        "lang", "doc_id", quota = 50)
+      .select("lang", "doc_id", "sample_rank")
+      .orderBy("lang", "sample_rank")
+
+  val langQuotaSql: String =
+    """SELECT lang, doc_id, CAST(rk AS INT) AS sample_rank FROM (
+      |  SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      |  FROM documents) t
+      |WHERE rk <= 50 ORDER BY lang, sample_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
     "t3_token_stats" -> (tokenStats _),
     "t4_fingerprints" -> (fingerprints _),
     "t5_oov_tokens" -> (oovTokens _),
-    "t6_typo_pairs" -> (typoPairs _))
+    "t6_typo_pairs" -> (typoPairs _),
+    "t7_chunks" -> (chunks _),
+    "t8_lang_quota" -> (langQuota _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -151,5 +188,7 @@ object TextQueries {
     "t3_token_stats" -> tokenStatsSql,
     "t4_fingerprints" -> fingerprintsSql,
     "t5_oov_tokens" -> oovTokensSql,
-    "t6_typo_pairs" -> typoPairsSql)
+    "t6_typo_pairs" -> typoPairsSql,
+    "t7_chunks" -> chunksSql,
+    "t8_lang_quota" -> langQuotaSql)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.rules.{RuleSpec, ViolationScanner}
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
 import org.apache.spark.sql.types.{DecimalType, DoubleType}
@@ -81,6 +81,42 @@ object StreamingQuality {
       s"streaming scan is stateless; relational rules not allowed: ${relational.map(_.name)}")
     ViolationScanner.scan(stream, table, rules, keyCol)
   }
+
+  /** Portable content key for payload-identity dedup: md5 over the
+    * '|'-joined payload columns (non-string columns cast to their
+    * decimal strings — engine-reproducible, unlike JVM hashes). */
+  def contentKey(cols: Column*): Column =
+    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+
+  /** Streaming exact dedup, first-seen-wins: the LLM-ingest shape
+    * "drop payloads we already accepted". dropDuplicates keeps the
+    * first row seen per key; the watermark bounds the key state to the
+    * event-time horizon (late duplicates beyond it are not caught —
+    * the standard streaming-dedup trade). Works on batch frames too
+    * (state-free distinct-by-key, row choice arbitrary — use
+    * [[firstSeenSummary]] when the kept row must be deterministic). */
+  def firstSeenDedup(events: DataFrame, tsCol: String, key: Column,
+      watermark: String = "2 hours"): DataFrame = {
+    val keyed = events.withColumn("content_key", key)
+    val withWm =
+      if (keyed.isStreaming) keyed.withWatermark(tsCol, watermark) else keyed
+    withWm.dropDuplicates("content_key")
+  }
+
+  /** Deterministic batch twin of [[firstSeenDedup]] — what an
+    * event-time-ordered stream converges to: per content key, the
+    * event with the smallest (ts, id) plus the group size. One
+    * groupBy, map-side combinable (min of a struct), no window. */
+  def firstSeenSummary(events: DataFrame, tsCol: String, idCol: String,
+      key: Column): DataFrame =
+    events.groupBy(key.as("content_key"))
+      .agg(min(struct(col(s"`$tsCol`").as("ts"), col(s"`$idCol`").as("id")))
+          .as("first"),
+        count(lit(1)).as("n_events"))
+      .select(col("content_key"),
+        date_format(col("first.ts"), "yyyy-MM-dd HH:mm:ss").as("first_ts"),
+        col("first.id").as("first_event_id"),
+        col("n_events"))
 
   /** Running stats state per key. */
   final case class RunningStats(key: String, n: Long, sum: Double,

@@ -120,6 +120,54 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("first-seen dedup drops duplicate payloads across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val df = input.toDF().toDF("ts", "user_id", "event_type")
+    val result = StreamingQuality.firstSeenDedup(df, "ts",
+      StreamingQuality.contentKey(col("user_id"), col("event_type")))
+    val q = result.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:00:00"), 1L, "click"),
+        (ts("2024-01-01 10:01:00"), 1L, "click"), // dup payload
+        (ts("2024-01-01 10:02:00"), 2L, "click"))
+      q.processAllAvailable()
+      // the duplicate arrives again in a LATER batch: state must catch it
+      input.addData(
+        (ts("2024-01-01 10:03:00"), 1L, "click"),
+        (ts("2024-01-01 10:04:00"), 1L, "scroll"))
+      q.processAllAvailable()
+      val kept = spark.table("dedup_stream").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+          r.getAs[Timestamp]("ts")))
+      assert(kept.length === 3)
+      assert(kept.toSet === Set(
+        (1L, "click", ts("2024-01-01 10:00:00")), // first seen wins
+        (2L, "click", ts("2024-01-01 10:02:00")),
+        (1L, "scroll", ts("2024-01-01 10:04:00"))))
+    } finally q.stop()
+  }
+
+  test("first-seen summary picks the (ts, id)-minimal event per key") {
+    import spark.implicits._
+    val ev = Seq(
+      (ts("2024-01-01 10:05:00"), 7L, 1L, "click"),
+      (ts("2024-01-01 10:00:00"), 3L, 1L, "click"),
+      (ts("2024-01-01 10:00:00"), 2L, 1L, "click"), // same ts: min id wins
+      (ts("2024-01-01 11:00:00"), 9L, 2L, "view"))
+      .toDF("ts", "event_id", "user_id", "event_type")
+    val out = StreamingQuality.firstSeenSummary(ev, "ts", "event_id",
+        StreamingQuality.contentKey(col("user_id"), col("event_type")))
+      .collect().map(r => (r.getAs[String]("first_ts"),
+        r.getAs[Long]("first_event_id"), r.getAs[Long]("n_events"))).toSet
+    assert(out === Set(
+      ("2024-01-01 10:00:00", 2L, 3L),
+      ("2024-01-01 11:00:00", 9L, 1L)))
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
