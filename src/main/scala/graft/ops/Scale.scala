@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale primitives the 100 TB deployment leans on (north-star
@@ -27,6 +27,31 @@ object Scale {
       .agg(count(lit(1)).as("__partial"))
       .groupBy(col(s"`$keyCol`"))
       .agg(sum("__partial").as("cnt"))
+
+  /** Exact per-group top-k without buffering a whole group in one
+    * task: a single `row_number().over(partitionBy(group))` window
+    * puts each group in ONE task, so a hot group (a dominant language,
+    * a high-vocabulary column) becomes an unsplittable straggler.
+    * Phase 1 ranks within `salts` hash buckets of `saltOn` (parallel,
+    * each ~group/salts); the global top-k is a subset of the
+    * per-bucket top-ks (any of the true top-k rows outranks its
+    * bucket-mates), so phase 2's exact window sees at most salts·k
+    * rows per group. Emits the top-k rows per group with a 1-based
+    * `rankCol`; `orderCols` must be a total order (tie-broken) for a
+    * deterministic result. */
+  def saltedTopK(df: DataFrame, partCols: Seq[Column], orderCols: Seq[Column],
+      k: Int, saltOn: Column, rankCol: String, salts: Int = 32): DataFrame = {
+    val saltWin = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols :+ col("__salt"): _*).orderBy(orderCols: _*)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(partCols: _*).orderBy(orderCols: _*)
+    df.withColumn("__salt", pmod(xxhash64(saltOn), lit(salts)))
+      .withColumn("__prk", row_number().over(saltWin))
+      .filter(col("__prk") <= k)
+      .withColumn(rankCol, row_number().over(win))
+      .filter(col(rankCol) <= k)
+      .drop("__salt", "__prk")
+  }
 
   /** Write both sides of a repeated equi-join bucketed on the join key:
     * subsequent joins of the saved tables are exchange-free (each

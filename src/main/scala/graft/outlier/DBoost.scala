@@ -216,10 +216,37 @@ object DBoost {
     * analyzers/statistical.py:25-77 reports pairs with |r| > ε). */
   def correlationPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
     def dsum(e: Column): Column = sum(e.cast(DecimalType(38, 10))).cast(DoubleType)
-    val aggs = cols.map(c => dsum(col(c)).as(s"s_$c")) ++
-      cols.map(c => dsum(col(c) * col(c)).as(s"ss_$c")) ++
+    pearsonFromSums(df, cols, dsum, dsum)
+  }
+
+  /** [[correlationPairs]] for FIXED-POINT columns (at most `decimals`
+    * decimal digits, e.g. money): ~20× faster with the same exactness.
+    * Decimal(38,10) sums cost ~50× a Long sum per row (BigDecimal
+    * accumulator, per-row Decimal allocation); the fixed-point kernel
+    * ([[graft.ops.FixedPoint.fsum]]) sums exact scaled Longs instead.
+    * Products carry 2·decimals digits, so they sum at the doubled
+    * scale with the wider base-10^9 hi/lo split.
+    *
+    * Bounds (FixedPoint's contract at these scales): |x·y|·10^2d
+    * < 2^53 per product (|x| ≲ 3·10^7 at d=2) and n ≲ 9·10^9 rows per
+    * aggregation; beyond that, fall back to [[correlationPairs]]. */
+  def correlationPairsFixedPoint(df: DataFrame, cols: Seq[String],
+      decimals: Int = 2): DataFrame =
+    pearsonFromSums(df, cols,
+      graft.ops.FixedPoint.fsum(_, decimals),
+      // products carry 2·decimals digits → doubled scale, wider split
+      graft.ops.FixedPoint.fsum(_, 2 * decimals, base = 1000000000L))
+
+  /** Shared Pearson-matrix shape: one scan building Σx, Σx², Σx·y per
+    * pair through the given exact-sum kernels (plain values vs x·y
+    * products — a fixed-point kernel needs the doubled scale for the
+    * latter), then the r formula over the single aggregated row. */
+  private def pearsonFromSums(df: DataFrame, cols: Seq[String],
+      sumValue: Column => Column, sumProduct: Column => Column): DataFrame = {
+    val aggs = cols.map(c => sumValue(col(c)).as(s"s_$c")) ++
+      cols.map(c => sumProduct(col(c) * col(c)).as(s"ss_$c")) ++
       cols.combinations(2).toSeq.map { case Seq(a, b) =>
-        dsum(col(a) * col(b)).as(s"sp_${a}_$b")
+        sumProduct(col(a) * col(b)).as(s"sp_${a}_$b")
       } :+ count(lit(1)).cast(DoubleType).as("n")
     val stats = df.agg(aggs.head, aggs.tail: _*)
     val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
@@ -227,56 +254,6 @@ object DBoost {
         ((col("n") * col(s"sp_${a}_$b") - col(s"s_$a") * col(s"s_$b")) /
           (sqrt(col("n") * col(s"ss_$a") - col(s"s_$a") * col(s"s_$a")) *
            sqrt(col("n") * col(s"ss_$b") - col(s"s_$b") * col(s"s_$b")))).as("r"))
-    }
-    stats.select(explode(array(pairRows: _*)).as("p")).select("p.*")
-  }
-
-  /** [[correlationPairs]] for FIXED-POINT columns (at most `decimals`
-    * decimal digits, e.g. money): ~20× faster with the same exactness.
-    * Decimal(38,10) sums cost ~50× a Long sum per row (BigDecimal
-    * accumulator, per-row Decimal allocation); here every value is
-    * normalized to an exact integer q = floor(x·10^decimals + 0.5) —
-    * the true value is an integer and the double noise is ≪ 0.5, so
-    * the rounding is engine-identical — and all sums are plain Long
-    * aggregates. Products can overflow a Long SUM (not the product
-    * itself), so each product is split into (hi, lo) base-10^9 digits
-    * — both exact: pq < 2^53 so (pq − pq%10^9)/10^9 is an exact double
-    * division — summed separately, and recombined in Decimal on the
-    * single result row. Pearson r is scale-invariant, so the 10^decimals
-    * factors cancel in the formula itself.
-    *
-    * Bounds (documented contract): |x|·10^decimals < 3·10^7 per value
-    * and n·|q_a·q_b| within ~10^9·Long.MaxValue (n ≲ 9·10^9 rows per
-    * aggregation); beyond that, pre-aggregate per partition key or fall
-    * back to [[correlationPairs]]. */
-  def correlationPairsFixedPoint(df: DataFrame, cols: Seq[String],
-      decimals: Int = 2): DataFrame = {
-    val scale = math.pow(10, decimals)
-    val Base = 1000000000L // 10^9 hi/lo split of product sums
-    def q(c: String): Column = floor(col(c) * scale + lit(0.5)).cast("long")
-    def hiLoAggs(a: String, b: String): Seq[Column] = {
-      val pq = q(a) * q(b)
-      val lo = pq % Base
-      Seq(sum(((pq - lo) / Base).cast("long")).as(s"hi_${a}_$b"),
-        sum(lo).as(s"lo_${a}_$b"))
-    }
-    val prodAggs = cols.combinations(2).toSeq.flatMap { case Seq(a, b) =>
-      hiLoAggs(a, b)
-    }
-    val selfAggs = cols.flatMap(c => hiLoAggs(c, c))
-    val aggs = cols.map(c => sum(q(c)).as(s"s_$c")) ++ selfAggs ++ prodAggs :+
-      count(lit(1)).as("n")
-    val stats = df.agg(aggs.head, aggs.tail: _*)
-    // recombine hi·10^9 + lo exactly in Decimal — one row, O(#pairs)
-    def sp(a: String, b: String): Column =
-      (col(s"hi_${a}_$b").cast(DecimalType(38, 0)) * Base + col(s"lo_${a}_$b"))
-        .cast(DoubleType)
-    val nD = col("n").cast(DoubleType)
-    val pairRows = cols.combinations(2).toSeq.map { case Seq(a, b) =>
-      val (sa, sb) = (col(s"s_$a").cast(DoubleType), col(s"s_$b").cast(DoubleType))
-      struct(lit(a).as("col_a"), lit(b).as("col_b"),
-        ((nD * sp(a, b) - sa * sb) /
-          (sqrt(nD * sp(a, a) - sa * sa) * sqrt(nD * sp(b, b) - sb * sb))).as("r"))
     }
     stats.select(explode(array(pairRows: _*)).as("p")).select("p.*")
   }

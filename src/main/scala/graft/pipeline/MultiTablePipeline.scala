@@ -90,15 +90,12 @@ object MultiTablePipeline {
     // consumes the profile twice (vectorize + rule derivation), so the
     // value histogram is persisted across Pass-A and the branches and
     // the O(#columns) result materialized once.
-    // the pipeline's two consumers (vectorize features + RuleGenerator
-    // .fromProfileRow) read exactly these columns
-    val consumed = Seq("table", "column", "row_count", "null_ratio",
-      "distinct_count", "unique_ratio", "avg_len", "avg_word_len",
-      "ratio_int", "ratio_float", "ratio_bool", "ratio_date",
-      "mode_value", "mode_ratio", "dominant_pattern",
-      "dominant_pattern_ratio", "inferred_type", "num_count",
-      "num_q1", "num_median", "num_q3", "min_len", "max_len",
-      "max_decimals")
+    // derived from the two consumers' own declarations (vectorize's
+    // feature list + RuleGenerator's consumed columns), so a field
+    // added to either cannot silently outrun this pruning
+    val consumed = ("table" +: RuleGenerator.consumedProfileColumns) ++
+      Clustering.defaultFeatures.filterNot(
+        RuleGenerator.consumedProfileColumns.contains)
     val profiles = Profiler.profileManyCached(trainSide.toSeq.sortBy(_._1),
         graft.profile.ProfilerConfig(exact = false, features = features),
         columns = consumed)

@@ -176,10 +176,12 @@ object Profiler {
       coalesce(min(d), lit(Double.NaN)).as("num_min"),
       coalesce(max(d), lit(Double.NaN)).as("num_max"),
       // decimal-exact mean: deterministic under any partitioning and
-      // under the histogram grouping. (24,6)×(13,0) → (38,6) without a
-      // precision cap, so the product and sum stay exact for numeric
-      // magnitudes < 10^18 with per-value multiplicities < 10^13.
-      safeDiv(sum(d.cast(DecimalType(24, 6)) * w.cast(DecimalType(13, 0)))
+      // under the histogram grouping. The value cast must admit int64-
+      // magnitude columns (epoch nanos ~ 1.7e18 — a (24,6) cast throws
+      // NUMERIC_VALUE_OUT_OF_RANGE under ANSI for any value >= 10^18):
+      // (30,6)×(13,0) caps to (38,6), which is still exact while the
+      // actual value·count product stays below 10^32.
+      safeDiv(sum(d.cast(DecimalType(30, 6)) * w.cast(DecimalType(13, 0)))
           .cast(DoubleType), cntIf(d.isNotNull), lit(Double.NaN))
         .as("num_mean"),
       coalesce(max(when(nn, length(regexp_replace(s, "[^0-9]", "")))), lit(0)).as("max_digits"),
@@ -301,24 +303,12 @@ object Profiler {
         explode(split(lower(col("value")), "[^a-z0-9]+")).as("word"))
       .filter(length(col("word")) > 1 && !col("word").isin(StopWords.english: _*))
       .groupBy("table", "column", "word").agg(sum("cnt").as("cnt"))
-    // Two-phase top-k: a per-(column) window alone would buffer a
-    // column's whole vocabulary in one task. Phase 1 takes the top-k
-    // within 32 word-hash salt buckets (each ~vocab/32, parallel);
-    // the global top-k is a subset of the per-bucket top-ks (each word
-    // occurs once per column here), so phase 2's exact window sees at
-    // most 32·k rows per column.
-    val saltWin = Window.partitionBy("table", "column", "__salt")
-      .orderBy(desc("cnt"), asc("word"))
-    val candidates = words
-      .withColumn("__salt", pmod(xxhash64(col("word")), lit(32)))
-      .withColumn("__prk", row_number().over(saltWin))
-      .filter(col("__prk") <= cfg.topK)
-      .drop("__salt", "__prk")
-    val wWin = Window.partitionBy("table", "column")
-      .orderBy(desc("cnt"), asc("word"))
-    candidates
-      .withColumn("rk", row_number().over(wWin))
-      .filter(col("rk") <= cfg.topK)
+    // salted two-phase top-k: a per-(column) window alone would buffer
+    // a column's whole vocabulary in one task (ops/Scale.saltedTopK
+    // documents the subset argument)
+    graft.ops.Scale.saltedTopK(words, Seq(col("table"), col("column")),
+        Seq(desc("cnt"), asc("word")), cfg.topK,
+        saltOn = col("word"), rankCol = "rk")
       .groupBy("table", "column")
       .agg(collect_list(struct(col("rk"), col("word"))).as("kw"))
       .select(col("table"), col("column"),

@@ -81,27 +81,20 @@ object StatQueries {
       .orderBy("col_a", "col_b")
 
   val correlationsSql: String = {
-    // mirrors correlationPairsFixedPoint: q = floor(x·100 + 0.5) exact
-    // integers, product sums split hi/lo base 10^9 (DuckDB SUM(BIGINT)
-    // is HUGEINT-exact, so the split is redundant there but kept
-    // IDENTICAL so both engines round the same values the same way)
-    def q(c: String) = s"CAST(FLOOR($c * 100 + 0.5) AS BIGINT)"
-    def hiLo(a: String, b: String) = Seq(
-      s"SUM(CAST((${q(a)} * ${q(b)} - ${q(a)} * ${q(b)} % 1000000000) / 1000000000 AS BIGINT)) AS hi_${a}_$b",
-      s"SUM(${q(a)} * ${q(b)} % 1000000000) AS lo_${a}_$b")
-    val sums = liNum.map(c => s"SUM(${q(c)}) AS s_$c") ++
-      liNum.flatMap(c => hiLo(c, c)) ++
-      liNum.combinations(2).toSeq.flatMap { p => hiLo(p(0), p(1)) } :+
-      "COUNT(*) AS n"
-    def sp(a: String, b: String) =
-      s"CAST(CAST(hi_${a}_$b AS HUGEINT) * 1000000000 + lo_${a}_$b AS DOUBLE)"
+    // mirrors correlationPairsFixedPoint through the shared
+    // FixedPoint twins: plain values at scale 2, products at the
+    // doubled scale with the wider hi/lo split
+    import graft.ops.FixedPoint.fsumSql
+    val sums = liNum.map(c => s"${fsumSql(c, 2)} AS s_$c") ++
+      liNum.map(c => s"${fsumSql(s"$c * $c", 4, base = 1000000000L)} AS ss_$c") ++
+      liNum.combinations(2).toSeq.map { p =>
+        s"${fsumSql(s"${p(0)} * ${p(1)}", 4, base = 1000000000L)} AS sp_${p(0)}_${p(1)}"
+      } :+ "CAST(COUNT(*) AS DOUBLE) AS n"
     val pairs = liNum.combinations(2).toSeq.map { p =>
       val (a, b) = (p(0), p(1))
-      def sD(c: String) = s"CAST(s_$c AS DOUBLE)"
       s"""SELECT '$a' AS col_a, '$b' AS col_b,
-         |  ROUND((CAST(n AS DOUBLE) * ${sp(a, b)} - ${sD(a)} * ${sD(b)}) /
-         |    (sqrt(CAST(n AS DOUBLE) * ${sp(a, a)} - ${sD(a)} * ${sD(a)}) *
-         |     sqrt(CAST(n AS DOUBLE) * ${sp(b, b)} - ${sD(b)} * ${sD(b)})), 6) AS r
+         |  ROUND((n * sp_${a}_$b - s_$a * s_$b) /
+         |    (sqrt(n * ss_$a - s_$a * s_$a) * sqrt(n * ss_$b - s_$b * s_$b)), 6) AS r
          |FROM stats""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH stats AS (SELECT ${sums.mkString(", ")} FROM lineitem)

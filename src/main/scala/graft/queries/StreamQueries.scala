@@ -68,9 +68,15 @@ object StreamQueries {
       .orderBy("content_key")
   }
 
+  /** content key mirror: each component length-prefixed, -1 for NULL
+    * (StreamingQuality.contentKey's injective encoding). */
+  private def encSql(e: String) =
+    s"(CAST(COALESCE(LENGTH(CAST($e AS VARCHAR)), -1) AS VARCHAR) || ':' || " +
+      s"COALESCE(CAST($e AS VARCHAR), ''))"
+
   val streamDedupSql: String =
-    """WITH h AS (
-      |  SELECT md5(CAST(user_id AS VARCHAR) || '|' || event_type) AS content_key,
+    s"""WITH h AS (
+      |  SELECT md5(${encSql("user_id")} || ${encSql("event_type")}) AS content_key,
       |    ts, event_id
       |  FROM events),
       |r AS (

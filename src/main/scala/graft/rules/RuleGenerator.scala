@@ -29,6 +29,17 @@ object RuleGenerator {
     sb.append("$").toString
   }
 
+  /** Every profile field [[fromProfileRow]] reads. Pipelines that
+    * prune the profile frame (MultiTablePipeline) derive their column
+    * list from this, so keep it in lockstep with the getAs calls
+    * below — a new field read without a matching entry here crashes
+    * the pruned pipelines at runtime. */
+  val consumedProfileColumns: Seq[String] = Seq(
+    "column", "row_count", "null_ratio", "distinct_count", "unique_ratio",
+    "dominant_pattern", "dominant_pattern_ratio", "inferred_type",
+    "mode_value", "num_count", "num_q1", "num_q3", "min_len", "max_len",
+    "max_decimals")
+
   /** Rules implied by one column's profile row. Thresholds mirror the
     * reference's trained-rule bands (rules/train_clean_rules.py:46-59)
     * and dictionary conditions. */

@@ -83,24 +83,38 @@ object StreamingQuality {
   }
 
   /** Portable content key for payload-identity dedup: md5 over the
-    * '|'-joined payload columns (non-string columns cast to their
-    * decimal strings — engine-reproducible, unlike JVM hashes). */
-  def contentKey(cols: Column*): Column =
-    md5(concat_ws("|", cols.map(_.cast("string")): _*))
+    * payload columns, each length-prefixed (`<len>:<value>` with -1
+    * for NULL) so the encoding is injective — a bare separator join
+    * would collide ("x|y"+"z" vs "x"+"y|z") and silently drop distinct
+    * payloads. Values go through their decimal-string casts —
+    * engine-reproducible, unlike JVM hashes. */
+  def contentKey(cols: Column*): Column = {
+    val enc = cols.map { c =>
+      val s = c.cast("string")
+      concat(coalesce(length(s), lit(-1)).cast("string"), lit(":"),
+        coalesce(s, lit("")))
+    }
+    md5(concat(enc: _*))
+  }
 
   /** Streaming exact dedup, first-seen-wins: the LLM-ingest shape
-    * "drop payloads we already accepted". dropDuplicates keeps the
-    * first row seen per key; the watermark bounds the key state to the
-    * event-time horizon (late duplicates beyond it are not caught —
-    * the standard streaming-dedup trade). Works on batch frames too
-    * (state-free distinct-by-key, row choice arbitrary — use
-    * [[firstSeenSummary]] when the kept row must be deterministic). */
+    * "drop payloads we already accepted". Keeps the first row seen per
+    * content key; `dropDuplicatesWithinWatermark` lets the watermark
+    * EVICT each key's state once it ages past the horizon — a plain
+    * dropDuplicates(key) never evicts (the event-time column is not
+    * part of the key), so its state grows with every distinct payload
+    * forever. The trade: duplicates separated by more than the
+    * watermark horizon are re-admitted — the standard streaming-dedup
+    * contract. Works on batch frames too (state-free distinct-by-key,
+    * row choice arbitrary — use [[firstSeenSummary]] when the kept row
+    * must be deterministic). */
   def firstSeenDedup(events: DataFrame, tsCol: String, key: Column,
       watermark: String = "2 hours"): DataFrame = {
     val keyed = events.withColumn("content_key", key)
-    val withWm =
-      if (keyed.isStreaming) keyed.withWatermark(tsCol, watermark) else keyed
-    withWm.dropDuplicates("content_key")
+    if (keyed.isStreaming)
+      keyed.withWatermark(tsCol, watermark)
+        .dropDuplicatesWithinWatermark("content_key")
+    else keyed.dropDuplicates("content_key")
   }
 
   /** Deterministic batch twin of [[firstSeenDedup]] — what an

@@ -20,26 +20,13 @@ object Sampling {
   def rankKey(id: Column): Column = md5(id.cast("string"))
 
   /** At most `quota` rows per `groupCol`, the ones with the smallest
-    * md5(id), tie-broken by id. Two-phase top-k (the repo's salted
-    * pattern): a single window per group would buffer a whole group in
-    * one task — a hot group (one dominant language) becomes an
-    * unsplittable straggler at scale. Phase 1 ranks within `salts`
-    * hash buckets (parallel, each ~group/salts); the global smallest-k
-    * is a subset of the per-bucket smallest-k, so phase 2's exact
-    * window sees at most salts·quota rows per group. */
+    * md5(id), tie-broken by id — [[graft.ops.Scale.saltedTopK]] keeps
+    * a hot group (one dominant language) from buffering in one task. */
   def quotaSample(df: DataFrame, groupCol: String, idCol: String,
-      quota: Int, salts: Int = 32): DataFrame = {
-    val key = rankKey(col(s"`$idCol`"))
-    val saltWin = Window.partitionBy(col(s"`$groupCol`"), col("__salt"))
-      .orderBy(col("__key"), col(s"`$idCol`"))
-    val win = Window.partitionBy(col(s"`$groupCol`"))
-      .orderBy(col("__key"), col(s"`$idCol`"))
-    df.withColumn("__key", key)
-      .withColumn("__salt", pmod(xxhash64(col(s"`$idCol`")), lit(salts)))
-      .withColumn("__prk", row_number().over(saltWin))
-      .filter(col("__prk") <= quota)
-      .withColumn("sample_rank", row_number().over(win))
-      .filter(col("sample_rank") <= quota)
-      .drop("__key", "__salt", "__prk")
-  }
+      quota: Int, salts: Int = 32): DataFrame =
+    graft.ops.Scale.saltedTopK(
+        df.withColumn("__key", rankKey(col(s"`$idCol`"))),
+        Seq(col(s"`$groupCol`")), Seq(col("__key"), col(s"`$idCol`")),
+        quota, saltOn = col(s"`$idCol`"), rankCol = "sample_rank", salts = salts)
+      .drop("__key")
 }

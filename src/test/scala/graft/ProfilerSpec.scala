@@ -41,6 +41,16 @@ class ProfilerSpec extends SparkSpec {
     assert(a.getAs[Double]("num_median") == 12.5)
   }
 
+  test("numeric stats admit int64-magnitude values (epoch nanos)") {
+    // a (24,6) decimal cast of the mean input throws under ANSI for
+    // any value >= 10^18; raw nanosecond timestamps are exactly that
+    val ns = Seq(1700000000000000000L, 1700000000000000002L).toDF("ns")
+    val p = Profiler.profile(ns, "t")
+      .filter($"column" === "ns").collect().head
+    assert(p.getAs[Long]("num_count") == 2)
+    assert(math.abs(p.getAs[Double]("num_mean") - 1.7000000000000000e18) < 16)
+  }
+
   test("lengths") {
     val c = prof("city")
     assert(c.getAs[Long]("min_len") == 6)

@@ -168,6 +168,17 @@ class StreamingSpec extends SparkSpec {
       ("2024-01-01 11:00:00", 9L, 1L)))
   }
 
+  test("content key encoding is injective across column boundaries") {
+    import spark.implicits._
+    // a bare '|' join would collide both pairs; the length-prefixed
+    // encoding must keep all four payloads distinct
+    val df = Seq(("x|y", "z"), ("x", "y|z"), ("b", null), (null, "b"))
+      .toDF("a", "b")
+    val keys = df.select(StreamingQuality.contentKey(col("a"), col("b")))
+      .collect().map(_.getString(0))
+    assert(keys.distinct.length === 4)
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
