@@ -145,17 +145,24 @@ object TextQueries {
       .orderBy("doc_id", "token_start")
 
   /** Mirror of Chunking.tokenChunks: \S+ tokens, starts every 24,
-    * 1-based inclusive 32-token slices truncating at the tail. */
-  val chunksSql: String =
-    """WITH toks AS (
+    * 1-based inclusive 32-token slices truncating at the tail.
+    * The WITH body is shared with the t9 packing oracle. */
+  private val chunksSqlBody: String =
+    """toks AS (
       |  SELECT doc_id, regexp_extract_all(text, '\S+') AS t FROM documents),
       |starts AS (
       |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
-      |  FROM toks WHERE len(t) > 0)
-      |SELECT doc_id, CAST(token_start AS INT) AS token_start,
-      |  CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens,
-      |  array_to_string(t[token_start + 1 : token_start + 32], ' ') AS chunk
-      |FROM starts ORDER BY doc_id, token_start""".stripMargin
+      |  FROM toks WHERE len(t) > 0),
+      |chunks AS (
+      |  SELECT doc_id, CAST(token_start AS INT) AS token_start,
+      |    CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens,
+      |    array_to_string(t[token_start + 1 : token_start + 32], ' ') AS chunk
+      |  FROM starts)""".stripMargin
+
+  val chunksSql: String =
+    s"""WITH $chunksSqlBody
+       |SELECT doc_id, token_start, n_tokens, chunk
+       |FROM chunks ORDER BY doc_id, token_start""".stripMargin
 
   // ---- t8: per-language quota sample --------------------------------------
 
@@ -172,6 +179,30 @@ object TextQueries {
       |  FROM documents) t
       |WHERE rk <= 50 ORDER BY lang, sample_rank""".stripMargin
 
+  // ---- t9: sequence packing into fixed-token bins --------------------------
+
+  def packed(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.packChunks(
+        graft.text.Chunking.tokenChunks(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", window = 32, step = 24),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("doc_id", "token_start")
+
+  /** Packing over the t7 chunk stream: running token count in
+    * (doc_id, token_start) order, bin split at 512 — the exact
+    * integer arithmetic of Packing.packChunks. */
+  val packedSql: String =
+    s"""WITH $chunksSqlBody,
+       |c2 AS (
+       |  SELECT doc_id, token_start, n_tokens,
+       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks)
+       |SELECT doc_id, token_start, n_tokens,
+       |  CAST((before - before % 512) / 512 AS BIGINT) AS bin_id,
+       |  before % 512 AS bin_offset
+       |FROM c2 ORDER BY doc_id, token_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
@@ -180,7 +211,8 @@ object TextQueries {
     "t5_oov_tokens" -> (oovTokens _),
     "t6_typo_pairs" -> (typoPairs _),
     "t7_chunks" -> (chunks _),
-    "t8_lang_quota" -> (langQuota _))
+    "t8_lang_quota" -> (langQuota _),
+    "t9_packed" -> (packed _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -190,5 +222,6 @@ object TextQueries {
     "t5_oov_tokens" -> oovTokensSql,
     "t6_typo_pairs" -> typoPairsSql,
     "t7_chunks" -> chunksSql,
-    "t8_lang_quota" -> langQuotaSql)
+    "t8_lang_quota" -> langQuotaSql,
+    "t9_packed" -> packedSql)
 }

@@ -35,6 +35,36 @@ class CorpusOpsSpec extends SparkSpec {
     assert(!out.exists(r => r._1 == 3L || r._1 == 4L))
   }
 
+  test("sequence packing fills bins in order and matches the window reference") {
+    import spark.implicits._
+    // hand-checkable: 10-token chunks into 25-token bins — the third
+    // chunk starts at offset 20 and straddles into bin 1
+    val small = Seq((1L, 0, 10), (1L, 24, 10), (2L, 0, 10), (2L, 24, 10))
+      .toDF("doc_id", "token_start", "n_tokens")
+    val got = graft.text.Packing
+      .packChunks(small, "doc_id", "token_start", "n_tokens", seqLen = 25)
+      .orderBy("doc_id", "token_start")
+      .collect().map(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("bin_offset")))
+    assert(got.toSeq === Seq((0L, 0L), (0L, 10L), (0L, 20L), (1L, 5L)))
+
+    // distributed prefix-sum assignment == single global window reference
+    val many = (1L to 500L).map(i => (i, 0, (i % 37 + 1).toInt))
+      .toDF("doc_id", "token_start", "n_tokens")
+    val packed = graft.text.Packing
+      .packChunks(many, "doc_id", "token_start", "n_tokens", seqLen = 64)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy("doc_id", "token_start")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val ref = many
+      .withColumn("before", sum(col("n_tokens").cast("long")).over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("token_start"), col("n_tokens"),
+        ((col("before") - pmod(col("before"), lit(64L))) / 64).cast("long").as("bin_id"),
+        pmod(col("before"), lit(64L)).as("bin_offset"))
+    assert(packed.collect().toSet === ref.collect().toSet)
+    // every offset stays inside the bin
+    assert(packed.filter(col("bin_offset") >= 64 || col("bin_offset") < 0).count() === 0L)
+  }
+
   test("quota sample is exact, deterministic, and capped per group") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (if (i % 5 == 0) "de" else "en", i))
