@@ -54,6 +54,33 @@ class ScaleSpec extends SparkSpec {
     assert(totals === Map("a" -> 12L, "b" -> 20L))
   }
 
+  test("token chunking plans with no shuffle") {
+    // chunking is a projection + explode — an Exchange anywhere means
+    // the corpus bytes get shuffled, which is wrong at 100 TB
+    val plan = graft.text.Chunking
+      .tokenChunks(Tables.load(spark, sf, "documents"), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking shuffled:\n$plan")
+  }
+
+  test("packing's windows are partitioned (no global single-task window)") {
+    // the running token count must come from the prefix-sum primitive:
+    // every WindowExec in the plan carries a partition key (the range
+    // __pid), never an empty partitionBy that funnels all rows into
+    // one task
+    val chunks = graft.text.Chunking
+      .tokenChunks(Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val packed = graft.text.Packing
+      .packChunks(chunks, "doc_id", "token_start", "n_tokens")
+    packed.collect() // finalize AQE
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("Window"), s"expected window stages:\n$plan")
+    assert(!plan.contains("Window [") || plan.linesIterator
+      .filter(_.contains("windowspecdefinition"))
+      .forall(_.contains("__pid")),
+      s"unpartitioned window in packing plan:\n$plan")
+  }
+
   test("filters and projections reach the parquet scan") {
     // A scan that decodes all columns for a 2-column filter+projection
     // would be wrong at 100 TB: assert pushdown + pruning survive our
