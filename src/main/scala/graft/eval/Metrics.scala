@@ -26,14 +26,36 @@ object Metrics {
 
   /** Ground-truth error cells: positions where dirty differs from clean
     * (J1 — positional alignment via the shared key). Null-safe compare:
-    * null vs value counts as a difference; null vs null does not. */
+    * null vs value counts as a difference; null vs null does not.
+    * A row absent from one side surfaces every non-null cell of the
+    * other side as a diff (full-outer row semantics).
+    *
+    * Scale shape: ONE row-grain join, then explode only the differing
+    * cells — exploding both sides to cell grain first (the naive
+    * unpivot-join) multiplies the shuffled volume by #columns while
+    * the join output is just as sparse. Columns are aliased
+    * positionally (__d_i/__c_i) so table columns cannot collide with
+    * the working names. */
   def actualErrorCells(dirty: DataFrame, clean: DataFrame, keyCol: String): DataFrame = {
     val cols = dirty.columns.filter(_ != keyCol).toSeq
-    val d = cells(dirty, keyCol, cols).withColumnRenamed("value", "dirty_value")
-    val c = cells(clean, keyCol, cols).withColumnRenamed("value", "clean_value")
-    d.join(c, Seq("row_id", "column"), "full_outer")
-      .filter(!(col("dirty_value") <=> col("clean_value")))
-      .select("row_id", "column", "dirty_value", "clean_value")
+    def side(df: DataFrame, p: String): DataFrame =
+      df.select(col(s"`$keyCol`").cast("long").as(s"__rid_$p") +:
+        cols.zipWithIndex.map { case (c, i) =>
+          col(s"`$c`").cast(StringType).as(s"__${p}_$i")
+        }: _*)
+    val d = side(dirty, "d")
+    val c = side(clean, "c")
+    val diffs = cols.zipWithIndex.map { case (cn, i) =>
+      when(!(col(s"__d_$i") <=> col(s"__c_$i")),
+        struct(lit(cn).as("column"), col(s"__d_$i").as("dirty_value"),
+          col(s"__c_$i").as("clean_value")))
+    }
+    d.join(c, col("__rid_d") <=> col("__rid_c"), "full_outer")
+      .select(coalesce(col("__rid_d"), col("__rid_c")).as("row_id"),
+        explode(array(diffs: _*)).as("e"))
+      .filter(col("e").isNotNull)
+      .select(col("row_id"), col("e.column"), col("e.dirty_value"),
+        col("e.clean_value"))
   }
 
   /** Merge predicted violations to distinct cell grain (A32 — the

@@ -1,23 +1,33 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
 /** Disposable experiment harness (test scope, rewritten per experiment). */
 object Scratch {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val sfDir = args(0)
+    val outDir = args(1)
+    val names = args.drop(2).toSeq
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val chunks = graft.text.Chunking.tokenChunks(
-      graft.Tables.load(spark, "/root/testdata/sf0.001", "documents"),
-      "doc_id", "text")
-    val packed = graft.text.Packing
-      .packChunks(chunks, "doc_id", "token_start", "n_tokens")
-    packed.collect()
-    val plan = packed.queryExecution.executedPlan.toString
-    plan.linesIterator.filter(l => l.contains("Window") || l.contains("windowspecdefinition"))
-      .foreach(l => println(l.trim.take(160)))
+    new java.io.File(outDir).mkdirs()
+    names.foreach { n =>
+      graft.SparkEntry.queries(n)(spark, sfDir)
+        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+    val json = names.flatMap { n =>
+      val sql = graft.SparkEntry.oracleSql(n)
+      Seq(s"${q(n)}: ${q(sql)}", s"${q(n + ".parquet")}: ${q(sql)}")
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }
 }
