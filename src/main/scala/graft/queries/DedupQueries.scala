@@ -233,13 +233,106 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- d7: near-dup connected components + canonical pick --------------
+
+  /** Transitive closure of the d4 near-dup pairs → one component id per
+    * involved doc (the component's min doc_id) and the deterministic
+    * canonical pick. The union with the d5 SimHash pairs exercises
+    * multi-source evidence merging — components span pairs no single
+    * detector emitted. */
+  def dupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val minhash = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.8)
+      .select(col("ida"), col("idb"))
+    val simhash = Dedup.simhashPairs(Dedup.simhash(docs, "text", "doc_id"),
+        maxDistance = 3)
+      .select(col("ida"), col("idb"))
+    graft.dedup.Components.dupComponents(
+        minhash.unionByName(simhash), "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the d4 + d5 pair pipelines verbatim, then a
+    * recursive transitive closure; component id = min reachable id. */
+  val dupComponentsSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val bits = (0 until 64).map { i =>
+      val src = if (i < 32) s"(hlo // ${1L << i})" else s"(hhi // ${1L << (i - 32)})"
+      s"SUM(CASE WHEN $src % 2 = 1 THEN 1 ELSE -1 END) AS b$i"
+    }.mkString(",\n    ")
+    val sig = (0 until 64).map(i =>
+      s"CASE WHEN b$i > 0 THEN ${java.math.BigInteger.ONE.shiftLeft(i)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    val bandStructs = (0 until 4).map(b =>
+      s"SELECT id, ssig, $b AS band, ((usig // ${1L << (b * 16)}) % 65536)::BIGINT AS key FROM sh_sigs2")
+      .mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |words0 AS (SELECT doc_id, unnest($WS) AS word FROM documents),
+       |words AS (SELECT DISTINCT doc_id, word FROM words0 WHERE word <> ''),
+       |hw AS (SELECT doc_id,
+       |         ('0x' || substr(md5(word), 1, 8))::UBIGINT::BIGINT AS hlo,
+       |         ('0x' || substr(md5(word), 9, 8))::UBIGINT::BIGINT AS hhi
+       |       FROM words),
+       |votes AS (
+       |  SELECT doc_id AS id,
+       |    $bits
+       |  FROM hw GROUP BY doc_id),
+       |sh_sigs AS (SELECT id, ($sig) AS usig FROM votes),
+       |sh_sigs2 AS (SELECT id, usig,
+       |  (CASE WHEN usig >= 9223372036854775808::HUGEINT
+       |        THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS ssig
+       |  FROM sh_sigs),
+       |banded AS ($bandStructs),
+       |sh_pairs AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |  WHERE a.id < b.id AND bit_count(xor(a.ssig, b.ssig)) <= 3),
+       |all_pairs AS (SELECT * FROM mh_pairs UNION SELECT * FROM sh_pairs),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM all_pairs
+       |          UNION SELECT idb, ida FROM all_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id,
+       |  src = LEAST(src, MIN(dst)) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_signatures" -> (minhashSignatures _),
     "d4_minhash_pairs" -> (minhashPairs _),
     "d5_simhash_pairs" -> (simhashPairs _),
-    "d6_embedding_dups" -> (embeddingDups _))
+    "d6_embedding_dups" -> (embeddingDups _),
+    "d7_dup_components" -> (dupComponents _))
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dup_groups" -> exactDupGroupsSql,
@@ -247,5 +340,6 @@ object DedupQueries {
     "d3_minhash_signatures" -> minhashSignaturesSql,
     "d4_minhash_pairs" -> minhashPairsSql,
     "d5_simhash_pairs" -> simhashPairsSql,
-    "d6_embedding_dups" -> embeddingDupsSql)
+    "d6_embedding_dups" -> embeddingDupsSql,
+    "d7_dup_components" -> dupComponentsSql)
 }

@@ -1,0 +1,38 @@
+package graft
+
+import graft.dedup.Components
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("long chain collapses to one component (multi-round)") {
+    // 0-1-2-...-19: diameter 19 forces the alternating algorithm
+    // through >1 large/small-star round before the star fixpoint.
+    val chain = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Components.connectedComponents(chain, "a", "b")
+    assert(rounds > 1, s"chain of diameter 19 converged in $rounds round")
+    val got = labels.as[(Long, Long)].collect().toMap
+    assert(got == (0L to 19L).map(_ -> 0L).toMap)
+  }
+
+  test("multiple components, canonical pick, duplicate/reversed pairs") {
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L), (9L, 5L), // triangle {3,5,9}
+      (7L, 8L), (8L, 7L),           // reversed duplicate {7,8}
+      (11L, 11L),                   // self pair: ignored entirely
+      (20L, 21L), (21L, 22L)        // path {20,21,22}
+    ).toDF("a", "b")
+    val out = Components.dupComponents(pairs, "a", "b")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set(
+      (3L, 3L, true), (5L, 3L, false), (9L, 3L, false),
+      (7L, 7L, true), (8L, 7L, false),
+      (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
+  }
+
+  test("empty pair list yields empty labelling") {
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (labels, _) = Components.connectedComponents(empty, "a", "b")
+    assert(labels.isEmpty)
+  }
+}
