@@ -49,7 +49,12 @@ final case class ProfilerConfig(
       * JIT), parity on short numeric cells warm; the regex formulation
       * also allocates a rewritten string per class per cell, which
       * matters at real document lengths. */
-    fusedCensus: Boolean = true)
+    fusedCensus: Boolean = true,
+    /** Upper bound on rows per profiled table, when the caller already
+      * knows it (the Auto entry points measured it for the exact/sketch
+      * switch). Lets the exact-percentile kernel prove its candidate
+      * bound WITHOUT an extra screening job. */
+    maxGroupRows: Option[Long] = None)
 
 object Profiler {
 
@@ -202,7 +207,8 @@ object Profiler {
         present.select(col("table"), col("column"),
           col("value").try_cast(DoubleType).as("num")),
         Seq("table", "column"), "num",
-        Seq("num_q1" -> 0.25, "num_median" -> 0.5, "num_q3" -> 0.75))
+        Seq("num_q1" -> 0.25, "num_median" -> 0.5, "num_q3" -> 0.75),
+        maxGroupRows = cfg.maxGroupRows)
     else {
       val d = col("value").try_cast(DoubleType)
       val pcts = percentile_approx(d, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
@@ -355,8 +361,10 @@ object Profiler {
   def profileAuto(df: DataFrame, table: String,
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
-    val exact = !exactnessMatters(features) || cheapCount(df) <= exactThreshold
-    profile(df, table, ProfilerConfig(exact = exact, features = features))
+    val n = if (exactnessMatters(features)) Some(cheapCount(df)) else None
+    val exact = n.forall(_ <= exactThreshold)
+    profile(df, table,
+      ProfilerConfig(exact = exact, features = features, maxGroupRows = n))
   }
 
   /** [[profileMany]] with the exact/sketch switch of [[profileAuto]],
@@ -364,9 +372,11 @@ object Profiler {
   def profileManyAuto(tables: Seq[(String, DataFrame)],
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures): DataFrame = {
-    val exact = !exactnessMatters(features) ||
-      tables.map(t => cheapCount(t._2)).max <= exactThreshold
-    profileMany(tables, ProfilerConfig(exact = exact, features = features))
+    val n = if (exactnessMatters(features))
+      Some(tables.map(t => cheapCount(t._2)).max) else None
+    val exact = n.forall(_ <= exactThreshold)
+    profileMany(tables,
+      ProfilerConfig(exact = exact, features = features, maxGroupRows = n))
   }
 
   /** Profile every column of `df` in three jobs (features, quartiles,
@@ -431,10 +441,12 @@ object Profiler {
       exactThreshold: Long = 200000L,
       features: Set[String] = AllFeatures,
       columns: Seq[String] = Nil): DataFrame = {
-    val exact = !exactnessMatters(features) ||
-      tables.map(t => cheapCount(t._2)).max <= exactThreshold
+    val n = if (exactnessMatters(features))
+      Some(tables.map(t => cheapCount(t._2)).max) else None
+    val exact = n.forall(_ <= exactThreshold)
     profileManyCached(tables,
-      ProfilerConfig(exact = exact, features = features), columns)
+      ProfilerConfig(exact = exact, features = features, maxGroupRows = n),
+      columns)
   }
 
   /** Joins Pass-A with the requested feature branches into the final

@@ -98,6 +98,50 @@ class ExactPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("refinement path: candidate count capped independent of n, result exact") {
+    // accuracy=100, cap=200 → the theoretical screen (10n/accuracy)
+    // trips for n > 2000, forcing bracket refinement. A 10× larger
+    // group must obey the SAME cap — the n-independence contract.
+    val ps2 = Seq("q1" -> 0.25, "med" -> 0.5, "p95" -> 0.95)
+    val rng = new scala.util.Random(13)
+    for (n <- Seq(5000, 50000)) {
+      val long = Seq.fill(n)("g" -> rng.nextDouble() * 1e6).toDF("g", "x")
+      val (hist, state) = ExactPercentiles.bracketedState(
+        long, Seq("g"), "x", ps2, accuracy = 100, candidateCap = 200)
+      val counts = hist.join(state, Seq("g"))
+        .groupBy("g")
+        .agg(ps2.indices.map(i => sum(when(
+          col("__x") >= col(s"__lo_$i") && col("__x") <= col(s"__hi_$i"),
+          lit(1L))).as(s"c$i")).reduce((a, b) => greatest(a, b)).as("worst"))
+        .collect()
+      assert(counts.nonEmpty)
+      counts.foreach(r => assert(r.getAs[Long]("worst") <= 200L,
+        s"n=$n in-bracket candidates ${r.getAs[Long]("worst")} > cap 200"))
+      // and the refined kernel stays exact
+      val a = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps2,
+        accuracy = 100, candidateCap = 200).collect().head
+      val b = byGroupsSorted(long, Seq("g"), "x", ps2).collect().head
+      for ((name, _) <- ps2)
+        assert(math.abs(a.getAs[Double](name) - b.getAs[Double](name)) < 1e-12,
+          s"n=$n $name refined=${a.getAs[Double](name)} sorted=${b.getAs[Double](name)}")
+    }
+  }
+
+  test("refinement handles duplicate-heavy and tiny-gap distributions") {
+    val ps2 = Seq("med" -> 0.5)
+    // 90% of mass on one value, the rest microscopically spread around
+    // it: bins collapse onto near-identical doubles, exercising the
+    // width-shrink progress argument
+    val rng = new scala.util.Random(17)
+    val rows = Seq.fill(9000)("g" -> 5.0) ++
+      Seq.fill(3000)("g" -> (5.0 + (rng.nextDouble() - 0.5) * 1e-9))
+    val long = rows.toDF("g", "x")
+    val a = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps2,
+      accuracy = 100, candidateCap = 200).collect().head
+    val b = byGroupsSorted(long, Seq("g"), "x", ps2).collect().head
+    assert(a.getAs[Double]("med") == b.getAs[Double]("med"))
+  }
+
   test("groups with only nulls are absent; null values ignored") {
     val long = Seq(("a", Some(1.0)), ("a", None), ("b", None))
       .toDF("g", "x")
