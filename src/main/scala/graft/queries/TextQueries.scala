@@ -203,6 +203,67 @@ object TextQueries {
        |  before % 512 AS bin_offset
        |FROM c2 ORDER BY doc_id, token_start""".stripMargin
 
+  // ---- t10: materialized bin segments -------------------------------------
+
+  def binSegments(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Packing.binSegments(
+        graft.text.Chunking.tokenChunks(Tables.load(spark, dir, "documents"),
+          "doc_id", "text", window = 32, step = 24),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("bin_id", "seq")
+
+  /** Mirror of Packing.binSegments over the t7 chunk stream: each
+    * chunk's global span [before, before+n) split at 512-token bin
+    * boundaries via generate_series over the covered bins. */
+  val binSegmentsSql: String =
+    s"""WITH $chunksSqlBody,
+       |c2 AS (
+       |  SELECT doc_id, token_start, n_tokens,
+       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks WHERE n_tokens > 0),
+       |segs AS (
+       |  SELECT doc_id, token_start, n_tokens, before,
+       |    unnest(generate_series(
+       |      CAST((before - before % 512) / 512 AS BIGINT),
+       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 512) / 512 AS BIGINT)))
+       |      AS bin_id
+       |  FROM c2)
+       |SELECT bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY bin_id
+       |    ORDER BY GREATEST(before, bin_id * 512)) AS BIGINT) AS seq,
+       |  doc_id,
+       |  CAST(token_start AS BIGINT) + GREATEST(before, bin_id * 512) - before
+       |    AS token_start,
+       |  LEAST(before + n_tokens, (bin_id + 1) * 512)
+       |    - GREATEST(before, bin_id * 512) AS token_len
+       |FROM segs ORDER BY bin_id, seq""".stripMargin
+
+  // ---- t11: temperature-weighted sampling ----------------------------------
+
+  def weightedSample(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.temperatureSample(
+        Tables.load(spark, dir, "documents"), "lang", "doc_id")
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+
+  /** Mirror of Sampling.temperatureSample: exact counts →
+    * p = sqrt(n_min/n) (division and sqrt are correctly rounded IEEE
+    * ops in both engines) → integer threshold ⌊p·2^60⌋ against the
+    * 60-bit md5 prefix of the id. */
+  val weightedSampleSql: String =
+    """WITH counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+      |mn AS (SELECT MIN(n) AS n_min FROM counts),
+      |probs AS (
+      |  SELECT lang,
+      |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 1.0)
+      |      * 1152921504606846976.0) AS BIGINT) AS thr
+      |  FROM counts, mn)
+      |SELECT d.lang, d.doc_id
+      |FROM documents d JOIN probs p ON d.lang = p.lang
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr
+      |ORDER BY d.lang, d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
@@ -212,7 +273,9 @@ object TextQueries {
     "t6_typo_pairs" -> (typoPairs _),
     "t7_chunks" -> (chunks _),
     "t8_lang_quota" -> (langQuota _),
-    "t9_packed" -> (packed _))
+    "t9_packed" -> (packed _),
+    "t10_bin_segments" -> (binSegments _),
+    "t11_weighted_sample" -> (weightedSample _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -223,5 +286,7 @@ object TextQueries {
     "t6_typo_pairs" -> typoPairsSql,
     "t7_chunks" -> chunksSql,
     "t8_lang_quota" -> langQuotaSql,
-    "t9_packed" -> packedSql)
+    "t9_packed" -> packedSql,
+    "t10_bin_segments" -> binSegmentsSql,
+    "t11_weighted_sample" -> weightedSampleSql)
 }

@@ -40,4 +40,52 @@ object Packing {
       binId.as("bin_id"),
       pmod(before, lit(seqLen.toLong)).as("bin_offset"))
   }
+
+  /** Materialized training sequences: one row per (bin, contiguous
+    * token span) — a chunk that straddles a bin boundary is SPLIT at
+    * the boundary, so each bin's segments cover exactly `seqLen` tokens
+    * (except the final bin) and a consumer can build fixed-length
+    * training sequences without re-tokenizing. Output: (bin_id, seq,
+    * id, token_start, token_len) where `seq` is the segment's 1-based
+    * position in its bin and `token_start` indexes into the DOCUMENT's
+    * token stream (the chunk's own start plus the split offset).
+    *
+    * Shape: the same prefix-sum spine as [[packChunks]], then pure
+    * per-row arithmetic — a chunk spanning global tokens [b, b+n)
+    * explodes into one row per bin in [⌊b/L⌋, ⌊(b+n−1)/L⌋], at most
+    * 1 + n/L rows. The only addition is the `seq` ranking window,
+    * partitioned by bin_id with ≤ seqLen rows per bin — thousands of
+    * tiny groups, shuffle-parallel, no hot partition possible. */
+  def binSegments(chunks: DataFrame, idCol: String, startCol: String,
+      nTokCol: String, seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    val L = lit(seqLen.toLong)
+    val ordered = chunks
+      .withColumn("__ord",
+        col(s"`$idCol`").cast("long") * 1000000L + col(s"`$startCol`"))
+      .withColumn("__n", col(s"`$nTokCol`").cast("long"))
+      .filter(col("__n") > 0)
+    val (cum, _) = graft.ops.Scale.prefixSums(ordered, "__ord", Seq("__n"))
+    val before = col("__cum___n") - col("__n")
+    val last = before + col("__n") - 1
+    def div(c: org.apache.spark.sql.Column) =
+      ((c - pmod(c, L)) / L).cast("long")
+    val spanned = cum
+      .withColumn("__before", before)
+      .withColumn("bin_id", explode(sequence(div(before), div(last))))
+    val segStart = greatest(col("__before"), col("bin_id") * L)
+    val segEnd = least(col("__before") + col("__n"), (col("bin_id") + 1) * L)
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("bin_id").orderBy(col("__seg_start"))
+    spanned
+      .withColumn("__seg_start", segStart)
+      .select(col("bin_id"),
+        col(s"`$idCol`"),
+        (col(s"`$startCol`").cast("long") + col("__seg_start") - col("__before"))
+          .as("token_start"),
+        (segEnd - col("__seg_start")).as("token_len"),
+        col("__seg_start"))
+      .withColumn("seq", row_number().over(win).cast("long"))
+      .drop("__seg_start")
+  }
 }

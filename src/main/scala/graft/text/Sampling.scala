@@ -29,4 +29,45 @@ object Sampling {
         Seq(col(s"`$groupCol`")), Seq(col("__key"), col(s"`$idCol`")),
         quota, saltOn = col(s"`$idCol`"), rankCol = "sample_rank", salts = salts)
       .drop("__key")
+
+  /** Keep each row of group g independently with probability p_g —
+    * the standard data-mixing primitive (language rebalancing, domain
+    * up/down-weighting). Selection is seedless and engine-reproducible:
+    * keep iff uint60(md5(id)) < ⌊p_g·2^60⌋ — the 60-bit md5 prefix is a
+    * portable uniform key ([[graft.dedup.Dedup.md5Long]]), the
+    * threshold multiply/floor are exact IEEE ops, and the comparison is
+    * integer, so any engine derives the identical sample. A pure
+    * broadcast-join + filter: no shuffle of the data side at all.
+    *
+    * `probs` = (groupCol, `probCol` ∈ [0,1]) — one row per group;
+    * p ≥ 1 keeps the whole group. */
+  def weightedSample(df: DataFrame, groupCol: String, idCol: String,
+      probs: DataFrame, probCol: String = "p"): DataFrame = {
+    val thr = floor(least(col(s"`$probCol`"), lit(1.0)) *
+      lit(1152921504606846976.0)).cast("long") // 2^60, exact as double
+    df.join(broadcast(probs.select(col(s"`$groupCol`"), thr.as("__thr"))),
+        groupCol)
+      .filter(graft.dedup.Dedup.md5Long(col(s"`$idCol`").cast("string")) <
+        col("__thr"))
+      .drop("__thr")
+  }
+
+  /** Temperature-rebalanced sampling at α = 0.5 (the common
+    * multilingual-mixing temperature): keep probability
+    * p_g = √(n_min / n_g), so the smallest group is kept whole and a
+    * group k× larger is downsampled to √k× the smallest's volume —
+    * post-sample sizes ∝ n_g^α. Counts are exact; the probability
+    * derivation uses only division and sqrt, both CORRECTLY ROUNDED
+    * under IEEE 754 (unlike pow), so the per-group thresholds — and
+    * hence the sample — are bit-reproducible in any engine. The counts
+    * pass is one partially-aggregated groupBy; the sample itself
+    * inherits [[weightedSample]]'s broadcast-filter shape. */
+  def temperatureSample(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val counts = df.groupBy(col(s"`$groupCol`")).agg(count(lit(1)).as("__n"))
+    val probs = counts.crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
+      .select(col(s"`$groupCol`"),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+    weightedSample(df, groupCol, idCol, probs)
+  }
 }

@@ -65,6 +65,80 @@ class CorpusOpsSpec extends SparkSpec {
     assert(packed.filter(col("bin_offset") >= 64 || col("bin_offset") < 0).count() === 0L)
   }
 
+  test("bin segments cover every bin exactly and split straddlers") {
+    import spark.implicits._
+    // chunk stream (doc, start, n): doc2 straddles bins 0→1, doc3 1→2
+    val chunks = Seq((1L, 0, 7), (2L, 0, 8), (3L, 5, 12))
+      .toDF("doc_id", "token_start", "n_tokens")
+    val segs = graft.text.Packing
+      .binSegments(chunks, "doc_id", "token_start", "n_tokens", seqLen = 10)
+      .select("bin_id", "seq", "doc_id", "token_start", "token_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(segs == Set(
+      (0L, 1L, 1L, 0L, 7L),   // doc1 [0,7)
+      (0L, 2L, 2L, 0L, 3L),   // doc2 head [7,10)
+      (1L, 1L, 2L, 3L, 5L),   // doc2 tail [10,15): token_start 0+3
+      (1L, 2L, 3L, 5L, 5L),   // doc3 head [15,20): keeps its own start 5
+      (2L, 1L, 3L, 10L, 7L))) // doc3 tail [20,27)
+    // invariant: every bin except the last sums to seqLen, and segments
+    // are contiguous in seq order
+    val byBin = segs.groupBy(_._1)
+    val lastBin = byBin.keys.max
+    byBin.foreach { case (bin, ss) =>
+      val total = ss.toSeq.map(_._5).sum
+      if (bin != lastBin) assert(total == 10L, s"bin $bin covers $total")
+      assert(ss.toSeq.sortBy(_._2).map(_._2) == (1 to ss.size).map(_.toLong))
+    }
+    // zero-token chunks contribute nothing
+    val withEmpty = chunks.union(Seq((9L, 0, 0)).toDF("doc_id", "token_start", "n_tokens"))
+    assert(graft.text.Packing
+      .binSegments(withEmpty, "doc_id", "token_start", "n_tokens", seqLen = 10)
+      .filter(col("doc_id") === 9L).count() == 0L)
+  }
+
+  test("weighted sample matches an independently computed hash threshold") {
+    import spark.implicits._
+    val docs = (1L to 400L).map(i => (if (i <= 300) "en" else "de", i))
+      .toDF("lang", "doc_id")
+    val probs = Seq(("en", 0.25), ("de", 1.0)).toDF("lang", "p")
+    val out = graft.text.Sampling.weightedSample(docs, "lang", "doc_id", probs)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    // independent reference: 60-bit md5 prefix vs floor(p * 2^60)
+    def h60(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = (1L to 400L).flatMap { i =>
+      val (lang, p) = if (i <= 300) ("en", 0.25) else ("de", 1.0)
+      if (h60(i) < math.floor(p * math.pow(2, 60)).toLong) Some((lang, i)) else None
+    }.toSet
+    assert(out == want)
+    // p = 1 keeps the whole group
+    assert(out.count(_._1 == "de") == 100)
+    // p = 0.25 keeps roughly a quarter (uniform hash, 300 draws)
+    val kept = out.count(_._1 == "en")
+    assert(kept > 45 && kept < 105, s"en kept $kept of 300 at p=0.25")
+  }
+
+  test("temperature sample keeps the smallest group whole, downsamples by sqrt") {
+    import spark.implicits._
+    // en:3600, de:400 → p_en = sqrt(400/3600) = 1/3, p_de = 1
+    val docs = (1L to 4000L).map(i => (if (i <= 3600) "en" else "de", i))
+      .toDF("lang", "doc_id")
+    val out = graft.text.Sampling.temperatureSample(docs, "lang", "doc_id")
+    val byLang = out.select("lang", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    assert(byLang("de") == 400, "smallest group must be kept whole")
+    val en = byLang("en")
+    assert(en > 1000 && en < 1400, s"en kept $en of 3600 at p=1/3")
+    // deterministic: a second run selects the identical set
+    val again = graft.text.Sampling.temperatureSample(docs, "lang", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(again == out.select("doc_id").as[Long].collect().toSet)
+  }
+
   test("quota sample is exact, deterministic, and capped per group") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (if (i % 5 == 0) "de" else "en", i))
