@@ -245,7 +245,34 @@ object ProfileQueries {
        |FROM profs""".stripMargin
   }
 
+  // ---- p10: sketch-configuration error-bound certificate -----------------
+
+  /** The 100 TB sketch path (percentile_approx + HLL distincts)
+    * certified against exact in-engine ground truth: GK rank-interval
+    * check per column × quartile plus a 4σ HLL distinct check. The
+    * booleans are deterministic for fixed data; the oracle pins every
+    * row to true, so any bound violation fails the hash gate loudly. */
+  def sketchBounds(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.load(spark, dir, "lineitem")
+    graft.profile.SketchBounds.percentileRankCheck(li, lineitemNumCols,
+        Seq("q1" -> 0.25, "med" -> 0.5, "q3" -> 0.75), accuracy = 10000)
+      .unionByName(graft.profile.SketchBounds.distinctCheck(li,
+        Seq("l_quantity", "l_partkey", "l_orderkey", "l_shipdate")))
+      .orderBy("column", "metric")
+  }
+
+  val sketchBoundsSql: String = {
+    val pctRows = lineitemNumCols.flatMap(c =>
+      Seq("med", "q1", "q3").map(m => s"('$c', '$m', true)"))
+    val dRows = Seq("l_quantity", "l_partkey", "l_orderkey", "l_shipdate")
+      .map(c => s"('$c', 'distinct', true)")
+    s"""SELECT * FROM (VALUES ${(pctRows ++ dRows).mkString(",\n  ")})
+       |AS t("column", metric, ok)
+       |ORDER BY "column", metric""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p10_sketch_bounds" -> (sketchBounds _),
     "p9_dataset_profile" -> (datasetProfile _),
     "p6_semantic_types" -> (semanticTypes _),
     "p7_equiwidth_bins" -> (equiWidthBins _),
@@ -257,6 +284,7 @@ object ProfileQueries {
     "p5_top_keywords" -> (topKeywords _))
 
   def oracleSql: Map[String, String] = Map(
+    "p10_sketch_bounds" -> sketchBoundsSql,
     "p9_dataset_profile" -> datasetProfileSql,
     "p6_semantic_types" -> semanticTypesSql,
     "p7_equiwidth_bins" -> equiWidthBinsSql,
