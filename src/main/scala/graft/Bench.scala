@@ -25,31 +25,39 @@ object Bench {
       catch { case _: Throwable => () }
       dropState()
     }
-    // Median of 3 runs per query: this host's load is bursty (±50%
-    // run-to-run on the same code), and single-shot numbers were
-    // noise-dominated — round 4 showed 3×-inflated readings that a
-    // median reproduces within ±30%. The median absorbs one bad run
-    // without the min's bias toward lucky cache states.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val sec = (1 to 3).map { _ =>
+    // Median of 3 INTERLEAVED suite epochs: this host's load is bursty
+    // (±50% run-to-run on the same code) and the bad intervals last
+    // many seconds — three BACK-TO-BACK runs of one query all land in
+    // the same polluted epoch, so round 5's per-query median still read
+    // 9.6s for a 3.4s-warm query. Running the whole suite three times
+    // and taking each query's median ACROSS epochs decorrelates the
+    // noise from the query: one bad epoch costs every query one sample,
+    // which the median discards.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val epochs = (1 to 3).map { e =>
+      names.map { name =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        try { SparkEntry.queries(name)(spark, sfDir).count() }
+        catch { case _: Throwable => -1L }
         val s = (System.nanoTime() - t0) / 1e9
         // drop caches/persists a query may have pinned so later queries
         // are measured on a clean executor heap
         dropState()
-        s
-      }.sorted.apply(1)
+        name -> s
+      }.toMap
+    }
+    val results = names.map { name =>
+      val sec = epochs.map(_(name)).sorted.apply(1)
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
-    }
+    }.toMap
     // 3-decimal rounding keeps the JSON line short enough to survive
     // tail-window capture by the driver (round 1's full-precision line
     // overflowed the window and parsed as null).
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma decimal separator would emit invalid JSON.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s""""$k":${d3(v)}""" }
+    val qs = names.map(k => s""""$k":${d3(results(k))}""")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

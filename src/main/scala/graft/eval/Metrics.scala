@@ -50,10 +50,12 @@ object Metrics {
         struct(lit(cn).as("column"), col(s"__d_$i").as("dirty_value"),
           col(s"__c_$i").as("clean_value")))
     }
+    // array_compact drops the non-diff nulls BEFORE the explode, so a
+    // clean row (the common case) generates zero rows instead of #cols
+    // null entries that a filter then discards
     d.join(c, col("__rid_d") <=> col("__rid_c"), "full_outer")
       .select(coalesce(col("__rid_d"), col("__rid_c")).as("row_id"),
-        explode(array(diffs: _*)).as("e"))
-      .filter(col("e").isNotNull)
+        explode(array_compact(array(diffs: _*))).as("e"))
       .select(col("row_id"), col("e.column"), col("e.dirty_value"),
         col("e.clean_value"))
   }

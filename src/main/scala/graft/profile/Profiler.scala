@@ -86,7 +86,7 @@ object Profiler {
     * frame keyed by (table, column). One union of scans → one shuffle
     * per aggregation pass for ALL tables, instead of a job set per
     * table. */
-  private def longFormatMany(tables: Seq[(String, DataFrame)]): DataFrame =
+  private[graft] def longFormatMany(tables: Seq[(String, DataFrame)]): DataFrame =
     tables.map { case (t, df) =>
       longFormat(df).select(lit(t).as("table"), col("column"), col("value"))
     }.reduce(_.unionByName(_))

@@ -25,9 +25,64 @@ object MultimodalQueries {
       |  (1 + ('0x' || substr(md5(text), 1, 15))::UBIGINT % 3)::INT AS n_channels
       |FROM documents ORDER BY id""".stripMargin
 
+  // ---- mm2: perceptual dHash image near-duplicates ----------------------
+
+  /** documents-as-media ∪ shifted copy → every "image" has one planted
+    * exact duplicate; the dHash pipeline (grayscale decode at the
+    * mapPartitions boundary → 64-bit difference hash → banded Hamming
+    * join) must recover exactly those pairs at distance 0 (chained-md5
+    * stub grids make chance collisions within distance 3 vanishing). */
+  def imageDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(Tables.load(spark, dir, "documents"),
+      "doc_id", "text").select(col("id"), col("media"))
+    val doubled = media.unionByName(
+      media.select((col("id") + 1000000).as("id"), col("media")))
+    Multimodal.dhashPairs(
+        Multimodal.dhashFeatures(doubled, Multimodal.StubGrayscaleDecoder),
+        maxDistance = 3)
+      .orderBy("ida", "idb")
+  }
+
+  /** Mirror of StubGrayscaleDecoder + dhash64 + the banded Hamming
+    * join: 5 chained md5 hex blocks → 72-byte grid → 64 adjacent-pixel
+    * comparisons → unsigned HUGEINT signature → signed two's-complement
+    * BIGINT for xor/bit_count (the simhash oracle's device). */
+  val imageDupPairsSql: String = {
+    def g(i: Int) = s"('0x' || substr(hexs, ${2 * i + 1}, 2))::INT"
+    val sig = (for (r <- 0 until 8; c <- 0 until 8) yield
+      s"CASE WHEN ${g(r * 9 + c)} > ${g(r * 9 + c + 1)} THEN ${java.math.BigInteger.ONE.shiftLeft(r * 8 + c)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    val bandStructs = (0 until 4).map(b =>
+      s"SELECT id, ssig, $b AS band, ((usig // ${1L << (b * 16)}) % 65536)::BIGINT AS key FROM sigs2")
+      .mkString("\nUNION ALL\n")
+    s"""WITH doubled AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |chain AS (
+       |  SELECT id, md5(text) AS h1 FROM doubled),
+       |chain2 AS (
+       |  SELECT id, h1, md5(h1) AS h2, md5(md5(h1)) AS h3,
+       |    md5(md5(md5(h1))) AS h4, md5(md5(md5(md5(h1)))) AS h5
+       |  FROM chain),
+       |grids AS (SELECT id, h1 || h2 || h3 || h4 || h5 AS hexs FROM chain2),
+       |sigs AS (SELECT id, ($sig) AS usig FROM grids),
+       |sigs2 AS (SELECT id, usig,
+       |  (CASE WHEN usig >= 9223372036854775808::HUGEINT
+       |        THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS ssig
+       |  FROM sigs),
+       |banded AS ($bandStructs)
+       |SELECT DISTINCT a.id AS ida, b.id AS idb,
+       |  bit_count(xor(a.ssig, b.ssig)) AS hamming
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |WHERE a.id < b.id AND bit_count(xor(a.ssig, b.ssig)) <= 3
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm1_media_features" -> (mediaFeatures _))
+    "mm1_media_features" -> (mediaFeatures _),
+    "mm2_image_dup_pairs" -> (imageDupPairs _))
 
   def oracleSql: Map[String, String] = Map(
-    "mm1_media_features" -> mediaFeaturesSql)
+    "mm1_media_features" -> mediaFeaturesSql,
+    "mm2_image_dup_pairs" -> imageDupPairsSql)
 }

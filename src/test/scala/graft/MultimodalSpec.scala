@@ -33,6 +33,43 @@ class MultimodalSpec extends SparkSpec {
       .toArray(Array.empty[Integer]).map(_.toInt).sorted
     assert(observed === Array(4, 8, 8))
   }
+
+  test("dhash64 pins the difference-hash bit layout") {
+    // each row ascending 0..8 → every adjacent comparison false → 0
+    val inc = Array.tabulate(72)(i => i % 9)
+    assert(Multimodal.dhash64(inc) == 0L)
+    // each row descending → all 64 bits set (signed -1)
+    val dec = Array.tabulate(72)(i => 9 - (i % 9))
+    assert(Multimodal.dhash64(dec) == -1L)
+    // bumping grid[r][0] by 2 flips exactly bit r·8 (no neighbors move)
+    val one = inc.clone(); one(3 * 9) += 2
+    assert(Multimodal.dhash64(one) == (1L << 24))
+  }
+
+  test("dhash pairs recover exactly the pairs within the distance bound") {
+    import spark.implicits._
+    val media = (1L to 5L).map(i => (i, Array[Byte]())).toDF("id", "media")
+    val hashes = Multimodal.dhashFeatures(media, MultimodalSpec.LadderDecoder)
+    val got = Multimodal.dhashPairs(hashes, maxDistance = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val want = (for (i <- 1L to 5L; j <- i + 1 to 5L if j - i <= 3)
+      yield (i, j, (j - i).toInt)).toSet
+    assert(got == want) // (1,5) at distance 4 must be absent
+  }
+
+  test("stub grayscale decoder is deterministic and planted dups hash equal") {
+    import spark.implicits._
+    val media = Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("media"))
+    val h = Multimodal.dhashFeatures(media, Multimodal.StubGrayscaleDecoder)
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L) && h(1L) != h(3L))
+    val pairs = Multimodal.dhashPairs(
+      Multimodal.dhashFeatures(media, Multimodal.StubGrayscaleDecoder))
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs == Set((1L, 2L, 0)))
+  }
 }
 
 /** JVM-static spy state: the decoder closure is serialized per task, so
@@ -45,5 +82,21 @@ object MultimodalSpec {
       batchSizes.add(ids.size)
       Multimodal.StubDecoder.decodeBatch(ids, blobs)
     }
+  }
+
+  /** Synthetic thumbnail with the first `k` rows' leading comparison
+    * flipped: dHash has exactly bits {0*8, 1*8, ..., (k-1)*8} set, so
+    * two grids at k=i and k=j are Hamming distance |i-j| apart (nested
+    * bit sets) -- a fully controlled distance ladder. */
+  def gridK(k: Int): Array[Int] = {
+    val g = Array.tabulate(72)(i => i % 9)
+    (0 until k).foreach(r => g(r * 9) += 2)
+    g
+  }
+
+  object LadderDecoder extends Multimodal.GrayscaleDecoder {
+    def decodeGrayscaleBatch(ids: Seq[Long],
+        blobs: Seq[Array[Byte]]): Seq[(Long, Array[Int])] =
+      ids.map(id => (id, gridK((id - 1).toInt)))
   }
 }
