@@ -325,6 +325,30 @@ object DedupQueries {
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d8: benchmark decontamination -----------------------------------
+
+  /** Every 10th document plays the evaluation set; corpus docs sharing
+    * any distinct 5-gram with it are flagged with their overlap count
+    * (eval members flag themselves — the full-output view; a real
+    * pipeline then drops flagged ids via Decontamination.decontaminate). */
+  def contamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.dedup.Decontamination.contaminatedDocs(
+        docs, docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", n = 5)
+      .orderBy("id")
+  }
+
+  val contaminationSql: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 3, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2] || ' ' || $WS[i+3] || ' ' || $WS[i+4])) AS g
+       |  FROM documents WHERE len($WS) >= 5),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+       |SELECT doc_id AS id, COUNT(*) AS n_overlap
+       |FROM grams JOIN eval_grams USING (g)
+       |GROUP BY doc_id ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
@@ -332,7 +356,8 @@ object DedupQueries {
     "d4_minhash_pairs" -> (minhashPairs _),
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_embedding_dups" -> (embeddingDups _),
-    "d7_dup_components" -> (dupComponents _))
+    "d7_dup_components" -> (dupComponents _),
+    "d8_contamination" -> (contamination _))
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dup_groups" -> exactDupGroupsSql,
@@ -341,5 +366,6 @@ object DedupQueries {
     "d4_minhash_pairs" -> minhashPairsSql,
     "d5_simhash_pairs" -> simhashPairsSql,
     "d6_embedding_dups" -> embeddingDupsSql,
-    "d7_dup_components" -> dupComponentsSql)
+    "d7_dup_components" -> dupComponentsSql,
+    "d8_contamination" -> contaminationSql)
 }

@@ -264,6 +264,44 @@ object TextQueries {
       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr
       |ORDER BY d.lang, d.doc_id""".stripMargin
 
+  // ---- t12: PII-style redaction -------------------------------------------
+
+  /** Deterministically plant an email (every 7th doc) and a long
+    * account-style number (every 11th doc), then redact both pattern
+    * families and emit the match counts plus the md5 of the scrubbed
+    * text — the hash pins every replacement byte-for-byte. */
+  def redact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .withColumn("text2",
+        concat(col("text"),
+          when(col("doc_id") % 7 === 0,
+            concat(lit(" contact doc"), col("doc_id"), lit("@example.com")))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            concat(lit(" ref "), lit(9000000000L) + col("doc_id")))
+            .otherwise(lit(""))))
+    graft.text.TextAnalysis.redact(docs, "text2", "doc_id")
+      .select(col("id"), col("n_email"), col("n_number"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("id")
+  }
+
+  val redactSql: String =
+    """WITH planted AS (
+      |  SELECT doc_id, text
+      |    || CASE WHEN doc_id % 7 = 0
+      |         THEN ' contact doc' || doc_id || '@example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 11 = 0
+      |         THEN ' ref ' || (9000000000 + doc_id) ELSE '' END AS text2
+      |  FROM documents)
+      |SELECT doc_id AS id,
+      |  len(regexp_extract_all(text2, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))::INT AS n_email,
+      |  len(regexp_extract_all(text2, '\d{6,}'))::INT AS n_number,
+      |  md5(regexp_replace(regexp_replace(text2,
+      |    '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |    '\d{6,}', '<NUM>', 'g')) AS redacted_md5
+      |FROM planted ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
@@ -275,7 +313,8 @@ object TextQueries {
     "t8_lang_quota" -> (langQuota _),
     "t9_packed" -> (packed _),
     "t10_bin_segments" -> (binSegments _),
-    "t11_weighted_sample" -> (weightedSample _))
+    "t11_weighted_sample" -> (weightedSample _),
+    "t12_redact" -> (redact _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -288,5 +327,6 @@ object TextQueries {
     "t8_lang_quota" -> langQuotaSql,
     "t9_packed" -> packedSql,
     "t10_bin_segments" -> binSegmentsSql,
-    "t11_weighted_sample" -> weightedSampleSql)
+    "t11_weighted_sample" -> weightedSampleSql,
+    "t12_redact" -> redactSql)
 }

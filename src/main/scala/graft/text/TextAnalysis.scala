@@ -140,4 +140,29 @@ object TextAnalysis {
       .filter(col("distance") <= maxDist)
       .select("value_a", "value_b", "distance")
   }
+
+  /** Default PII-style redaction patterns: (name, RE2-safe regex,
+    * replacement sentinel). Kept to constructs with identical
+    * semantics in Java regex and RE2-family engines (no backrefs, no
+    * lookaround, ASCII \\d) so redaction is engine-reproducible. */
+  val RedactionPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}", "<EMAIL>"),
+    ("number", "\\d{6,}", "<NUM>"))
+
+  /** Scrub sensitive spans from a corpus: per document, count each
+    * pattern's matches in the ORIGINAL text, then apply the
+    * replacements in declaration order. Pure map-side Column
+    * expressions (regexp_count + chained regexp_replace) — codegen'd,
+    * no shuffle, no UDF; at 100 TB this runs at scan speed. Output:
+    * (id, n_<name> per pattern, redacted). */
+  def redact(df: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[(String, String, String)] = RedactionPatterns): DataFrame = {
+    val counts = patterns.map { case (name, re, _) =>
+      regexp_count(col(s"`$textCol`"), lit(re)).as(s"n_$name")
+    }
+    val redacted = patterns.foldLeft(col(s"`$textCol`")) {
+      case (c, (_, re, repl)) => regexp_replace(c, re, repl)
+    }
+    df.select(col(s"`$idCol`").as("id") +: counts :+ redacted.as("redacted"): _*)
+  }
 }

@@ -139,6 +139,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(again == out.select("doc_id").as[Long].collect().toSet)
   }
 
+  test("decontamination flags exactly the docs sharing eval n-grams") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "a completely unrelated sentence about spark engines here"),
+      (3L, "we saw the quick brown fox jumps too")
+    ).toDF("doc_id", "text")
+    val eval_ = Seq((100L, "quick brown fox jumps over cliffs")).toDF("doc_id", "text")
+    val flagged = graft.dedup.Decontamination
+      .contaminatedDocs(corpus, eval_, "text", "doc_id", n = 4)
+      .as[(Long, Long)].collect().toMap
+    // doc1 shares "quick brown fox jumps" and "brown fox jumps over";
+    // doc3 shares only "quick brown fox jumps"; doc2 shares nothing
+    assert(flagged == Map(1L -> 2L, 3L -> 1L))
+    val kept = graft.dedup.Decontamination
+      .decontaminate(corpus, eval_, "text", "doc_id", n = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("redaction scrubs planted PII and leaves clean text alone") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "mail me at jane.doe+x@sub.example.org or call 12345678 now"),
+      (2L, "nothing sensitive here, just 12345 short"),
+      (3L, "two mails a@b.co c@d.io and refs 999999 0000001")
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis.redact(docs, "text", "doc_id")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(out(1L) == ((1, 1, "mail me at <EMAIL> or call <NUM> now")))
+    assert(out(2L) == ((0, 0, "nothing sensitive here, just 12345 short")))
+    assert(out(3L) == ((2, 2, "two mails <EMAIL> <EMAIL> and refs <NUM> <NUM>")))
+  }
+
   test("quota sample is exact, deterministic, and capped per group") {
     import spark.implicits._
     val docs = (1L to 500L).map(i => (if (i % 5 == 0) "de" else "en", i))
