@@ -69,20 +69,27 @@ object SketchBounds {
     * `approx_count_distinct` at relative standard deviation `rsd` is
     * within `sigmas`·rsd of the exact distinct count (+`slack`
     * absolute, for tiny cardinalities where the ratio bound is
-    * meaningless). */
+    * meaningless).
+    *
+    * Shape: one aggregation subtree PER COLUMN, unioned. Putting all
+    * k exact `count_distinct`s in a single agg makes Catalyst rewrite
+    * through Expand — k+1 replicas of every input row — and mixing
+    * the HLL aggs into the same agg then drags the sketch buffers
+    * through that multiplied stream (measured 3.5× slower at sf1).
+    * Per-column subtrees each read one parquet column (pruned scan:
+    * same total I/O as one wide scan), keep the two-phase partial
+    * agg, and parallelize across the union — linear at 100 TB. */
   def distinctCheck(df: DataFrame, cols: Seq[String], rsd: Double = 0.05,
       sigmas: Double = 4.0, slack: Long = 8): DataFrame = {
-    val aggs = cols.flatMap { c =>
-      Seq(approx_count_distinct(col(s"`$c`"), rsd).as(s"__a_$c"),
-        count_distinct(col(s"`$c`")).as(s"__e_$c"))
+    val perCol = cols.map { c =>
+      df.select(col(s"`$c`").as("__v"))
+        .agg(approx_count_distinct(col("__v"), rsd).as("__a"),
+          count_distinct(col("__v")).as("__e"))
+        .select(lit(c).as("column"), lit("distinct").as("metric"),
+          (abs(col("__a").cast("double") - col("__e").cast("double")) <=
+            lit(sigmas * rsd) * col("__e").cast("double") +
+            lit(slack.toDouble)).as("ok"))
     }
-    val agg = df.agg(aggs.head, aggs.tail: _*)
-    val rows = cols.map { c =>
-      val a = col(s"__a_$c").cast("double")
-      val e = col(s"__e_$c").cast("double")
-      struct(lit(c).as("column"), lit("distinct").as("metric"),
-        (abs(a - e) <= lit(sigmas * rsd) * e + lit(slack.toDouble)).as("ok"))
-    }
-    agg.select(explode(array(rows: _*)).as("r")).select("r.*")
+    perCol.reduce(_ unionAll _)
   }
 }
