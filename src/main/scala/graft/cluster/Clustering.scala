@@ -152,6 +152,48 @@ object Clustering {
       .toDF("column_id", "cluster_id")
   }
 
+  /** Driver-side twin of [[vectorize]]'s minmax scaler for rows that
+    * are ALREADY collected (the multi-table pipeline holds the profile
+    * rows for rule derivation anyway): identical arithmetic —
+    * (x−min)/(max−min), constant feature → 0.5 — without the
+    * checkpoint + stats-agg Spark jobs, which at control-plane size
+    * cost more in scheduling than the math. */
+  def minMaxScaleLocal(
+      pts: Seq[(String, Array[Double])]): Seq[(String, Array[Double])] = {
+    if (pts.isEmpty) pts
+    else {
+      val dim = pts.head._2.length
+      val lo = Array.fill(dim)(Double.PositiveInfinity)
+      val hi = Array.fill(dim)(Double.NegativeInfinity)
+      pts.foreach { case (_, v) =>
+        var i = 0
+        while (i < dim) {
+          if (v(i) < lo(i)) lo(i) = v(i)
+          if (v(i) > hi(i)) hi(i) = v(i)
+          i += 1
+        }
+      }
+      pts.map { case (id, v) =>
+        id -> Array.tabulate(dim)(i =>
+          if (hi(i) == lo(i)) 0.5 else (v(i) - lo(i)) / (hi(i) - lo(i)))
+      }
+    }
+  }
+
+  /** Numeric feature vector of one collected profile row, mirroring
+    * [[vectorize]]'s `coalesce(cast(f as double), 0.0)`. */
+  def featureVectorLocal(r: Row,
+      features: Seq[String] = defaultFeatures): Array[Double] =
+    features.map { f =>
+      val i = r.fieldIndex(f)
+      if (r.isNullAt(i)) 0.0
+      else r.get(i) match {
+        case d: Double => d
+        case n: java.lang.Number => n.doubleValue()
+        case _ => 0.0
+      }
+    }.toArray
+
   /** Driver-side DBSCAN (M2) — the reference's default clusterer
     * (eps-neighborhood density, noise dropped to cluster -1). Operates
     * on collected vectors: O(n²) with n = #columns, intentionally local. */

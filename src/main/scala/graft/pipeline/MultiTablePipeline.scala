@@ -28,14 +28,26 @@ object MultiTablePipeline {
     * member column. Range/length params widen to the cluster's hull so
     * the shared rule is valid for all members. */
   def sharedClusterRules(profiles: DataFrame, assignments: DataFrame): Seq[BoundRule] = {
-    val rows = profiles
-      .withColumn("column_id", concat_ws("::", col("table"), col("column")))
-      .join(assignments, "column_id")
-      .collect()
-    rows.groupBy(_.getAs[Int]("cluster_id")).toSeq.flatMap { case (cid, members) =>
+    val assign = assignments.collect().map(r =>
+      r.getAs[String]("column_id") -> r.getAs[Int]("cluster_id")).toMap
+    sharedClusterRulesLocal(profiles.collect().toSeq, assign)
+  }
+
+  /** [[sharedClusterRules]] on ALREADY-collected profile rows — the
+    * pipeline holds them for the violation-scan binding anyway, and at
+    * control-plane size (one row per column) the DataFrame join +
+    * second collect cost more in job scheduling than the derivation. */
+  def sharedClusterRulesLocal(rows: Seq[org.apache.spark.sql.Row],
+      assign: Map[String, Int]): Seq[BoundRule] = {
+    val withCid = rows.flatMap { r =>
+      val id = r.getAs[String]("table") + "::" + r.getAs[String]("column")
+      assign.get(id).map(cid => (cid, r))
+    }
+    withCid.groupBy(_._1).toSeq.flatMap { case (cid, tagged) =>
+      val members = tagged.map(_._2)
       if (cid < 0 || members.length < 2) Nil // noise / singleton clusters
       else {
-        val perMember = members.toSeq.map { m =>
+        val perMember = members.map { m =>
           (m.getAs[String]("table"), m.getAs[String]("column"),
             RuleGenerator.fromProfileRow(m))
         }
@@ -99,9 +111,18 @@ object MultiTablePipeline {
     val profiles = Profiler.profileManyCached(trainSide.toSeq.sortBy(_._1),
         graft.profile.ProfilerConfig(exact = false, features = features),
         columns = consumed)
-    val assignments = Clustering.dbscanAssign(
-      Clustering.vectorize(profiles), eps, minPts)
-    val bound = sharedClusterRules(profiles, assignments)
+    // One collect; everything between the profile and the violation
+    // scans — minmax scaling, DBSCAN, shared-rule derivation — is
+    // control-plane (one datum per column) and runs on the driver.
+    // The Spark twins (vectorize/dbscanAssign) spend ~0.5s of job
+    // scheduling on an 18-row frame for the same arithmetic.
+    val profRows = profiles.collect().toSeq
+    val pts = profRows.map { r =>
+      (r.getAs[String]("table") + "::" + r.getAs[String]("column")) ->
+        Clustering.featureVectorLocal(r)
+    }
+    val assign = Clustering.dbscan(Clustering.minMaxScaleLocal(pts), eps, minPts)
+    val bound = sharedClusterRulesLocal(profRows, assign)
     val scans = bound.groupBy(_.table).toSeq.sortBy(_._1).map { case (t, brs) =>
       ViolationScanner.scan(tables(t), t, brs.map(_.rule).distinct,
         keyCols(t))
