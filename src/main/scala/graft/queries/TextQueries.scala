@@ -302,6 +302,45 @@ object TextQueries {
       |    '\d{6,}', '<NUM>', 'g')) AS redacted_md5
       |FROM planted ORDER BY id""".stripMargin
 
+  // ---- t13: Gopher-style repetition metrics ----------------------------
+
+  /** Per-document repetition signals (top-word / top-bigram /
+    * duplicated-trigram fractions), round4'd for cross-engine parity. */
+  def repetition(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis
+      .repetitionMetrics(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .select(col("id").as("doc_id"),
+        round4(col("top_word_frac")).as("top_word_frac"),
+        round4(col("top_bigram_frac")).as("top_bigram_frac"),
+        round4(col("dup_trigram_frac")).as("dup_trigram_frac"))
+      .orderBy("doc_id")
+
+  val repetitionSql: String =
+    s"""WITH toks AS (SELECT doc_id, $WS AS ts FROM documents),
+       |pos AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM toks),
+       |grams AS (
+       |  SELECT doc_id, 1 AS n, ts[i] AS g FROM pos
+       |  UNION ALL
+       |  SELECT doc_id, 2, ts[i] || ' ' || ts[i+1] FROM pos WHERE i <= len(ts) - 1
+       |  UNION ALL
+       |  SELECT doc_id, 3, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]
+       |  FROM pos WHERE i <= len(ts) - 2),
+       |cnt AS (SELECT doc_id, n, g, count(*) AS c FROM grams GROUP BY 1, 2, 3),
+       |agg AS (SELECT doc_id, n, sum(c) AS total, max(c) AS top,
+       |          coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+       |        FROM cnt GROUP BY 1, 2),
+       |fracs AS (SELECT doc_id,
+       |  max(CASE WHEN n = 1 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS f1,
+       |  max(CASE WHEN n = 2 THEN CAST(top AS DOUBLE) / CAST(total AS DOUBLE) END) AS f2,
+       |  max(CASE WHEN n = 3 THEN CAST(dup AS DOUBLE) / CAST(total AS DOUBLE) END) AS f3
+       |  FROM agg GROUP BY 1)
+       |SELECT d.doc_id,
+       |  FLOOR(coalesce(f1, 0.0) * 10000 + 0.5) / 10000 AS top_word_frac,
+       |  FLOOR(coalesce(f2, 0.0) * 10000 + 0.5) / 10000 AS top_bigram_frac,
+       |  FLOOR(coalesce(f3, 0.0) * 10000 + 0.5) / 10000 AS dup_trigram_frac
+       |FROM documents d LEFT JOIN fracs USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
@@ -314,7 +353,8 @@ object TextQueries {
     "t9_packed" -> (packed _),
     "t10_bin_segments" -> (binSegments _),
     "t11_weighted_sample" -> (weightedSample _),
-    "t12_redact" -> (redact _))
+    "t12_redact" -> (redact _),
+    "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
     "t1_lang_id" -> langIdSql,
@@ -328,5 +368,6 @@ object TextQueries {
     "t9_packed" -> packedSql,
     "t10_bin_segments" -> binSegmentsSql,
     "t11_weighted_sample" -> weightedSampleSql,
-    "t12_redact" -> redactSql)
+    "t12_redact" -> redactSql,
+    "t13_repetition" -> repetitionSql)
 }

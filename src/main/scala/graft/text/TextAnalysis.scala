@@ -165,4 +165,53 @@ object TextAnalysis {
     }
     df.select(col(s"`$idCol`").as("id") +: counts :+ redacted.as("redacted"): _*)
   }
+
+  /** Gopher-style repetition metrics per document (quality-filter
+    * signals for LLM corpora; Rae et al. 2021 §A1.1 apply these as
+    * "repetition" filters): the fraction of token occurrences taken by
+    * the single most frequent word (n=1) and bigram (n=2), and the
+    * fraction of trigram occurrences that are duplicated (count > 1).
+    * Documents with no tokens score 0.0 everywhere.
+    *
+    * Scale shape: one tokenize, n-gram arrays built map-side from the
+    * materialized word array (same pattern as
+    * [[graft.dedup.Dedup.wordShingles]]), a single tagged explode
+    * (~3 rows per token), then two partially-aggregable shuffles
+    * ((id, n, gram) counts → (id, n) totals) and a final per-id
+    * pivot-by-conditional — linear in corpus size, no windows, no
+    * driver data. */
+  def repetitionMetrics(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val ws = col("__ws")
+    def grams(n: Int): Column =
+      when(size(ws) >= n,
+        transform(sequence(lit(0), size(ws) - n),
+          i => struct(lit(n).as("n"),
+            array_join(slice(ws, i + lit(1), lit(n)), " ").as("g"))))
+        .otherwise(array().cast("array<struct<n:int,g:string>>"))
+    val tagged = df
+      .select(col(s"`$idCol`").as("id"), tokens(col(s"`$textCol`")).as("__ws"))
+      .select(col("id"), explode(concat(grams(1), grams(2), grams(3))).as("t"))
+      .select(col("id"), col("t.n").as("n"), col("t.g").as("g"))
+    val cnt = tagged.groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+    val agg = cnt.groupBy("id", "n").agg(
+      sum("c").as("total"), max("c").as("top"),
+      coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"))
+    val fracs = agg.groupBy("id").agg(
+      max(when(col("n") === 1,
+        col("top").cast(DoubleType) / col("total").cast(DoubleType)))
+        .as("top_word_frac"),
+      max(when(col("n") === 2,
+        col("top").cast(DoubleType) / col("total").cast(DoubleType)))
+        .as("top_bigram_frac"),
+      max(when(col("n") === 3,
+        col("dup").cast(DoubleType) / col("total").cast(DoubleType)))
+        .as("dup_trigram_frac"))
+    // left join back so token-less documents keep a row (explode drops
+    // them from the gram stream)
+    df.select(col(s"`$idCol`").as("id")).join(fracs, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("top_word_frac"), lit(0.0)).as("top_word_frac"),
+        coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
+        coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
+  }
 }

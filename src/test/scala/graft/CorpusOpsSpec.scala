@@ -198,4 +198,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Sampling.quotaSample(tiny, "lang", "doc_id", quota = 30)
       .count() === 2L)
   }
+
+  test("repetition metrics match hand-computed fractions") {
+    import spark.implicits._
+    val docs = Seq(
+      // 6 words: "a" ×4 → top_word 4/6; bigrams (a a)(a b)(b a)(a a)(a c)
+      // → top_bigram 2/5; trigrams (a a b)(a b a)(b a a)(a a c) all
+      // distinct → dup 0/4
+      (1L, "a a b a a c"),
+      // pure repetition: every gram identical
+      (2L, "x x x x"),
+      (3L, "unique words only here"),
+      (4L, ""),       // no tokens → 0.0 everywhere
+      (5L, "solo"))   // one word: no bigrams/trigrams → 0.0 for those
+      .toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis
+      .repetitionMetrics(docs, "text", "doc_id")
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Double]("top_word_frac"),
+          r.getAs[Double]("top_bigram_frac"),
+          r.getAs[Double]("dup_trigram_frac"))))
+      .toMap
+    assert(got(1L) === ((4.0 / 6, 2.0 / 5, 0.0)))
+    // doc 2: words x×4 → 1.0; bigrams "x x"×3 → 1.0; trigrams "x x x"×2
+    // → duplicated 2/2 = 1.0
+    assert(got(2L) === ((1.0, 1.0, 1.0)))
+    assert(got(3L) === ((0.25, 1.0 / 3, 0.0)))
+    assert(got(4L) === ((0.0, 0.0, 0.0)))
+    assert(got(5L) === ((1.0, 0.0, 0.0)))
+  }
 }
