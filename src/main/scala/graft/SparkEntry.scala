@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.StatQueries.queries ++
     graft.queries.MatchQueries.queries ++
     graft.queries.StreamQueries.queries ++
-    graft.queries.MultimodalQueries.queries
+    graft.queries.MultimodalQueries.queries ++
+    graft.queries.CorpusQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -37,5 +38,6 @@ object SparkEntry {
     graft.queries.StatQueries.oracleSql ++
     graft.queries.MatchQueries.oracleSql ++
     graft.queries.StreamQueries.oracleSql ++
-    graft.queries.MultimodalQueries.oracleSql
+    graft.queries.MultimodalQueries.oracleSql ++
+    graft.queries.CorpusQueries.oracleSql
 }

@@ -1,0 +1,164 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{Components, Dedup}
+import graft.text.{Chunking, Packing, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end corpus-preparation flagship: every stage is an
+  * already-oracled operator, composed the way a training-data pipeline
+  * actually runs them —
+  *
+  *   exact dedup → MinHash-LSH near-dup components (keep canonical)
+  *   → quality filter → token-window chunking → sequence packing
+  *
+  * Input is the d1 construction (documents ∪ id-shifted copy) so the
+  * exact-dedup stage demonstrably collapses something; the survivors
+  * are the original ids, the LSH/component stage then drops
+  * non-canonical near-dups, the round4'd quality score gates at 0.9,
+  * and the remainder is chunked and packed into 512-token bins.
+  *
+  * Scale shape: the composition introduces ONE new operator beyond the
+  * certified stages — a left_anti equi-join on doc_id (shuffle on the
+  * id, skew-free) — so the whole pipeline inherits the per-stage plans:
+  * hash-group dedup, banded equi-joins to fixpoint, map-side scoring
+  * and explode, range-partitioned prefix sums. No windows over the
+  * corpus, no driver data.
+  */
+object CorpusQueries {
+
+  def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    // stage 1: exact dedup (keep min id per content)
+    val exact = Dedup.dropExactDuplicates(doubled, "text", "doc_id")
+    // stage 2: near-dup components over MinHash-LSH pairs; keep canonical
+    val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
+        shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
+        threshold = 0.8)
+      .select(col("ida"), col("idb"))
+    val nonCanonical = Components.dupComponents(pairs, "ida", "idb")
+      .filter(!col("is_canonical"))
+      .select(col("id").as("doc_id"))
+    val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // stage 3: quality gate (round4'd score, same rounding as t2)
+    val kept = canon.filter(
+      TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9)
+    // stages 4-5: chunk and pack (t7/t10 parameters)
+    Packing.binSegments(
+        Chunking.tokenChunks(kept, "doc_id", "text", window = 32, step = 24),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("bin_id", "seq")
+  }
+
+  /** DuckDB mirror: the d1/d4/d7/t2/t7/t10 oracle fragments chained as
+    * CTEs over each stage's survivors. */
+  val corpusPipelineSql: String = {
+    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+    val perms = (0 until DedupQueries.NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val wsQ = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val nTok = s"CAST(len($wsQ) AS DOUBLE)"
+    s"""WITH RECURSIVE doubled AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |exact AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM doubled GROUP BY text),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
+       |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
+       |  FROM exact WHERE len($ws) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |noncanon AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING src <> LEAST(src, MIN(dst))),
+       |kept AS (
+       |  SELECT e.doc_id, e.text FROM exact e
+       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM noncanon)
+       |    AND FLOOR((
+       |      (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+       |            WHEN $len < 200 THEN $len / 200.0
+       |            ELSE 20000.0 / $len END) * 0.3
+       |      + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+       |      + (CASE WHEN $nTok > 0 THEN
+       |           CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+       |                THEN 1.0 ELSE 0.5 END
+       |         ELSE 0.0 END) * 0.2
+       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |    ) * 10000 + 0.5) / 10000.0 >= 0.9),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM kept),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
+       |  FROM toks WHERE len(t) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(token_start AS INT) AS token_start,
+       |    CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens
+       |  FROM starts),
+       |c2 AS (
+       |  SELECT doc_id, token_start, n_tokens,
+       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks WHERE n_tokens > 0),
+       |segs AS (
+       |  SELECT doc_id, token_start, n_tokens, before,
+       |    unnest(generate_series(
+       |      CAST((before - before % 512) / 512 AS BIGINT),
+       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 512) / 512 AS BIGINT)))
+       |      AS bin_id
+       |  FROM c2)
+       |SELECT bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY bin_id
+       |    ORDER BY GREATEST(before, bin_id * 512)) AS BIGINT) AS seq,
+       |  doc_id,
+       |  CAST(token_start AS BIGINT) + GREATEST(before, bin_id * 512) - before
+       |    AS token_start,
+       |  LEAST(before + n_tokens, (bin_id + 1) * 512)
+       |    - GREATEST(before, bin_id * 512) AS token_len
+       |FROM segs ORDER BY bin_id, seq""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l1_corpus_pipeline" -> (corpusPipeline _))
+
+  def oracleSql: Map[String, String] = Map(
+    "l1_corpus_pipeline" -> corpusPipelineSql)
+}
