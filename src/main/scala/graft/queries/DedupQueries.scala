@@ -233,6 +233,70 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- s6: semantic dedup (SemDeDup-style) over embeddings -------------
+
+  /** Embedding-space dedup groups: the d6 cosine near-dup pairs
+    * (sign-LSH banded, exact-cosine verified) closed into connected
+    * components with the deterministic min-id canonical pick — the
+    * SemDeDup recipe (Abbas et al. 2023: keep one representative per
+    * semantic-duplicate cluster), sharing l1's component machinery. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val base = emb.select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("vd"))
+    val copy = emb.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"), x => x.cast("double") + lit(0.02)).as("vd"))
+    val pairs = graft.sim.Similarity.cosineNearDupPairs(
+        base.unionByName(copy), "vec_id", "vd",
+        threshold = 0.95, bands = 4, planesPerBand = 8, dim = 64)
+      .select(col("ida"), col("idb"))
+    graft.dedup.Components.dupComponents(pairs, "ida", "idb")
+      .withColumnRenamed("id", "vec_id")
+      .orderBy("vec_id")
+  }
+
+  val semanticDedupSql: String = {
+    import graft.sim.Similarity
+    def bitsFor(t: String, planes: Seq[Seq[Double]]) =
+      planes.zipWithIndex.map { case (p, i) =>
+        val arr = p.mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product($t.vd, $arr::DOUBLE[]) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString(" + ")
+    val bandSelects = (0 until 4).map { b =>
+      val planes = Similarity.hyperplanes(8, 64, seed = 42L + b)
+      s"SELECT vec_id AS id, $b AS band, (${bitsFor("doubled", planes)})::BIGINT AS key FROM doubled"
+    }.mkString("\nUNION ALL\n")
+    val cos = "list_dot_product(va.vd, vb.vd) / " +
+      "(sqrt(list_dot_product(va.vd, va.vd)) * sqrt(list_dot_product(vb.vd, vb.vd)))"
+    s"""WITH RECURSIVE doubled AS (
+       |  SELECT vec_id, embedding::DOUBLE[] AS vd FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000, list_transform(embedding::DOUBLE[], x -> x + 0.02)
+       |  FROM embeddings),
+       |banded AS (
+       |$bandSelects),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM banded a JOIN banded b
+       |    ON a.band = b.band AND a.key = b.key AND a.id < b.id),
+       |pairs AS (
+       |  SELECT ida, idb FROM (
+       |    SELECT ida, idb, ROUND($cos, 4) AS score
+       |    FROM cands
+       |    JOIN doubled va ON ida = va.vec_id
+       |    JOIN doubled vb ON idb = vb.vec_id)
+       |  WHERE score >= 0.95),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM pairs
+       |          UNION SELECT idb, ida FROM pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS vec_id, LEAST(src, MIN(dst)) AS component_id,
+       |  src = LEAST(src, MIN(dst)) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY vec_id""".stripMargin
+  }
+
   // ---- d7: near-dup connected components + canonical pick --------------
 
   /** Transitive closure of the d4 near-dup pairs → one component id per
@@ -357,7 +421,8 @@ object DedupQueries {
     "d5_simhash_pairs" -> (simhashPairs _),
     "d6_embedding_dups" -> (embeddingDups _),
     "d7_dup_components" -> (dupComponents _),
-    "d8_contamination" -> (contamination _))
+    "d8_contamination" -> (contamination _),
+    "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
     "d1_exact_dup_groups" -> exactDupGroupsSql,
@@ -367,5 +432,6 @@ object DedupQueries {
     "d5_simhash_pairs" -> simhashPairsSql,
     "d6_embedding_dups" -> embeddingDupsSql,
     "d7_dup_components" -> dupComponentsSql,
-    "d8_contamination" -> contaminationSql)
+    "d8_contamination" -> contaminationSql,
+    "s6_semantic_dedup" -> semanticDedupSql)
 }
