@@ -217,6 +217,37 @@ object Dedup {
       .select("ida", "idb", "jaccard")
   }
 
+  // ---- duplicate passages -----------------------------------------------
+
+  /** Duplicate-passage statistics (the exact-substring-dedup signal of
+    * Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", approximated at k-token window grain): per doc,
+    * how many of its k-token windows occur in MORE than one document
+    * corpus-wide, and the duplicated fraction. Docs with fewer than k
+    * tokens have zero windows and score 0.0.
+    *
+    * Scale shape: shingle explode → window doc-frequency (one
+    * partially-aggregable shuffle on the window text) → inverted-index
+    * join back to per-doc counts — the d2 inverted-index pattern with
+    * a frequency aggregate instead of a pair join, so it stays linear
+    * where a pairwise formulation would go quadratic on boilerplate. */
+  def passageDupStats(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    val sh = wordShingles(df, textCol, idCol, k) // distinct per doc
+    val docFreq = sh.groupBy("shingle").agg(count(lit(1)).as("__df"))
+    val perDoc = sh.join(docFreq, "shingle")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_windows"),
+        coalesce(sum(when(col("__df") > 1, 1L)), lit(0L)).as("n_shared"))
+    df.select(col(s"`$idCol`").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        when(col("n_windows").isNull || col("n_windows") === 0, lit(0.0))
+          .otherwise(col("n_shared").cast("double") /
+            col("n_windows").cast("double")).as("dup_frac"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: for each bit, vote +1/-1 per

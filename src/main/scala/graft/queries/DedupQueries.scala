@@ -233,6 +233,51 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- d9: duplicate-passage statistics --------------------------------
+
+  /** 20 lowercase words appended to every fifth document so passage
+    * windows are demonstrably shared across docs (the base corpus is
+    * random word streams — naturally shared 10-grams are vanishingly
+    * rare). */
+  private val Boiler = "common footer license text appended to every " +
+    "fifth document for passage level duplication testing across the " +
+    "synthetic corpus stream ok"
+
+  def dupPassages(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + Boiler)))
+        .otherwise(col("text")).as("text"))
+    Dedup.passageDupStats(planted, "text", "doc_id", k = 10)
+      .select(col("id").as("doc_id"), col("n_windows"), col("n_shared"),
+        TextQueries.round4(col("dup_frac")).as("dup_frac"))
+      .orderBy("doc_id")
+  }
+
+  val dupPassagesSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' $Boiler' ELSE '' END AS text
+       |  FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 8, 1)),
+       |    i -> array_to_string($WS[i : i + 9], ' '))) AS g
+       |  FROM planted WHERE len($WS) >= 10),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |freq AS (SELECT g, COUNT(*) AS dfc FROM grams GROUP BY g),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_windows,
+       |    CAST(coalesce(SUM(CASE WHEN dfc > 1 THEN 1 END), 0) AS BIGINT) AS n_shared
+       |  FROM grams JOIN freq USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(n_windows, 0) AS BIGINT) AS n_windows,
+       |  CAST(coalesce(n_shared, 0) AS BIGINT) AS n_shared,
+       |  FLOOR((CASE WHEN coalesce(n_windows, 0) = 0 THEN 0.0
+       |         ELSE CAST(n_shared AS DOUBLE) / CAST(n_windows AS DOUBLE) END)
+       |    * 10000 + 0.5) / 10000 AS dup_frac
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- s6: semantic dedup (SemDeDup-style) over embeddings -------------
 
   /** Embedding-space dedup groups: the d6 cosine near-dup pairs
@@ -422,6 +467,7 @@ object DedupQueries {
     "d6_embedding_dups" -> (embeddingDups _),
     "d7_dup_components" -> (dupComponents _),
     "d8_contamination" -> (contamination _),
+    "d9_dup_passages" -> (dupPassages _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -433,5 +479,6 @@ object DedupQueries {
     "d6_embedding_dups" -> embeddingDupsSql,
     "d7_dup_components" -> dupComponentsSql,
     "d8_contamination" -> contaminationSql,
+    "d9_dup_passages" -> dupPassagesSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

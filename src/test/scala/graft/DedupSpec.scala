@@ -168,6 +168,28 @@ class DedupSpec extends SparkSpec {
     assert(top.head.getAs[Double]("score") == 1.0)
   }
 
+  test("passage dup stats count corpus-wide shared windows") {
+    import spark.implicits._
+    val docs = Seq(
+      // k=3 windows: doc1 (abc,bcd,cde,def); doc2 (xya,yab,abc,bcd)
+      // → abc,bcd shared by both → each 2 shared of 4
+      (1L, "a b c d e f"),
+      (2L, "x y a b c d"),
+      (3L, "a b"), // < k tokens: zero windows
+      (4L, "p q r s")) // all windows unique
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.passageDupStats(docs, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_windows"), r.getAs[Long]("n_shared"),
+          r.getAs[Double]("dup_frac"))))
+      .toMap
+    assert(got(1L) === ((4L, 2L, 0.5)))
+    assert(got(2L) === ((4L, 2L, 0.5)))
+    assert(got(3L) === ((0L, 0L, 0.0)))
+    assert(got(4L) === ((2L, 0L, 0.0)))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
