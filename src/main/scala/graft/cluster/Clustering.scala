@@ -94,14 +94,23 @@ object Clustering {
       maxIter: Int = 50): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
+    val pts = vectors.collect().map { r =>
+      r.getAs[String]("column_id") ->
+        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
+    }.toSeq
+    kmeansLocalPoints(pts, k, seed, maxIter).toDF("column_id", "cluster_id")
+  }
+
+  /** The driver core of [[kmeansLocal]] on already-collected points —
+    * the entry for callers that hold profile rows locally and skip the
+    * vectorize frame entirely. */
+  def kmeansLocalPoints(points: Seq[(String, Array[Double])], k: Int,
+      seed: Long = 42L, maxIter: Int = 50): Seq[(String, Int)] = {
     // Sort by column_id: collect() order follows physical partitioning
     // (thread count, shuffle partitions), and the seeded kmeans++ draw
     // indexes into this array — without the sort the "deterministic"
     // fit silently depends on the session's parallelism.
-    val pts = vectors.collect().map { r =>
-      r.getAs[String]("column_id") ->
-        r.getAs[org.apache.spark.ml.linalg.Vector]("features").toArray
-    }.sortBy(_._1)
+    val pts = points.sortBy(_._1)
     require(pts.nonEmpty, "kmeansLocal on empty vectors")
     val kk = math.min(k, pts.length)
     def d2(a: Array[Double], b: Array[Double]): Double = {
@@ -149,7 +158,6 @@ object Clustering {
     val ordered = pts.map(_._1).zip(assign).sortBy(_._1)
     ordered.foreach { case (_, c) => relabel.getOrElseUpdate(c, relabel.size) }
     ordered.map { case (id, c) => (id, relabel(c)) }.toSeq
-      .toDF("column_id", "cluster_id")
   }
 
   /** Driver-side twin of [[vectorize]]'s minmax scaler for rows that

@@ -108,15 +108,14 @@ object MultiTablePipeline {
     val consumed = ("table" +: RuleGenerator.consumedProfileColumns) ++
       Clustering.defaultFeatures.filterNot(
         RuleGenerator.consumedProfileColumns.contains)
-    val profiles = Profiler.profileManyCached(trainSide.toSeq.sortBy(_._1),
-        graft.profile.ProfilerConfig(exact = false, features = features),
-        columns = consumed)
     // One collect; everything between the profile and the violation
     // scans — minmax scaling, DBSCAN, shared-rule derivation — is
     // control-plane (one datum per column) and runs on the driver.
     // The Spark twins (vectorize/dbscanAssign) spend ~0.5s of job
     // scheduling on an 18-row frame for the same arithmetic.
-    val profRows = profiles.collect().toSeq
+    val profRows = Profiler.profileManyRows(trainSide.toSeq.sortBy(_._1),
+        graft.profile.ProfilerConfig(exact = false, features = features),
+        columns = consumed)
     val pts = profRows.map { r =>
       (r.getAs[String]("table") + "::" + r.getAs[String]("column")) ->
         Clustering.featureVectorLocal(r)

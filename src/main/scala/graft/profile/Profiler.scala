@@ -435,6 +435,45 @@ object Profiler {
     }
   }
 
+  /** [[profileManyCached]] for SINGLE consumption: identical plan, but
+    * the O(#columns) result is collect()ed directly instead of
+    * checkpoint-then-collect — one materialization job fewer. Callers
+    * that consume the profile exactly once, on the driver (the
+    * multi-table pipeline, the cluster queries), should prefer this;
+    * keep [[profileManyCached]] when the frame feeds further Spark
+    * plans. */
+  def profileManyRows(tables: Seq[(String, DataFrame)],
+      cfg: ProfilerConfig = ProfilerConfig(),
+      columns: Seq[String] = Nil): Seq[org.apache.spark.sql.Row] = {
+    val long = longFormatMany(tables)
+    val histNeeded = Seq("mode", "pattern", "digits", "chars", "keywords")
+      .exists(cfg.features)
+    def narrow(df: DataFrame): DataFrame =
+      if (columns.isEmpty) df else df.select(columns.map(c => col(c)): _*)
+    if (!histNeeded) narrow(assemble(long, None, cfg)).collect().toSeq
+    else {
+      val fullHist = long.groupBy("table", "column", "value")
+        .agg(count(lit(1)).as("cnt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try narrow(assemble(long, Some(fullHist), cfg)).collect().toSeq
+      finally fullHist.unpersist(false)
+    }
+  }
+
+  /** [[profileManyRows]] with [[profileManyAuto]]'s exact/sketch
+    * switch. */
+  def profileManyAutoRows(tables: Seq[(String, DataFrame)],
+      exactThreshold: Long = 200000L,
+      features: Set[String] = AllFeatures,
+      columns: Seq[String] = Nil): Seq[org.apache.spark.sql.Row] = {
+    val n = if (exactnessMatters(features))
+      Some(tables.map(t => cheapCount(t._2)).max) else None
+    val exact = n.forall(_ <= exactThreshold)
+    profileManyRows(tables,
+      ProfilerConfig(exact = exact, features = features, maxGroupRows = n),
+      columns)
+  }
+
   /** [[profileManyCached]] with [[profileManyAuto]]'s exact/sketch
     * switch. */
   def profileManyAutoCached(tables: Seq[(String, DataFrame)],

@@ -87,29 +87,42 @@ object MatchQueries {
   def kmeansClusters(spark: SparkSession, dir: String): DataFrame = {
     // Clustering reads only the 9 defaultFeatures — computing the
     // char-explode / quartile / keyword branches here would dominate
-    // the runtime for features nobody consumes. Cached: the value
-    // histogram is shared across Pass-A and the mode/pattern branches.
-    val profiles = Profiler.profileManyAutoCached(
+    // the runtime for features nobody consumes. Rows: the profile is
+    // consumed once, on the driver — everything after the one profiling
+    // job (minmax scaling, seeded kmeans++, size rollup) is local,
+    // identical arithmetic to the vectorize/kmeansLocal frame path.
+    val profRows = Profiler.profileManyAutoRows(
       Seq("customer", "supplier", "part", "orders", "nation")
         .map(t => t -> Tables.load(spark, dir, t)),
       features = Set("mode", "pattern"),
       columns = "table" +: "column" +: Clustering.defaultFeatures)
-    val vecs = Clustering.vectorize(profiles)
-    Clustering.kmeansLocal(vecs, k = 4)
-      .groupBy("cluster_id").agg(count(lit(1)).as("n_columns"))
-      .orderBy("cluster_id")
+    val pts = Clustering.minMaxScaleLocal(profRows.map(r =>
+      (r.getAs[String]("table") + "::" + r.getAs[String]("column")) ->
+        Clustering.featureVectorLocal(r)))
+    val sizes = Clustering.kmeansLocalPoints(pts, k = 4)
+      .groupBy(_._2).map { case (cid, ms) => (cid, ms.size.toLong) }
+      .toSeq.sortBy(_._1)
+    import spark.implicits._
+    sizes.toDF("cluster_id", "n_columns")
   }
 
   // ---- c2: DBSCAN assignments (rows-only) ------------------------------
 
   def dbscanClusters(spark: SparkSession, dir: String): DataFrame = {
-    val profiles = Profiler.profileManyAutoCached(
+    val profRows = Profiler.profileManyAutoRows(
       Seq("customer", "supplier", "nation")
         .map(t => t -> Tables.load(spark, dir, t)),
       features = Set("mode", "pattern"),
       columns = "table" +: "column" +: Clustering.defaultFeatures)
-    Clustering.dbscanAssign(Clustering.vectorize(profiles), eps = 0.5, minPts = 2)
-      .orderBy("column_id")
+    // sorted: DBSCAN cluster NUMBERING follows visit order; pinning the
+    // visit order to column_id makes the labels independent of collect
+    // partitioning (membership never depended on it)
+    val pts = Clustering.minMaxScaleLocal(profRows.map(r =>
+      (r.getAs[String]("table") + "::" + r.getAs[String]("column")) ->
+        Clustering.featureVectorLocal(r))).sortBy(_._1)
+    import spark.implicits._
+    Clustering.dbscan(pts, eps = 0.5, minPts = 2).toSeq.sortBy(_._1)
+      .toDF("column_id", "cluster_id")
   }
 
   // ---- m2: KS + Wasserstein distribution distances (F13) ---------------
