@@ -139,16 +139,75 @@ object SimQueries {
       .orderBy("query_id", "rk")
   }
 
+  // ---- s7: domain-mixing token shares ----------------------------------
+
+  private val MixK = 8
+
+  /** Semantic domain mix: every embedding assigned to its nearest of
+    * the 8 fixed seed centroids (the embeddings of vec_id 0..7 —
+    * deterministic, data-derived, engine-portable), clusters weighed
+    * by whitespace-token mass of the matching documents. The output is
+    * the per-domain sampling table a data mixer consumes. */
+  def domainMix(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    // k vectors on the driver: control-plane constant, broadcast as
+    // literals inside the scoring expressions
+    val cents = emb.filter(col("vec_id") < MixK)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).toSeq
+    val assigned = graft.sim.DomainMix.assign(emb, cents, "vec_id", "embedding")
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.text.TextAnalysis.tokenCount("text").as("n_toks"))
+    graft.sim.DomainMix.tokenShares(assigned, toks, "doc_id", "n_toks", "vec_id")
+      .orderBy("cluster_id")
+  }
+
+  private val MixWs =
+    "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+
+  val domainMixSql: String = {
+    val dot = "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    val enorm = "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+       |  FROM embeddings WHERE vec_id < $MixK),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ROUND($dot / ($enorm * c.cnorm), 4) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |best AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cid ASC) AS rn
+       |  FROM scored),
+       |toks AS (SELECT doc_id, len($MixWs)::BIGINT AS n_toks FROM documents),
+       |per_cluster AS (
+       |  SELECT b.cid AS cluster_id, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(t.n_toks)::BIGINT AS total_tokens
+       |  FROM best b JOIN toks t ON b.vec_id = t.doc_id
+       |  WHERE b.rn = 1 GROUP BY b.cid)
+       |SELECT cluster_id, n_docs, total_tokens,
+       |  FLOOR(total_tokens::DOUBLE / (SELECT SUM(total_tokens)::DOUBLE FROM per_cluster)
+       |    * 10000 + 0.5) / 10000.0 AS token_share
+       |FROM per_cluster ORDER BY cluster_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s1_cosine_topk" -> (cosineTopK _),
     "s2_lsh_buckets" -> (lshBuckets _),
     "s3_lsh_topk" -> (lshTopK _),
     "s4_label_centroids" -> (labelCentroids _),
-    "s5_ivf_topk" -> (ivfTopK _))
+    "s5_ivf_topk" -> (ivfTopK _),
+    "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
     "s1_cosine_topk" -> cosineTopKSql,
     "s2_lsh_buckets" -> lshBucketsSql,
     "s3_lsh_topk" -> lshTopKSql,
-    "s4_label_centroids" -> labelCentroidsSql)
+    "s4_label_centroids" -> labelCentroidsSql,
+    "s7_domain_mix" -> domainMixSql)
 }

@@ -190,6 +190,39 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("domain mix assigns nearest centroid; rounded ties break to smaller id") {
+    // centroid 0 = e1, centroid 1 = e2 (orthogonal axes). Point a is on
+    // axis 1 → cluster 0; point b is on axis 2 → cluster 1; point c is
+    // exactly between them (cos 0.7071 to both after rounding) → tie →
+    // smaller centroid id 0.
+    val cents = Seq(
+      0L -> Array(1.0, 0.0, 0.0, 0.0),
+      1L -> Array(0.0, 1.0, 0.0, 0.0))
+    val vecs = Seq(
+      (10L, Array(2.0f, 0.0f, 0.0f, 0.0f)),
+      (11L, Array(0.0f, 3.0f, 0.0f, 0.0f)),
+      (12L, Array(1.0f, 1.0f, 0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.sim.DomainMix.assign(vecs, cents, "vec_id", "embedding")
+      .as[(Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3))).toMap
+    assert(got(10L) === ((0L, 1.0)))
+    assert(got(11L) === ((1L, 1.0)))
+    assert(got(12L) === ((0L, 0.7071)))
+  }
+
+  test("domain mix token shares are half-up-rounded fractions of the total") {
+    val assigned = Seq((1L, 0L, 1.0), (2L, 0L, 1.0), (3L, 1L, 1.0))
+      .toDF("vec_id", "cluster_id", "score")
+    val toks = Seq((1L, 10L), (2L, 20L), (3L, 10L)).toDF("doc_id", "n_toks")
+    val got = graft.sim.DomainMix
+      .tokenShares(assigned, toks, "doc_id", "n_toks", "vec_id")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(t => t._1 -> ((t._2, t._3, t._4))).toMap
+    assert(got(0L) === ((2L, 30L, 0.75)))
+    assert(got(1L) === ((1L, 10L, 0.25)))
+  }
+
   test("lsh buckets put identical vectors together") {
     val vecs = Seq(
       (0L, Array.fill(64)(0.5f)),
