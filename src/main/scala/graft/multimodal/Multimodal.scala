@@ -169,4 +169,83 @@ object Multimodal {
   def dhashPairs(hashes: DataFrame, maxDistance: Int = 3): DataFrame =
     graft.dedup.Dedup.simhashPairs(
       hashes.select(col("id"), col("dhash").as("simhash")), maxDistance)
+
+  // ---- video frame sampling (mm3) ---------------------------------------
+
+  /** Wrap a corpus as a video table: (id, media, checksum, duration_ms,
+    * fps) — the blob plus the typed metadata a container header probe
+    * would yield. The stub probe derives duration (1–61 s) and frame
+    * rate (24 or 30) deterministically from the bytes, keeping the
+    * metadata path oracle-checkable while a real probe would read the
+    * container header at the same decode boundary. */
+  def asVideoTable(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val media = asMediaTable(df, idCol, textCol)
+    val hex = md5(col("media"))
+    val h = conv(substring(hex, 1, 15), 16, 10).cast(LongType)
+    media.select(col("id"), col("media"), hex.as("checksum"),
+      // ×977 (prime) spreads the short test documents across the full
+      // 1–61 s range; a real probe reads the true duration instead
+      (lit(1000L) + pmod(octet_length(col("media")).cast(LongType) * lit(977L),
+        lit(60000L))).as("duration_ms"),
+      (lit(24L) + pmod(h, lit(2L)) * lit(6L)).as("fps"))
+  }
+
+  /** Uniform time-grid frame sampling (the CLIP-style "one frame every
+    * N ms" pass): one row per sampled frame at ts = k·strideMs for
+    * 0 ≤ ts < duration_ms. Pure sequence+explode on the metadata —
+    * map-side, codegen'd, and the BLOB never joins the exploded rows
+    * (frames fan out from the same task that holds the blob). The
+    * frame_key is the stub stand-in for a decoded frame's content
+    * hash: md5 chained off the blob checksum and the timestamp, so an
+    * engine-portable oracle exists. */
+  def sampleFrameTimes(video: DataFrame, strideMs: Long): DataFrame = {
+    require(strideMs > 0, s"sampleFrameTimes stride must be positive: $strideMs")
+    video.select(col("id"), col("checksum"), col("duration_ms"), col("fps"),
+        explode(sequence(lit(0L), col("duration_ms") - 1,
+          lit(strideMs))).as("ts_ms"))
+      // ts is a stride multiple by construction, so the double divide
+      // is exact and the cast lossless
+      .withColumn("frame_idx", (col("ts_ms") / lit(strideMs)).cast(LongType))
+      .withColumn("frame_key",
+        md5(concat(col("checksum"), lit(":"), col("ts_ms").cast("string"))))
+  }
+
+  /** Frame-decode boundary: a real implementation seeks each requested
+    * timestamp and decodes that frame; batching is per media row (all
+    * of one video's requested frames decode in one call, so a real
+    * decoder opens the container once). */
+  trait FrameDecoder extends Serializable {
+    /** For one blob, return one key per requested timestamp. */
+    def decodeFrames(id: Long, blob: Array[Byte], tsMs: Seq[Long]): Seq[String]
+  }
+
+  /** Deterministic fake frames — bit-identical to
+    * [[sampleFrameTimes]]'s metadata path (the spec asserts it). */
+  object StubFrameDecoder extends FrameDecoder {
+    def decodeFrames(id: Long, blob: Array[Byte], tsMs: Seq[Long]): Seq[String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val csum = md.digest(blob).map("%02x".format(_)).mkString
+      tsMs.map { ts =>
+        val md2 = java.security.MessageDigest.getInstance("MD5")
+        md2.digest(s"$csum:$ts".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }
+    }
+  }
+
+  /** Decode-path twin of [[sampleFrameTimes]]: (id, ts_ms, frame_key)
+    * via mapPartitions over (blob, requested timestamps) — the
+    * real-decoder integration point. */
+  def decodeSampledFrames(video: DataFrame, strideMs: Long,
+      decoder: FrameDecoder): DataFrame = {
+    val spark = video.sparkSession
+    import spark.implicits._
+    video.select(col("id").cast(LongType), col("media"),
+        sequence(lit(0L), col("duration_ms") - 1, lit(strideMs)).as("ts"))
+      .as[(Long, Array[Byte], Seq[Long])]
+      .mapPartitions(_.flatMap { case (id, blob, ts) =>
+        decoder.decodeFrames(id, blob, ts).zip(ts)
+          .map { case (key, t) => (id, t, key) }
+      })
+      .toDF("id", "ts_ms", "frame_key")
+  }
 }

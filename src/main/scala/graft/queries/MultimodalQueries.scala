@@ -78,11 +78,51 @@ object MultimodalQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- mm3: video frame sampling ----------------------------------------
+
+  private val StrideMs = 2000L
+
+  /** documents-as-videos → probe typed metadata (duration, fps) →
+    * sample one frame per 2 s of wall clock → per-video rollup
+    * (metadata carried through, frame count, last sampled ts, min
+    * frame key). The rollup keeps gate output O(#videos) while still
+    * pinning every sampled timestamp and frame key through the
+    * count/max/min triple. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val video = Multimodal.asVideoTable(
+      Tables.load(spark, dir, "documents"), "doc_id", "text")
+    Multimodal.sampleFrameTimes(video, StrideMs)
+      .groupBy("id")
+      .agg(max(col("duration_ms")).as("duration_ms"),
+        max(col("fps")).as("fps"),
+        count(lit(1)).as("n_frames"),
+        max(col("ts_ms")).as("last_ts_ms"),
+        min(col("frame_key")).as("frame_digest"))
+      .orderBy("id")
+  }
+
+  val frameSampleSql: String =
+    s"""WITH meta AS (
+       |  SELECT doc_id AS id, md5(text) AS csum,
+       |    1000 + (octet_length(encode(text)) * 977) % 60000 AS duration_ms,
+       |    (24 + (('0x' || substr(md5(text), 1, 15))::UBIGINT % 2) * 6)::BIGINT AS fps
+       |  FROM documents),
+       |frames AS (
+       |  SELECT id, csum, duration_ms, fps,
+       |    unnest(range(0, duration_ms, $StrideMs)) AS ts_ms
+       |  FROM meta)
+       |SELECT id, MAX(duration_ms)::BIGINT AS duration_ms, MAX(fps) AS fps,
+       |  COUNT(*)::BIGINT AS n_frames, MAX(ts_ms)::BIGINT AS last_ts_ms,
+       |  MIN(md5(csum || ':' || ts_ms::VARCHAR)) AS frame_digest
+       |FROM frames GROUP BY id ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mediaFeatures _),
-    "mm2_image_dup_pairs" -> (imageDupPairs _))
+    "mm2_image_dup_pairs" -> (imageDupPairs _),
+    "mm3_frame_sample" -> (frameSample _))
 
   def oracleSql: Map[String, String] = Map(
     "mm1_media_features" -> mediaFeaturesSql,
-    "mm2_image_dup_pairs" -> imageDupPairsSql)
+    "mm2_image_dup_pairs" -> imageDupPairsSql,
+    "mm3_frame_sample" -> frameSampleSql)
 }

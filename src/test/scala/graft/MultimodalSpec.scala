@@ -70,6 +70,38 @@ class MultimodalSpec extends SparkSpec {
       .as[(Long, Long, Int)].collect().toSet
     assert(pairs == Set((1L, 2L, 0)))
   }
+
+  test("frame sampling covers [0, duration) on the stride grid") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val video = Multimodal.asVideoTable(docs, "doc_id", "text")
+    val frames = Multimodal.sampleFrameTimes(video, strideMs = 2000L)
+      .select("id", "ts_ms", "frame_idx", "duration_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byId = frames.groupBy(_._1)
+    val durs = video.select("id", "duration_ms").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.keySet === durs.keySet) // every video sampled (duration >= 1000)
+    byId.foreach { case (id, fs) =>
+      val ts = fs.map(_._2).sorted
+      assert(ts.head == 0L && ts.last < durs(id))
+      assert(ts === (0 until fs.length).map(_ * 2000L))
+      fs.foreach { case (_, t, idx, d) =>
+        assert(idx == t / 2000L && d == durs(id))
+      }
+    }
+  }
+
+  test("frame decode path equals the metadata frame keys") {
+    val docs = Tables.load(spark, sf, "documents").limit(30)
+    val video = Multimodal.asVideoTable(docs, "doc_id", "text")
+    val meta = Multimodal.sampleFrameTimes(video, 2000L)
+      .select("id", "ts_ms", "frame_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    val decoded = Multimodal.decodeSampledFrames(video, 2000L,
+        Multimodal.StubFrameDecoder)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(decoded === meta)
+  }
 }
 
 /** JVM-static spy state: the decoder closure is serialized per task, so
