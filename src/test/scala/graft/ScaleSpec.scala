@@ -117,4 +117,34 @@ class ScaleSpec extends SparkSpec {
       s"rule predicates outside codegen:\n$plan")
     assert(!plan.toLowerCase.contains("batchevalpython"))
   }
+
+  test("domain mix shares compute in one lineage (scans each input once)") {
+    // The share denominator is a window over the k-row post-agg frame;
+    // a derived-aggregate branch (agg of the agg, joined back) would
+    // re-run the corpus join+agg — visible as doubled parquet scans.
+    val df = graft.queries.SimQueries.domainMix(spark, sf)
+    df.collect() // finalize AQE
+    // AQE's toString prints the final plan then the initial plan —
+    // count scans only up to the initial-plan marker
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = plan.linesIterator.count(_.contains("Scan parquet"))
+    assert(scans == 2, s"expected embeddings+documents scanned once each, got $scans:\n$plan")
+  }
+
+  test("frame sampling explodes metadata only (no blob in the frame rows)") {
+    // Frames fan out ~30× per video: carrying the media bytes through
+    // the explode (or a shuffle of them) multiplies blob I/O by the
+    // frame count at 100 TB. The exploded frame must carry only id +
+    // checksum + typed metadata.
+    val video = graft.multimodal.Multimodal.asVideoTable(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val frames = graft.multimodal.Multimodal.sampleFrameTimes(video, 2000L)
+    assert(!frames.columns.contains("media"))
+    val plan = frames.queryExecution.executedPlan.toString
+    val generateLine = plan.linesIterator.find(_.contains("Generate")).getOrElse("")
+    assert(generateLine.nonEmpty, s"no explode in frame plan:\n$plan")
+    assert(!generateLine.contains("media"),
+      s"blob column carried through the frame explode:\n$generateLine")
+  }
 }
