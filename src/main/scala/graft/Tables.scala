@@ -34,20 +34,29 @@ object Tables {
     else df
   }
 
-  /** `events` ships with nanosecond parquet timestamps, which Spark only
-    * reads as raw Long nanos (spark.sql.legacy.parquet.nanosAsLong=true,
-    * set by every session in this project). This loader restores a
-    * proper TimestampType `ts` (microsecond precision). */
+  /** `events` has shipped with two physical `ts` encodings across
+    * testdata generations: nanosecond parquet timestamps (which Spark
+    * reads as raw Long nanos under spark.sql.legacy.parquet.nanosAsLong
+    * =true, set by every session in this project) and plain
+    * microsecond timestamps (read as TIMESTAMP_NTZ). This loader
+    * normalizes either to session-zone TimestampType (UTC sessions →
+    * identical values either way). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    load(spark, sfDir, "events")
-      // nanos → micros must be EXACT integer division: epoch nanos
-      // (~1.7e18) exceed double's 2^53, so a float divide would drift.
-      // Decimal divide is exact at scale 6 (true quotient has 3
-      // decimals), floor drops them, and the long cast is lossless.
-      .withColumn("ts", timestamp_micros(
-        floor(col("ts").cast(org.apache.spark.sql.types.DecimalType(38, 0))
-          / lit(1000L)).cast(org.apache.spark.sql.types.LongType)))
+    import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
+    val ev = load(spark, sfDir, "events")
+    ev.schema("ts").dataType match {
+      case LongType =>
+        // nanos → micros must be EXACT integer division: epoch nanos
+        // (~1.7e18) exceed double's 2^53, so a float divide would drift.
+        // Decimal divide is exact at scale 6 (true quotient has 3
+        // decimals), floor drops them, and the long cast is lossless.
+        ev.withColumn("ts", timestamp_micros(
+          floor(col("ts").cast(DecimalType(38, 0)) / lit(1000L))
+            .cast(LongType)))
+      case _ =>
+        ev.withColumn("ts", col("ts").cast(TimestampType))
+    }
   }
 
   /** Register every table as a temp view so spark.sql(...) works too. */
