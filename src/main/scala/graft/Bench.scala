@@ -51,16 +51,19 @@ object Bench {
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
     }.toMap
-    // 3-decimal rounding keeps the JSON line short enough to survive
-    // tail-window capture by the driver (round 1's full-precision line
-    // overflowed the window and parsed as null).
+    // The driver captures a bounded TAIL window of stdout: a single long
+    // line with the total at its HEAD gets the head truncated once the
+    // query map grows past the window (rounds 1 and 6 both parsed as
+    // null). So: per-query map FIRST, and a SHORT self-contained total
+    // line LAST — the total line is ~100 bytes and always survives.
     // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
     // comma decimal separator would emit invalid JSON.
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = names.map(k => s""""$k":${d3(results(k))}""")
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,20 +27,40 @@ object Components {
     * with its component's minimum node id. `pairs` is undirected; self
     * pairs are ignored. Fails loudly (require) if not converged within
     * `maxRounds` — silently returning a half-merged labelling would
-    * corrupt a dedup downstream. */
+    * corrupt a dedup downstream.
+    *
+    * Checkpoint lifecycle: each round's eager localCheckpoint SUPERSEDES
+    * the previous round's — on a 10^11-edge graph retaining all ~15
+    * rounds would pin 15 O(E) edge-set copies on the executors. The new
+    * checkpoint is materialized first (eager), then the superseded one
+    * is released, so at most TWO edge sets are ever live; only the
+    * final fixpoint (which the returned labels frame reads) stays
+    * persisted for the caller's query. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): (DataFrame, Int) = {
+    val sc = pairs.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    def release(ids: Set[Int]): Unit =
+      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    val base = persistedIds
     var edges = pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint(true)
+    // RDD ids backing the CURRENT round's checkpoint (diffed, not
+    // assumed singleton, so a Spark-internal extra persist can't leak)
+    var own = persistedIds -- base
     var sig = checksum(edges)
     var rounds = 0
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
+      val before = persistedIds
       edges = smallStar(largeStar(edges)).localCheckpoint(true)
+      val fresh = persistedIds -- before
+      release(own)
+      own = fresh
       val s = checksum(edges)
       done = s == sig
       sig = s

@@ -173,8 +173,15 @@ object ExactPercentiles {
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
     if (!underCap(naMax)) {
+      // persist covers refineBrackets' ≤ maxRounds·(1+|ps|) rescans of
+      // the histogram; the refined state it returns is eagerly
+      // checkpointed (independent of h), so the persist is released
+      // here rather than retained past the query — the caller's final
+      // walk recomputes hist once, which beats pinning an O(distinct
+      // values) frame on the executors indefinitely.
       val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      (h, refineBrackets(h, state, groupCols, ps.map(_._2), candidateCap))
+      try (hist, refineBrackets(h, state, groupCols, ps.map(_._2), candidateCap))
+      finally h.unpersist(blocking = false)
     } else (hist, state)
   }
 
@@ -195,7 +202,13 @@ object ExactPercentiles {
       groupCols: Seq[String], ps: Seq[Double], cap: Int,
       maxRounds: Int = 8): DataFrame = {
     val gs = groupCols.map(g => col(s"`$g`"))
+    val sc = hist.sparkSession.sparkContext
+    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
+    val base = persistedIds
     var state = state0.localCheckpoint(true)
+    // superseded-checkpoint release, same pattern as
+    // Components.connectedComponents: ≤ 2 state snapshots ever live
+    var own = persistedIds -- base
     var round = 0
     while (round < maxRounds) {
       val joined = hist.join(broadcast(state), groupCols)
@@ -209,7 +222,11 @@ object ExactPercentiles {
         .getOrElse(0L)
       if (worst <= cap) return state
       ps.indices.foreach { i => state = refineOne(hist, state, groupCols, ps(i), i) }
+      val before = persistedIds
       state = state.localCheckpoint(true)
+      val fresh = persistedIds -- before
+      own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      own = fresh
       round += 1
     }
     throw new IllegalStateException(

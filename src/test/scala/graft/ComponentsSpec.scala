@@ -30,6 +30,23 @@ class ComponentsSpec extends SparkSpec {
       (20L, 20L, true), (21L, 20L, false), (22L, 20L, false)))
   }
 
+  test("superseded round checkpoints are released (bounded persistence)") {
+    // Before the fix, every round's localCheckpoint stayed persisted —
+    // rounds+1 retained edge-set copies, a scale-killer on a 10^11-edge
+    // graph. The multi-round chain (diameter 39 → >1 round) must leave
+    // only the FINAL fixpoint checkpoint behind, regardless of rounds.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val chain = (0L until 39L).map(i => (i, i + 1)).toDF("a", "b")
+    val (labels, rounds) = Components.connectedComponents(chain, "a", "b")
+    assert(rounds > 1)
+    val retained = spark.sparkContext.getPersistentRDDs.size
+    assert(retained <= 1,
+      s"$retained checkpoints retained after $rounds rounds (expected ≤ 1: the fixpoint)")
+    // and the labelling built on the surviving checkpoint is intact
+    assert(labels.as[(Long, Long)].collect().toMap ==
+      (0L to 39L).map(_ -> 0L).toMap)
+  }
+
   test("empty pair list yields empty labelling") {
     val empty = Seq.empty[(Long, Long)].toDF("a", "b")
     val (labels, _) = Components.connectedComponents(empty, "a", "b")
