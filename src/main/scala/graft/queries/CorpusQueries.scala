@@ -1,8 +1,8 @@
 package graft.queries
 
 import graft.Tables
-import graft.dedup.{Components, Dedup}
-import graft.text.{Chunking, Packing, TextAnalysis}
+import graft.dedup.{Components, Decontamination, Dedup}
+import graft.text.{Chunking, Packing, Sampling, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -156,9 +156,208 @@ object CorpusQueries {
        |FROM segs ORDER BY bin_id, seq""".stripMargin
   }
 
+  /** The COMPLETE "web crawl → training corpus" pipeline — every stage
+    * a certified operator, in the order a production run applies them:
+    *
+    *   exact dedup → MinHash-LSH near-dup components (keep canonical)
+    *   → benchmark decontamination (drop docs sharing any distinct
+    *     5-gram with the eval set = every 10th original document)
+    *   → quality gate (round4'd score ≥ 0.9) + Gopher repetition
+    *     filter (round4'd dup_trigram_frac < 0.3)
+    *   → temperature sampling at α=0.5 by language
+    *   → token-window chunking → 512-token sequence packing
+    *
+    * Beyond l1's stages this composition adds only broadcast-probe
+    * joins (decontamination's eval grams, sampling's per-language
+    * thresholds) and one more partially-aggregated groupBy (trigram
+    * fracs) — no new shuffle family, so the 100 TB shape is inherited
+    * stage by stage. */
+  def fullPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+    // stage 1: exact dedup (keep min id per content)
+    val exact = Dedup.dropExactDuplicates(doubled, "text", "doc_id")
+    // stage 2: near-dup components over MinHash-LSH pairs; keep canonical
+    val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
+        shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
+        threshold = 0.8)
+      .select(col("ida"), col("idb"))
+    val nonCanonical = Components.dupComponents(pairs, "ida", "idb")
+      .filter(!col("is_canonical"))
+      .select(col("id").as("doc_id"))
+    val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
+    // stage 3: decontamination against the eval set (d8 construction)
+    val evalSet = docs.filter(col("doc_id") % 10 === 0)
+    val decon = Decontamination.decontaminate(canon, evalSet, "text", "doc_id",
+      n = 5)
+    // stage 4: quality gate + repetition filter (t2/t13 roundings)
+    val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("dup_trigram_frac"))
+    val kept = decon.join(rep, Seq("doc_id"))
+      .filter(TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9 &&
+        TextQueries.round4(col("dup_trigram_frac")) < 0.3)
+      .select(col("doc_id"), col("lang"), col("text"))
+    // stage 5: temperature-rebalanced sampling by language (t11)
+    val sampled = Sampling.temperatureSample(kept, "lang", "doc_id")
+    // stages 6-7: chunk and pack (t7/t10 parameters)
+    Packing.binSegments(
+        Chunking.tokenChunks(sampled, "doc_id", "text", window = 32, step = 24),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("bin_id", "seq")
+  }
+
+  /** DuckDB mirror of [[fullPipeline]]: the l1 CTE chain extended with
+    * the d8 decontamination probe, the t13 trigram fracs, and the t11
+    * threshold sample over each stage's survivors. */
+  val fullPipelineSql: String = {
+    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+    val perms = (0 until DedupQueries.NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val wsQ = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val nTok = s"CAST(len($wsQ) AS DOUBLE)"
+    val gram5 = (1 to 5).map(k => s"$ws[i${if (k == 1) "" else s"+${k - 1}"}]")
+      .mkString(" || ' ' || ")
+    s"""WITH RECURSIVE doubled AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, lang, text FROM documents),
+       |exact AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM doubled d
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM doubled GROUP BY text) w
+       |    ON d.text = w.text AND d.doc_id = w.keep),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
+       |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
+       |  FROM exact WHERE len($ws) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |noncanon AS (
+       |  SELECT src AS doc_id FROM reach GROUP BY src
+       |  HAVING src <> LEAST(src, MIN(dst))),
+       |canon AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
+       |cg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 3, 1)),
+       |    i -> $gram5)) AS g
+       |  FROM canon WHERE len($ws) >= 5),
+       |cgrams AS (SELECT DISTINCT doc_id, g FROM cg0),
+       |eg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 3, 1)),
+       |    i -> $gram5)) AS g
+       |  FROM documents WHERE doc_id % 10 = 0 AND len($ws) >= 5),
+       |egrams AS (SELECT DISTINCT g FROM eg0),
+       |flagged AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN egrams e USING (g)),
+       |decon AS (
+       |  SELECT doc_id, lang, text FROM canon
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |rtoks AS (SELECT doc_id, $wsQ AS ts FROM decon),
+       |rgrams AS (
+       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM rtoks)
+       |  WHERE i <= len(ts) - 2),
+       |rcnt AS (SELECT doc_id, g, count(*) AS c FROM rgrams GROUP BY 1, 2),
+       |ragg AS (SELECT doc_id, sum(c) AS total,
+       |           coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+       |         FROM rcnt GROUP BY 1),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM decon d LEFT JOIN ragg r USING (doc_id)
+       |  WHERE FLOOR((
+       |      (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+       |            WHEN $len < 200 THEN $len / 200.0
+       |            ELSE 20000.0 / $len END) * 0.3
+       |      + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+       |      + (CASE WHEN $nTok > 0 THEN
+       |           CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+       |                THEN 1.0 ELSE 0.5 END
+       |         ELSE 0.0 END) * 0.2
+       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+       |    ) * 10000 + 0.5) / 10000.0 >= 0.9
+       |    AND FLOOR(coalesce(CAST(r.dup AS DOUBLE) / CAST(r.total AS DOUBLE), 0.0)
+       |      * 10000 + 0.5) / 10000.0 < 0.3),
+       |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+       |mn AS (SELECT MIN(n) AS n_min FROM counts),
+       |probs AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 1.0)
+       |      * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts, mn),
+       |sampled AS (
+       |  SELECT k.doc_id, k.text FROM kept k JOIN probs p ON k.lang = p.lang
+       |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr),
+       |toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM sampled),
+       |starts AS (
+       |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
+       |  FROM toks WHERE len(t) > 0),
+       |chunks AS (
+       |  SELECT doc_id, CAST(token_start AS INT) AS token_start,
+       |    CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens
+       |  FROM starts),
+       |c2 AS (
+       |  SELECT doc_id, token_start, n_tokens,
+       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks WHERE n_tokens > 0),
+       |segs AS (
+       |  SELECT doc_id, token_start, n_tokens, before,
+       |    unnest(generate_series(
+       |      CAST((before - before % 512) / 512 AS BIGINT),
+       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 512) / 512 AS BIGINT)))
+       |      AS bin_id
+       |  FROM c2)
+       |SELECT bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY bin_id
+       |    ORDER BY GREATEST(before, bin_id * 512)) AS BIGINT) AS seq,
+       |  doc_id,
+       |  CAST(token_start AS BIGINT) + GREATEST(before, bin_id * 512) - before
+       |    AS token_start,
+       |  LEAST(before + n_tokens, (bin_id + 1) * 512)
+       |    - GREATEST(before, bin_id * 512) AS token_len
+       |FROM segs ORDER BY bin_id, seq""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "l1_corpus_pipeline" -> (corpusPipeline _))
+    "l1_corpus_pipeline" -> (corpusPipeline _),
+    "l2_full_pipeline" -> (fullPipeline _))
 
   def oracleSql: Map[String, String] = Map(
-    "l1_corpus_pipeline" -> corpusPipelineSql)
+    "l1_corpus_pipeline" -> corpusPipelineSql,
+    "l2_full_pipeline" -> fullPipelineSql)
 }

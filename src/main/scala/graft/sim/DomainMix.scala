@@ -8,8 +8,8 @@ import org.apache.spark.sql.functions._
   * mass. This is the curation step that decides sampling ratios for a
   * training mix (cluster the corpus, count tokens per cluster, derive
   * per-domain weights) — the reference's cluster-then-rank loop
-  * (`main_pipeline_cluster.py`) applied to corpus curation instead of
-  * column profiles.
+  * (`main.py` / `rule_generation_pipleline.py`) applied to corpus
+  * curation instead of column profiles.
   *
   * The centroids are a control-plane constant (k vectors collected on
   * the driver, broadcast as literals inside the expression tree), so
