@@ -431,12 +431,91 @@ object MatchQueries {
     "c1_kmeans_clusters" -> (kmeansClusters _),
     "c2_dbscan_clusters" -> (dbscanClusters _))
 
-  /** c1/c2 are algorithmic (seeded KMeans / driver DBSCAN) — no SQL
-    * equivalent; the driver records rows-only checks for them. */
+  /** Per-column profile features f1..f9 in [[Clustering.defaultFeatures]]
+    * order (null_ratio, unique_ratio, avg_len, avg_word_len, ratio_int,
+    * ratio_float, ratio_date, mode_ratio, dominant_pattern_ratio),
+    * mirroring the Profiler's exact arithmetic so the scaled vectors are
+    * bit-identical across engines. */
+  private def featProfileSql(table: String, cols: Seq[String]): String = cols.map { c =>
+    val intR = "'^[+-]?\\d+$'"
+    val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
+    val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
+    val pat = s"regexp_replace(regexp_replace(regexp_replace(${v(c)}, '[0-9]', '9', 'g'), '[A-Za-z]', 'A', 'g'), '\\s', ' ', 'g')"
+    def r(re: String) =
+      s"COALESCE(CAST(SUM(CASE WHEN ${nn(c)} AND regexp_matches(${v(c)}, $re) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)"
+    val totalChars = s"SUM(CASE WHEN ${nn(c)} THEN LENGTH(${v(c)}) ELSE 0 END)"
+    val spaceChars = s"SUM(CASE WHEN ${nn(c)} THEN LENGTH(regexp_replace(${v(c)}, '[^\\s]', '', 'g')) ELSE 0 END)"
+    val wordCnt = s"SUM(CASE WHEN ${nn(c)} THEN len(string_split_regex(TRIM(${v(c)}), '\\s+')) ELSE 0 END)"
+    s"""SELECT '$table::$c' AS id,
+       |  CAST(SUM(CASE WHEN NOT ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS f1,
+       |  CAST(COUNT(DISTINCT CASE WHEN ${nn(c)} THEN ${v(c)} END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS f2,
+       |  COALESCE(CAST($totalChars AS DOUBLE)
+       |    / CAST(NULLIF(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END), 0) AS DOUBLE), 0.0) AS f3,
+       |  CASE WHEN $wordCnt > 0 THEN CAST($totalChars - $spaceChars AS DOUBLE)
+       |    / CAST($wordCnt AS DOUBLE) ELSE 0.0 END AS f4,
+       |  ${r(intR)} AS f5,
+       |  ${r(floatR)} AS f6,
+       |  ${r(dateR)} AS f7,
+       |  (SELECT COALESCE(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 0.0)
+       |   FROM (SELECT COUNT(*) AS cnt FROM $table WHERE ${nn(c)} GROUP BY ${v(c)}) h) AS f8,
+       |  (SELECT COALESCE(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 0.0)
+       |   FROM (SELECT COUNT(*) AS cnt FROM $table WHERE ${nn(c)} GROUP BY $pat) h) AS f9
+       |FROM $table""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  /** DuckDB mirror of c2: DBSCAN(eps=0.5, minPts=2) over min-max-scaled
+    * profile vectors. With minPts=2 every point with ≥1 eps-neighbor is
+    * core, so clusters are EXACTLY the connected components of the
+    * eps-graph and isolated points are noise (-1); the visit-order
+    * numbering of [[Clustering.dbscan]] (points visited in column_id
+    * order) equals the dense rank of each component's minimum
+    * column_id. Distances mirror the Scala fold order (left-to-right
+    * over the 9 features), so the eps comparison is bit-identical. */
+  val dbscanClustersSql: String = {
+    val fs = (1 to 9).map(i => s"f$i")
+    val statCols = fs.map(f => s"MIN($f) AS lo_$f, MAX($f) AS hi_$f").mkString(", ")
+    val scaledCols = fs.map(f =>
+      s"CASE WHEN hi_$f = lo_$f THEN 0.5 ELSE ($f - lo_$f) / (hi_$f - lo_$f) END AS $f")
+      .mkString(",\n  ")
+    val distSq = fs.map(f => s"(a.$f - b.$f) * (a.$f - b.$f)").mkString(" + ")
+    s"""WITH RECURSIVE profs AS (
+       |${featProfileSql("customer", customerCols)}
+       |UNION ALL
+       |${featProfileSql("supplier", supplierCols)}
+       |UNION ALL
+       |${featProfileSql("nation", Seq("n_nationkey", "n_name", "n_regionkey"))}
+       |),
+       |stats AS (SELECT $statCols FROM profs),
+       |scaled AS (SELECT id,
+       |  $scaledCols
+       |FROM profs, stats),
+       |edges AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst FROM scaled a JOIN scaled b ON a.id <> b.id
+       |  WHERE SQRT($distSq) <= 0.5),
+       |reach AS (
+       |  SELECT src, dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+       |comp AS (SELECT src AS id, LEAST(src, MIN(dst)) AS root FROM reach GROUP BY src),
+       |clusters AS (
+       |  SELECT id, CAST(DENSE_RANK() OVER (ORDER BY root) - 1 AS INT) AS cluster_id
+       |  FROM comp)
+       |SELECT s.id AS column_id, COALESCE(c.cluster_id, -1) AS cluster_id
+       |FROM scaled s LEFT JOIN clusters c ON s.id = c.id
+       |ORDER BY column_id""".stripMargin
+  }
+
+  /** c1 stays algorithmic (seeded KMeans iterations — no SQL
+    * equivalent; rows-only + exact partition-pin spec). c2's DBSCAN at
+    * minPts=2 reduces to eps-graph connected components, which
+    * [[dbscanClustersSql]] mirrors exactly. */
   def oracleSql: Map[String, String] = Map(
     "mp1_multi_pipeline" -> multiPipelineSql,
     "m1_column_match" -> columnMatchSql,
     "m2_ks_wasserstein" -> ksWassersteinSql,
     "m3_rule_transfer" -> ruleTransferSql,
-    "m4_keyword_overlap" -> keywordOverlapSql)
+    "m4_keyword_overlap" -> keywordOverlapSql,
+    "c2_dbscan_clusters" -> dbscanClustersSql)
 }
