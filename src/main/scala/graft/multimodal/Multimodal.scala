@@ -170,6 +170,82 @@ object Multimodal {
     graft.dedup.Dedup.simhashPairs(
       hashes.select(col("id"), col("dhash").as("simhash")), maxDistance)
 
+  // ---- audio probing (mm4) ----------------------------------------------
+
+  /** One probed audio item's features. A real probe reads the container
+    * header (RIFF/OGG/FLAC) for rate/channels/duration and one PCM pass
+    * for loudness; the stub derives all four deterministically. */
+  final case class AudioFeatures(id: Long, n_bytes: Long, checksum: String,
+      sample_rate: Long, n_channels: Long, duration_ms: Long,
+      loudness_bucket: Long)
+
+  /** Batch-oriented audio-decode boundary (one call per batch of
+    * blobs) — the integration point for a real audio library. */
+  trait AudioDecoder extends Serializable {
+    def decodeAudioBatch(ids: Seq[Long], blobs: Seq[Array[Byte]]): Seq[AudioFeatures]
+  }
+
+  /** Deterministic stand-in for a real audio probe — bit-identical to
+    * [[audioFeatureColumns]] (the spec asserts it): sample rate picked
+    * from the four standard rates, stereo/mono, duration 0.5–120.5 s
+    * spread by a prime multiplier, loudness bucketed 0–9. */
+  object StubAudioDecoder extends AudioDecoder {
+    def decodeAudioBatch(ids: Seq[Long], blobs: Seq[Array[Byte]]): Seq[AudioFeatures] =
+      ids.zip(blobs).map { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(bytes).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.substring(0, 15), 16)
+        val rate = h % 4 match {
+          case 0 => 16000L; case 1 => 22050L; case 2 => 44100L; case _ => 48000L
+        }
+        AudioFeatures(id, bytes.length.toLong, hex, rate,
+          1L + (h >> 2) % 2,
+          500L + (bytes.length.toLong * 977L) % 120000L,
+          (h >> 3) % 10)
+      }
+  }
+
+  /** Metadata path: stub audio features as pure Column expressions —
+    * bit-identical to [[StubAudioDecoder]] (h is the 60-bit md5 prefix,
+    * non-negative, so pmod/shiftright match Scala's % and >>). */
+  def audioFeatureColumns(media: Column): Seq[(String, Column)] = {
+    val hex = md5(media)
+    val h = conv(substring(hex, 1, 15), 16, 10).cast(LongType)
+    val rate = when(pmod(h, lit(4L)) === 0, 16000L)
+      .when(pmod(h, lit(4L)) === 1, 22050L)
+      .when(pmod(h, lit(4L)) === 2, 44100L)
+      .otherwise(48000L)
+    Seq(
+      "n_bytes" -> octet_length(media).cast(LongType),
+      "checksum" -> hex,
+      "sample_rate" -> rate,
+      "n_channels" -> (lit(1L) + pmod(shiftright(h, 2), lit(2L))),
+      "duration_ms" -> (lit(500L) +
+        pmod(octet_length(media).cast(LongType) * lit(977L), lit(120000L))),
+      "loudness_bucket" -> pmod(shiftright(h, 3), lit(10L)))
+  }
+
+  /** Metadata-path audio probe (codegen'd, oracle-checkable). */
+  def audioFeatures(mediaTable: DataFrame): DataFrame =
+    mediaTable.select(col("id") +: audioFeatureColumns(col("media")).map {
+      case (n, c) => c.as(n)
+    }: _*)
+
+  /** Decode path: typed mapPartitions with per-partition batching —
+    * same boundary as [[decodeFeatures]]; blobs never shuffle. */
+  def decodeAudioFeatures(mediaTable: DataFrame, decoder: AudioDecoder,
+      batchSize: Int = 64): Dataset[AudioFeatures] = {
+    val spark = mediaTable.sparkSession
+    import spark.implicits._
+    mediaTable.select(col("id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          decoder.decodeAudioBatch(batch.map(_._1), batch.map(_._2))
+        }
+      }
+  }
+
   // ---- video frame sampling (mm3) ---------------------------------------
 
   /** Wrap a corpus as a video table: (id, media, checksum, duration_ms,

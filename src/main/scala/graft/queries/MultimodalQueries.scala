@@ -116,13 +116,39 @@ object MultimodalQueries {
        |  MIN(md5(csum || ':' || ts_ms::VARCHAR)) AS frame_digest
        |FROM frames GROUP BY id ORDER BY id""".stripMargin
 
+  // ---- mm4: audio probing ------------------------------------------------
+
+  /** documents-as-audio → typed probe metadata (rate/channels/duration/
+    * loudness bucket) at the same decode boundary as mm1-mm3; the gate
+    * checks the codegen'd metadata path, the spec pins the
+    * mapPartitions decode path to it bit-for-bit. */
+  def audioFeatures(spark: SparkSession, dir: String): DataFrame =
+    Multimodal.audioFeatures(
+        Multimodal.asMediaTable(Tables.load(spark, dir, "documents"),
+          "doc_id", "text"))
+      .orderBy("id")
+
+  val audioFeaturesSql: String =
+    """SELECT doc_id AS id,
+      |  octet_length(encode(text))::BIGINT AS n_bytes,
+      |  md5(text) AS checksum,
+      |  (CASE ('0x' || substr(md5(text), 1, 15))::UBIGINT % 4
+      |     WHEN 0 THEN 16000 WHEN 1 THEN 22050 WHEN 2 THEN 44100
+      |     ELSE 48000 END)::BIGINT AS sample_rate,
+      |  (1 + (('0x' || substr(md5(text), 1, 15))::UBIGINT // 4) % 2)::BIGINT AS n_channels,
+      |  (500 + (octet_length(encode(text)) * 977) % 120000)::BIGINT AS duration_ms,
+      |  ((('0x' || substr(md5(text), 1, 15))::UBIGINT // 8) % 10)::BIGINT AS loudness_bucket
+      |FROM documents ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mediaFeatures _),
     "mm2_image_dup_pairs" -> (imageDupPairs _),
-    "mm3_frame_sample" -> (frameSample _))
+    "mm3_frame_sample" -> (frameSample _),
+    "mm4_audio_features" -> (audioFeatures _))
 
   def oracleSql: Map[String, String] = Map(
     "mm1_media_features" -> mediaFeaturesSql,
     "mm2_image_dup_pairs" -> imageDupPairsSql,
-    "mm3_frame_sample" -> frameSampleSql)
+    "mm3_frame_sample" -> frameSampleSql,
+    "mm4_audio_features" -> audioFeaturesSql)
 }

@@ -34,6 +34,39 @@ class MultimodalSpec extends SparkSpec {
     assert(observed === Array(4, 8, 8))
   }
 
+  test("audio decode path equals metadata path") {
+    val docs = Tables.load(spark, sf, "documents").limit(50)
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val viaColumns = Multimodal.audioFeatures(media)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6))).toMap
+    val viaDecoder = Multimodal.decodeAudioFeatures(media,
+        Multimodal.StubAudioDecoder, batchSize = 7)
+      .collect().map(f => f.id ->
+        (f.n_bytes, f.checksum, f.sample_rate, f.n_channels,
+          f.duration_ms, f.loudness_bucket)).toMap
+    assert(viaDecoder === viaColumns)
+    assert(viaDecoder.size === 50)
+    // only the four standard rates, channels in {1,2}, buckets in 0..9
+    viaDecoder.values.foreach { case (_, _, rate, ch, dur, loud) =>
+      assert(Set(16000L, 22050L, 44100L, 48000L)(rate))
+      assert(ch == 1L || ch == 2L)
+      assert(dur >= 500L && dur < 120500L)
+      assert(loud >= 0L && loud <= 9L)
+    }
+  }
+
+  test("audio metadata path is map-side only (no exchange, no blob output)") {
+    val media = Multimodal.asMediaTable(
+      Tables.load(spark, sf, "documents"), "doc_id", "text")
+    val feats = Multimodal.audioFeatures(media)
+    assert(!feats.columns.contains("media"))
+    val plan = feats.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"audio probe should be a pure map over the scan:\n$plan")
+  }
+
   test("dhash64 pins the difference-hash bit layout") {
     // each row ascending 0..8 → every adjacent comparison false → 0
     val inc = Array.tabulate(72)(i => i % 9)
