@@ -341,7 +341,40 @@ object TextQueries {
        |FROM documents d LEFT JOIN fracs USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t14: subword token accounting ------------------------------------
+
+  /** Whitespace vs greedy-vocab subword counts side by side — the
+    * TokenCounter option every token-mass consumer (t7/t9/s7) can swap
+    * in; the oracle replays the greedy longest-match walk as a
+    * recursive CTE over the distinct words. */
+  def subwordTokens(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    docs.select(col("doc_id"),
+        graft.text.WhitespaceTokenCounter.count(col("text")).as("n_tokens"),
+        graft.text.VocabTokenCounter.count(col("text")).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  val subwordTokensSql: String =
+    s"""WITH RECURSIVE words0 AS (
+       |  SELECT doc_id, unnest($WS) AS w FROM documents),
+       |dw AS (SELECT DISTINCT w FROM words0 WHERE w <> ''),
+       |walk AS (
+       |  SELECT w, 1 AS pos, 0::BIGINT AS cnt FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + ${graft.text.VocabTokenCounter.sqlStepCase}, cnt + 1
+       |  FROM walk WHERE pos <= length(w)),
+       |pieces AS (SELECT w, MAX(cnt) AS np FROM walk GROUP BY w),
+       |perdoc AS (
+       |  SELECT doc_id, SUM(np) AS n_pieces
+       |  FROM words0 JOIN pieces USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, len($WS)::BIGINT AS n_tokens,
+       |  COALESCE(p.n_pieces, 0)::BIGINT AS n_pieces
+       |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t14_subword_tokens" -> (subwordTokens _),
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
     "t3_token_stats" -> (tokenStats _),
@@ -357,6 +390,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t14_subword_tokens" -> subwordTokensSql,
     "t1_lang_id" -> langIdSql,
     "t2_quality" -> qualitySql,
     "t3_token_stats" -> tokenStatsSql,

@@ -1,0 +1,55 @@
+package graft
+
+import graft.text.{VocabTokenCounter, WhitespaceTokenCounter}
+import org.apache.spark.sql.functions._
+
+/** Pins the greedy longest-match subword walk to hand-derived piece
+  * counts, and the trait contract both counters share. */
+class TokenCounterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pieces(words: String*): Map[String, Long] =
+    words.toSeq.toDF("text")
+      .select(col("text"), VocabTokenCounter.count(col("text")).as("n"))
+      .as[(String, Long)].collect().toMap
+
+  test("greedy longest-prefix walk matches hand-derived counts") {
+    // starting = st|ar|t|ing, statement = st|at|e|ment, the = the,
+    // xyz = x|y|z (single-char fallback), ingest = ing|est
+    assert(pieces("starting", "statement", "the", "xyz", "ingest") ==
+      Map("starting" -> 4L, "statement" -> 4L, "the" -> 1L,
+        "xyz" -> 3L, "ingest" -> 2L))
+  }
+
+  test("longest match wins over shorter prefixes") {
+    // "tion" must match the 4-char piece, not th|i|on or t|i|on
+    assert(pieces("tion") == Map("tion" -> 1L))
+    // "ermine": er|m|in|e — "er" beats nothing longer, fallback m/e
+    assert(pieces("ermine") == Map("ermine" -> 4L))
+  }
+
+  test("multi-word text sums per-word pieces; case and splitter match t3") {
+    // "The Starting" → the|st|ar|t|ing after lowercasing = 1 + 4
+    assert(pieces("The Starting") == Map("The Starting" -> 5L))
+    // empty and non-letter-only strings count 0 words
+    assert(pieces("", "!!!") == Map("" -> 0L, "!!!" -> 0L))
+  }
+
+  test("whitespace counter equals the t3 token contract") {
+    val got = Seq("a b  c", "", "one", "é è deux").toDF("text")
+      .select(WhitespaceTokenCounter.count(col("text")))
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 0L, 1L, 3L))
+  }
+
+  test("piece count is always between word count and char count") {
+    val docs = Tables.load(spark, sf, "documents").limit(100)
+    val bad = docs.select(
+        WhitespaceTokenCounter.count(col("text")).as("nw"),
+        VocabTokenCounter.count(col("text")).as("np"),
+        length(col("text")).cast("long").as("nc"))
+      .filter(col("np") < col("nw") || col("np") > col("nc"))
+      .count()
+    assert(bad == 0L)
+  }
+}
