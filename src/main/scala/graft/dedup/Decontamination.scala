@@ -43,4 +43,29 @@ object Decontamination {
       contaminatedDocs(corpus, evalSet, textCol, idCol, n, minOverlap)
         .select(col("id").as(s"__flagged_$idCol")),
       corpus(idCol) === col(s"__flagged_$idCol"), "left_anti")
+
+  /** Stateless, stream-safe evidence form of the probe: one row per
+    * (document, overlapping eval gram). The per-document DISTINCT
+    * happens INSIDE each row (array_distinct before the explode) — no
+    * shuffle, no state — so the whole operator is a narrow map plus a
+    * stream-static equi-join and runs unchanged in append mode on a
+    * Structured Stream. n_overlap is the per-id evidence row count:
+    * [[contaminatedDocs]] is this operator's batch rollup, and the
+    * streaming spec pins the two to identical evidence sets.
+    *
+    * `evalGrams` must be the DISTINCT (shingle) frame of the eval set
+    * (static/broadcast side by contract — benchmark-sized). */
+  def contaminationEvidence(corpus: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    val ws = col("__ws")
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    corpus.select(col(idCol).as("id"), Dedup.words(col(textCol)).as("__ws"))
+      .select(col("id"),
+        explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
+      .join(evalGrams, "shingle")
+      .select(col("id"), col("shingle"))
+  }
 }

@@ -69,7 +69,7 @@ object Dedup {
       .distinct()
   }
 
-  private def words(textCol: Column): Column =
+  private[dedup] def words(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-z0-9]+"), w => w =!= "")
 
   // ---- n-gram Jaccard near-duplicates ----------------------------------

@@ -88,13 +88,78 @@ object StreamQueries {
       |  event_id AS first_event_id, n_events
       |FROM r WHERE rn = 1 ORDER BY content_key""".stripMargin
 
+  // ---- w4: streaming decontamination (batch twin) ------------------------
+
+  /** Batch twin of the stream-safe contamination evidence: the same
+    * stateless operator (per-row distinct shingles → stream-static
+    * equi-join against the eval grams) run on the documents table; the
+    * streaming spec pins the append-mode run to these exact rows. Eval
+    * set and gram size mirror d8 (every 10th doc, 5-grams). */
+  def streamDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val evalGrams = graft.dedup.Dedup.wordShingles(
+        docs.filter(col("doc_id") % 10 === 0), "text", "doc_id", 5)
+      .select(col("shingle")).distinct()
+    graft.dedup.Decontamination.contaminationEvidence(
+        docs, evalGrams, "text", "doc_id", n = 5)
+      .orderBy("id", "shingle")
+  }
+
+  private val WS5 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+  val streamDecontaminationSql: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS5) - 3, 1)),
+       |    i -> $WS5[i] || ' ' || $WS5[i+1] || ' ' || $WS5[i+2] || ' ' || $WS5[i+3] || ' ' || $WS5[i+4])) AS g
+       |  FROM documents WHERE len($WS5) >= 5),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+       |SELECT doc_id AS id, g AS shingle
+       |FROM grams JOIN eval_grams USING (g)
+       |ORDER BY id, shingle""".stripMargin
+
+  // ---- w5: streaming weighted sampling (batch twin) ----------------------
+
+  /** Batch twin of stream-side weighted sampling: a STATIC per-language
+    * probability table (derived deterministically from the language
+    * string, so the oracle can rebuild it) broadcast-joined to the
+    * corpus, keep iff the 60-bit md5 key clears the threshold —
+    * [[graft.text.Sampling.weightedSample]] verbatim, which is
+    * stateless and therefore runs unchanged on a stream (the spec runs
+    * this exact operator in append mode). */
+  def streamWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val probs = docs.select(col("lang")).distinct()
+      .withColumn("p",
+        (pmod(length(col("lang")).cast("long") * lit(37L), lit(50L)) + lit(25L))
+          .cast("double") / lit(100.0))
+    graft.text.Sampling.weightedSample(docs, "lang", "doc_id", probs)
+      .select("lang", "doc_id")
+      .orderBy("lang", "doc_id")
+  }
+
+  val streamWeightedSampleSql: String =
+    """WITH probs AS (
+      |  SELECT DISTINCT lang,
+      |    CAST(FLOOR(LEAST(CAST((LENGTH(lang) * 37) % 50 + 25 AS DOUBLE) / 100.0, 1.0)
+      |      * 1152921504606846976.0) AS BIGINT) AS thr
+      |  FROM documents)
+      |SELECT d.lang, d.doc_id
+      |FROM documents d JOIN probs p ON d.lang = p.lang
+      |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr
+      |ORDER BY d.lang, d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_windowed_stats" -> (windowedStats _),
     "w2_session_stats" -> (sessionStats _),
-    "w3_stream_dedup" -> (streamDedup _))
+    "w3_stream_dedup" -> (streamDedup _),
+    "w4_stream_decontamination" -> (streamDecontamination _),
+    "w5_stream_weighted_sample" -> (streamWeightedSample _))
 
   def oracleSql: Map[String, String] = Map(
     "w1_windowed_stats" -> windowedStatsSql,
     "w2_session_stats" -> sessionStatsSql,
-    "w3_stream_dedup" -> streamDedupSql)
+    "w3_stream_dedup" -> streamDedupSql,
+    "w4_stream_decontamination" -> streamDecontaminationSql,
+    "w5_stream_weighted_sample" -> streamWeightedSampleSql)
 }

@@ -179,6 +179,64 @@ class StreamingSpec extends SparkSpec {
     assert(keys.distinct.length === 4)
   }
 
+  test("contamination evidence streams in append mode and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "quick brown fox jumps over everything else entirely here"),
+      (3L, "completely unrelated text with no overlap at all whatsoever"),
+      (4L, "tiny"))
+    val evalGrams = graft.dedup.Dedup.wordShingles(
+        Seq((99L, "the quick brown fox jumps over fences")).toDF("doc_id", "text"),
+        "text", "doc_id", 5)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val batch = graft.dedup.Decontamination.contaminationEvidence(
+        rows.toDF("doc_id", "text"), evalGrams, "text", "doc_id", n = 5)
+      .as[(Long, String)].collect().toSet
+    // docs 1 and 2 share eval 5-grams; 3 (no overlap) and 4 (<5 tokens) don't
+    assert(batch.map(_._1) === Set(1L, 2L))
+    val input = MemoryStream[(Long, String)]
+    val q = graft.dedup.Decontamination.contaminationEvidence(
+        input.toDF().toDF("doc_id", "text"), evalGrams, "text", "doc_id", n = 5)
+      .writeStream.format("memory").queryName("w4_stream")
+      .outputMode("append").start() // append works: the operator is stateless
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w4_stream").as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("weighted sampling streams in append mode and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val probs = Seq(("en", 0.5), ("de", 0.25), ("fr", 0.9)).toDF("lang", "p")
+    val rows = (1L to 60L).map(i =>
+      (i, Seq("en", "de", "fr")((i % 3).toInt)))
+    val batch = graft.text.Sampling.weightedSample(
+        rows.toDF("doc_id", "lang"), "lang", "doc_id", probs)
+      .select("lang", "doc_id").as[(String, Long)].collect().toSet
+    assert(batch.nonEmpty && batch.size < rows.size) // p<1 drops something
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.Sampling.weightedSample(
+        input.toDF().toDF("doc_id", "lang"), "lang", "doc_id", probs)
+      .select("lang", "doc_id")
+      .writeStream.format("memory").queryName("w5_stream")
+      .outputMode("append").start() // stateless stream-static broadcast join
+    try {
+      input.addData(rows.take(30): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(30): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w5_stream").as[(String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
