@@ -345,7 +345,7 @@ object Profiler {
     * repartition deeper in the plan may feed partition-dependent
     * expressions (spark_partition_id, monotonically_increasing_id in a
     * filter), where removing it would change the count. */
-  private def cheapCount(df: DataFrame): Long = {
+  private[graft] def cheapCount(df: DataFrame): Long = {
     import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, RebalancePartitions, Repartition, RepartitionByExpression}
     @scala.annotation.tailrec
     def unwrap(p: LogicalPlan): LogicalPlan = p match {
