@@ -28,12 +28,24 @@ import org.apache.spark.sql.functions._
   */
 object CorpusQueries {
 
+  /** Persist a stage-boundary survivor frame: each pipeline stage has
+    * 2-3 downstream consumers (a metrics branch plus the filter join,
+    * or an aggregation plus the data pass), and without a persist each
+    * consumer RE-EXECUTES the whole upstream — dedup, LSH, components —
+    * once per use (measured 124s → 47s on the sf1 rehearsal of l2).
+    * This is the in-engine form of what a production pipeline does
+    * between stages (materialize the surviving corpus); MEMORY_AND_DISK
+    * so the 100 TB case spills instead of OOMing, released by the
+    * session's state drop like every other operator persist. */
+  private def stage(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     // stage 1: exact dedup (keep min id per content)
-    val exact = Dedup.dropExactDuplicates(doubled, "text", "doc_id")
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text", "doc_id"))
     // stage 2: near-dup components over MinHash-LSH pairs; keep canonical
     val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
         shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
@@ -178,7 +190,7 @@ object CorpusQueries {
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
     // stage 1: exact dedup (keep min id per content)
-    val exact = Dedup.dropExactDuplicates(doubled, "text", "doc_id")
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text", "doc_id"))
     // stage 2: near-dup components over MinHash-LSH pairs; keep canonical
     val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
         shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
@@ -190,15 +202,15 @@ object CorpusQueries {
     val canon = exact.join(nonCanonical, Seq("doc_id"), "left_anti")
     // stage 3: decontamination against the eval set (d8 construction)
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
-    val decon = Decontamination.decontaminate(canon, evalSet, "text", "doc_id",
-      n = 5)
+    val decon = stage(Decontamination.decontaminate(canon, evalSet, "text",
+      "doc_id", n = 5))
     // stage 4: quality gate + repetition filter (t2/t13 roundings)
     val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
       .select(col("id").as("doc_id"), col("dup_trigram_frac"))
-    val kept = decon.join(rep, Seq("doc_id"))
+    val kept = stage(decon.join(rep, Seq("doc_id"))
       .filter(TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9 &&
         TextQueries.round4(col("dup_trigram_frac")) < 0.3)
-      .select(col("doc_id"), col("lang"), col("text"))
+      .select(col("doc_id"), col("lang"), col("text")))
     // stage 5: temperature-rebalanced sampling by language (t11)
     val sampled = Sampling.temperatureSample(kept, "lang", "doc_id")
     // stages 6-7: chunk and pack (t7/t10 parameters)
