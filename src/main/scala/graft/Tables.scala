@@ -43,7 +43,7 @@ object Tables {
     * identical values either way). */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import org.apache.spark.sql.types.{DecimalType, LongType, TimestampType}
+    import org.apache.spark.sql.types.{DecimalType, LongType, TimestampNTZType, TimestampType}
     val ev = load(spark, sfDir, "events")
     ev.schema("ts").dataType match {
       case LongType =>
@@ -54,12 +54,25 @@ object Tables {
         ev.withColumn("ts", timestamp_micros(
           floor(col("ts").cast(DecimalType(38, 0)) / lit(1000L))
             .cast(LongType)))
-      case _ =>
+      case TimestampNTZType =>
+        // session-zone reinterpretation; correct because every entry
+        // point pins spark.sql.session.timeZone=UTC
         ev.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType => ev
+      case other =>
+        // fail fast: a new testdata encoding must surface as an error,
+        // not as silently-shifted or null timestamps
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — extend loadEvents for it")
     }
   }
 
-  /** Register every table as a temp view so spark.sql(...) works too. */
+  /** Register every table as a temp view so spark.sql(...) works too.
+    * `events` goes through [[loadEvents]] so the SQL surface sees the
+    * same normalized TimestampType ts as the DataFrame callers. */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") loadEvents(spark, sfDir) else load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
 }

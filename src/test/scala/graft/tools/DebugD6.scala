@@ -10,6 +10,7 @@ object DebugD6 {
       else Seq("r6_trained_bands", "r7_trained_violations", "d6_embedding_dups")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def dropState(): Unit = {

@@ -6,6 +6,7 @@ object RunOne {
     val Array(name, sfDir, outDir) = args
     val spark = SparkSession.builder().master("local[16]")
       .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val df = graft.SparkEntry.queries(name)(spark, sfDir)
