@@ -56,16 +56,8 @@ object Decontamination {
     * `evalGrams` must be the DISTINCT (shingle) frame of the eval set
     * (static/broadcast side by contract — benchmark-sized). */
   def contaminationEvidence(corpus: DataFrame, evalGrams: DataFrame,
-      textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    val ws = col("__ws")
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-    corpus.select(col(idCol).as("id"), Dedup.words(col(textCol)).as("__ws"))
-      .select(col("id"),
-        explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
+      textCol: String, idCol: String, n: Int = 8): DataFrame =
+    Dedup.wordShingles(corpus, textCol, idCol, n)
       .join(evalGrams, "shingle")
       .select(col("id"), col("shingle"))
-  }
 }
