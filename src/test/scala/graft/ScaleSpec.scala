@@ -132,6 +132,46 @@ class ScaleSpec extends SparkSpec {
     assert(scans == 2, s"expected embeddings+documents scanned once each, got $scans:\n$plan")
   }
 
+  test("shingling is exchange-free (per-row distinct, no gram shuffle)") {
+    // wordShingles used to end in a post-explode distinct — a full
+    // shuffle of the gram stream on EVERY dedup query; the per-row
+    // array_distinct formulation must keep the whole operator a
+    // narrow scan→project→generate chain.
+    val sh = graft.dedup.Dedup.wordShingles(
+      Tables.load(spark, sf, "documents"), "text", "doc_id", 3)
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"shingle stream must not shuffle:\n$plan")
+  }
+
+  test("subword counting is a pure map (no shuffle, no UDF)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val counted = docs.select(col("doc_id"),
+      graft.text.VocabTokenCounter.count(col("text")).as("n_pieces"))
+    val plan = counted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"token walk must be map-side:\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"),
+      s"token walk must stay expression-only:\n$plan")
+  }
+
+  test("full corpus pipeline persists its stage boundaries") {
+    // without the stage persists every consumer re-executes the whole
+    // upstream (dedup+LSH+components) — measured 124s → 11s at sf1.
+    // The final frame sits behind the packing checkpoint, so the
+    // persists are asserted by what a full run leaves materialized:
+    // 3 stage persists + the LSH/CC checkpoints, vs only ~2
+    // checkpoints if the stage() calls were removed.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+    val df = graft.queries.CorpusQueries.fullPipeline(spark, sf)
+    assert(df.count() > 0)
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted >= 4,
+      s"expected the 3 stage persists (+checkpoints) materialized, found $persisted")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    spark.catalog.clearCache()
+  }
+
   test("frame sampling explodes metadata only (no blob in the frame rows)") {
     // Frames fan out ~30× per video: carrying the media bytes through
     // the explode (or a shuffle of them) multiplies blob I/O by the
