@@ -373,7 +373,32 @@ object TextQueries {
        |FROM documents d LEFT JOIN perdoc p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- t15: character-trigram familiarity (rare-ngram quality signal) ----
+
+  def trigramFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    graft.text.TextAnalysis
+      .trigramFamiliarity(Tables.load(spark, dir, "documents"), "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val trigramFamiliaritySql: String =
+    """WITH tris0 AS (
+      |  SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
+      |    i -> substr(lower(text), i, 3))) AS tri
+      |  FROM documents WHERE length(text) >= 3),
+      |tris AS (SELECT DISTINCT doc_id, tri FROM tris0),
+      |dfreq AS (SELECT tri, COUNT(*) AS df FROM tris GROUP BY tri),
+      |per AS (
+      |  SELECT doc_id, COUNT(*) AS n,
+      |    CAST(SUM(df) AS DOUBLE) / COUNT(*) AS fam
+      |  FROM tris JOIN dfreq USING (tri) GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(p.n, 0)::BIGINT AS n_trigrams,
+      |  p.fam AS familiarity
+      |FROM documents d LEFT JOIN per p USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t15_trigram_familiarity" -> (trigramFamiliarity _),
     "t14_subword_tokens" -> (subwordTokens _),
     "t1_lang_id" -> (langId _),
     "t2_quality" -> (quality _),
@@ -390,6 +415,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t15_trigram_familiarity" -> trigramFamiliaritySql,
     "t14_subword_tokens" -> subwordTokensSql,
     "t1_lang_id" -> langIdSql,
     "t2_quality" -> qualitySql,

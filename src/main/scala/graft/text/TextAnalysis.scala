@@ -214,4 +214,35 @@ object TextAnalysis {
         coalesce(col("top_bigram_frac"), lit(0.0)).as("top_bigram_frac"),
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
+
+  /** Character-trigram familiarity — the deterministic form of the
+    * rare-ngram/perplexity quality filter (gibberish and mojibake
+    * score low because few other documents contain their trigrams):
+    * per document, the mean corpus DOCUMENT-FREQUENCY of its distinct
+    * lowercased character trigrams. Unlike an n-gram-LM perplexity
+    * (whose per-char log accumulations round engine-specifically),
+    * every step here is integer counting up to ONE final long/long
+    * division, so the score is bit-identical in any engine.
+    *
+    * Scale shape: per-row distinct trigrams (array_distinct before the
+    * explode — no dedup shuffle), one partially-aggregated doc-frequency
+    * groupBy, one equi-join back, one per-doc agg. Documents shorter
+    * than 3 chars have no trigrams: n_trigrams 0, familiarity null. */
+  def trigramFamiliarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tris = df
+      .select(col(s"`$idCol`").as("id"), lower(col(s"`$textCol`")).as("__t"))
+      .select(col("id"), explode(
+        when(length(col("__t")) >= 3,
+          array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
+            i => substr(col("__t"), i, lit(3)))))
+          .otherwise(array().cast("array<string>"))).as("tri"))
+    val docFreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
+    val perDoc = tris.join(docFreq, "tri").groupBy("id").agg(
+      count(lit(1)).as("n_trigrams"),
+      (sum("df").cast(DoubleType) / count(lit(1))).as("familiarity"))
+    df.select(col(s"`$idCol`").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        col("familiarity"))
+  }
 }

@@ -127,6 +127,25 @@ class ExactPercentilesSpec extends SparkSpec {
     }
   }
 
+  test("refinement path releases its persists (bounded retention)") {
+    // The refinement path persists the value histogram and checkpoints
+    // the bracket state per round; both must be RELEASED once the
+    // query completes — retaining an O(distinct values) frame per
+    // profiled table is a scale leak (same class as the CC-loop fix).
+    // Only the final state checkpoint may survive.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val ps2 = Seq("med" -> 0.5)
+    val rng = new scala.util.Random(23)
+    val long = Seq.fill(20000)("g" -> rng.nextDouble() * 1e6).toDF("g", "x")
+    val out = ExactPercentiles.byGroupsSketched(long, Seq("g"), "x", ps2,
+      accuracy = 100, candidateCap = 200).collect()
+    assert(out.nonEmpty)
+    val retained = spark.sparkContext.getPersistentRDDs.size
+    assert(retained <= 2,
+      s"$retained persisted RDDs retained after a refinement-path query (expected ≤ 2)")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+  }
+
   test("refinement handles duplicate-heavy and tiny-gap distributions") {
     val ps2 = Seq("med" -> 0.5)
     // 90% of mass on one value, the rest microscopically spread around
