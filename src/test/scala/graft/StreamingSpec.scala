@@ -237,6 +237,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("token chunking streams in append mode (stateless explode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "a b c d e f g h"), (2L, "one two three"), (3L, ""))
+    val batch = graft.text.Chunking.tokenChunks(
+        rows.toDF("doc_id", "text"), "doc_id", "text", window = 4, step = 3)
+      .select("doc_id", "token_start", "n_tokens", "chunk")
+      .as[(Long, Int, Int, String)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.Chunking.tokenChunks(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        window = 4, step = 3)
+      .select("doc_id", "token_start", "n_tokens", "chunk")
+      .writeStream.format("memory").queryName("w6_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w6_chunks")
+        .as[(Long, Int, Int, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
