@@ -38,29 +38,17 @@ object Components {
     * persisted for the caller's query. */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxRounds: Int = 50): (DataFrame, Int) = {
-    val sc = pairs.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    def release(ids: Set[Int]): Unit =
-      ids.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    val base = persistedIds
-    var edges = pairs
+    val rot = new graft.ops.CheckpointRotation(pairs.sparkSession.sparkContext)
+    var edges = rot.rotate(pairs
       .select(greatest(col(aCol), col(bCol)).as("u"),
         least(col(aCol), col(bCol)).as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint(true)
-    // RDD ids backing the CURRENT round's checkpoint (diffed, not
-    // assumed singleton, so a Spark-internal extra persist can't leak)
-    var own = persistedIds -- base
+      .distinct())
     var sig = checksum(edges)
     var rounds = 0
     var done = edges.isEmpty
     while (!done && rounds < maxRounds) {
-      val before = persistedIds
-      edges = smallStar(largeStar(edges)).localCheckpoint(true)
-      val fresh = persistedIds -- before
-      release(own)
-      own = fresh
+      edges = rot.rotate(smallStar(largeStar(edges)))
       val s = checksum(edges)
       done = s == sig
       sig = s

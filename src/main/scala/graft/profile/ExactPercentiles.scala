@@ -202,13 +202,9 @@ object ExactPercentiles {
       groupCols: Seq[String], ps: Seq[Double], cap: Int,
       maxRounds: Int = 8): DataFrame = {
     val gs = groupCols.map(g => col(s"`$g`"))
-    val sc = hist.sparkSession.sparkContext
-    def persistedIds: Set[Int] = sc.getPersistentRDDs.keySet.toSet
-    val base = persistedIds
-    var state = state0.localCheckpoint(true)
-    // superseded-checkpoint release, same pattern as
-    // Components.connectedComponents: ≤ 2 state snapshots ever live
-    var own = persistedIds -- base
+    // superseded-checkpoint rotation: ≤ 2 state snapshots ever live
+    val rot = new graft.ops.CheckpointRotation(hist.sparkSession.sparkContext)
+    var state = rot.rotate(state0)
     var round = 0
     while (round < maxRounds) {
       val joined = hist.join(broadcast(state), groupCols)
@@ -222,11 +218,7 @@ object ExactPercentiles {
         .getOrElse(0L)
       if (worst <= cap) return state
       ps.indices.foreach { i => state = refineOne(hist, state, groupCols, ps(i), i) }
-      val before = persistedIds
-      state = state.localCheckpoint(true)
-      val fresh = persistedIds -- before
-      own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-      own = fresh
+      state = rot.rotate(state)
       round += 1
     }
     throw new IllegalStateException(

@@ -65,28 +65,23 @@ object CorpusQueries {
       .orderBy("bin_id", "seq")
   }
 
-  /** DuckDB mirror: the d1/d4/d7/t2/t7/t10 oracle fragments chained as
-    * CTEs over each stage's survivors. */
-  val corpusPipelineSql: String = {
-    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+  // ---- shared DuckDB mirror fragments (l1 + l2) --------------------------
+
+  private val WsSql =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+  /** MinHash-LSH verified near-dup pairs → transitive closure →
+    * non-canonical ids, over a CTE `exact(doc_id, text, …)` — the
+    * d4/d7 oracle fragments shared verbatim by both pipeline mirrors. */
+  private def nearDupCtesSql: String = {
+    val ws = WsSql
     val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
     val perms = (0 until DedupQueries.NumPerms).map { p =>
       val a = 2 * (p + 1) + 1
       val b = (7919L * (p + 1)) % Dedup.P
       s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
     }.mkString("\nUNION ALL\n")
-    val len = "CAST(LENGTH(text) AS DOUBLE)"
-    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
-    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
-    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
-    val wsQ = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
-    val nTok = s"CAST(len($wsQ) AS DOUBLE)"
-    s"""WITH RECURSIVE doubled AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
-       |exact AS (
-       |  SELECT MIN(doc_id) AS doc_id, text FROM doubled GROUP BY text),
-       |g0 AS (
+    s"""g0 AS (
        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
        |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
        |  FROM exact WHERE len($ws) >= 3),
@@ -120,11 +115,21 @@ object CorpusQueries {
        |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
        |noncanon AS (
        |  SELECT src AS doc_id FROM reach GROUP BY src
-       |  HAVING src <> LEAST(src, MIN(dst))),
-       |kept AS (
-       |  SELECT e.doc_id, e.text FROM exact e
-       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM noncanon)
-       |    AND FLOOR((
+       |  HAVING src <> LEAST(src, MIN(dst)))""".stripMargin
+  }
+
+  private val WsqSql =
+    "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+
+  /** The t2 quality-score expression (round4'd) over a `text` column —
+    * mirrors TextAnalysis.qualityScore term by term. */
+  private val qualityExprSql: String = {
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val nTok = s"CAST(len($WsqSql) AS DOUBLE)"
+    s"""FLOOR((
        |      (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
        |            WHEN $len < 200 THEN $len / 200.0
        |            ELSE 20000.0 / $len END) * 0.3
@@ -135,9 +140,14 @@ object CorpusQueries {
        |         ELSE 0.0 END) * 0.2
        |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
        |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |    ) * 10000 + 0.5) / 10000.0 >= 0.9),
-       |toks AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM kept),
+       |    ) * 10000 + 0.5) / 10000.0""".stripMargin
+  }
+
+  /** t7 chunking + t10 packing over CTE `src(doc_id, text)` — the final
+    * CTEs plus the segment SELECT both mirrors end with. */
+  private def chunkPackTailSql(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM $src),
        |starts AS (
        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
        |  FROM toks WHERE len(t) > 0),
@@ -166,7 +176,21 @@ object CorpusQueries {
        |  LEAST(before + n_tokens, (bin_id + 1) * 512)
        |    - GREATEST(before, bin_id * 512) AS token_len
        |FROM segs ORDER BY bin_id, seq""".stripMargin
-  }
+
+  /** DuckDB mirror of [[corpusPipeline]]: the d1/d4/d7/t2/t7/t10
+    * oracle fragments chained as CTEs over each stage's survivors. */
+  val corpusPipelineSql: String =
+    s"""WITH RECURSIVE doubled AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |exact AS (
+       |  SELECT MIN(doc_id) AS doc_id, text FROM doubled GROUP BY text),
+       |$nearDupCtesSql,
+       |kept AS (
+       |  SELECT e.doc_id, e.text FROM exact e
+       |  WHERE e.doc_id NOT IN (SELECT doc_id FROM noncanon)
+       |    AND $qualityExprSql >= 0.9),
+       |${chunkPackTailSql("kept")}""".stripMargin
 
   /** The COMPLETE "web crawl → training corpus" pipeline — every stage
     * a certified operator, in the order a production run applies them:
@@ -224,19 +248,7 @@ object CorpusQueries {
     * the d8 decontamination probe, the t13 trigram fracs, and the t11
     * threshold sample over each stage's survivors. */
   val fullPipelineSql: String = {
-    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
-    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
-    val perms = (0 until DedupQueries.NumPerms).map { p =>
-      val a = 2 * (p + 1) + 1
-      val b = (7919L * (p + 1)) % Dedup.P
-      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
-    }.mkString("\nUNION ALL\n")
-    val len = "CAST(LENGTH(text) AS DOUBLE)"
-    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
-    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
-    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
-    val wsQ = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
-    val nTok = s"CAST(len($wsQ) AS DOUBLE)"
+    val ws = WsSql
     val gram5 = (1 to 5).map(k => s"$ws[i${if (k == 1) "" else s"+${k - 1}"}]")
       .mkString(" || ' ' || ")
     s"""WITH RECURSIVE doubled AS (
@@ -246,41 +258,7 @@ object CorpusQueries {
        |  SELECT d.doc_id, d.lang, d.text FROM doubled d
        |  JOIN (SELECT text, MIN(doc_id) AS keep FROM doubled GROUP BY text) w
        |    ON d.text = w.text AND d.doc_id = w.keep),
-       |g0 AS (
-       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
-       |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
-       |  FROM exact WHERE len($ws) >= 3),
-       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
-       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
-       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
-       |sigs AS ($perms),
-       |bands AS (
-       |  SELECT id, perm_id // 4 AS band,
-       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
-       |  FROM sigs GROUP BY id, perm_id // 4),
-       |cands AS (
-       |  SELECT DISTINCT a.id AS ida, b.id AS idb
-       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
-       |  WHERE a.id < b.id),
-       |jpairs AS (
-       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
-       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
-       |  GROUP BY 1, 2),
-       |mh_pairs AS (
-       |  SELECT ida, idb FROM jpairs
-       |  JOIN sizes sa ON ida = sa.doc_id
-       |  JOIN sizes sb ON idb = sb.doc_id
-       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
-       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
-       |          UNION SELECT idb, ida FROM mh_pairs),
-       |reach AS (
-       |  SELECT a AS src, b AS dst FROM edges
-       |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |noncanon AS (
-       |  SELECT src AS doc_id FROM reach GROUP BY src
-       |  HAVING src <> LEAST(src, MIN(dst))),
+       |$nearDupCtesSql,
        |canon AS (
        |  SELECT doc_id, lang, text FROM exact
        |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
@@ -298,7 +276,7 @@ object CorpusQueries {
        |decon AS (
        |  SELECT doc_id, lang, text FROM canon
        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
-       |rtoks AS (SELECT doc_id, $wsQ AS ts FROM decon),
+       |rtoks AS (SELECT doc_id, $WsqSql AS ts FROM decon),
        |rgrams AS (
        |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
        |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM rtoks)
@@ -309,18 +287,7 @@ object CorpusQueries {
        |         FROM rcnt GROUP BY 1),
        |kept AS (
        |  SELECT d.doc_id, d.lang, d.text FROM decon d LEFT JOIN ragg r USING (doc_id)
-       |  WHERE FLOOR((
-       |      (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
-       |            WHEN $len < 200 THEN $len / 200.0
-       |            ELSE 20000.0 / $len END) * 0.3
-       |      + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
-       |      + (CASE WHEN $nTok > 0 THEN
-       |           CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
-       |                THEN 1.0 ELSE 0.5 END
-       |         ELSE 0.0 END) * 0.2
-       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |    ) * 10000 + 0.5) / 10000.0 >= 0.9
+       |  WHERE $qualityExprSql >= 0.9
        |    AND FLOOR(coalesce(CAST(r.dup AS DOUBLE) / CAST(r.total AS DOUBLE), 0.0)
        |      * 10000 + 0.5) / 10000.0 < 0.3),
        |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
@@ -333,36 +300,7 @@ object CorpusQueries {
        |sampled AS (
        |  SELECT k.doc_id, k.text FROM kept k JOIN probs p ON k.lang = p.lang
        |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr),
-       |toks AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM sampled),
-       |starts AS (
-       |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
-       |  FROM toks WHERE len(t) > 0),
-       |chunks AS (
-       |  SELECT doc_id, CAST(token_start AS INT) AS token_start,
-       |    CAST(len(t[token_start + 1 : token_start + 32]) AS INT) AS n_tokens
-       |  FROM starts),
-       |c2 AS (
-       |  SELECT doc_id, token_start, n_tokens,
-       |    CAST(SUM(CAST(n_tokens AS BIGINT)) OVER (ORDER BY doc_id, token_start
-       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
-       |  FROM chunks WHERE n_tokens > 0),
-       |segs AS (
-       |  SELECT doc_id, token_start, n_tokens, before,
-       |    unnest(generate_series(
-       |      CAST((before - before % 512) / 512 AS BIGINT),
-       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 512) / 512 AS BIGINT)))
-       |      AS bin_id
-       |  FROM c2)
-       |SELECT bin_id,
-       |  CAST(ROW_NUMBER() OVER (PARTITION BY bin_id
-       |    ORDER BY GREATEST(before, bin_id * 512)) AS BIGINT) AS seq,
-       |  doc_id,
-       |  CAST(token_start AS BIGINT) + GREATEST(before, bin_id * 512) - before
-       |    AS token_start,
-       |  LEAST(before + n_tokens, (bin_id + 1) * 512)
-       |    - GREATEST(before, bin_id * 512) AS token_len
-       |FROM segs ORDER BY bin_id, seq""".stripMargin
+       |${chunkPackTailSql("sampled")}""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -20,11 +20,15 @@ object MatchQueries {
   private[queries] def v(c: String) = s"CAST($c AS VARCHAR)"
   private[queries] def nn(c: String) = s"($c IS NOT NULL AND TRIM(${v(c)}) <> '')"
 
+  // single source for the type-vote regex mirrors — typeCase (m1/p3)
+  // and featProfileSql (c2) must stay byte-identical to the Profiler's
+  // CellTypeVote regexes
+  private val intR = "'^[+-]?\\d+$'"
+  private val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
+  private val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
+
   private[queries] def typeCase(c: String): String = {
-    val intR = "'^[+-]?\\d+$'"
-    val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
     val boolR = "'^(?i)(true|false|yes|no|t|f|y|n)$'"
-    val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
     def r(re: String) =
       s"COALESCE(CAST(SUM(CASE WHEN ${nn(c)} AND regexp_matches(${v(c)}, $re) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)"
     s"""CASE
@@ -437,9 +441,6 @@ object MatchQueries {
     * mirroring the Profiler's exact arithmetic so the scaled vectors are
     * bit-identical across engines. */
   private def featProfileSql(table: String, cols: Seq[String]): String = cols.map { c =>
-    val intR = "'^[+-]?\\d+$'"
-    val floatR = "'^[+-]?(\\d+\\.\\d*|\\.\\d+|\\d+)([eE][+-]?\\d+)?$'"
-    val dateR = "'^\\d{4}-\\d{2}-\\d{2}([ T].*)?$'"
     val pat = s"regexp_replace(regexp_replace(regexp_replace(${v(c)}, '[0-9]', '9', 'g'), '[A-Za-z]', 'A', 'g'), '\\s', ' ', 'g')"
     def r(re: String) =
       s"COALESCE(CAST(SUM(CASE WHEN ${nn(c)} AND regexp_matches(${v(c)}, $re) THEN 1 ELSE 0 END) AS DOUBLE) / CAST(SUM(CASE WHEN ${nn(c)} THEN 1 ELSE 0 END) AS DOUBLE), 0.0)"

@@ -229,6 +229,9 @@ object TextAnalysis {
     * groupBy, one equi-join back, one per-doc agg. Documents shorter
     * than 3 chars have no trigrams: n_trigrams 0, familiarity null. */
   def trigramFamiliarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    // two consumers (doc-frequency agg + the join back): persist so the
+    // corpus-sized explode — the dominant stage — runs once, the same
+    // convention as minhashNearDuplicates' shingle frame
     val tris = df
       .select(col(s"`$idCol`").as("id"), lower(col(s"`$textCol`")).as("__t"))
       .select(col("id"), explode(
@@ -236,6 +239,7 @@ object TextAnalysis {
           array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
             i => substr(col("__t"), i, lit(3)))))
           .otherwise(array().cast("array<string>"))).as("tri"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val docFreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
     val perDoc = tris.join(docFreq, "tri").groupBy("id").agg(
       count(lit(1)).as("n_trigrams"),

@@ -58,8 +58,10 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("audio metadata path is map-side only (no exchange, no blob output)") {
-    val media = Multimodal.asMediaTable(
-      Tables.load(spark, sf, "documents"), "doc_id", "text")
+    // synthetic input: Tables.load may legitimately rebalance its scan
+    import spark.implicits._
+    val docs = Seq((1L, "some audio bytes"), (2L, "more")).toDF("doc_id", "text")
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
     val feats = Multimodal.audioFeatures(media)
     assert(!feats.columns.contains("media"))
     val plan = feats.queryExecution.executedPlan.toString

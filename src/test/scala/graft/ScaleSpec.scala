@@ -136,16 +136,19 @@ class ScaleSpec extends SparkSpec {
     // wordShingles used to end in a post-explode distinct — a full
     // shuffle of the gram stream on EVERY dedup query; the per-row
     // array_distinct formulation must keep the whole operator a
-    // narrow scan→project→generate chain.
-    val sh = graft.dedup.Dedup.wordShingles(
-      Tables.load(spark, sf, "documents"), "text", "doc_id", 3)
+    // narrow project→generate chain. Synthetic input: Tables.load may
+    // legitimately insert a rebalance repartition above its scan.
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.wordShingles(docs, "text", "doc_id", 3)
     val plan = sh.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"),
       s"shingle stream must not shuffle:\n$plan")
   }
 
   test("subword counting is a pure map (no shuffle, no UDF)") {
-    val docs = Tables.load(spark, sf, "documents")
+    import spark.implicits._
+    val docs = Seq((1L, "starting statement"), (2L, "the")).toDF("doc_id", "text")
     val counted = docs.select(col("doc_id"),
       graft.text.VocabTokenCounter.count(col("text")).as("n_pieces"))
     val plan = counted.queryExecution.executedPlan.toString
