@@ -397,7 +397,31 @@ object TextQueries {
       |FROM documents d LEFT JOIN per p USING (doc_id)
       |ORDER BY doc_id""".stripMargin
 
+  // ---- t16: deterministic train/val/test split ---------------------------
+
+  private val SplitFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Sampling.splitAssign(
+        Tables.load(spark, dir, "documents"), "doc_id", SplitFractions)
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+
+  val datasetSplitSql: String = {
+    val thr = graft.text.Sampling.splitThresholds(SplitFractions)
+    s"""SELECT doc_id,
+       |  CASE WHEN h < ${thr(0)} THEN 'train'
+       |       WHEN h < ${thr(1)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+       |  FROM documents)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_dataset_split" -> (datasetSplit _),
     "t15_trigram_familiarity" -> (trigramFamiliarity _),
     "t14_subword_tokens" -> (subwordTokens _),
     "t1_lang_id" -> (langId _),
@@ -415,6 +439,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,
     "t14_subword_tokens" -> subwordTokensSql,
     "t1_lang_id" -> langIdSql,

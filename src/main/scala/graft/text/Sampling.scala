@@ -52,6 +52,37 @@ object Sampling {
       .drop("__thr")
   }
 
+  /** Deterministic train/val/test split assignment: the 60-bit md5 key
+    * of the id partitions [0, 2^60) into consecutive ranges sized by
+    * `fractions` (name → fraction, summing to 1). Every engine and
+    * every run assigns each document to the same split — the property
+    * a reproducible corpus release needs — and membership is a pure
+    * map-side expression (no shuffle, stateless on streams). The
+    * thresholds ⌊cum·2^60⌋ are computed once on the driver, so the
+    * oracle interpolates identical literals. */
+  def splitAssign(df: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    require(fractions.size >= 2 && fractions.forall(_._2 > 0) &&
+      math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must be positive and sum to 1: $fractions")
+    val h = graft.dedup.Dedup.md5Long(col(s"`$idCol`").cast("string"))
+    val thresholds = splitThresholds(fractions)
+    val chain = fractions.init.zip(thresholds)
+      .foldLeft(Option.empty[Column]) {
+        case (None, ((name, _), thr)) => Some(when(h < thr, name))
+        case (Some(c), ((name, _), thr)) => Some(c.when(h < thr, name))
+      }
+    df.withColumn("split",
+      chain.map(_.otherwise(fractions.last._1)).getOrElse(lit(fractions.last._1)))
+  }
+
+  /** The ⌊cum·2^60⌋ range boundaries (one per non-final split) —
+    * shared with the SQL mirror so both engines compare against the
+    * same literals. */
+  def splitThresholds(fractions: Seq[(String, Double)]): Seq[Long] =
+    fractions.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * 1152921504606846976.0).toLong)
+
   /** Temperature-rebalanced sampling at α = 0.5 (the common
     * multilingual-mixing temperature): keep probability
     * p_g = √(n_min / n_g), so the smallest group is kept whole and a

@@ -42,6 +42,33 @@ class TokenCounterSpec extends SparkSpec {
     assert(got == Seq(3L, 0L, 1L, 3L))
   }
 
+  test("split assignment is exhaustive, deterministic, and ~fractional") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 2000L).toDF("id")
+    val fr = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val got = graft.text.Sampling.splitAssign(ids, "id", fr)
+      .groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(got.keySet == Set("train", "val", "test")) // exhaustive
+    assert(got.values.sum == 2000L)
+    // md5 is uniform: each split within ±30% of its expectation
+    fr.foreach { case (name, f) =>
+      val expect = 2000.0 * f
+      assert(math.abs(got(name) - expect) < 0.3 * expect + 10,
+        s"$name: ${got(name)} vs ~$expect")
+    }
+    // deterministic: re-running assigns identically
+    val a = graft.text.Sampling.splitAssign(ids, "id", fr)
+      .as[(Long, String)].collect().toMap
+    val b = graft.text.Sampling.splitAssign(ids, "id", fr)
+      .as[(Long, String)].collect().toMap
+    assert(a == b)
+    // map-side only
+    val plan = graft.text.Sampling.splitAssign(ids, "id", fr)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("piece count is always between word count and char count") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val bad = docs.select(
