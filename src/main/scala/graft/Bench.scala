@@ -38,9 +38,17 @@ object Bench {
     val epochs = (1 to 3).map { e =>
       names.map { name =>
         val t0 = System.nanoTime()
-        try { SparkEntry.queries(name)(spark, sfDir).count() }
-        catch { case _: Throwable => -1L }
-        val s = (System.nanoTime() - t0) / 1e9
+        // A thrown query must never contribute its time-to-failure as a
+        // timing sample (it would usually be FASTER than the real query
+        // and silently improve the median) — record -1 and keep it out
+        // of the median below.
+        val ok =
+          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: ${t.getMessage}")
+            false
+          }
+        val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
         // drop caches/persists a query may have pinned so later queries
         // are measured on a clean executor heap
         dropState()
@@ -48,10 +56,13 @@ object Bench {
       }.toMap
     }
     val results = names.map { name =>
-      val sec = epochs.map(_(name)).sorted.apply(1)
+      val valid = epochs.map(_(name)).filter(_ >= 0).sorted
+      // median over the surviving samples; lower-middle for even counts
+      val sec = if (valid.isEmpty) -1.0 else valid((valid.size - 1) / 2)
       System.err.println(f"[bench] $name $sec%.1fs")
       name -> sec
     }.toMap
+    val failures = names.filter(n => epochs.exists(_(n) < 0))
     // The driver captures a bounded TAIL window of stdout: a single long
     // line with the total at its HEAD gets the head truncated once the
     // query map grows past the window (rounds 1 and 6 both parsed as
@@ -62,9 +73,10 @@ object Bench {
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = names.map(k => s""""$k":${d3(results(k))}""")
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.values.filter(_ >= 0).sum
+    val failJson = failures.map(n => s""""$n"""").mkString("[", ",", "]")
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"failures":$failJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -61,8 +61,13 @@ object Dedup {
     * post-explode `.distinct()` — the id is part of that key, so
     * distinct-per-doc IS global distinct — with no shuffle of the gram
     * stream at all, and it makes the operator stateless on streams.
-    * (Callers pass one row per id — with duplicate id rows the
-    * per-row distinct would no longer be global.) */
+    * CONTRACT: callers pass one row per id — with duplicate id rows the
+    * per-row distinct is no longer global and the failure mode is
+    * SILENT count inflation downstream (e.g. n_overlap in
+    * Decontamination.contaminatedDocs). A runtime uniqueness check
+    * would cost a full groupBy job per call, so the contract stays
+    * documentation; callers that cannot guarantee uniqueness must
+    * `dropDuplicates(idCol)` first. */
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val ws = col("__ws")
     val grams = when(size(ws) >= n,
@@ -193,9 +198,10 @@ object Dedup {
     // The shingle table feeds four consumers (signatures, sizes, both
     // verify-join sides); without persist the split+explode+distinct
     // shuffle re-runs per consumer. MEMORY_AND_DISK so the 100 TB case
-    // spills instead of OOMing.
-    val sh = wordShingles(df, textCol, idCol, shingleSize)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // spills instead of OOMing; tracked in StagePersists so long-lived
+    // sessions can release it after materializing the result.
+    val sh = graft.ops.StagePersists.track(
+      wordShingles(df, textCol, idCol, shingleSize))
     // buckets are self-joined by lshCandidates: checkpoint the tiny
     // (id, band, bucket) frame so the signature aggregation doesn't run
     // once per join side

@@ -14,9 +14,19 @@ import org.apache.spark.sql.DataFrame
   * `isCheckpointed` (true only once a checkpoint has materialized,
   * never for a plain persist) so a caller's lazy `persist` whose first
   * materialization happens to run inside our checkpoint job can never
-  * be captured and mis-released. Assumes the session runs one query
-  * thread at a time (this engine's execution model); a concurrent
-  * localCheckpoint from another thread could still be mis-attributed.
+  * be captured and mis-released.
+  *
+  * Contract: the diff is unambiguous only when exactly ONE checkpoint
+  * materializes inside the rotate call. This library only ever creates
+  * EAGER checkpoints (no `localCheckpoint(false)` anywhere), so a
+  * checkpoint can never materialize lazily inside someone else's rotate
+  * job. Rotations (and [[CheckpointRotation.checkpoint]] users)
+  * serialize on a shared lock, so two rotating loops in concurrent
+  * queries cannot interleave their registry diffs; any OTHER concurrent
+  * eager checkpoint that lands inside the diff window — or a caller's
+  * lazy checkpoint upstream of the rotated frame — makes the diff
+  * ambiguous and `rotate` fails loudly rather than silently adopting
+  * and later mis-releasing a frame it does not own.
   */
 final class CheckpointRotation(sc: SparkContext) {
 
@@ -27,12 +37,39 @@ final class CheckpointRotation(sc: SparkContext) {
 
   /** Eagerly checkpoint `df`, then release the previously rotated
     * checkpoint (if any). Returns the checkpointed frame. */
-  def rotate(df: DataFrame): DataFrame = {
+  def rotate(df: DataFrame): DataFrame = CheckpointRotation.lock.synchronized {
     val before = ckptIds
     val out = df.localCheckpoint(true)
     val fresh = ckptIds -- before
+    require(fresh.size == 1,
+      s"ambiguous checkpoint ownership: ${fresh.size} checkpointed RDDs " +
+        s"materialized inside one rotate (ids $fresh) — a lazy checkpoint " +
+        "upstream of the rotated frame, or an unsynchronized concurrent " +
+        "checkpoint, violates the rotation contract")
     own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
     own = fresh
     out
   }
+
+  /** Release the currently retained checkpoint (end-of-loop cleanup for
+    * callers that copy the final frame out of the rotation). */
+  def release(): Unit = CheckpointRotation.lock.synchronized {
+    own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+    own = Set.empty
+  }
+}
+
+object CheckpointRotation {
+  /** All eager checkpoints in this library serialize on this lock, so a
+    * concurrent query's checkpoint can never materialize inside another
+    * rotation's registry diff. Only checkpoint MATERIALIZATION is
+    * serialized — the expensive upstream computation of a rotated frame
+    * runs inside the same job, so contention is real only when two
+    * queries checkpoint simultaneously, which this engine's
+    * one-query-at-a-time model makes rare. */
+  private[graft] val lock = new Object
+
+  /** Shared-lock eager checkpoint for one-shot (non-rotating) uses. */
+  def checkpoint(df: DataFrame): DataFrame =
+    lock.synchronized(df.localCheckpoint(true))
 }

@@ -167,8 +167,12 @@ object ExactPercentiles {
     if (maxGroupRows.exists(underCap)) return (hist, lazyState)
     // No caller bound: one eager control-plane job decides. The
     // checkpoint runs the sketch aggregation ONCE for the screen and
-    // the final join (it's a tiny frame, one row per group).
-    val state = lazyState.localCheckpoint(true)
+    // the final join (it's a tiny frame, one row per group). Created
+    // through a rotation so the refinement path can RELEASE it — the
+    // refined state is independently checkpointed, and only one state
+    // checkpoint should survive the call.
+    val screenRot = new graft.ops.CheckpointRotation(present.sparkSession.sparkContext)
+    val state = screenRot.rotate(lazyState)
     val naMax = state.agg(max(col("__na"))).collect()
       .headOption.flatMap(r => Option(r.get(0)).map(_.asInstanceOf[Long]))
       .getOrElse(0L)
@@ -181,7 +185,12 @@ object ExactPercentiles {
       // values) frame on the executors indefinitely.
       val h = hist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       try (hist, refineBrackets(h, state, groupCols, ps.map(_._2), candidateCap))
-      finally h.unpersist(blocking = false)
+      finally {
+        h.unpersist(blocking = false)
+        // the refined state is independently checkpointed — the screen
+        // checkpoint is superseded and must not outlive the call
+        screenRot.release()
+      }
     } else (hist, state)
   }
 

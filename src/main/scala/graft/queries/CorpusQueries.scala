@@ -35,10 +35,12 @@ object CorpusQueries {
     * once per use (measured 124s → 47s on the sf1 rehearsal of l2).
     * This is the in-engine form of what a production pipeline does
     * between stages (materialize the surviving corpus); MEMORY_AND_DISK
-    * so the 100 TB case spills instead of OOMing, released by the
-    * session's state drop like every other operator persist. */
+    * so the 100 TB case spills instead of OOMing. Lifecycle contract: a
+    * long-lived session calls `graft.ops.StagePersists.release(spark)`
+    * after materializing the pipeline result (this engine's entry
+    * points drop all persist state between queries instead). */
   private def stage(df: DataFrame): DataFrame =
-    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.ops.StagePersists.track(df)
 
   def corpusPipeline(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents").select(col("doc_id"), col("text"))

@@ -385,7 +385,7 @@ object TextQueries {
     """WITH tris0 AS (
       |  SELECT doc_id, unnest(list_transform(range(1, length(lower(text)) - 1),
       |    i -> substr(lower(text), i, 3))) AS tri
-      |  FROM documents WHERE length(text) >= 3),
+      |  FROM documents WHERE length(lower(text)) >= 3),
       |tris AS (SELECT DISTINCT doc_id, tri FROM tris0),
       |dfreq AS (SELECT tri, COUNT(*) AS df FROM tris GROUP BY tri),
       |per AS (

@@ -230,16 +230,16 @@ object TextAnalysis {
     * than 3 chars have no trigrams: n_trigrams 0, familiarity null. */
   def trigramFamiliarity(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     // two consumers (doc-frequency agg + the join back): persist so the
-    // corpus-sized explode — the dominant stage — runs once, the same
-    // convention as minhashNearDuplicates' shingle frame
-    val tris = df
+    // corpus-sized explode — the dominant stage — runs once. Tracked in
+    // StagePersists: long-lived sessions release via
+    // StagePersists.release(spark) after materializing the result.
+    val tris = graft.ops.StagePersists.track(df
       .select(col(s"`$idCol`").as("id"), lower(col(s"`$textCol`")).as("__t"))
       .select(col("id"), explode(
         when(length(col("__t")) >= 3,
           array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
             i => substr(col("__t"), i, lit(3)))))
-          .otherwise(array().cast("array<string>"))).as("tri"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .otherwise(array().cast("array<string>"))).as("tri")))
     val docFreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
     val perDoc = tris.join(docFreq, "tri").groupBy("id").agg(
       count(lit(1)).as("n_trigrams"),

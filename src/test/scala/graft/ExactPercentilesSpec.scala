@@ -141,8 +141,8 @@ class ExactPercentilesSpec extends SparkSpec {
       accuracy = 100, candidateCap = 200).collect()
     assert(out.nonEmpty)
     val retained = spark.sparkContext.getPersistentRDDs.size
-    assert(retained <= 2,
-      s"$retained persisted RDDs retained after a refinement-path query (expected ≤ 2)")
+    assert(retained <= 1,
+      s"$retained persisted RDDs retained after a refinement-path query (expected ≤ 1: the final state checkpoint)")
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
   }
 
