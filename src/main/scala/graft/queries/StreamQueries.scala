@@ -149,17 +149,70 @@ object StreamQueries {
       |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr
       |ORDER BY d.lang, d.doc_id""".stripMargin
 
+  // ---- w6: streaming sequence packing ------------------------------------
+
+  /** The STREAMING packer run in batch mode (state starts empty, one
+    * group invocation per shard — the identical code path the append-
+    * mode stream executes): documents chunked per t7's parameters, then
+    * packed into 256-token bins per LANGUAGE shard by the stateful
+    * running-offset fold. Hash-oracled against the per-shard prefix-sum
+    * mirror, so the driver gate certifies the streaming operator's
+    * arithmetic itself; StreamingSpec additionally pins the multi-
+    * micro-batch append-mode run to these exact rows. */
+  def streamPacked(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val chunks = graft.text.Chunking.tokenChunks(
+        docs, "doc_id", "text", window = 32, step = 24)
+      .join(docs.select("doc_id", "lang"), "doc_id")
+    graft.text.Packing.streamingBinSegments(
+        chunks, "lang", "doc_id", "token_start", "n_tokens", seqLen = 256)
+      .orderBy("lang", "bin_id", "seq")
+  }
+
+  val streamPackedSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, lang, regexp_extract_all(text, '\S+') AS t FROM documents),
+      |starts AS (
+      |  SELECT doc_id, lang, t, unnest(range(0, len(t), 24)) AS token_start
+      |  FROM toks WHERE len(t) > 0),
+      |chunks AS (
+      |  SELECT doc_id, lang, CAST(token_start AS BIGINT) AS token_start,
+      |    CAST(len(t[token_start + 1 : token_start + 32]) AS BIGINT) AS n_tokens
+      |  FROM starts),
+      |c2 AS (
+      |  SELECT doc_id, lang, token_start, n_tokens,
+      |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, token_start
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+      |  FROM chunks WHERE n_tokens > 0),
+      |segs AS (
+      |  SELECT lang, doc_id, token_start, n_tokens, before,
+      |    unnest(generate_series(
+      |      CAST((before - before % 256) / 256 AS BIGINT),
+      |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 256) / 256 AS BIGINT)))
+      |      AS bin_id
+      |  FROM c2)
+      |SELECT lang, bin_id,
+      |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin_id
+      |    ORDER BY GREATEST(before, bin_id * 256)) AS BIGINT) AS seq,
+      |  doc_id,
+      |  token_start + GREATEST(before, bin_id * 256) - before AS token_start,
+      |  LEAST(before + n_tokens, (bin_id + 1) * 256)
+      |    - GREATEST(before, bin_id * 256) AS token_len
+      |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w1_windowed_stats" -> (windowedStats _),
     "w2_session_stats" -> (sessionStats _),
     "w3_stream_dedup" -> (streamDedup _),
     "w4_stream_decontamination" -> (streamDecontamination _),
-    "w5_stream_weighted_sample" -> (streamWeightedSample _))
+    "w5_stream_weighted_sample" -> (streamWeightedSample _),
+    "w6_stream_packed" -> (streamPacked _))
 
   def oracleSql: Map[String, String] = Map(
     "w1_windowed_stats" -> windowedStatsSql,
     "w2_session_stats" -> sessionStatsSql,
     "w3_stream_dedup" -> streamDedupSql,
     "w4_stream_decontamination" -> streamDecontaminationSql,
-    "w5_stream_weighted_sample" -> streamWeightedSampleSql)
+    "w5_stream_weighted_sample" -> streamWeightedSampleSql,
+    "w6_stream_packed" -> streamPackedSql)
 }

@@ -1,7 +1,20 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Input row of the stateful packer: one chunk of `n` tokens starting
+  * at document-token `start`, belonging to packing shard `shard`. */
+private[text] final case class PackChunk(shard: String, id: Long, start: Long, n: Long)
+
+/** Per-shard packer state: the running token offset plus the one OPEN
+  * bin (only the last bin is ever incomplete) and its segment count —
+  * O(1) state per shard regardless of stream length. */
+private[text] final case class PackState(offset: Long, openBin: Long, openSegs: Long)
+
+private[text] final case class PackSegment(shard: String, bin_id: Long, seq: Long,
+    id: Long, token_start: Long, token_len: Long)
 
 /** Sequence packing for LLM training pipelines: concatenate the chunk
   * stream in a fixed deterministic order and cut it into bins of
@@ -87,5 +100,82 @@ object Packing {
         col("__seg_start"))
       .withColumn("seq", row_number().over(win).cast("long"))
       .drop("__seg_start")
+  }
+
+  /** The per-shard fold of [[binSegments]]' arithmetic: walk the
+    * group's chunks in (id, start) order from the carried offset,
+    * emitting one segment per touched bin and threading the open bin's
+    * segment count so `seq` numbering continues across invocations. */
+  private def packGroup(seqLen: Long)(shard: String, rows: Iterator[PackChunk],
+      state: GroupState[PackState]): Iterator[PackSegment] = {
+    val st = state.getOption.getOrElse(PackState(0L, -1L, 0L))
+    var offset = st.offset
+    var openBin = st.openBin
+    var openSegs = st.openSegs
+    val out = scala.collection.mutable.ArrayBuffer.empty[PackSegment]
+    // iterator order is not guaranteed: sort this invocation's chunks.
+    // On a stream this materializes one micro-batch's shard (bounded by
+    // trigger size); in batch mode it is the whole shard — callers
+    // packing a full corpus in batch should prefer binSegments' prefix-
+    // sum spine and use this operator as its streaming twin.
+    rows.toArray.sortBy(c => (c.id, c.start)).foreach { c =>
+      if (c.n > 0) {
+        val before = offset
+        var b = before / seqLen
+        val bEnd = (before + c.n - 1) / seqLen
+        while (b <= bEnd) {
+          val segStart = math.max(before, b * seqLen)
+          val segEnd = math.min(before + c.n, (b + 1) * seqLen)
+          val seq = if (b == openBin) openSegs + 1 else 1L
+          out += PackSegment(shard, b, seq, c.id,
+            c.start + segStart - before, segEnd - segStart)
+          openBin = b
+          openSegs = seq
+          b += 1
+        }
+        offset += c.n
+      }
+    }
+    state.update(PackState(offset, openBin, openSegs))
+    out.iterator
+  }
+
+  /** Streaming form of [[binSegments]], sharded: within each value of
+    * `shardCol` (e.g. language, or a shard key sized to taste), chunks
+    * are packed into `seqLen`-token bins by a RUNNING per-shard offset
+    * carried in `flatMapGroupsWithState` — the last batch-only stage of
+    * the corpus pipeline made incremental. Bin ids and `seq` numbering
+    * are per shard; output matches [[binSegments]] run on each shard's
+    * chunks independently (for a constant shard the two are identical,
+    * which is the oracle pin).
+    *
+    * Ordering contract: chunks must arrive in (id, start) order WITHIN
+    * each shard across micro-batches (each invocation sorts only its
+    * own batch) — the natural order of an upstream chunker reading an
+    * ordered document stream. In batch mode each shard is one
+    * invocation, so the sort is global per shard and the contract holds
+    * vacuously.
+    *
+    * Scale shape: state is O(1) per shard (offset + open-bin counter);
+    * shards process in parallel across the cluster; no global order, no
+    * global shuffle — a single total order over 100 TB is exactly the
+    * bottleneck per-shard packing exists to avoid. */
+  def streamingBinSegments(chunks: DataFrame, shardCol: String, idCol: String,
+      startCol: String, nTokCol: String, seqLen: Int = 512): DataFrame = {
+    require(seqLen >= 1, "seqLen must be >= 1")
+    implicit val chunkEnc = Encoders.product[PackChunk]
+    implicit val stateEnc = Encoders.product[PackState]
+    implicit val segEnc = Encoders.product[PackSegment]
+    chunks
+      .select(col(s"`$shardCol`").cast("string").as("shard"),
+        col(s"`$idCol`").cast("long").as("id"),
+        col(s"`$startCol`").cast("long").as("start"),
+        col(s"`$nTokCol`").cast("long").as("n"))
+      .as[PackChunk]
+      .groupByKey(_.shard)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        packGroup(seqLen.toLong))
+      .select(col("shard").as(shardCol), col("bin_id"), col("seq"),
+        col("id").as(idCol), col("token_start"), col("token_len"))
   }
 }

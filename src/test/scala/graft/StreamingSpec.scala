@@ -264,6 +264,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packer: single shard equals batch binSegments") {
+    import spark.implicits._
+    // chunks with straddles: doc 1 = 7+7 tokens, doc 2 = 10, doc 3 = 3
+    // over 8-token bins forces multiple boundary splits
+    val chunks = Seq(
+      (1L, 0L, 7L), (1L, 5L, 7L), (2L, 0L, 10L), (3L, 0L, 3L), (3L, 9L, 0L))
+      .toDF("doc_id", "token_start", "n_tokens")
+      .withColumn("shard", org.apache.spark.sql.functions.lit("all"))
+    val batch = graft.text.Packing.binSegments(
+        chunks, "doc_id", "token_start", "n_tokens", seqLen = 8)
+      .select("bin_id", "seq", "doc_id", "token_start", "token_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val stateful = graft.text.Packing.streamingBinSegments(
+        chunks, "shard", "doc_id", "token_start", "n_tokens", seqLen = 8)
+      .select("bin_id", "seq", "doc_id", "token_start", "token_len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(stateful === batch)
+    assert(batch.nonEmpty && batch.exists(_._5 < 7L), "expected a straddle split")
+  }
+
+  test("sequence packing streams in append mode and matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // two shards interleaved; per-shard (id, start) order holds across
+    // micro-batches (the operator's ordering contract)
+    val rows = Seq(
+      ("en", 1L, 0L, 5L), ("de", 1L, 0L, 3L), ("en", 2L, 0L, 9L),
+      ("de", 2L, 0L, 12L), ("en", 3L, 0L, 2L), ("de", 4L, 0L, 1L),
+      ("en", 5L, 0L, 8L), ("de", 5L, 0L, 7L))
+    val cols = Seq("lang", "doc_id", "token_start", "n_tokens")
+    val batch = graft.text.Packing.streamingBinSegments(
+        rows.toDF(cols: _*), "lang", "doc_id", "token_start", "n_tokens",
+        seqLen = 8)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(String, Long, Long, Long)]
+    val q = graft.text.Packing.streamingBinSegments(
+        input.toDF().toDF(cols: _*), "lang", "doc_id", "token_start",
+        "n_tokens", seqLen = 8)
+      .writeStream.format("memory").queryName("w6_packed")
+      .outputMode("append").start()
+    try {
+      // three micro-batches: state (offset + open-bin seq counter) must
+      // carry across them for bins that straddle batch boundaries
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(3, 6): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(6): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w6_packed")
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+      // both shards produced segments and at least one bin spans batches
+      assert(streamed.map(_._1) === Set("en", "de"))
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
