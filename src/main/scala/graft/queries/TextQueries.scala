@@ -420,7 +420,57 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t17: subword-grain chunking ---------------------------------------
+
+  /** Chunk windows measured in VocabTokenCounter PIECES (16-piece
+    * windows every 12 pieces) mapped back to covering word spans — the
+    * t7 chunker at the grain a sequence budget actually uses. Oracle:
+    * the t14 recursive-CTE piece walk, a per-doc prefix-sum window, and
+    * the covering-span aggregation. */
+  def pieceChunks(spark: SparkSession, dir: String): DataFrame =
+    graft.text.Chunking.pieceChunks(
+        Tables.load(spark, dir, "documents"), "doc_id", "text",
+        window = 16, step = 12)
+      .orderBy("doc_id", "piece_start")
+
+  val pieceChunksSql: String =
+    s"""WITH RECURSIVE rtoks AS (
+       |  SELECT doc_id, $WS AS ts FROM documents WHERE len($WS) > 0),
+       |wi AS (
+       |  SELECT doc_id, ts, CAST(i AS BIGINT) AS i, ts[i] AS w
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM rtoks)),
+       |dw AS (SELECT DISTINCT w FROM wi),
+       |walk AS (
+       |  SELECT w, 1 AS pos, 0::BIGINT AS cnt FROM dw
+       |  UNION ALL
+       |  SELECT w, pos + ${graft.text.VocabTokenCounter.sqlStepCase}, cnt + 1
+       |  FROM walk WHERE pos <= length(w)),
+       |pieces AS (SELECT w, MAX(cnt) AS np FROM walk GROUP BY w),
+       |wcum AS (
+       |  SELECT wi.doc_id, wi.i, p.np,
+       |    CAST(SUM(p.np) OVER (PARTITION BY wi.doc_id ORDER BY wi.i
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - p.np AS cumb
+       |  FROM wi JOIN pieces p USING (w)),
+       |totals AS (SELECT doc_id, CAST(SUM(np) AS BIGINT) AS p FROM wcum GROUP BY doc_id),
+       |chnk AS (
+       |  SELECT doc_id, p, CAST(unnest(range(0, p, 12)) AS BIGINT) AS piece_start
+       |  FROM totals),
+       |spans AS (
+       |  SELECT c.doc_id, c.piece_start,
+       |    CAST(LEAST(16, c.p - c.piece_start) AS BIGINT) AS n_pieces,
+       |    MAX(CASE WHEN w.cumb <= c.piece_start THEN w.i END) AS ws_i,
+       |    MAX(CASE WHEN w.cumb <= LEAST(c.piece_start + 16, c.p) - 1 THEN w.i END) AS we_i
+       |  FROM chnk c JOIN wcum w USING (doc_id)
+       |  GROUP BY c.doc_id, c.piece_start, c.p)
+       |SELECT s.doc_id, s.piece_start, s.n_pieces,
+       |  CAST(s.ws_i - 1 AS BIGINT) AS word_start,
+       |  CAST(s.we_i - s.ws_i + 1 AS BIGINT) AS n_words,
+       |  array_to_string(r.ts[s.ws_i : s.we_i], ' ') AS chunk
+       |FROM spans s JOIN rtoks r USING (doc_id)
+       |ORDER BY doc_id, piece_start""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t17_piece_chunks" -> (pieceChunks _),
     "t16_dataset_split" -> (datasetSplit _),
     "t15_trigram_familiarity" -> (trigramFamiliarity _),
     "t14_subword_tokens" -> (subwordTokens _),
@@ -439,6 +489,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t17_piece_chunks" -> pieceChunksSql,
     "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,
     "t14_subword_tokens" -> subwordTokensSql,

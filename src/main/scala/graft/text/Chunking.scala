@@ -37,4 +37,54 @@ object Chunking {
         concat_ws(" ", slice(col("__toks"), col("token_start") + 1, lit(window)))
           .as("chunk"))
   }
+
+  /** Subword-grain chunking: windows of `window` SUBWORD PIECES starting
+    * every `step` pieces, with piece counts from the deterministic
+    * [[VocabTokenCounter]] greedy walk — the chunk grain a real LLM
+    * pipeline uses (sequence budgets are token budgets, not word
+    * budgets). A chunk is addressed by `piece_start` (0-based in the
+    * document's piece stream) and maps back to the COVERING word span
+    * (`word_start`, `n_words`, and the joined `chunk` text) — pieces
+    * never split words, so the span is the smallest word range whose
+    * pieces include the window.
+    *
+    * Shape: pure map-side Columns + one explode, no shuffle, no UDF —
+    * t7's scale shape at piece grain, stateless on streams. The
+    * per-word piece-prefix array costs O(words²) HOF steps per document
+    * (prefix via slice-and-sum; Spark HOFs have no scan primitive), so
+    * web-scale docs (≤ ~10k words) are cheap but book-length documents
+    * should be pre-split (the same ≤10^6-token contract as packing). */
+  def pieceChunks(df: DataFrame, idCol: String, textCol: String,
+      window: Int = 16, step: Int = 12): DataFrame = {
+    require(window >= 1 && step >= 1, s"window/step must be >= 1")
+    val toks = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+      w => w =!= "")
+    val withArrays = df.select(col(s"`$idCol`"), toks.as("__toks"))
+      .filter(size(col("__toks")) > 0)
+      .withColumn("__pieces",
+        transform(col("__toks"), w => VocabTokenCounter.piecesOf(w)))
+      // cumulative pieces BEFORE word i (1-based): prefix sums of the
+      // piece array, built per row
+      .withColumn("__cumb",
+        transform(sequence(lit(1), size(col("__toks"))),
+          i => aggregate(slice(col("__pieces"), lit(1), i - 1),
+            lit(0L), (a, x) => a + x)))
+      .withColumn("__p",
+        element_at(col("__cumb"), -1) + element_at(col("__pieces"), -1))
+    val exploded = withArrays
+      .select(col(s"`$idCol`"), col("__toks"), col("__cumb"), col("__p"),
+        explode(sequence(lit(0L), col("__p") - 1, lit(step.toLong)))
+          .as("piece_start"))
+    val nPieces = least(lit(window.toLong), col("__p") - col("piece_start"))
+    val lastPiece = col("piece_start") + nPieces - 1
+    // covering word of piece p = the LAST word with cumb <= p (cumb is
+    // nondecreasing and every word has >= 1 piece)
+    val wsI = size(filter(col("__cumb"), c => c <= col("piece_start")))
+    val weI = size(filter(col("__cumb"), c => c <= lastPiece))
+    exploded.select(col(s"`$idCol`"), col("piece_start"),
+      nPieces.as("n_pieces"),
+      (wsI - 1).cast("long").as("word_start"),
+      (weI - wsI + 1).cast("long").as("n_words"),
+      concat_ws(" ", slice(col("__toks"), wsI, weI - wsI + 1)).as("chunk"))
+  }
 }

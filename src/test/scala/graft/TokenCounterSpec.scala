@@ -69,6 +69,26 @@ class TokenCounterSpec extends SparkSpec {
     assert(!plan.contains("Exchange"))
   }
 
+  test("piece-grain chunking matches hand-derived spans") {
+    // "the xy ing": pieces the=1, xy=2 (no 'xy' piece → char fallback),
+    // ing=1 → prefix cumb=[0,1,3], total 4. window=3, step=2 →
+    // starts 0 and 2:
+    //   start 0: pieces [0,2] → covering words 1..2 ("the xy")
+    //   start 2: n=min(3,2)=2, pieces [2,3] → words 2..3 ("xy ing")
+    val out = graft.text.Chunking.pieceChunks(
+        Seq((1L, "the xy ing"), (2L, ""), (3L, "!!!")).toDF("doc_id", "text"),
+        "doc_id", "text", window = 3, step = 2)
+      .as[(Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(out === Set(
+      (1L, 0L, 3L, 0L, 2L, "the xy"),
+      (1L, 2L, 2L, 1L, 2L, "xy ing")))
+    // map-side only: no shuffle in the plan
+    val plan = graft.text.Chunking.pieceChunks(
+        Seq((1L, "the xy ing")).toDF("doc_id", "text"),
+        "doc_id", "text", 3, 2).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
   test("piece count is always between word count and char count") {
     val docs = Tables.load(spark, sf, "documents").limit(100)
     val bad = docs.select(
