@@ -288,7 +288,64 @@ object RuleQueries {
        |ORDER BY value""".stripMargin
   }
 
+  // ---- r10: FD discovery (rule generation from data) ---------------------
+
+  /** Mine candidate FDs over a DENORMALIZED view (customer ⋈ nation):
+    * discovery must recover the normalization dependencies — every
+    * column determined by the embedded nation key (c_nationkey ↔ n_name
+    * both ways, both → n_regionkey) — and reject the noise pairs
+    * (c_mktsegment determines nothing, n_regionkey determines nothing),
+    * using [[RuleGenerator.discoverFds]]' screen + g3 conflict counting
+    * in exact mode. */
+  private val FdCols = Seq("c_mktsegment", "c_nationkey", "n_name", "n_regionkey")
+
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val denorm = Tables.load(spark, dir, "customer")
+      .join(Tables.load(spark, dir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(FdCols.map(c => col(c)): _*)
+    RuleGenerator.discoverFds(denorm, FdCols,
+        maxLhsDistinctRatio = 0.5, maxConflictRatio = 0.05)
+      .orderBy("lhs_col", "rhs_col")
+  }
+
+  val fdDiscoverySql: String = {
+    val base = "SELECT c_mktsegment, c_nationkey, n_name, n_regionkey " +
+      "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+    val cs = FdCols.map(c =>
+      s"SELECT '$c' AS c, COUNT(DISTINCT $c) AS d, COUNT($c) AS n FROM denorm")
+      .mkString("\nUNION ALL ")
+    val longSel = (for { a <- FdCols; b <- FdCols if a != b } yield
+      s"SELECT '$a' AS lhs_col, '$b' AS rhs_col, CAST($a AS VARCHAR) AS lhs_val, " +
+        s"CAST($b AS VARCHAR) AS rhs_val FROM denorm WHERE $a IS NOT NULL AND $b IS NOT NULL")
+      .mkString("\nUNION ALL ")
+    s"""WITH denorm AS ($base),
+       |cs AS ($cs),
+       |long AS ($longSel),
+       |screened AS (
+       |  SELECT l.* FROM long l
+       |  JOIN cs a ON a.c = l.lhs_col AND a.d >= 2 AND CAST(a.d AS DOUBLE) <= 0.5 * a.n
+       |  JOIN cs b ON b.c = l.rhs_col AND b.d >= 2),
+       |perval AS (
+       |  SELECT lhs_col, rhs_col, lhs_val, rhs_val, COUNT(*) AS c
+       |  FROM screened GROUP BY 1, 2, 3, 4),
+       |perlhs AS (
+       |  SELECT lhs_col, rhs_col, lhs_val, SUM(c) AS n, MAX(c) AS mx,
+       |    COUNT(*) AS n_rhs
+       |  FROM perval GROUP BY 1, 2, 3)
+       |SELECT lhs_col, rhs_col, COUNT(*) AS n_groups,
+       |  CAST(SUM(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_groups,
+       |  CAST(SUM(n - mx) AS BIGINT) AS conflict_rows,
+       |  CAST(SUM(n) AS BIGINT) AS n_rows,
+       |  CAST(1 AS DOUBLE) - CAST(SUM(n - mx) AS DOUBLE) / CAST(SUM(n) AS DOUBLE) AS confidence,
+       |  (CAST(1 AS DOUBLE) - CAST(SUM(n - mx) AS DOUBLE) / CAST(SUM(n) AS DOUBLE))
+       |    >= CAST(0.95 AS DOUBLE) AS holds
+       |FROM perlhs GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r10_fd_discovery" -> (fdDiscovery _),
     "r1_rule_violations" -> (ruleViolations _),
     "r2_fd_conflicts" -> (fdConflicts _),
     "r3_inclusion_violations" -> (inclusionViolations _),
@@ -303,6 +360,7 @@ object RuleQueries {
     "o3_grouped_sigma" -> (groupedSigma _))
 
   def oracleSql: Map[String, String] = Map(
+    "r10_fd_discovery" -> fdDiscoverySql,
     "r1_rule_violations" -> ruleViolationsSql,
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,

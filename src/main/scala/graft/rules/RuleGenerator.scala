@@ -89,4 +89,85 @@ object RuleGenerator {
       .collect().map(_.getString(0)).toSeq
     if (vals.size <= maxValues) Some(EnumRule(column, vals.sorted)) else None
   }
+
+  // ---- FD discovery ------------------------------------------------------
+
+  /** Mine candidate functional dependencies lhs → rhs from data — the
+    * reference's rule-GENERATION purpose (profile_similarity.py:55-83
+    * support/conflict) done relationally instead of per-column pandas.
+    *
+    * Two phases:
+    *  1. Cardinality screen (one aggregation over the table, the A26
+    *     convention): a column is an eligible LHS iff
+    *     2 ≤ distinct ≤ `maxLhsDistinctRatio`·non-null rows (near-key
+    *     columns determine everything trivially) and an eligible RHS
+    *     iff distinct ≥ 2 (constants satisfy every FD trivially). With
+    *     `exact = false` the screen uses `approx_count_distinct` — the
+    *     scale mode; exact mode is bit-reproducible for the oracle.
+    *  2. One pair-exploded aggregation: rows fan out to one struct per
+    *     surviving ordered pair (null on either side excluded, standard
+    *     FD semantics), then two partially-aggregated groupBys compute
+    *     per-lhs-value majority counts and per-pair g3 conflict totals.
+    *     Shuffle volume is n·|pairs| counting rows with map-side
+    *     combine — linear, no self-join, no driver data.
+    *
+    * Output: one row per screened pair with `n_groups` (lhs values),
+    * `n_violating_groups`, `conflict_rows` (g3: rows to delete for the
+    * FD to hold exactly), `n_rows`, `confidence` = 1 − conflict/rows,
+    * and `holds` = confidence ≥ 1 − `maxConflictRatio`. */
+  def discoverFds(df: DataFrame, columns: Seq[String],
+      maxLhsDistinctRatio: Double = 0.5,
+      maxConflictRatio: Double = 0.05,
+      exact: Boolean = true): DataFrame = {
+    require(columns.size >= 2, "FD discovery needs at least two columns")
+    val spark = df.sparkSession
+    def dcnt(c: String) =
+      if (exact) countDistinct(col(s"`$c`"))
+      else approx_count_distinct(col(s"`$c`"))
+    val screenAggs = columns.flatMap(c => Seq(
+      dcnt(c).as(s"__d_$c"), count(col(s"`$c`")).as(s"__n_$c")))
+    val st = df.agg(screenAggs.head, screenAggs.tail: _*).collect().head
+    def d(c: String) = st.getAs[Long](s"__d_$c")
+    def n(c: String) = st.getAs[Long](s"__n_$c")
+    def lhsOk(c: String) = d(c) >= 2 && d(c).toDouble <= maxLhsDistinctRatio * n(c)
+    def rhsOk(c: String) = d(c) >= 2
+    val pairs = for {
+      a <- columns if lhsOk(a)
+      b <- columns if b != a && rhsOk(b)
+    } yield (a, b)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("lhs_col", StringType),
+      org.apache.spark.sql.types.StructField("rhs_col", StringType)))
+    if (pairs.isEmpty)
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+        .withColumn("n_groups", lit(0L)).withColumn("n_violating_groups", lit(0L))
+        .withColumn("conflict_rows", lit(0L)).withColumn("n_rows", lit(0L))
+        .withColumn("confidence", lit(0.0)).withColumn("holds", lit(false))
+    val long = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
+          col(s"`$a`").cast(StringType).as("lhs_val"),
+          col(s"`$b`").cast(StringType).as("rhs_val")) }: _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("lhs_val").isNotNull && col("rhs_val").isNotNull)
+    val perVal = long.groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
+      .agg(count(lit(1)).as("c"))
+    val perLhs = perVal.groupBy("lhs_col", "rhs_col", "lhs_val")
+      .agg(sum("c").as("n"), max("c").as("mx"), count(lit(1)).as("n_rhs"))
+    perLhs.groupBy("lhs_col", "rhs_col")
+      .agg(count(lit(1)).as("n_groups"),
+        sum(when(col("n_rhs") > 1, 1L).otherwise(0L)).as("n_violating_groups"),
+        sum(col("n") - col("mx")).as("conflict_rows"),
+        sum("n").as("n_rows"))
+      .withColumn("confidence",
+        lit(1.0) - col("conflict_rows").cast("double") / col("n_rows").cast("double"))
+      .withColumn("holds", col("confidence") >= lit(1.0 - maxConflictRatio))
+  }
+
+  /** The `holds` subset of [[discoverFds]] as rule specs, ready for
+    * [[RuleSerde]] round-trip and [[ViolationScanner]] evaluation. */
+  def discoveredFdRules(stats: DataFrame): Seq[FunctionalDependencyRule] =
+    stats.filter(col("holds"))
+      .select("lhs_col", "rhs_col").collect().toSeq
+      .map(r => FunctionalDependencyRule(r.getString(0), r.getString(1)))
+      .sortBy(_.name)
 }

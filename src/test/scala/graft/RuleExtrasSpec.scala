@@ -9,6 +9,38 @@ import org.scalatest.funsuite.AnyFunSuite
   * (F12). */
 class RuleExtrasSpec extends SparkSpec {
 
+  test("FD discovery finds the planted dependency and rejects noise") {
+    import spark.implicits._
+    // b -> m is exact (brand digit encodes mfgr); s is random noise;
+    // k is near-unique (screened out as LHS); c is constant (screened
+    // out as RHS and LHS)
+    val rows = (1 to 200).map { i =>
+      val m = i % 4
+      (i.toLong, s"M$m", s"B$m${i % 8}", i % 3, "const")
+    }
+    val df = rows.toDF("k", "m", "b", "s", "c")
+    val stats = RuleGenerator.discoverFds(df, Seq("k", "m", "b", "s", "c"),
+      maxLhsDistinctRatio = 0.5, maxConflictRatio = 0.05)
+    val holds = stats.filter(org.apache.spark.sql.functions.col("holds"))
+      .select("lhs_col", "rhs_col").as[(String, String)].collect().toSet
+    assert(holds === Set("b" -> "m"))
+    // k (near-unique) never appears as LHS; c never appears at all
+    val seen = stats.select("lhs_col", "rhs_col")
+      .as[(String, String)].collect().toSet
+    assert(!seen.exists(_._1 == "k"))
+    assert(!seen.exists(p => p._1 == "c" || p._2 == "c"))
+    // the b -> m stats are exact
+    val r = stats.filter("lhs_col = 'b' AND rhs_col = 'm'").collect().head
+    assert(r.getAs[Long]("conflict_rows") == 0L)
+    assert(r.getAs[Double]("confidence") == 1.0)
+    // generated rules round-trip through the serde and scan clean
+    val rules = RuleGenerator.discoveredFdRules(stats)
+    assert(rules == Seq(FunctionalDependencyRule("b", "m")))
+    assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
+    val viol = ViolationScanner.scan(df, "t", rules, "k")
+    assert(viol.count() == 0L)
+  }
+
   test("denial constraint parsing") {
     val dc = DenialConstraints.parse(
       "t1&t2&EQ(t1.ZipCode,t2.ZipCode)&IQ(t1.City,t2.City)")
