@@ -25,8 +25,11 @@ import org.apache.spark.sql.DataFrame
   * queries cannot interleave their registry diffs; any OTHER concurrent
   * eager checkpoint that lands inside the diff window — or a caller's
   * lazy checkpoint upstream of the rotated frame — makes the diff
-  * ambiguous and `rotate` fails loudly rather than silently adopting
-  * and later mis-releasing a frame it does not own.
+  * ambiguous, and `rotate` then adopts NOTHING from that round (the
+  * superseded snapshot is retained until the session state drop, the
+  * pre-rotation behavior) rather than risk releasing a frame another
+  * query still needs. Ambiguity can only degrade retention, never
+  * correctness.
   */
 final class CheckpointRotation(sc: SparkContext) {
 
@@ -41,13 +44,17 @@ final class CheckpointRotation(sc: SparkContext) {
     val before = ckptIds
     val out = df.localCheckpoint(true)
     val fresh = ckptIds -- before
-    require(fresh.size == 1,
-      s"ambiguous checkpoint ownership: ${fresh.size} checkpointed RDDs " +
-        s"materialized inside one rotate (ids $fresh) — a lazy checkpoint " +
-        "upstream of the rotated frame, or an unsynchronized concurrent " +
-        "checkpoint, violates the rotation contract")
-    own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
-    own = fresh
+    if (fresh.size == 1) {
+      own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      own = fresh
+    } else {
+      // ambiguous diff (a foreign checkpoint landed in the window):
+      // adopt nothing — this round's snapshot is retained until the
+      // session state drop instead of risking a foreign release
+      System.err.println(s"[graft] CheckpointRotation: ambiguous ownership " +
+        s"(${fresh.size} new checkpoints in one rotate) — retaining all")
+      own = Set.empty
+    }
     out
   }
 

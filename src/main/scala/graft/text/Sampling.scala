@@ -101,4 +101,26 @@ object Sampling {
         sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
     weightedSample(df, groupCol, idCol, probs)
   }
+
+  /** One strategy surface over the engine's per-group samplers, so a
+    * composed pipeline (l2's stage 5) can swap count-capped for
+    * probabilistic selection per call site. Every strategy keeps a
+    * SUBSET of the input rows with the input schema (quota's rank
+    * column is internal) and is seedless-deterministic. */
+  sealed trait Strategy
+  /** ≤ `quota` rows per group, smallest md5 keys ([[quotaSample]]). */
+  final case class Quota(quota: Int, salts: Int = 32) extends Strategy
+  /** Independent keep with per-group probability table
+    * ([[weightedSample]]). */
+  final case class Probability(probs: DataFrame, probCol: String = "p") extends Strategy
+  /** α = 0.5 temperature rebalancing ([[temperatureSample]]). */
+  case object Temperature extends Strategy
+
+  def sample(df: DataFrame, groupCol: String, idCol: String,
+      strategy: Strategy): DataFrame = strategy match {
+    case Quota(q, s) =>
+      quotaSample(df, groupCol, idCol, q, s).drop("sample_rank")
+    case Probability(p, pc) => weightedSample(df, groupCol, idCol, p, pc)
+    case Temperature => temperatureSample(df, groupCol, idCol)
+  }
 }

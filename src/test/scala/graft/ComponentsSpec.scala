@@ -15,6 +15,26 @@ class ComponentsSpec extends SparkSpec {
     assert(got == (0L to 19L).map(_ -> 0L).toMap)
   }
 
+  test("concurrent rotating loops stay correct (shared-lock rotation)") {
+    // Two multi-round CC queries on separate threads: their checkpoint
+    // rotations serialize on the shared lock, so neither can adopt (and
+    // later release) the other's round snapshot. Both must converge to
+    // the exact labelling.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    def run(offset: Long) = Future {
+      val chain = (0L until 25L).map(i => (offset + i, offset + i + 1))
+        .toDF("a", "b")
+      Components.connectedComponents(chain, "a", "b")._1
+        .as[(Long, Long)].collect().toMap
+    }
+    val (r1, r2) = (run(0L), run(1000L))
+    assert(Await.result(r1, 120.seconds) == (0L to 25L).map(_ -> 0L).toMap)
+    assert(Await.result(r2, 120.seconds) ==
+      (1000L to 1025L).map(_ -> 1000L).toMap)
+  }
+
   test("multiple components, canonical pick, duplicate/reversed pairs") {
     val pairs = Seq(
       (5L, 3L), (3L, 9L), (9L, 5L), // triangle {3,5,9}

@@ -199,6 +199,25 @@ class CorpusOpsSpec extends SparkSpec {
       .count() === 2L)
   }
 
+  test("sampling strategy surface matches the underlying operators") {
+    import spark.implicits._
+    val docs = (1L to 300L).map(i => (if (i % 3 == 0) "de" else "en", i))
+      .toDF("lang", "doc_id")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").as[Long].collect().toSet
+    // quota: same rows as quotaSample, input schema (no rank column)
+    val q = Sampling.sample(docs, "lang", "doc_id", Sampling.Quota(20))
+    assert(q.columns.toSeq === Seq("lang", "doc_id"))
+    assert(ids(q) === ids(Sampling.quotaSample(docs, "lang", "doc_id", 20)))
+    // probability: same rows as weightedSample
+    val probs = Seq(("en", 0.4), ("de", 0.8)).toDF("lang", "p")
+    assert(ids(Sampling.sample(docs, "lang", "doc_id", Sampling.Probability(probs)))
+      === ids(Sampling.weightedSample(docs, "lang", "doc_id", probs)))
+    // temperature: same rows as temperatureSample
+    assert(ids(Sampling.sample(docs, "lang", "doc_id", Sampling.Temperature))
+      === ids(Sampling.temperatureSample(docs, "lang", "doc_id")))
+  }
+
   test("repetition metrics match hand-computed fractions") {
     import spark.implicits._
     val docs = Seq(
