@@ -259,6 +259,51 @@ object Dedup {
             col("n_windows").cast("double")).as("dup_frac"))
   }
 
+  /** Exact-substring dedup REWRITE (Lee et al. 2022 §4 at k-token
+    * window grain): every k-token window whose text already occurred
+    * at an earlier global position — (doc, pos) lexicographic, first
+    * occurrence wins, corpus-wide including within one document —
+    * marks its k token positions for removal, and each document is
+    * reassembled from its surviving tokens. Where [[passageDupStats]]
+    * only reports the duplication signal, this emits the cleaned
+    * corpus: id, n_tokens, n_removed (distinct covered positions),
+    * clean_text (surviving tokens joined by single spaces — the
+    * engine's canonical token stream, not the raw byte text).
+    *
+    * Scale shape: window explode → one min-aggregation on the window
+    * text (map-side-combinable min of an (id, pos) struct) →
+    * inverted-index join back (duplicate occurrences only — never a
+    * pair join, so corpus-wide boilerplate costs one row per
+    * occurrence, not a quadratic pair set) → per-doc covered-position
+    * union (arrays bounded by document length) → map-side rewrite. */
+  def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 10): DataFrame = {
+    val ws = col("__ws")
+    val toks = df.select(col(s"`$idCol`").as("id"),
+      words(col(s"`$textCol`")).as("__ws"))
+    val occ = toks.select(col("id"),
+        explode(when(size(ws) >= k,
+            transform(sequence(lit(0), size(ws) - k),
+              i => struct(i.as("pos"),
+                array_join(slice(ws, i + lit(1), lit(k)), " ").as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("o"))
+      .select(col("o.g").as("g"), col("id"), col("o.pos").as("pos"))
+    val first = occ.groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val covered = occ.join(first, "g")
+      .filter(struct(col("id"), col("pos")) =!= col("f"))
+      .groupBy("id")
+      .agg(array_distinct(flatten(collect_list(
+        sequence(col("pos"), col("pos") + lit(k - 1))))).as("__cov"))
+    val cov = coalesce(col("__cov"), array().cast("array<int>"))
+    toks.join(covered, Seq("id"), "left")
+      .select(col("id"),
+        size(ws).cast("long").as("n_tokens"),
+        size(cov).cast("long").as("n_removed"),
+        array_join(filter(ws, (w, i) => !array_contains(cov, i)), " ")
+          .as("clean_text"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: for each bit, vote +1/-1 per

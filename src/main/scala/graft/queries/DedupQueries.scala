@@ -278,6 +278,51 @@ object DedupQueries {
        |FROM documents d LEFT JOIN perdoc USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- d10: exact-substring dedup rewrite ------------------------------
+
+  /** The d9 boilerplate planting, but REWRITTEN: the first doc carrying
+    * the planted footer keeps it, every later carrier has those token
+    * positions removed and is reassembled ([[Dedup.exactSubstringDedup]],
+    * k = 10). */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      when(col("doc_id") % 5 === 0, concat(col("text"), lit(" " + Boiler)))
+        .otherwise(col("text")).as("text"))
+    Dedup.exactSubstringDedup(planted, "text", "doc_id", k = 10)
+      .select(col("id").as("doc_id"), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val substringDedupSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text ||
+       |    CASE WHEN doc_id % 5 = 0 THEN ' $Boiler' ELSE '' END AS text
+       |  FROM documents),
+       |toks AS (SELECT doc_id, $WS AS ws FROM planted),
+       |occ0 AS (
+       |  SELECT doc_id, ws, unnest(range(1, len(ws) - 8)) AS i
+       |  FROM toks WHERE len(ws) >= 10),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+       |    array_to_string(ws[i : i + 9], ' ') AS g
+       |  FROM occ0),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |cov AS (
+       |  SELECT doc_id, list_distinct(flatten(list(range(pos, pos + 10)))) AS cov
+       |  FROM ranked WHERE rn > 1 GROUP BY doc_id)
+       |SELECT t.doc_id, len(ws)::BIGINT AS n_tokens,
+       |  coalesce(len(cov), 0)::BIGINT AS n_removed,
+       |  coalesce(array_to_string(
+       |    list_filter(ws, (w, i) -> NOT list_contains(
+       |      coalesce(cov, CAST([] AS BIGINT[])), i - 1)), ' '), '') AS clean_text
+       |FROM toks t LEFT JOIN cov USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   // ---- s6: semantic dedup (SemDeDup-style) over embeddings -------------
 
   /** Embedding-space dedup groups: the d6 cosine near-dup pairs
@@ -468,6 +513,7 @@ object DedupQueries {
     "d7_dup_components" -> (dupComponents _),
     "d8_contamination" -> (contamination _),
     "d9_dup_passages" -> (dupPassages _),
+    "d10_substring_dedup" -> (substringDedup _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -480,5 +526,6 @@ object DedupQueries {
     "d7_dup_components" -> dupComponentsSql,
     "d8_contamination" -> contaminationSql,
     "d9_dup_passages" -> dupPassagesSql,
+    "d10_substring_dedup" -> substringDedupSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

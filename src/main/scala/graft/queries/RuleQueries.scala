@@ -344,8 +344,62 @@ object RuleQueries {
        |ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- r11: inclusion-dependency (FK candidate) discovery ---------------
+
+  /** Mine INDs over the TPC-H key/FK columns with
+    * [[RuleGenerator.discoverInds]]: discovery must recover the schema's
+    * four foreign keys (n_regionkey⊆r_regionkey, c_nationkey⊆n_nationkey,
+    * s_nationkey⊆n_nationkey, o_custkey⊆c_custkey) and flag their
+    * parents as keys, alongside the coincidental containments any real
+    * IND run surfaces (small key domains nest in larger ones) — which is
+    * exactly why [[RuleGenerator.discoveredInclusionRules]] filters on
+    * parent_is_key before emitting FK rules. */
+  private val IndCandidates: Seq[(String, Seq[String])] = Seq(
+    "region" -> Seq("r_regionkey"),
+    "nation" -> Seq("n_nationkey", "n_regionkey"),
+    "customer" -> Seq("c_custkey", "c_nationkey"),
+    "supplier" -> Seq("s_suppkey", "s_nationkey"),
+    "orders" -> Seq("o_custkey"))
+
+  def indDiscovery(spark: SparkSession, dir: String): DataFrame =
+    RuleGenerator.discoverInds(
+        IndCandidates.map { case (t, cs) => (t, Tables.load(spark, dir, t), cs) })
+      .orderBy("child_table", "child_column", "parent_table", "parent_column")
+
+  val indDiscoverySql: String = {
+    val inv = IndCandidates.flatMap { case (t, cs) => cs.map(c =>
+      s"SELECT DISTINCT '$t' AS tbl, '$c' AS col, CAST($c AS VARCHAR) AS v " +
+        s"FROM $t WHERE $c IS NOT NULL") }
+      .mkString("\nUNION ALL ")
+    val cnts = IndCandidates.flatMap { case (t, cs) => cs.map(c =>
+      s"SELECT '$t' AS tbl, '$c' AS col, COUNT($c) AS nn FROM $t") }
+      .mkString("\nUNION ALL ")
+    s"""WITH inv AS ($inv),
+       |cnts AS ($cnts),
+       |cd AS (SELECT tbl, col, COUNT(*) AS d FROM inv GROUP BY 1, 2),
+       |shared AS (
+       |  SELECT a.tbl AS child_table, a.col AS child_column,
+       |    b.tbl AS parent_table, b.col AS parent_column,
+       |    COUNT(*) AS shared_distinct
+       |  FROM inv a JOIN inv b USING (v)
+       |  WHERE a.tbl <> b.tbl OR a.col <> b.col
+       |  GROUP BY 1, 2, 3, 4)
+       |SELECT s.child_table, s.child_column, s.parent_table, s.parent_column,
+       |  ca.d AS child_distinct, cp.d AS parent_distinct, s.shared_distinct,
+       |  CAST(s.shared_distinct AS DOUBLE) / CAST(ca.d AS DOUBLE) AS coverage,
+       |  cp.d = n.nn AS parent_is_key,
+       |  CAST(s.shared_distinct AS DOUBLE) / CAST(ca.d AS DOUBLE)
+       |    >= CAST(1.0 AS DOUBLE) AS holds
+       |FROM shared s
+       |JOIN cd ca ON ca.tbl = s.child_table AND ca.col = s.child_column
+       |JOIN cd cp ON cp.tbl = s.parent_table AND cp.col = s.parent_column
+       |JOIN cnts n ON n.tbl = s.parent_table AND n.col = s.parent_column
+       |ORDER BY 1, 2, 3, 4""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r10_fd_discovery" -> (fdDiscovery _),
+    "r11_ind_discovery" -> (indDiscovery _),
     "r1_rule_violations" -> (ruleViolations _),
     "r2_fd_conflicts" -> (fdConflicts _),
     "r3_inclusion_violations" -> (inclusionViolations _),
@@ -361,6 +415,7 @@ object RuleQueries {
 
   def oracleSql: Map[String, String] = Map(
     "r10_fd_discovery" -> fdDiscoverySql,
+    "r11_ind_discovery" -> indDiscoverySql,
     "r1_rule_violations" -> ruleViolationsSql,
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,

@@ -170,4 +170,92 @@ object RuleGenerator {
       .select("lhs_col", "rhs_col").collect().toSeq
       .map(r => FunctionalDependencyRule(r.getString(0), r.getString(1)))
       .sortBy(_.name)
+
+  // ---- Inclusion-dependency (foreign-key candidate) discovery -----------
+
+  /** Mine candidate inclusion dependencies child ⊆ parent across
+    * tables — the cross-table face of rule generation (the reference
+    * only EVALUATES declared inclusions, rules.yaml:29-30 / J5; this
+    * discovers them, the SPIDER/Bauckmann approach done relationally).
+    *
+    * One distinct pass builds the (column, value) inverted index; a
+    * groupBy(value) collects the ≤|columns| column-set per value; an
+    * ordered-pair explode of each set (|S|² ≤ |columns|² structs per
+    * distinct value — bounded fanout, map-side combined) counts shared
+    * distinct values per directed pair. child ⊆ parent holds iff
+    * shared == |distinct(child)| (coverage 1.0); `minCoverage` < 1
+    * admits partial INDs. Values compare as canonical strings (ints
+    * render without decimals), nulls excluded — standard IND semantics.
+    * Pairs sharing zero values are omitted (their coverage is 0).
+    *
+    * Scale shape: distinct + three linear groupBys, all with map-side
+    * combine; per-column stats broadcast back; no self-join of the
+    * value stream. The inverted index feeds two consumers, so it is
+    * persisted via [[graft.ops.StagePersists]] (release contract in
+    * that object's doc).
+    *
+    * `tables`: (tableName, frame, candidateColumns). Column names must
+    * not contain '.' (qualified ids are "table.column").
+    *
+    * Output: one row per directed pair with ≥1 shared value —
+    * child_table, child_column, parent_table, parent_column,
+    * child_distinct, parent_distinct, shared_distinct, coverage,
+    * parent_is_key (parent unique over its non-nulls: a true FK
+    * target), holds. */
+  def discoverInds(tables: Seq[(String, DataFrame, Seq[String])],
+      minCoverage: Double = 1.0): DataFrame = {
+    require(tables.nonEmpty, "IND discovery needs at least one table")
+    require(tables.forall(t => t._3.forall(!_.contains("."))),
+      "candidate column names must not contain '.'")
+    def longFor(t: String, df: DataFrame, cols: Seq[String]) =
+      df.select(explode(array(cols.map(c =>
+          struct(lit(s"$t.$c").as("col_id"),
+            col(s"`$c`").cast(StringType).as("v"))): _*)).as("p"))
+        .select(col("p.*")).filter(col("v").isNotNull)
+    val inv = graft.ops.StagePersists.track(
+      tables.map { case (t, df, cs) => longFor(t, df, cs) }
+        .reduce(_ unionByName _).distinct())
+    val colDistinct = inv.groupBy("col_id").agg(count(lit(1)).as("d"))
+    // per-column non-null row counts: one tiny agg per table (the
+    // control plane — one row each), for the parent-is-key flag
+    val nonNull: Map[String, Long] = tables.flatMap { case (t, df, cs) =>
+      val aggs = cs.map(c => count(col(s"`$c`")).as(c))
+      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
+      cs.map(c => s"$t.$c" -> r.getAs[Long](c))
+    }.toMap
+    val shared = inv.groupBy("v").agg(collect_set(col("col_id")).as("s"))
+      .select(explode(flatten(transform(col("s"), a =>
+          transform(filter(col("s"), b => b =!= a),
+            b => struct(a.as("child_id"), b.as("parent_id")))))).as("p"))
+      .select(col("p.*"))
+      .groupBy("child_id", "parent_id").agg(count(lit(1)).as("shared_distinct"))
+    val nn = typedLit(nonNull)
+    shared
+      .join(broadcast(colDistinct.withColumnRenamed("d", "child_distinct")),
+        col("child_id") === col("col_id")).drop("col_id")
+      .join(broadcast(colDistinct.withColumnRenamed("d", "parent_distinct")),
+        col("parent_id") === col("col_id")).drop("col_id")
+      .select(
+        substring_index(col("child_id"), ".", 1).as("child_table"),
+        substring_index(col("child_id"), ".", -1).as("child_column"),
+        substring_index(col("parent_id"), ".", 1).as("parent_table"),
+        substring_index(col("parent_id"), ".", -1).as("parent_column"),
+        col("child_distinct"), col("parent_distinct"), col("shared_distinct"),
+        (col("shared_distinct").cast("double") /
+          col("child_distinct").cast("double")).as("coverage"),
+        (col("parent_distinct") === element_at(nn, col("parent_id")))
+          .as("parent_is_key"))
+      .withColumn("holds", col("coverage") >= lit(minCoverage))
+  }
+
+  /** The foreign-key-shaped subset of [[discoverInds]] as rule specs:
+    * holding INDs whose parent column is a key and whose parent is a
+    * different table (self-referencing column pairs are FDs' domain,
+    * not FK candidates). */
+  def discoveredInclusionRules(stats: DataFrame): Seq[InclusionRule] =
+    stats.filter(col("holds") && col("parent_is_key") &&
+        col("child_table") =!= col("parent_table"))
+      .select("child_column", "parent_table", "parent_column").collect().toSeq
+      .map(r => InclusionRule(r.getString(0), r.getString(1), r.getString(2)))
+      .sortBy(_.name)
 }

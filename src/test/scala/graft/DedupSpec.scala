@@ -190,6 +190,30 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((2L, 0L, 0.0)))
   }
 
+  test("exact-substring dedup removes later occurrences, keeps first") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc1 owns "a b c" (pos 0) and also repeats it at pos 3 → the
+      // internal repeat's span (3..5) is removed from doc1 itself
+      (1L, "a b c a b c"),
+      // doc2 repeats doc1's window at pos 2 → positions 2..4 removed;
+      // its unique prefix windows survive ("x y a","y a b" unique)
+      (2L, "x y a b c"),
+      (3L, "a b"), // < k tokens: untouched
+      (4L, "p q r s")) // all windows unique: untouched
+      .toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.exactSubstringDedup(docs, "text", "doc_id", k = 3)
+      .collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_text"))))
+      .toMap
+    assert(got(1L) === ((6L, 3L, "a b c")))
+    assert(got(2L) === ((5L, 3L, "x y")))
+    assert(got(3L) === ((2L, 0L, "a b")))
+    assert(got(4L) === ((4L, 0L, "p q r s")))
+  }
+
   test("domain mix assigns nearest centroid; rounded ties break to smaller id") {
     // centroid 0 = e1, centroid 1 = e2 (orthogonal axes). Point a is on
     // axis 1 → cluster 0; point b is on axis 2 → cluster 1; point c is

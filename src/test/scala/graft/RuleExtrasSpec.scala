@@ -41,6 +41,39 @@ class RuleExtrasSpec extends SparkSpec {
     assert(viol.count() == 0L)
   }
 
+  test("IND discovery finds planted FKs, flags key parents, emits rules") {
+    import spark.implicits._
+    // dim(dk unique 1..10, dupes in name); fact.fk ⊆ dim.dk (FK);
+    // fact.part covers only half the dim keys (coverage 0.5);
+    // dim.dk ⊄ fact.fk (fact uses only keys 1..8)
+    val dim = (1 to 10).map(i => (i.toLong, s"n${i % 3}")).toDF("dk", "dname")
+    val fact = (1 to 40).map(i => (i.toLong, (i % 8 + 1).toLong, (i % 5 + 1).toLong))
+      .toDF("id", "fk", "part")
+    val stats = RuleGenerator.discoverInds(Seq(
+      ("dim", dim, Seq("dk", "dname")), ("fact", fact, Seq("fk", "part"))))
+    def row(ct: String, cc: String, pt: String, pc: String) =
+      stats.filter(s"child_table = '$ct' AND child_column = '$cc' AND " +
+        s"parent_table = '$pt' AND parent_column = '$pc'").collect().headOption
+    val fkRow = row("fact", "fk", "dim", "dk").get
+    assert(fkRow.getAs[Boolean]("holds") && fkRow.getAs[Boolean]("parent_is_key"))
+    assert(fkRow.getAs[Long]("shared_distinct") == 8L)
+    // reverse direction: dim.dk has 10 values, only 8 shared → not held
+    val rev = row("dim", "dk", "fact", "fk").get
+    assert(!rev.getAs[Boolean]("holds"))
+    assert(rev.getAs[Double]("coverage") == 0.8)
+    // part ⊆ dk holds but so does part ⊆ fk (coincidental containment)
+    assert(row("fact", "part", "dim", "dk").get.getAs[Boolean]("holds"))
+    // dname never matches numeric values: no pair rows at all
+    assert(stats.filter("child_column = 'dname' OR parent_column = 'dname'")
+      .count() == 0L)
+    // rule emission: key parents only, cross-table only, serde round-trip
+    val rules = RuleGenerator.discoveredInclusionRules(stats)
+    assert(rules.contains(InclusionRule("fk", "dim", "dk")))
+    assert(rules.forall(r => r.parentTable == "dim"))
+    assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("denial constraint parsing") {
     val dc = DenialConstraints.parse(
       "t1&t2&EQ(t1.ZipCode,t2.ZipCode)&IQ(t1.City,t2.City)")

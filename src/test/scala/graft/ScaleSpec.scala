@@ -157,6 +157,31 @@ class ScaleSpec extends SparkSpec {
       s"token walk must stay expression-only:\n$plan")
   }
 
+  test("substring dedup and IND discovery stay equi-join shaped") {
+    // d10's duplicate-occurrence lookup and r11's pair counting must
+    // never plan a pairwise join of the window/value stream — the
+    // boilerplate-heavy case (every doc shares grams) would go
+    // quadratic. Aggregation + hash equi-join only; the per-column
+    // stat joins in r11 broadcast.
+    import spark.implicits._
+    val docs = (1 to 50).map(i => (i.toLong, "common footer text here now " +
+      s"unique$i tail")).toDF("doc_id", "text")
+    val d10 = graft.dedup.Dedup.exactSubstringDedup(docs, "text", "doc_id", k = 3)
+    val p1 = d10.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"substring dedup must stay equi-join shaped:\n$p1")
+    val dim = (1 to 10).map(i => (i.toLong, s"v$i")).toDF("dk", "dv")
+    val fact = (1 to 40).map(i => (i.toLong, (i % 8 + 1).toLong)).toDF("id", "fk")
+    val r11 = graft.rules.RuleGenerator.discoverInds(Seq(
+      ("dim", dim, Seq("dk")), ("fact", fact, Seq("fk"))))
+    val p2 = r11.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"IND discovery must stay equi-join shaped:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"per-column stats should broadcast back:\n$p2")
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("full corpus pipeline persists its stage boundaries") {
     // without the stage persists every consumer re-executes the whole
     // upstream (dedup+LSH+components) — measured 124s → 11s at sf1.
