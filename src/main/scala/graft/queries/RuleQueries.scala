@@ -397,9 +397,55 @@ object RuleQueries {
        |ORDER BY 1, 2, 3, 4""".stripMargin
   }
 
+  // ---- r12: constant conditional-FD discovery ----------------------------
+
+  /** Mine constant CFDs from a planted conditional structure on orders
+    * (the synthetic tables are uniform, so the query plants the pattern
+    * the way d9/d10 plant boilerplate): priorities 1-3 map to a fixed
+    * handling class — the global FD prio → handling FAILS (4/5 split
+    * ~50/50 on order parity) but the three per-value bindings hold
+    * exactly, and [[RuleGenerator.discoverConstantCfds]] must recover
+    * exactly those three. */
+  def cfdDiscovery(spark: SparkSession, dir: String): DataFrame = {
+    val prio = substring(col("o_orderpriority"), 1, 1)
+    val planted = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), prio.as("prio"),
+        when(prio.isin("1", "2", "3"), concat(lit("class-"), prio))
+          .otherwise(concat(lit("mix-"), pmod(col("o_orderkey"), lit(2L))))
+          .as("handling"))
+    RuleGenerator.discoverConstantCfds(planted, Seq("prio" -> "handling"),
+        minSupport = 10L, minConfidence = 0.9)
+      .orderBy("lhs_val")
+  }
+
+  val cfdDiscoverySql: String =
+    """WITH planted AS (
+      |  SELECT o_orderkey, substr(o_orderpriority, 1, 1) AS prio,
+      |    CASE WHEN substr(o_orderpriority, 1, 1) IN ('1', '2', '3')
+      |         THEN 'class-' || substr(o_orderpriority, 1, 1)
+      |         ELSE 'mix-' || CAST(o_orderkey % 2 AS VARCHAR) END AS handling
+      |  FROM orders),
+      |perval AS (
+      |  SELECT prio AS lhs_val, handling AS rhs_val, COUNT(*) AS c
+      |  FROM planted GROUP BY 1, 2),
+      |ranked AS (
+      |  SELECT lhs_val, rhs_val, c,
+      |    row_number() OVER (PARTITION BY lhs_val ORDER BY c DESC, rhs_val DESC) AS rn,
+      |    SUM(c) OVER (PARTITION BY lhs_val) AS support,
+      |    COUNT(*) OVER (PARTITION BY lhs_val) AS n_rhs
+      |  FROM perval)
+      |SELECT 'prio' AS lhs_col, 'handling' AS rhs_col, lhs_val, rhs_val,
+      |  CAST(support AS BIGINT) AS support, CAST(n_rhs AS BIGINT) AS n_rhs,
+      |  CAST(c AS DOUBLE) / CAST(support AS DOUBLE) AS confidence
+      |FROM ranked
+      |WHERE rn = 1 AND support >= 10
+      |  AND CAST(c AS DOUBLE) / CAST(support AS DOUBLE) >= CAST(0.9 AS DOUBLE)
+      |ORDER BY lhs_val""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r10_fd_discovery" -> (fdDiscovery _),
     "r11_ind_discovery" -> (indDiscovery _),
+    "r12_cfd_discovery" -> (cfdDiscovery _),
     "r1_rule_violations" -> (ruleViolations _),
     "r2_fd_conflicts" -> (fdConflicts _),
     "r3_inclusion_violations" -> (inclusionViolations _),
@@ -416,6 +462,7 @@ object RuleQueries {
   def oracleSql: Map[String, String] = Map(
     "r10_fd_discovery" -> fdDiscoverySql,
     "r11_ind_discovery" -> indDiscoverySql,
+    "r12_cfd_discovery" -> cfdDiscoverySql,
     "r1_rule_violations" -> ruleViolationsSql,
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,

@@ -171,6 +171,65 @@ object RuleGenerator {
       .map(r => FunctionalDependencyRule(r.getString(0), r.getString(1)))
       .sortBy(_.name)
 
+  // ---- Constant conditional-FD discovery ---------------------------------
+
+  /** Mine constant conditional functional dependencies — bindings
+    * (lhs = v) → (rhs = w) that hold with high confidence even where
+    * the global FD lhs → rhs fails (the constant-pattern tableau of
+    * CFDMiner, Fan et al. 2011, done relationally). The natural
+    * companion to [[discoverFds]]: run it on the pairs whose global
+    * `holds` came back false.
+    *
+    * For every ordered pair and every lhs value: support (rows with
+    * that value, nulls excluded), the majority rhs value (ties broken
+    * to the larger string — deterministic), the number of distinct rhs
+    * values seen, and confidence = majority/support. Bindings below
+    * `minSupport` (pattern too rare to generalize) or `minConfidence`
+    * are dropped.
+    *
+    * Scale shape: one pair explode (n·|pairs| rows) and two
+    * partially-aggregated groupBys — linear, no self-join, no driver
+    * data; same as the [[discoverFds]] kernel with an argmax instead
+    * of a conflict sum. */
+  def discoverConstantCfds(df: DataFrame, pairs: Seq[(String, String)],
+      minSupport: Long = 10L, minConfidence: Double = 0.9): DataFrame = {
+    require(pairs.nonEmpty, "CFD discovery needs at least one column pair")
+    val long = df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
+          col(s"`$a`").cast(StringType).as("lhs_val"),
+          col(s"`$b`").cast(StringType).as("rhs_val")) }: _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("lhs_val").isNotNull && col("rhs_val").isNotNull)
+    long.groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("lhs_col", "rhs_col", "lhs_val")
+      .agg(sum("c").as("support"),
+        max(struct(col("c"), col("rhs_val"))).as("m"),
+        count(lit(1)).as("n_rhs"))
+      .select(col("lhs_col"), col("rhs_col"), col("lhs_val"),
+        col("m.rhs_val").as("rhs_val"), col("support"), col("n_rhs"),
+        (col("m.c").cast("double") / col("support").cast("double"))
+          .as("confidence"))
+      .filter(col("support") >= lit(minSupport) &&
+        col("confidence") >= lit(minConfidence))
+  }
+
+  /** [[discoverConstantCfds]] bindings as scannable rule specs: each
+    * becomes a cross-field predicate "lhs ≠ v OR rhs = w" (violated
+    * exactly by rows matching the pattern but not the binding). */
+  def conditionalRules(bindings: DataFrame): Seq[CrossFieldRule] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("'", "\\'")
+    bindings.select("lhs_col", "rhs_col", "lhs_val", "rhs_val")
+      .collect().toSeq
+      .map { r =>
+        val (lc, rc) = (r.getString(0), r.getString(1))
+        val (lv, rv) = (esc(r.getString(2)), esc(r.getString(3)))
+        CrossFieldRule(s"cfd($lc='$lv'->$rc='$rv')",
+          s"`$lc` <> '$lv' OR `$rc` = '$rv'")
+      }
+      .sortBy(_.ruleName)
+  }
+
   // ---- Inclusion-dependency (foreign-key candidate) discovery -----------
 
   /** Mine candidate inclusion dependencies child ⊆ parent across

@@ -41,6 +41,40 @@ class RuleExtrasSpec extends SparkSpec {
     assert(viol.count() == 0L)
   }
 
+  test("constant CFD discovery finds conditional bindings, emits scannable rules") {
+    import spark.implicits._
+    // k=a: always x (binding, support 20). k=b: 19×y, 1×z (conf 0.95).
+    // k=c: 10×x, 10×y (tie → larger string y, conf 0.5 → dropped).
+    // k=d: support 5 < minSupport → dropped even though pure.
+    val rows =
+      (1 to 20).map(i => (i.toLong, "a", "x")) ++
+      (21 to 40).map(i => (i.toLong, "b", if (i == 40) "z" else "y")) ++
+      (41 to 60).map(i => (i.toLong, "c", if (i % 2 == 0) "x" else "y")) ++
+      (61 to 65).map(i => (i.toLong, "d", "w"))
+    val df = rows.toDF("id", "k", "v")
+    val got = RuleGenerator.discoverConstantCfds(df, Seq("k" -> "v"),
+      minSupport = 10L, minConfidence = 0.9)
+    val byVal = got.collect().map(r => r.getAs[String]("lhs_val") ->
+      ((r.getAs[String]("rhs_val"), r.getAs[Long]("support"),
+        r.getAs[Long]("n_rhs"), r.getAs[Double]("confidence")))).toMap
+    assert(byVal.keySet === Set("a", "b"))
+    assert(byVal("a") === (("x", 20L, 1L, 1.0)))
+    assert(byVal("b") === (("y", 20L, 2L, 0.95)))
+    // ties break deterministically to the larger rhs string
+    val tied = RuleGenerator.discoverConstantCfds(df, Seq("k" -> "v"),
+        minSupport = 10L, minConfidence = 0.0)
+      .filter("lhs_val = 'c'").collect().head
+    assert(tied.getAs[String]("rhs_val") == "y")
+    // emitted rules scan: violations are exactly the pattern-matching
+    // rows that break the binding (the one b→z row)
+    val rules = RuleGenerator.conditionalRules(got)
+    assert(rules.map(_.ruleName) ==
+      Seq("cfd(k='a'->v='x')", "cfd(k='b'->v='y')"))
+    assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
+    val viol = ViolationScanner.scan(df, "t", rules, "id")
+    assert(viol.select("row_id").as[Long].collect().toSeq == Seq(40L))
+  }
+
   test("IND discovery finds planted FKs, flags key parents, emits rules") {
     import spark.implicits._
     // dim(dk unique 1..10, dupes in name); fact.fk ⊆ dim.dk (FK);
