@@ -46,7 +46,7 @@ object VocabTokenCounter extends TokenCounter {
     "er", "ed", "ly", "es", "re", "un", "in", "on",
     "at", "en", "an", "th", "he", "nd", "ou", "st", "or", "ar")
 
-  private[text] val ordered: Seq[String] = Vocab.sortBy(p => (-p.length, p))
+  private[graft] val ordered: Seq[String] = Vocab.sortBy(p => (-p.length, p))
 
   /** Longest piece matching at 1-based `pos` of `word`, else 1. */
   private def matchLenAt(word: Column, pos: Column): Column =
@@ -58,7 +58,7 @@ object VocabTokenCounter extends TokenCounter {
     * at-most-length(word) steps, carrying (next position, pieces so
     * far). Steps after the walk passes the end are no-ops, so the
     * fixed-length iteration is exact. */
-  private[text] def piecesOf(word: Column): Column =
+  private[graft] def piecesOf(word: Column): Column =
     aggregate(
       sequence(lit(1), greatest(length(word), lit(1))),
       struct(lit(1).as("pos"), lit(0L).as("cnt")),
@@ -75,7 +75,12 @@ object VocabTokenCounter extends TokenCounter {
 
   def count(text: Column): Column = {
     val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
-    coalesce(aggregate(toks, lit(0L), (acc, w) => acc + piecesOf(w)), lit(0L))
+    // the walk itself runs in the native PieceCounts expression (byte
+    // loop, codegen) — the interpreted HOF walk costs ~10µs/word; the
+    // Column form [[piecesOf]] stays as the semantic reference
+    // (TokenCounterSpec pins native ≡ Column on adversarial words)
+    coalesce(aggregate(graft.functions.PieceCounts(toks),
+      lit(0L), (acc, x) => acc + x), lit(0L))
   }
 
   /** The SQL step expression of the same walk (`w`/`pos` free

@@ -21,6 +21,25 @@ class TokenCounterSpec extends SparkSpec {
         "xyz" -> 3L, "ingest" -> 2L))
   }
 
+  test("native piece_counts equals the Column-expression reference walk") {
+    // the byte loop must reproduce the interpreted substr walk on
+    // adversarial words: piece-dense, fallback-only, multi-byte code
+    // points between and inside candidate windows, vocab words
+    // themselves, and the empty string
+    val words = Seq("", "a", "tion", "mention", "alignment", "théâtre",
+      "über", "inginging", "xyzzy", "estland", "ererer", "àà", "naïve",
+      "t1on", "the", "and", "statement", "café", "ststst") ++
+      graft.text.VocabTokenCounter.Vocab
+    val df = words.toDF("w").select(col("w"),
+      graft.functions.PieceCounts(array(col("w"))).getItem(0).as("fast"),
+      graft.text.VocabTokenCounter.piecesOf(col("w")).as("ref"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("fast") == r.getAs[Long]("ref"),
+        s"walk mismatch for '${r.getString(0)}'")
+    }
+  }
+
   test("longest match wins over shorter prefixes") {
     // "tion" must match the 4-char piece, not th|i|on or t|i|on
     assert(pieces("tion") == Map("tion" -> 1L))
