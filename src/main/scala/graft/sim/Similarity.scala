@@ -20,11 +20,18 @@ import org.apache.spark.sql.types.DoubleType
   */
 object Similarity {
 
-  /** Sequential-order double dot product of two float array columns
-    * (higher-order functions evaluate left-to-right — deterministic).
-    * DSL aggregate/zip_with, not an expr() string: a computed Column's
-    * toString need not reparse as SQL. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-order double dot product of two numeric array columns —
+    * the native [[graft.functions.DotProduct]] expression (codegen byte
+    * loop; the HOF form below is the semantic reference it must match
+    * bit-for-bit, DedupSpec pins the equivalence). */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
+
+  /** Reference HOF formulation of [[dot]] (higher-order functions
+    * evaluate left-to-right — deterministic; DSL aggregate/zip_with,
+    * not an expr() string: a computed Column's toString need not
+    * reparse as SQL). Interpreted, ~µs per 64-dim pair — kept only to
+    * pin the native expression's arithmetic. */
+  private[graft] def dotReference(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
@@ -117,9 +124,7 @@ object Similarity {
   def lshBucket(vecCol: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
       val planeArr = array(p.map(lit): _*)
-      val d = aggregate(
-        zip_with(vecCol, planeArr, (x, y) => x.cast("double") * y),
-        lit(0.0), (acc, v) => acc + v)
+      val d = graft.functions.DotProduct(vecCol, planeArr)
       when(d > 0, lit(1L << i)).otherwise(0L)
     }.reduce(_ + _)
 

@@ -214,6 +214,38 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((4L, 0L, "p q r s")))
   }
 
+  test("native dot_product equals the HOF reference bit-for-bit") {
+    import spark.implicits._
+    // float and double element types, denormal-ish and large magnitudes
+    // (accumulation ORDER changes the last ulp — the native loop must
+    // round identically), a null element, and a length mismatch
+    val vecs = Seq(
+      (1L, Array(1.5f, -2.25f, 3.125f, 0.1f), Array(0.5, 0.25, -0.125, 1e-3)),
+      (2L, Array(1e30f, 1f, -1e30f, 1f), Array(1.0, 1.0, 1.0, 1.0)),
+      (3L, Array(0.1f, 0.2f, 0.3f, 0.4f), Array(0.7, 0.11, 0.13, 0.17)))
+      .toDF("id", "fa", "da")
+    val got = vecs.select(
+      graft.sim.Similarity.dot(col("fa"), col("da")).as("fast"),
+      graft.sim.Similarity.dotReference(col("fa"), col("da")).as("ref"),
+      graft.sim.Similarity.dot(col("fa"), col("fa")).as("fast_ff"),
+      graft.sim.Similarity.dotReference(col("fa"), col("fa")).as("ref_ff"))
+      .collect()
+    got.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(3)))
+    }
+    // null element and length mismatch null the result, like zip_with
+    val edge = Seq((Array(1.0, 2.0), Array(3.0), Array(1.0, Double.NaN)))
+      .toDF("a", "b", "c")
+      .select(graft.sim.Similarity.dot(col("a"), col("b")).as("mismatch"),
+        graft.sim.Similarity.dot(col("a"), col("c")).as("nan"))
+      .collect().head
+    assert(edge.isNullAt(0))
+    assert(edge.getDouble(1).isNaN) // NaN propagates, not nulls
+  }
+
   test("domain mix assigns nearest centroid; rounded ties break to smaller id") {
     // centroid 0 = e1, centroid 1 = e2 (orthogonal axes). Point a is on
     // axis 1 → cluster 0; point b is on axis 2 → cluster 1; point c is
