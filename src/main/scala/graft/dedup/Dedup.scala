@@ -281,13 +281,17 @@ object Dedup {
     val ws = col("__ws")
     val toks = df.select(col(s"`$idCol`").as("id"),
       words(col(s"`$textCol`")).as("__ws"))
-    val occ = toks.select(col("id"),
+    // two consumers (the min-aggregation and the join back): persist so
+    // the corpus-sized window explode — the dominant stage — runs once
+    // (the t15 trigramFamiliarity convention; StagePersists release
+    // contract applies)
+    val occ = graft.ops.StagePersists.track(toks.select(col("id"),
         explode(when(size(ws) >= k,
             transform(sequence(lit(0), size(ws) - k),
               i => struct(i.as("pos"),
                 array_join(slice(ws, i + lit(1), lit(k)), " ").as("g"))))
           .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("o"))
-      .select(col("o.g").as("g"), col("id"), col("o.pos").as("pos"))
+      .select(col("o.g").as("g"), col("id"), col("o.pos").as("pos")))
     val first = occ.groupBy("g")
       .agg(min(struct(col("id"), col("pos"))).as("f"))
     val covered = occ.join(first, "g")

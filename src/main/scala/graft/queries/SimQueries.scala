@@ -196,7 +196,61 @@ object SimQueries {
        |FROM per_cluster ORDER BY cluster_id""".stripMargin
   }
 
+  // ---- s8: product-quantization (PQ/ADC) approximate top-k -------------
+
+  /** PQ top-k with the seeded data-independent codebooks (m=8 subspaces
+    * × ksub=16 rows × dsub=8 dims) so the encode → ADC → rank machinery
+    * is hash-oracled end to end; [[graft.sim.Similarity.trainPqCodebooks]]
+    * is the trained path (recall-pinned in spec, the s5 convention). */
+  private val PqM = 8
+  private val PqKsub = 16
+  private val PqDsub = Dim / PqM
+  private def pqCbs = Similarity.pqCodebooks(PqM, PqKsub, PqDsub)
+
+  def pqTopK(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", K, pqCbs, NQueries)
+      .orderBy("query_id", "rk")
+
+  val pqTopKSql: String = {
+    val cbs = pqCbs
+    val rows = for {
+      (cb, j) <- cbs.zipWithIndex
+      (c, kk) <- cb.zipWithIndex
+    } yield s"($j, $kk, ${c.mkString("[", ",", "]")}::DOUBLE[], " +
+      s"CAST(${Similarity.pqCc(cb)(kk)} AS DOUBLE))"
+    s"""WITH cb(j, k, c, cc) AS (VALUES
+       |${rows.mkString(",\n")}),
+       |subv AS (
+       |  SELECT vec_id, CAST(t.j AS INTEGER) AS j,
+       |    (embedding::DOUBLE[])[t.j * $PqDsub + 1 : t.j * $PqDsub + $PqDsub] AS s
+       |  FROM embeddings, unnest(range(0, $PqM)) AS t(j)),
+       |sd AS (
+       |  SELECT vec_id, j, k,
+       |    CAST(FLOOR((list_dot_product(s, s) - 2 * list_dot_product(s, c) + cc)
+       |      * 10000 + 0.5) AS BIGINT) AS d
+       |  FROM subv JOIN cb USING (j)),
+       |ranked AS (
+       |  SELECT vec_id, j, k, d,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
+       |  FROM sd),
+       |codes AS (SELECT vec_id, j, k AS code FROM ranked WHERE rn = 1),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+       |    CAST(SUM(q.d) AS BIGINT) AS sd
+       |  FROM sd q JOIN codes c2 ON q.j = c2.j AND q.k = c2.code
+       |  WHERE q.vec_id < $NQueries AND c2.vec_id <> q.vec_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(sd AS DOUBLE) / 10000.0 AS dist, rk
+       |FROM (SELECT query_id, neighbor_id, sd,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sd, neighbor_id) AS rk
+       |      FROM adc)
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s8_pq_topk" -> (pqTopK _),
     "s1_cosine_topk" -> (cosineTopK _),
     "s2_lsh_buckets" -> (lshBuckets _),
     "s3_lsh_topk" -> (lshTopK _),
@@ -205,6 +259,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s8_pq_topk" -> pqTopKSql,
     "s1_cosine_topk" -> cosineTopKSql,
     "s2_lsh_buckets" -> lshBucketsSql,
     "s3_lsh_topk" -> lshTopKSql,

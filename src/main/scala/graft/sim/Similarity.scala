@@ -217,6 +217,104 @@ object Similarity {
       .select("query_id", "neighbor_id", "score", "rk")
   }
 
+  // ---- Product quantization (PQ / ADC) ----------------------------------
+
+  /** Data-independent seeded PQ codebooks (the s2-hyperplane
+    * convention: rint'd to 3 decimals so both engines parse identical
+    * literals, embeddable in a static oracle). Production pipelines
+    * train instead — [[trainPqCodebooks]] — but training depends on
+    * the data, which a static SQL mirror cannot see; the seeded form
+    * exercises the identical encode/ADC/rank machinery. */
+  def pqCodebooks(m: Int, ksub: Int, dsub: Int, seed: Long = 7L): Seq[Seq[Seq[Double]]] =
+    Seq.tabulate(m) { j =>
+      val rng = new scala.util.Random(seed + j)
+      Seq.fill(ksub)(Seq.fill(dsub)(math.rint((rng.nextDouble() * 2 - 1) * 1000) / 1000))
+    }
+
+  /** Trained codebooks: per-subspace deterministic Lloyd over a bounded
+    * driver-side sample (the IVF coarse-quantizer convention). */
+  def trainPqCodebooks(points: Seq[Array[Double]], m: Int, ksub: Int,
+      iters: Int = 10): Seq[Seq[Seq[Double]]] = {
+    require(points.nonEmpty && points.head.length % m == 0,
+      "vector dim must divide into m subspaces")
+    val dsub = points.head.length / m
+    Seq.tabulate(m) { j =>
+      trainCoarseCentroids(points.map(_.slice(j * dsub, (j + 1) * dsub)),
+        ksub, iters).map(_.toSeq)
+    }
+  }
+
+  /** ||c||² per codebook row, exact left-to-right sums — computed once
+    * here and embedded as the SAME literal in the SQL mirror. */
+  private[graft] def pqCc(cb: Seq[Seq[Double]]): Seq[Double] =
+    cb.map(_.foldLeft(0.0)((a, x) => a + x * x))
+
+  /** ×10⁴ fixed-point quantization distances of subspace `j` against
+    * every codebook row, as (d, k) structs: d = ⌊(||s||² − 2 s·c +
+    * ||c||²)·10⁴ + 0.5⌋ as a LONG. Fixed-point so the ADC SUM is an
+    * integer — bit-exact under any accumulation order in any engine —
+    * and the expanded form so both engines compute the identical
+    * dot-product sequence ([[dot]] ↔ list_dot_product). */
+  private def pqSubDists(vecCol: Column, j: Int, dsub: Int,
+      cb: Seq[Seq[Double]]): Column = {
+    val sub = slice(vecCol, j * dsub + 1, dsub)
+    val ss = dot(sub, sub)
+    val ccv = pqCc(cb).toIndexedSeq
+    transform(typedLit(cb.map(_.toIndexedSeq).toIndexedSeq), (c, kk) =>
+      struct(
+        floor((ss - lit(2.0) * dot(sub, c) + element_at(typedLit(ccv), kk + 1))
+          * 10000 + lit(0.5)).as("d"),
+        kk.as("k")))
+  }
+
+  /** PQ codes: m sub-centroid indices per vector (argmin of the scaled
+    * distance, ties to the lowest index — `array_min` on (d, k)).
+    * The 100 TB shape: the corpus stores m bytes-ish per vector
+    * instead of 4·dim, entirely map-side. */
+  def pqCodes(vecCol: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    array(codebooks.zipWithIndex.map { case (cb, j) =>
+      array_min(pqSubDists(vecCol, j, dsub, cb)).getField("k")
+    }: _*)
+  }
+
+  /** Query lookup table: the m·ksub scaled distances flattened
+    * j-major — ADC reads table[j·ksub + code_j]. */
+  private def pqTable(vecCol: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val dsub = codebooks.head.head.size
+    flatten(array(codebooks.zipWithIndex.map { case (cb, j) =>
+      transform(pqSubDists(vecCol, j, dsub, cb), s => s.getField("d"))
+    }: _*))
+  }
+
+  /** PQ/ADC approximate top-k (Jégou et al., "Product Quantization for
+    * Nearest Neighbor Search", TPAMI 2011): corpus encoded to m codes
+    * map-side; each query broadcasts its m·ksub lookup table; the
+    * asymmetric distance is an integer sum of m table cells. Candidate
+    * generation is the broadcast of the (tiny by contract) query side —
+    * the compressed-domain scan that makes billion-vector ANN feasible
+    * where raw-vector cosine cannot hold the corpus. */
+  def pqTopK(corpus: DataFrame, idCol: String, vecCol: String, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]], numQueries: Long): DataFrame = {
+    val ksub = codebooks.head.size
+    val coded = corpus.select(col(idCol).as("neighbor_id"),
+      pqCodes(col(vecCol), codebooks).as("__codes"))
+    val queries = corpus.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), pqTable(col(vecCol), codebooks).as("__qt"))
+    val scaled = aggregate(
+      transform(col("__codes"),
+        (c, j) => element_at(col("__qt"), j * ksub + c + 1)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy("query_id").orderBy(asc("__sd"), asc("neighbor_id"))
+    coded.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("__sd", scaled)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__sd").cast("double") / 10000.0).as("dist"), col("rk"))
+  }
+
   /** Centroid indices sorted by ascending distance to the vector —
     * probe order for IVF. Same single-literal form as [[listIdExpr]]. */
   private def rankToCentroidExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =
