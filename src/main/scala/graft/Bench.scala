@@ -18,6 +18,7 @@ object Bench {
     // clearCache misses localCheckpoint RDDs — drop every persisted RDD
     // so earlier queries can't pressure later ones
     def dropState(): Unit = {
+      graft.ops.StagePersists.release(spark) // drain the registry, not just the cache
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -1,5 +1,6 @@
 package graft.cluster
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
@@ -42,7 +43,7 @@ object Clustering {
     // truncates the plan: everything downstream (the stats agg here,
     // driver clustering, MLlib fits) would otherwise re-plan the
     // ~10³-expression profiling tree on every job.
-    val checkpointed = cleaned.localCheckpoint()
+    val checkpointed = cleaned.lockedCheckpoint()
     // Scaling statistics come from ONE tiny agg and compile into plain
     // column expressions — an MLlib Scaler.fit costs extra jobs and
     // non-codegen transform overhead for the same arithmetic

@@ -1,5 +1,6 @@
 package graft.cluster
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.{GBTRegressionModel, GBTRegressor}
 import org.apache.spark.sql.DataFrame
@@ -24,7 +25,7 @@ object StrategyPredictor {
       .transform(profiles.select(
         (col("table") +: col("column") +: col("label").cast(DoubleType).as("label") +:
           features.map(f => coalesce(col(f).cast(DoubleType), lit(0.0)).as(f))): _*))
-      .localCheckpoint()
+      .lockedCheckpoint()
 
   /** Fit a seeded GBT on profiles carrying a `label` column (observed
     * strategy F1). */

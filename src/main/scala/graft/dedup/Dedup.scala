@@ -1,5 +1,6 @@
 package graft.dedup
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -207,7 +208,7 @@ object Dedup {
     // once per join side
     val buckets = lshBucketsWide(minhashWide(sh, numPerms), numPerms, rowsPerBand)
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .lockedCheckpoint()
     val cands = lshCandidates(buckets)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val a = sh.select(col("id").as("ida"), col("shingle"))
@@ -360,7 +361,7 @@ object Dedup {
           pmod(shiftright(col("simhash"), b * 16), lit(65536L)).as("key"))): _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
       .repartition(sigs.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .lockedCheckpoint()
     val a = banded.select(col("band"), col("key"), col("id").as("ida"),
       col("simhash").as("siga"))
     val b = banded.select(col("band"), col("key"), col("id").as("idb"),

@@ -58,6 +58,12 @@ object PieceCounts {
     val buckets = Array.fill(128)(Vector.empty[Array[Byte]])
     graft.text.VocabTokenCounter.ordered.foreach { p =>
       val b = p.getBytes("UTF-8")
+      // the byte↔character offset equivalence the walk relies on holds
+      // ONLY for ASCII pieces — fail fast if the vocab ever grows one
+      // (the tokenizer's à-ÿ range makes that a plausible future edit;
+      // a non-ASCII piece would silently alias into an ASCII bucket)
+      require(b.forall(x => (x & 0xff) < 0x80),
+        s"PieceCounts requires a pure-ASCII vocab; got piece '$p'")
       buckets(b(0) & 0x7f) = buckets(b(0) & 0x7f) :+ b
     }
     buckets.map(_.toArray)

@@ -49,10 +49,13 @@ final class CheckpointRotation(sc: SparkContext) {
       own = fresh
     } else {
       // ambiguous diff (a foreign checkpoint landed in the window):
-      // adopt nothing — this round's snapshot is retained until the
-      // session state drop instead of risking a foreign release
+      // adopt nothing NEW — but the previously adopted snapshot is
+      // provably ours and provably superseded (`out` is materialized),
+      // so release it; only this round's snapshot is retained until
+      // the session state drop instead of risking a foreign release
       System.err.println(s"[graft] CheckpointRotation: ambiguous ownership " +
-        s"(${fresh.size} new checkpoints in one rotate) — retaining all")
+        s"(${fresh.size} new checkpoints in one rotate) — retaining this round")
+      own.foreach(id => sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
       own = Set.empty
     }
     out
@@ -76,7 +79,18 @@ object CheckpointRotation {
     * one-query-at-a-time model makes rare. */
   private[graft] val lock = new Object
 
-  /** Shared-lock eager checkpoint for one-shot (non-rotating) uses. */
+  /** Shared-lock eager checkpoint for one-shot (non-rotating) uses.
+    * Every library checkpoint site routes through here (suffix form
+    * below), which is what makes the serialization contract above
+    * actually hold — a direct `df.localCheckpoint()` in concurrent
+    * code would land inside a rotation's diff window and force its
+    * retain-everything ambiguous path. */
   def checkpoint(df: DataFrame): DataFrame =
     lock.synchronized(df.localCheckpoint(true))
+
+  /** Suffix form of [[checkpoint]]: `df.lockedCheckpoint()` via
+    * `import graft.ops.CheckpointRotation.Ops`. */
+  implicit final class Ops(private val df: DataFrame) extends AnyVal {
+    def lockedCheckpoint(): DataFrame = checkpoint(df)
+  }
 }

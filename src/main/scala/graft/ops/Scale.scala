@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -105,7 +106,7 @@ object Scale {
       .repartitionByRange(col(s"`$orderCol`"))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .lockedCheckpoint()
     val aggs = sumCols.map(c => sum(col(s"`$c`")).as(s"__p_$c")) :+
       min(col(s"`$orderCol`")).as("__first")
     val pidStats = ranged.groupBy("__pid").agg(aggs.head, aggs.tail: _*)

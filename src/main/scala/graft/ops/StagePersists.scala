@@ -26,15 +26,31 @@ import scala.collection.mutable
   */
 object StagePersists {
 
-  // Weak keys: a stopped context's entries must not pin its DataFrames.
-  private val byCtx = new java.util.WeakHashMap[SparkContext, mutable.Buffer[DataFrame]]()
+  // Strong references, with lifecycle hooks: the registry must hold
+  // the frames strongly (release() needs them to unpersist — a weak
+  // reference would be GC'd as soon as the operator returns, since
+  // consumers reference the PLAN, not the DataFrame object), and a
+  // WeakHashMap keyed by SparkContext would never clear because the
+  // value's frames reference their session, i.e. the key. Instead a
+  // plain map drops its bucket on the context's application-end event
+  // (the listener lives on that context's bus, so it pins nothing
+  // globally), closing the stopped-context pinning hole.
+  private val byCtx =
+    new java.util.IdentityHashMap[SparkContext, mutable.Buffer[DataFrame]]()
 
   /** Persist `df` (MEMORY_AND_DISK — spill, don't OOM, at 100 TB) and
     * register it for session-scoped release. Returns `df`. */
   def track(df: DataFrame): DataFrame = synchronized {
     val ctx = df.sparkSession.sparkContext
-    val buf = byCtx.computeIfAbsent(ctx, _ => mutable.Buffer.empty[DataFrame])
-    buf += df.persist(StorageLevel.MEMORY_AND_DISK)
+    if (!byCtx.containsKey(ctx)) {
+      byCtx.put(ctx, mutable.Buffer.empty[DataFrame])
+      ctx.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        override def onApplicationEnd(
+            end: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+          StagePersists.synchronized { byCtx.remove(ctx) }
+      })
+    }
+    byCtx.get(ctx) += df.persist(StorageLevel.MEMORY_AND_DISK)
     df
   }
 

@@ -1,5 +1,6 @@
 package graft.outlier
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
@@ -190,7 +191,7 @@ object DBoost {
   def gmmOutliers(df: DataFrame, column: String, keyCol: String, k: Int = 2,
       cutoff: Double = 1e-4, seed: Long = 42L, trainCap: Int = 100000): DataFrame = {
     val d = col(s"`$column`").cast(DoubleType)
-    val values = df.filter(d.isNotNull).select(d.as("__v")).localCheckpoint()
+    val values = df.filter(d.isNotNull).select(d.as("__v")).lockedCheckpoint()
     val n = values.count()
     val sample =
       (if (n <= trainCap) values

@@ -1,5 +1,6 @@
 package graft.profile
 
+import graft.ops.CheckpointRotation.Ops
 import graft.model.ColumnProfile
 import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
@@ -425,12 +426,12 @@ object Profiler {
     // instead of computing them into the checkpoint
     def narrow(df: DataFrame): DataFrame =
       if (columns.isEmpty) df else df.select(columns.map(c => col(c)): _*)
-    if (!histNeeded) narrow(assemble(long, None, cfg)).localCheckpoint(true)
+    if (!histNeeded) narrow(assemble(long, None, cfg)).lockedCheckpoint()
     else {
       val fullHist = long.groupBy("table", "column", "value")
         .agg(count(lit(1)).as("cnt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      try narrow(assemble(long, Some(fullHist), cfg)).localCheckpoint(true)
+      try narrow(assemble(long, Some(fullHist), cfg)).lockedCheckpoint()
       finally fullHist.unpersist(false)
     }
   }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.CheckpointRotation.Ops
 import graft.Tables
 import graft.cluster.Clustering
 import graft.matching.ColumnMatcher
@@ -62,7 +63,7 @@ object MatchQueries {
     val both = Profiler.profileManyAuto(
       Seq("customer" -> Tables.load(spark, dir, "customer"),
         "supplier" -> Tables.load(spark, dir, "supplier")),
-      features = Set("mode")).localCheckpoint()
+      features = Set("mode")).lockedCheckpoint()
     ColumnMatcher.candidates(both.filter(col("table") === "customer"),
         both.filter(col("table") === "supplier"))
       .orderBy("src_column", "tgt_column")
@@ -176,11 +177,11 @@ object MatchQueries {
     val both = Profiler.profileManyAuto(
       Seq("customer" -> Tables.load(spark, dir, "customer"),
         "supplier" -> Tables.load(spark, dir, "supplier")),
-      features = need).localCheckpoint()
+      features = need).lockedCheckpoint()
     val srcProfiles = both.filter(col("table") === "customer")
     val tgtProfiles = both.filter(col("table") === "supplier")
     val cands = ColumnMatcher.candidates(srcProfiles, tgtProfiles)
-      .localCheckpoint()
+      .lockedCheckpoint()
     val mapping = ColumnMatcher.assign(cands).toMap
     val scores = cands.collect().map { r =>
       (r.getAs[String]("src_column"), r.getAs[String]("tgt_column")) ->
@@ -282,7 +283,7 @@ object MatchQueries {
     val both = Profiler.profileManyAuto(
       Seq("part" -> Tables.load(spark, dir, "part"),
         "documents" -> Tables.load(spark, dir, "documents")),
-      features = kw).localCheckpoint()
+      features = kw).lockedCheckpoint()
     val src = both.filter(col("table") === "part")
     val tgt = both.filter(col("table") === "documents")
     ColumnMatcher.keywordSimilarity(src, tgt)

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.ops.CheckpointRotation.Ops
 import graft.Tables
 import graft.sim.Similarity
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -126,7 +127,7 @@ object SimQueries {
   // quantizer but no SQL equivalent → rows-only) -------------------------
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.load(spark, dir, "embeddings").localCheckpoint()
+    val emb = Tables.load(spark, dir, "embeddings").lockedCheckpoint()
     // corpus = all vectors; the query_id predicate pushes into the
     // probe branch, so only NQueries vectors fan out to their lists.
     // nprobe = 6 of 8: the synthetic embeddings cluster weakly, so

@@ -143,13 +143,8 @@ object RuleGenerator {
         .withColumn("n_groups", lit(0L)).withColumn("n_violating_groups", lit(0L))
         .withColumn("conflict_rows", lit(0L)).withColumn("n_rows", lit(0L))
         .withColumn("confidence", lit(0.0)).withColumn("holds", lit(false))
-    val long = df.select(explode(array(pairs.map { case (a, b) =>
-        struct(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
-          col(s"`$a`").cast(StringType).as("lhs_val"),
-          col(s"`$b`").cast(StringType).as("rhs_val")) }: _*)).as("p"))
-      .select(col("p.*"))
-      .filter(col("lhs_val").isNotNull && col("rhs_val").isNotNull)
-    val perVal = long.groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
+    val perVal = pairLong(df, pairs)
+      .groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
       .agg(count(lit(1)).as("c"))
     val perLhs = perVal.groupBy("lhs_col", "rhs_col", "lhs_val")
       .agg(sum("c").as("n"), max("c").as("mx"), count(lit(1)).as("n_rhs"))
@@ -170,6 +165,18 @@ object RuleGenerator {
       .select("lhs_col", "rhs_col").collect().toSeq
       .map(r => FunctionalDependencyRule(r.getString(0), r.getString(1)))
       .sortBy(_.name)
+
+  /** The shared pair-explode kernel of [[discoverFds]] and
+    * [[discoverConstantCfds]]: one row per (ordered pair, row) with
+    * both values as canonical strings, nulls excluded (standard FD
+    * semantics). */
+  private def pairLong(df: DataFrame, pairs: Seq[(String, String)]): DataFrame =
+    df.select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
+          col(s"`$a`").cast(StringType).as("lhs_val"),
+          col(s"`$b`").cast(StringType).as("rhs_val")) }: _*)).as("p"))
+      .select(col("p.*"))
+      .filter(col("lhs_val").isNotNull && col("rhs_val").isNotNull)
 
   // ---- Constant conditional-FD discovery ---------------------------------
 
@@ -194,13 +201,7 @@ object RuleGenerator {
   def discoverConstantCfds(df: DataFrame, pairs: Seq[(String, String)],
       minSupport: Long = 10L, minConfidence: Double = 0.9): DataFrame = {
     require(pairs.nonEmpty, "CFD discovery needs at least one column pair")
-    val long = df.select(explode(array(pairs.map { case (a, b) =>
-        struct(lit(a).as("lhs_col"), lit(b).as("rhs_col"),
-          col(s"`$a`").cast(StringType).as("lhs_val"),
-          col(s"`$b`").cast(StringType).as("rhs_val")) }: _*)).as("p"))
-      .select(col("p.*"))
-      .filter(col("lhs_val").isNotNull && col("rhs_val").isNotNull)
-    long.groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
+    pairLong(df, pairs).groupBy("lhs_col", "rhs_col", "lhs_val", "rhs_val")
       .agg(count(lit(1)).as("c"))
       .groupBy("lhs_col", "rhs_col", "lhs_val")
       .agg(sum("c").as("support"),

@@ -1,5 +1,6 @@
 package graft.sim
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,7 +92,7 @@ object Similarity {
       .select(col(idCol).as("id"), explode(array(bandKeys: _*)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.key").as("key"))
       .repartition(df.sparkSession.sparkContext.defaultParallelism)
-      .localCheckpoint()
+      .lockedCheckpoint()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

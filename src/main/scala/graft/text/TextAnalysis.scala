@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.ops.CheckpointRotation.Ops
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, LongType}
@@ -124,7 +125,7 @@ object TextAnalysis {
     val values = df.select(col(s"`$column`").cast("string").as("v"))
       .filter(col("v").isNotNull && col("v") =!= "")
       .distinct()
-      .localCheckpoint()
+      .lockedCheckpoint()
     require(values.count() <= maxDistinct,
       s"$column has more than $maxDistinct distinct values; typo pairing would blow up")
     val banded = values.select(col("v"), length(col("v")).as("len"),

@@ -12,6 +12,7 @@ object MiniBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def drop(): Unit = {
+      graft.ops.StagePersists.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }

@@ -1,33 +1,38 @@
 package graft.tools
 import org.apache.spark.sql.SparkSession
-import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
 
-/** Disposable experiment harness (test scope, rewritten per experiment). */
+/** Disposable experiment harness (test scope, rewritten per experiment).
+  * Current experiment: time the d7 chain's stages at a given SF —
+  * pair generation vs the CC loop (with round count). */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val outDir = args(1)
-    val names = args.drop(2).toSeq
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    new java.io.File(outDir).mkdirs()
-    names.foreach { n =>
-      graft.SparkEntry.queries(n)(spark, sfDir)
-        .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$n.parquet")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.1fs")
+      r
     }
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c => c.toString
-    } + "\""
-    val json = names.flatMap { n =>
-      val sql = graft.SparkEntry.oracleSql(n)
-      Seq(s"${q(n)}: ${q(sql)}", s"${q(n + ".parquet")}: ${q(sql)}")
-    }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+    val pairs = t("minhash pairs materialized") {
+      graft.dedup.Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.7)
+        .select("ida", "idb").localCheckpoint(true)
+    }
+    println(s"[scratch] n_pairs=${pairs.count()}")
+    val (labels, rounds) = t("cc loop") {
+      val r = graft.dedup.Components.connectedComponents(pairs, "ida", "idb")
+      r._1.count()
+      r
+    }
+    println(s"[scratch] rounds=$rounds labels=${labels.count()}")
     spark.stop()
   }
 }
