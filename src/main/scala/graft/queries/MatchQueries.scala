@@ -427,12 +427,69 @@ object MatchQueries {
       |  WHERE o_orderpriority IS NULL OR trim(o_orderpriority) = '')
       |ORDER BY "table", "column", rule""".stripMargin
 
+  // ---- m5: blocked fuzzy record linkage --------------------------------
+
+  /** Record-grain entity resolution: every 20th customer gets a planted
+    * variant (last name char replaced, acctbal nudged a cent, id offset
+    * by 10⁷) and [[graft.matching.RecordLinkage.linkRecords]] must link
+    * each variant back to its original inside the name-prefix block —
+    * plus whatever true near-ties the block contains (consecutive
+    * custkeys share 17 of 18 name chars; they only cross the threshold
+    * when segment AND balance also align, which the oracle mirrors). */
+  def recordLinks(spark: SparkSession, dir: String): DataFrame = {
+    import graft.matching.RecordLinkage._
+    val c = Tables.load(spark, dir, "customer")
+      .select("c_custkey", "c_name", "c_acctbal", "c_mktsegment")
+    val variants = c.filter(col("c_custkey") % 20 === 0)
+      .select((col("c_custkey") + 10000000L).as("c_custkey"),
+        concat(substring(col("c_name"), 1, 17), lit("X")).as("c_name"),
+        (col("c_acctbal") + 0.01).as("c_acctbal"),
+        col("c_mktsegment"))
+    val dirty = c.unionByName(variants)
+    linkRecords(dirty, "c_custkey", substring(col("c_name"), 1, 17),
+        Seq(StringField("c_name", 0.6), StringField("c_mktsegment", 0.2),
+          NumericField("c_acctbal", 0.2)),
+        threshold = 0.9)
+      .orderBy("ida", "idb")
+  }
+
+  val recordLinksSql: String = {
+    val nameSim = "(CASE WHEN length(a.f_name) = 0 AND length(b.f_name) = 0 THEN 1.0 " +
+      "ELSE 1.0 - CAST(levenshtein(a.f_name, b.f_name) AS DOUBLE) " +
+      "/ CAST(greatest(length(a.f_name), length(b.f_name)) AS DOUBLE) END)"
+    val segSim = "(CASE WHEN length(a.f_seg) = 0 AND length(b.f_seg) = 0 THEN 1.0 " +
+      "ELSE 1.0 - CAST(levenshtein(a.f_seg, b.f_seg) AS DOUBLE) " +
+      "/ CAST(greatest(length(a.f_seg), length(b.f_seg)) AS DOUBLE) END)"
+    val balSim = "greatest(0.0, 1.0 - abs(a.f_bal - b.f_bal) " +
+      "/ greatest(abs(a.f_bal), abs(b.f_bal), 1e-9))"
+    s"""WITH dirty AS (
+       |  SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+       |  UNION ALL
+       |  SELECT c_custkey + 10000000, substr(c_name, 1, 17) || 'X',
+       |    c_acctbal + 0.01, c_mktsegment
+       |  FROM customer WHERE c_custkey % 20 = 0),
+       |s AS (
+       |  SELECT c_custkey AS id, substr(c_name, 1, 17) AS bk,
+       |    coalesce(c_name, '') AS f_name,
+       |    coalesce(c_mktsegment, '') AS f_seg,
+       |    coalesce(CAST(c_acctbal AS DOUBLE), 0.0) AS f_bal
+       |  FROM dirty)
+       |SELECT ida, idb, score FROM (
+       |  SELECT a.id AS ida, b.id AS idb,
+       |    FLOOR((($nameSim * 0.6 + $segSim * 0.2 + $balSim * 0.2) / 1.0)
+       |      * 10000 + 0.5) / 10000.0 AS score
+       |  FROM s a JOIN s b ON a.bk = b.bk AND a.id < b.id)
+       |WHERE score >= CAST(0.9 AS DOUBLE)
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mp1_multi_pipeline" -> (multiPipeline _),
     "m1_column_match" -> (columnMatch _),
     "m2_ks_wasserstein" -> (ksWasserstein _),
     "m3_rule_transfer" -> (ruleTransfer _),
     "m4_keyword_overlap" -> (keywordOverlap _),
+    "m5_record_links" -> (recordLinks _),
     "c1_kmeans_clusters" -> (kmeansClusters _),
     "c2_dbscan_clusters" -> (dbscanClusters _))
 
@@ -519,5 +576,6 @@ object MatchQueries {
     "m2_ks_wasserstein" -> ksWassersteinSql,
     "m3_rule_transfer" -> ruleTransferSql,
     "m4_keyword_overlap" -> keywordOverlapSql,
+    "m5_record_links" -> recordLinksSql,
     "c2_dbscan_clusters" -> dbscanClustersSql)
 }

@@ -8,6 +8,28 @@ import graft.transfer.{LeveledRule, RuleTransfer}
 class ClusterMatchSpec extends SparkSpec {
   import spark.implicits._
 
+  test("record linkage links planted variants inside blocks only") {
+    import spark.implicits._
+    import graft.matching.RecordLinkage._
+    import org.apache.spark.sql.functions.{col, substring}
+    // 1/2: same block, near-identical → link (name lev 1 of 10 → 0.9;
+    // score = 0.6·0.9 + 0.2·1 + 0.2·1 = 0.94). 3: same block, every
+    // field off → far below threshold. 4: identical fields to 1 but a
+    // DIFFERENT block — never even compared (blocking is the scale
+    // contract, not an optimization).
+    val df = Seq(
+      (1L, "alpha-0001", "A", 100.0),
+      (2L, "alpha-0002", "A", 100.0),
+      (3L, "alpha-0xyz", "B", -5.0),
+      (4L, "beta-a0001", "A", 100.0))
+      .toDF("id", "name", "seg", "bal")
+    val links = linkRecords(df, "id", substring(col("name"), 1, 6),
+        Seq(StringField("name", 0.6), StringField("seg", 0.2),
+          NumericField("bal", 0.2)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(links == Seq((1L, 2L, 0.94)))
+  }
+
   test("dbscan separates dense groups and flags noise") {
     val pts = Seq(
       "a1" -> Array(0.0, 0.0), "a2" -> Array(0.1, 0.0), "a3" -> Array(0.0, 0.1),
