@@ -433,6 +433,23 @@ object TextQueries {
         window = 16, step = 12)
       .orderBy("doc_id", "piece_start")
 
+  // ---- t18: BPE merge training (rows-only: each round's argmax feeds
+  // the next round's tokenization — a data-dependent iterative loop no
+  // static SQL can replay; TokenCounterSpec pins the exact merge table
+  // on the hand-derivable Sennrich corpus) ------------------------------
+
+  /** The canonical tokenizer-training job: learn the 12 most frequent
+    * adjacent-piece merges from the documents corpus
+    * ([[graft.text.BpeTrainer.trainMerges]] — weighted distinct-word
+    * formulation, deterministic lexicographic ties). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    graft.text.BpeTrainer
+      .trainMerges(Tables.load(spark, dir, "documents"), "text", numMerges = 12)
+      .toDF("rank", "piece_left", "piece_right", "freq")
+      .orderBy("rank")
+  }
+
   val pieceChunksSql: String =
     s"""WITH RECURSIVE rtoks AS (
        |  SELECT doc_id, $WS AS ts FROM documents WHERE len($WS) > 0),
@@ -471,6 +488,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t17_piece_chunks" -> (pieceChunks _),
+    "t18_bpe_merges" -> (bpeMerges _),
     "t16_dataset_split" -> (datasetSplit _),
     "t15_trigram_familiarity" -> (trigramFamiliarity _),
     "t14_subword_tokens" -> (subwordTokens _),

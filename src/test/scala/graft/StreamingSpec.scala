@@ -264,6 +264,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("piece-grain chunking streams in append mode (stateless explode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // t17's shape is the same stateless project+explode as t7 — the
+    // piece walk (native PieceCounts) and the word-of-piece index are
+    // per-row, so subword-grain chunking runs unchanged on a stream
+    val rows = Seq(
+      (1L, "starting statement the quick brown fox ingest mention"),
+      (2L, "one two three"), (3L, ""))
+    val batch = graft.text.Chunking.pieceChunks(
+        rows.toDF("doc_id", "text"), "doc_id", "text", window = 6, step = 4)
+      .select("doc_id", "piece_start", "n_pieces", "chunk")
+      .as[(Long, Long, Long, String)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.Chunking.pieceChunks(
+        input.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        window = 6, step = 4)
+      .select("doc_id", "piece_start", "n_pieces", "chunk")
+      .writeStream.format("memory").queryName("w_piece_chunks")
+      .outputMode("append").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w_piece_chunks")
+        .as[(Long, Long, Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("streaming packer: single shard equals batch binSegments") {
     import spark.implicits._
     // chunks with straddles: doc 1 = 7+7 tokens, doc 2 = 10, doc 3 = 3

@@ -40,6 +40,31 @@ class TokenCounterSpec extends SparkSpec {
     }
   }
 
+  test("BPE training learns the classic merge sequence with deterministic ties") {
+    import org.apache.spark.sql.functions.col
+    // the Sennrich corpus shape: low×5 lower×2 newest×6 widest×3.
+    // Hand derivation: (e,s)=9 ties (s,t)=9 → lexicographic (e,s) first;
+    // then (es,t)=9; then (l,o)=7 ties (o,w)=7 → (l,o); then (lo,w)=7.
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    val merges = graft.text.BpeTrainer.trainMerges(docs, "text", numMerges = 4)
+    assert(merges == Seq(
+      (1, "e", "s", 9L), (2, "es", "t", 9L), (3, "l", "o", 7L), (4, "lo", "w", 7L)))
+    // early stop below minFreq: a corpus of unique characters has no
+    // pair reaching 2
+    val tiny = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    assert(graft.text.BpeTrainer.trainMerges(tiny, "text", numMerges = 5,
+      minFreq = 2L).isEmpty)
+    // repeat runs pair left-to-right, and a merged piece can't chain
+    val run = Seq((1L, "aaaa aaaa aaaa")).toDF("doc_id", "text")
+    val m = graft.text.BpeTrainer.trainMerges(run, "text", numMerges = 2)
+    // "a a a a": 3 adjacent (a,a) pairs × 3 words = 9 counted; the fold
+    // merges (a1,a2)(a3,a4) → "aa aa"; round 2 merges (aa,aa)
+    assert(m == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
+  }
+
   test("longest match wins over shorter prefixes") {
     // "tion" must match the 4-char piece, not th|i|on or t|i|on
     assert(pieces("tion") == Map("tion" -> 1L))
