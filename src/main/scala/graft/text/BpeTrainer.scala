@@ -80,3 +80,31 @@ object BpeTrainer {
     out.result()
   }
 }
+
+/** [[TokenCounter]] over a LEARNED merge table — the consumer side of
+  * [[BpeTrainer]], closing the train → tokenize loop: each word starts
+  * as characters and the merges apply once each in rank order (the
+  * simple sequential variant — identical to training-time tokenization
+  * on the training corpus; a priority-queue inference can differ on
+  * novel words where a late merge re-creates an early merge's
+  * adjacency, which this engine trades for pure-Column portability).
+  * Interpreted HOF cost is |merges| folds per word — fine for bounded
+  * merge tables; the [[graft.functions.PieceCounts]] native pattern is
+  * the upgrade path if a large learned vocab ever needs the hot path. */
+final case class BpeTokenCounter(merges: Seq[(String, String)]) extends TokenCounter {
+  import org.apache.spark.sql.functions._
+
+  private def piecesOf(word: Column): Column = {
+    val chars = transform(sequence(lit(1), length(word)),
+      i => substr(word, i, lit(1)))
+    merges.foldLeft(chars) { case (p, (l, r)) =>
+      BpeTrainer.applyMerge(p, l, r)
+    }
+  }
+
+  def count(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
+    coalesce(aggregate(toks, lit(0L),
+      (acc, w) => acc + size(piecesOf(w)).cast("long")), lit(0L))
+  }
+}

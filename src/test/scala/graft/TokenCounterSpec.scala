@@ -65,6 +65,23 @@ class TokenCounterSpec extends SparkSpec {
     assert(m == Seq((1, "a", "a", 9L), (2, "aa", "aa", 3L)))
   }
 
+  test("BpeTokenCounter tokenizes with the learned merges (train-use loop)") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    val merges = graft.text.BpeTrainer.trainMerges(docs, "text", numMerges = 4)
+      .map(m => (m._2, m._3))
+    val counter = graft.text.BpeTokenCounter(merges)
+    // with merges (e,s)(es,t)(l,o)(lo,w): low → low (1 piece),
+    // lower → low|e|r (3), newest → n|e|w|est (4)
+    val got = Seq("low lower newest", "", "zzz")
+      .toDF("text").select(counter.count(col("text")).as("n"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(8L, 0L, 3L))
+  }
+
   test("longest match wins over shorter prefixes") {
     // "tion" must match the 4-char piece, not th|i|on or t|i|on
     assert(pieces("tion") == Map("tion" -> 1L))
