@@ -276,13 +276,17 @@ object RuleGenerator {
       tables.map { case (t, df, cs) => longFor(t, df, cs) }
         .reduce(_ unionByName _).distinct())
     val colDistinct = inv.groupBy("col_id").agg(count(lit(1)).as("d"))
-    // per-column non-null row counts: one tiny agg per table (the
-    // control plane — one row each), for the parent-is-key flag
-    val nonNull: Map[String, Long] = tables.flatMap { case (t, df, cs) =>
+    // per-column non-null row counts for the parent-is-key flag: all
+    // tables' one-row aggs unioned into ONE control-plane job (a
+    // per-table collect was |tables| round trips of pure job overhead)
+    val nonNull: Map[String, Long] = tables.map { case (t, df, cs) =>
       val aggs = cs.map(c => count(col(s"`$c`")).as(c))
-      val r = df.agg(aggs.head, aggs.tail: _*).collect().head
-      cs.map(c => s"$t.$c" -> r.getAs[Long](c))
-    }.toMap
+      df.agg(aggs.head, aggs.tail: _*)
+        .select(explode(array(cs.map(c =>
+          struct(lit(s"$t.$c").as("k"), col(s"`$c`").as("v"))): _*)).as("p"))
+        .select(col("p.*"))
+    }.reduce(_ unionByName _)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val shared = inv.groupBy("v").agg(collect_set(col("col_id")).as("s"))
       .select(explode(flatten(transform(col("s"), a =>
           transform(filter(col("s"), b => b =!= a),

@@ -182,6 +182,18 @@ class ScaleSpec extends SparkSpec {
     graft.ops.StagePersists.release(spark)
   }
 
+  test("record linkage joins only on the blocking key (no pairwise scan)") {
+    import spark.implicits._
+    import graft.matching.RecordLinkage._
+    val df = (1 to 100).map(i => (i.toLong, s"name-$i", "A", i * 1.0))
+      .toDF("id", "name", "seg", "bal")
+    val links = linkRecords(df, "id", substring(col("name"), 1, 6),
+      Seq(StringField("name", 0.8), NumericField("bal", 0.2)), threshold = 0.99)
+    val plan = links.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"record linkage must equi-join on the block key:\n$plan")
+  }
+
   test("full corpus pipeline persists its stage boundaries") {
     // without the stage persists every consumer re-executes the whole
     // upstream (dedup+LSH+components) — measured 124s → 11s at sf1.
