@@ -69,6 +69,33 @@ object Components {
     connectedComponents(pairs, aCol, bCol)._1
       .withColumn("is_canonical", col("id") === col("component_id"))
 
+  /** Quality-ranked canonical selection: keep the highest-scoring
+    * member of each component, ties broken to the LOWEST id — what a
+    * production dedup actually retains (the best copy), vs
+    * [[dupComponents]]' arbitrary min-id convention.
+    *
+    * `labels`: (idCol, componentCol) from [[connectedComponents]];
+    * `scored`: (idCol, scoreCol) — any deterministic per-id score
+    * (e.g. the rounded [[graft.text.TextAnalysis.qualityScore]]).
+    *
+    * Scale shape: one equi-join on id, one partially-aggregated
+    * groupBy(component) whose argmax carries a single struct per
+    * group, and a component-keyed join back — all keyed shuffles with
+    * map-side combine; nothing all-pairs, nothing on the driver. */
+  def keepBest(labels: DataFrame, scored: DataFrame, idCol: String,
+      componentCol: String, scoreCol: String): DataFrame = {
+    val withScore = labels.join(scored, idCol)
+    // argmax as a struct max: (score asc, -id asc) ⇒ highest score,
+    // then lowest id — total order, so the pick is deterministic
+    val best = withScore.groupBy(componentCol)
+      .agg(max(struct(col(s"`$scoreCol`").as("s"),
+        (-col(s"`$idCol`")).as("negid"))).as("b"))
+      .select(col(s"`$componentCol`"), (-col("b.negid")).as("__best_id"))
+    withScore.join(best, componentCol)
+      .withColumn("keep", col(s"`$idCol`") === col("__best_id"))
+      .drop("__best_id")
+  }
+
   /** (count, xor-of-row-hashes) — an order-independent edge-set
     * fingerprint; equal fingerprints on consecutive rounds = fixpoint.
     * bit_xor (not sum) so ANSI overflow can't throw; rows are distinct

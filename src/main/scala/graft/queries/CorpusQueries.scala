@@ -124,8 +124,9 @@ object CorpusQueries {
     "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
 
   /** The t2 quality-score expression (round4'd) over a `text` column —
-    * mirrors TextAnalysis.qualityScore term by term. */
-  private val qualityExprSql: String = {
+    * mirrors TextAnalysis.qualityScore term by term. Shared with the
+    * d11 keep-best mirror. */
+  private[queries] val qualityExprSql: String = {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"

@@ -479,6 +479,78 @@ object DedupQueries {
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d11: quality-ranked canonical selection -------------------------
+
+  /** Keep-best canonicalization over the d4 minhash near-dup
+    * components: each component retains its HIGHEST-quality member
+    * (rounded t2 quality, ties → lowest doc_id) — the policy a real
+    * pipeline wants, where d7's min-id pick is only a convention. */
+  def keepBestCanonical(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.8)
+      .select(col("ida"), col("idb"))
+    val labels = graft.dedup.Components.connectedComponents(pairs, "ida", "idb")._1
+    val scored = docs.select(col("doc_id").as("id"),
+      TextQueries.round4(graft.text.TextAnalysis.qualityScore("text")).as("quality"))
+    graft.dedup.Components.keepBest(labels, scored, "id", "component_id", "quality")
+      .withColumnRenamed("id", "doc_id")
+      .select("doc_id", "component_id", "quality", "keep")
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the d4 pair pipeline verbatim, recursive closure to
+    * min-reachable-id labels (the d7 convention), then a per-component
+    * quality argmax window. */
+  val keepBestCanonicalSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.8),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id
+       |  FROM reach GROUP BY src),
+       |q AS (SELECT doc_id, ${CorpusQueries.qualityExprSql} AS quality FROM documents),
+       |scored AS (
+       |  SELECT l.doc_id, l.component_id, q.quality
+       |  FROM labels l JOIN q USING (doc_id)),
+       |ranked AS (
+       |  SELECT doc_id, component_id, quality,
+       |    ROW_NUMBER() OVER (PARTITION BY component_id
+       |                       ORDER BY quality DESC, doc_id) AS rn
+       |  FROM scored)
+       |SELECT doc_id, component_id, quality, rn = 1 AS keep
+       |FROM ranked ORDER BY doc_id""".stripMargin
+  }
+
   // ---- d8: benchmark decontamination -----------------------------------
 
   /** Every 10th document plays the evaluation set; corpus docs sharing
@@ -514,6 +586,7 @@ object DedupQueries {
     "d8_contamination" -> (contamination _),
     "d9_dup_passages" -> (dupPassages _),
     "d10_substring_dedup" -> (substringDedup _),
+    "d11_keep_best" -> (keepBestCanonical _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -527,5 +600,6 @@ object DedupQueries {
     "d8_contamination" -> contaminationSql,
     "d9_dup_passages" -> dupPassagesSql,
     "d10_substring_dedup" -> substringDedupSql,
+    "d11_keep_best" -> keepBestCanonicalSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

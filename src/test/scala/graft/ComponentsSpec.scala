@@ -72,4 +72,18 @@ class ComponentsSpec extends SparkSpec {
     val (labels, _) = Components.connectedComponents(empty, "a", "b")
     assert(labels.isEmpty)
   }
+
+  test("keepBest retains the highest score, ties to the lowest id") {
+    val labels = Seq((1L, 1L), (4L, 1L), (7L, 1L), // component 1
+      (2L, 2L), (9L, 2L)) // component 2
+      .toDF("id", "component_id")
+    val scored = Seq((1L, 0.5), (4L, 0.9), (7L, 0.9), // tie at 0.9 → 4
+      (2L, 0.3), (9L, 0.8)) // clear best → 9
+      .toDF("id", "quality")
+    val out = Components.keepBest(labels, scored, "id", "component_id", "quality")
+      .select("id", "component_id", "keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, 1L, false), (4L, 1L, true), (7L, 1L, false),
+      (2L, 2L, false), (9L, 2L, true)))
+  }
 }
