@@ -442,10 +442,78 @@ object RuleQueries {
       |  AND CAST(c AS DOUBLE) / CAST(support AS DOUBLE) >= CAST(0.9 AS DOUBLE)
       |ORDER BY lhs_val""".stripMargin
 
+  // ---- r13: candidate-key (UCC) discovery --------------------------------
+
+  /** Mine candidate keys over events with
+    * [[RuleGenerator.discoverKeys]]. The query plants a two-part key
+    * the way r12 plants its conditional structure (the synthetic
+    * event_id is dense): shard = event_id % 97 and seq = event_id / 97
+    * — neither holds alone, ONLY their pair does. Expected discovery:
+    * `ts` as the lone single key (event timestamps are distinct) and
+    * (shard, seq) as the lone minimal composite; pairs containing `ts`
+    * must be pruned (minimality), every other combination must report
+    * its duplicate counts and fail. */
+  private val KeyCols = Seq("shard", "seq", "user_id", "event_type", "ts")
+
+  def keyDiscovery(spark: SparkSession, dir: String): DataFrame =
+    RuleGenerator.discoverKeys(
+        Tables.load(spark, dir, "events").select(
+          (col("event_id") % 97).as("shard"),
+          floor(col("event_id") / 97).cast("long").as("seq"),
+          col("user_id"), col("event_type"), col("ts")),
+        KeyCols)
+      .orderBy("key_cols")
+
+  /** Mirror: one wide single-column aggregate CTE, one wide pair CTE;
+    * pair rows are emitted only where neither member holds alone —
+    * replicating discoverKeys' minimality pruning in SQL. */
+  val keyDiscoverySql: String = {
+    val kcPairs = for {
+      (a, ia) <- KeyCols.zipWithIndex
+      b <- KeyCols.drop(ia + 1)
+    } yield (a, b)
+    val sAggs = ("COUNT(*) AS n" +: KeyCols.flatMap(c => Seq(
+      s"COUNT($c) AS nn_$c", s"COUNT(DISTINCT $c) AS d_$c"))).mkString(",\n    ")
+    val pAggs = kcPairs.flatMap { case (a, b) =>
+      val both = s"$a IS NOT NULL AND $b IS NOT NULL"
+      Seq(s"COUNT(CASE WHEN $both THEN 1 END) AS nn_${a}__$b",
+        s"COUNT(DISTINCT CASE WHEN $both THEN row($a, $b) END) AS d_${a}__$b")
+    }.mkString(",\n    ")
+    def holdsSql(nn: String, dd: String) = s"($nn = s.n AND $dd = s.n)"
+    val singleSel = KeyCols.map { c =>
+      s"""SELECT '$c' AS key_cols, 1 AS arity, s.n AS n_rows,
+         |  nn_$c AS n_nonnull, d_$c AS n_distinct,
+         |  nn_$c - d_$c AS n_duplicate_rows,
+         |  ${holdsSql(s"nn_$c", s"d_$c")} AS holds FROM s""".stripMargin
+    }
+    val pairSel = kcPairs.map { case (a, b) =>
+      s"""SELECT '$a,$b' AS key_cols, 2 AS arity, s.n AS n_rows,
+         |  nn_${a}__$b AS n_nonnull, d_${a}__$b AS n_distinct,
+         |  nn_${a}__$b - d_${a}__$b AS n_duplicate_rows,
+         |  ${holdsSql(s"nn_${a}__$b", s"d_${a}__$b")} AS holds
+         |FROM s, p
+         |WHERE NOT ${holdsSql(s"s.nn_$a", s"s.d_$a")}
+         |  AND NOT ${holdsSql(s"s.nn_$b", s"s.d_$b")}""".stripMargin
+    }
+    s"""WITH base AS (
+       |  SELECT event_id % 97 AS shard, event_id // 97 AS seq,
+       |    user_id, event_type, ts
+       |  FROM events),
+       |s AS (
+       |  SELECT $sAggs
+       |  FROM base),
+       |p AS (
+       |  SELECT $pAggs
+       |  FROM base)
+       |${(singleSel ++ pairSel).mkString("\nUNION ALL\n")}
+       |ORDER BY key_cols""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "r10_fd_discovery" -> (fdDiscovery _),
     "r11_ind_discovery" -> (indDiscovery _),
     "r12_cfd_discovery" -> (cfdDiscovery _),
+    "r13_key_discovery" -> (keyDiscovery _),
     "r1_rule_violations" -> (ruleViolations _),
     "r2_fd_conflicts" -> (fdConflicts _),
     "r3_inclusion_violations" -> (inclusionViolations _),
@@ -463,6 +531,7 @@ object RuleQueries {
     "r10_fd_discovery" -> fdDiscoverySql,
     "r11_ind_discovery" -> indDiscoverySql,
     "r12_cfd_discovery" -> cfdDiscoverySql,
+    "r13_key_discovery" -> keyDiscoverySql,
     "r1_rule_violations" -> ruleViolationsSql,
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,

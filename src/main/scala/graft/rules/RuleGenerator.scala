@@ -231,6 +231,85 @@ object RuleGenerator {
       .sortBy(_.ruleName)
   }
 
+  // ---- Candidate-key (unique column combination) discovery ---------------
+
+  /** Mine candidate keys — single columns and minimal column PAIRS
+    * whose values are unique across the table (UCC discovery, the
+    * profile-driven face of the reference's uniqueness rule family;
+    * r4/r9 EVALUATE declared keys, this generates them).
+    *
+    * Phase 1: one aggregation computes every column's exact distinct
+    * and non-null counts. A single column holds as a key iff it has no
+    * nulls and no duplicate values.
+    * Phase 2: pairs. Only pairs where NEITHER member already holds are
+    * tested (any superset of a key is trivially unique — minimality,
+    * the same pruning lattice HyUCC walks); their distinct-tuple counts
+    * all come from one more aggregation. Rows with a null in either
+    * column are excluded from the distinct count but charged against
+    * `holds` (a key admits no nulls).
+    *
+    * Scale shape: two aggregation jobs total, each a multi-distinct
+    * agg Spark plans as one expand×|combos| + partial-agg shuffle —
+    * linear in rows, no self-join; only O(|columns|²) counters reach
+    * the driver.
+    *
+    * Output: one row per tested combination — `key_cols`
+    * (comma-joined), `arity`, `n_rows`, `n_nonnull` (rows with the
+    * full combination present), `n_distinct`, `n_duplicate_rows`
+    * (n_nonnull − n_distinct), `holds`. */
+  def discoverKeys(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "key discovery needs at least one column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val singleAggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+      countDistinct(col(s"`$c`")).as(s"__d_$c"),
+      count(col(s"`$c`")).as(s"__nn_$c")))
+    val st = df.agg(singleAggs.head, singleAggs.tail: _*).collect().head
+    val n = st.getAs[Long]("__n")
+    def d(c: String) = st.getAs[Long](s"__d_$c")
+    def nn(c: String) = st.getAs[Long](s"__nn_$c")
+    def singleHolds(c: String) = nn(c) == n && d(c) == n
+    val pairs = for {
+      (a, ia) <- columns.zipWithIndex
+      b <- columns.drop(ia + 1)
+      if !singleHolds(a) && !singleHolds(b)
+    } yield (a, b)
+    val pairStats: Map[(String, String), (Long, Long)] =
+      if (pairs.isEmpty) Map.empty
+      else {
+        val pairAggs = pairs.flatMap { case (a, b) =>
+          val both = col(s"`$a`").isNotNull && col(s"`$b`").isNotNull
+          Seq(
+            countDistinct(when(both, struct(col(s"`$a`"), col(s"`$b`"))))
+              .as(s"__d_${a}__$b"),
+            count(when(both, lit(1))).as(s"__nn_${a}__$b"))
+        }
+        val pr = df.agg(pairAggs.head, pairAggs.tail: _*).collect().head
+        pairs.map { case (a, b) =>
+          (a, b) -> (pr.getAs[Long](s"__d_${a}__$b"), pr.getAs[Long](s"__nn_${a}__$b"))
+        }.toMap
+      }
+    val rows =
+      columns.map(c => (c, 1, n, nn(c), d(c), nn(c) - d(c), singleHolds(c))) ++
+      pairs.map { case (a, b) =>
+        val (dd, nnp) = pairStats((a, b))
+        (s"$a,$b", 2, n, nnp, dd, nnp - dd, nnp == n && dd == n)
+      }
+    rows.toDF("key_cols", "arity", "n_rows", "n_nonnull", "n_distinct",
+      "n_duplicate_rows", "holds")
+  }
+
+  /** The `holds` subset of [[discoverKeys]] as rule specs: singles as
+    * [[UniqueRule]], pairs as [[CompositeUniqueRule]]. */
+  def discoveredKeyRules(stats: DataFrame): Seq[RuleSpec] =
+    stats.filter(col("holds")).select("key_cols").collect().toSeq
+      .map(_.getString(0).split(',').toSeq)
+      .map {
+        case Seq(c) => UniqueRule(c)
+        case cs => CompositeUniqueRule(cs)
+      }
+      .sortBy(_.name)
+
   // ---- Inclusion-dependency (foreign-key candidate) discovery -----------
 
   /** Mine candidate inclusion dependencies child ⊆ parent across

@@ -41,6 +41,38 @@ class RuleExtrasSpec extends SparkSpec {
     assert(viol.count() == 0L)
   }
 
+  test("key discovery: singles, minimal pairs, null/duplicate accounting") {
+    import spark.implicits._
+    // id unique (single key); (hi, lo) a planted minimal composite key;
+    // cat low-cardinality; nul carries a null (disqualified even though
+    // its non-null values are distinct)
+    val rows = (0 until 60).map { i =>
+      (i.toLong, (i / 8).toLong, (i % 8).toLong, s"c${i % 3}",
+        if (i == 7) null else s"v$i")
+    }
+    val df = rows.toDF("id", "hi", "lo", "cat", "nul")
+    val cols = Seq("id", "hi", "lo", "cat", "nul")
+    val stats = RuleGenerator.discoverKeys(df, cols)
+    val byKey = stats.collect().map(r => r.getAs[String]("key_cols") -> r).toMap
+    assert(byKey("id").getAs[Boolean]("holds"))
+    assert(byKey("hi,lo").getAs[Boolean]("holds"))
+    assert(!byKey("cat").getAs[Boolean]("holds"))
+    // null accounting: nul has 59 non-null distinct values but 60 rows
+    val nul = byKey("nul")
+    assert(!nul.getAs[Boolean]("holds"))
+    assert(nul.getAs[Long]("n_nonnull") == 59L)
+    assert(nul.getAs[Long]("n_duplicate_rows") == 0L)
+    // minimality: no pair contains the holding single `id`
+    assert(!byKey.keys.exists(k => k != "id" && k.split(',').contains("id")))
+    // duplicate accounting on a failing pair: (hi, cat) collides
+    assert(byKey("hi,cat").getAs[Long]("n_duplicate_rows") > 0L)
+    // rule emission + serde round trip
+    val rules = RuleGenerator.discoveredKeyRules(stats)
+    assert(rules.toSet ==
+      Set(UniqueRule("id"), CompositeUniqueRule(Seq("hi", "lo"))))
+    assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
+  }
+
   test("constant CFD discovery finds conditional bindings, emits scannable rules") {
     import spark.implicits._
     // k=a: always x (binding, support 20). k=b: 19×y, 1×z (conf 0.95).
