@@ -123,10 +123,16 @@ object CorpusQueries {
   private val WsqSql =
     "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
 
+  /** The t2 quality score scaled to an exact ×10⁴ integer (as a
+    * DOUBLE-valued FLOOR; callers CAST) — the order-independent form
+    * summable across engines. Shared with the r14 source-rules
+    * mirror. */
+  private[queries] val qualityE4ExprSql: String = qualityExprSqlParts
   /** The t2 quality-score expression (round4'd) over a `text` column —
     * mirrors TextAnalysis.qualityScore term by term. Shared with the
     * d11 keep-best mirror. */
-  private[queries] val qualityExprSql: String = {
+  private[queries] val qualityExprSql: String = s"$qualityE4ExprSql / 10000.0"
+  private lazy val qualityExprSqlParts: String = {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
@@ -143,7 +149,7 @@ object CorpusQueries {
        |         ELSE 0.0 END) * 0.2
        |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
        |      + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |    ) * 10000 + 0.5) / 10000.0""".stripMargin
+       |    ) * 10000 + 0.5)""".stripMargin
   }
 
   /** t7 chunking + t10 packing over CTE `src(doc_id, text)` — the final

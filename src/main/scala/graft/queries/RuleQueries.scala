@@ -509,7 +509,39 @@ object RuleQueries {
        |ORDER BY key_cols""".stripMargin
   }
 
+  // ---- r14: source-blocklist rule generation -----------------------------
+
+  /** Roll up per-source corpus quality with
+    * [[graft.rules.CorpusRules.sourceStats]] and flag the sources a
+    * curation pass should block (avg quality < 0.91 or >45% short
+    * docs) — rule generation pointed at the training-data pipeline:
+    * the blocked rows become scannable `source <> '...'` rules via
+    * [[graft.rules.CorpusRules.blocklistRules]]. */
+  def sourceRules(spark: SparkSession, dir: String): DataFrame =
+    graft.rules.CorpusRules.sourceStats(
+        Tables.load(spark, dir, "documents"), "source", "text",
+        minAvgQuality = 0.91, maxShortFrac = 0.45)
+      .orderBy("source")
+
+  val sourceRulesSql: String =
+    s"""WITH q AS (
+       |  SELECT source, CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT) AS e4,
+       |    LENGTH(text) AS len
+       |  FROM documents),
+       |agg AS (
+       |  SELECT source, COUNT(*) AS n_docs,
+       |    CAST(SUM(e4) AS BIGINT) AS sum_quality_e4,
+       |    CAST(SUM(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+       |  FROM q GROUP BY source)
+       |SELECT source, n_docs, sum_quality_e4, n_short,
+       |  CAST(sum_quality_e4 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0) AS avg_quality,
+       |  CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_frac,
+       |  (CAST(sum_quality_e4 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0) < CAST(0.91 AS DOUBLE)
+       |   OR CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) > CAST(0.45 AS DOUBLE)) AS blocked
+       |FROM agg ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r14_source_rules" -> (sourceRules _),
     "r10_fd_discovery" -> (fdDiscovery _),
     "r11_ind_discovery" -> (indDiscovery _),
     "r12_cfd_discovery" -> (cfdDiscovery _),
@@ -532,6 +564,7 @@ object RuleQueries {
     "r11_ind_discovery" -> indDiscoverySql,
     "r12_cfd_discovery" -> cfdDiscoverySql,
     "r13_key_discovery" -> keyDiscoverySql,
+    "r14_source_rules" -> sourceRulesSql,
     "r1_rule_violations" -> ruleViolationsSql,
     "r2_fd_conflicts" -> fdConflictsSql,
     "r3_inclusion_violations" -> inclusionViolationsSql,
