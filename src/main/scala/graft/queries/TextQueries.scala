@@ -486,7 +486,35 @@ object TextQueries {
        |FROM spans s JOIN rtoks r USING (doc_id)
        |ORDER BY doc_id, piece_start""".stripMargin
 
+  // ---- t19: TF-IDF keywords --------------------------------------------
+
+  /** Top-5 TF-IDF keywords per document (raw-ratio idf, score as exact
+    * ×10⁶ integer, ties → lexicographic word). */
+  def tfidfKeywords(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tfidfKeywords(
+        Tables.load(spark, dir, "documents"), "text", "doc_id", k = 5)
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id", "kw_rank")
+
+  val tfidfKeywordsSql: String =
+    s"""WITH words AS (SELECT doc_id, unnest($WS) AS word FROM documents),
+       |tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY 1, 2),
+       |dfreq AS (SELECT word, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+       |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, word, tf, doc_freq,
+       |    CAST(tf AS DOUBLE) * CAST(n_docs AS DOUBLE) / CAST(doc_freq AS DOUBLE) AS s
+       |  FROM tf JOIN dfreq USING (word), n),
+       |ranked AS (
+       |  SELECT doc_id, word, tf, doc_freq, s,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, word) AS kw_rank
+       |  FROM scored)
+       |SELECT doc_id, word, tf, doc_freq,
+       |  CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6, kw_rank
+       |FROM ranked WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_tfidf_keywords" -> (tfidfKeywords _),
     "t17_piece_chunks" -> (pieceChunks _),
     "t18_bpe_merges" -> (bpeMerges _),
     "t16_dataset_split" -> (datasetSplit _),
@@ -507,6 +535,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t19_tfidf_keywords" -> tfidfKeywordsSql,
     "t17_piece_chunks" -> pieceChunksSql,
     "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,

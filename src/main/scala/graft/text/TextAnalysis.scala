@@ -91,6 +91,37 @@ object TextAnalysis {
       .agg(min(graft.dedup.Dedup.md5Long(col("shingle"))).as("fingerprint"))
   }
 
+  /** Top-k TF-IDF keywords per document — the topic-tagging /
+    * keyword-extraction primitive (classic tf·idf with a raw N/df
+    * inverse frequency, kept as an exact integer ratio of counts so
+    * every engine scores bit-identically; the log damping of textbook
+    * idf changes ranking only via ties, which the word tiebreak already
+    * pins).
+    *
+    * Scale shape: one explode + two partially-aggregated groupBys
+    * (per-doc term counts, vocabulary doc frequencies), a vocabulary-
+    * keyed equi-join, a broadcast 1-row corpus count, and a per-doc
+    * window (each partition is one document's vocabulary — thousands of
+    * small groups, no global sort). */
+  def tfidfKeywords(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 5): DataFrame = {
+    val toks = df.select(col(s"`$idCol`").as("id"),
+      explode(tokens(col(s"`$textCol`"))).as("word"))
+    val tf = toks.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("word").agg(count(lit(1)).as("doc_freq"))
+    val n = broadcast(df.agg(count(lit(1)).as("__n")))
+    val scored = tf.join(dfreq, "word").crossJoin(n)
+      .withColumn("__score", col("tf").cast(DoubleType) *
+        col("__n").cast(DoubleType) / col("doc_freq").cast(DoubleType))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__score").desc, col("word"))
+    scored.withColumn("kw_rank", row_number().over(w))
+      .filter(col("kw_rank") <= k)
+      .select(col("id"), col("word"), col("tf"), col("doc_freq"),
+        floor(col("__score") * 1000000d + 0.5d).cast(LongType).as("score_e6"),
+        col("kw_rank"))
+  }
+
   /** Out-of-vocabulary tokens: words appearing in fewer than
     * `minDocFreq` documents — the deterministic, network-free stand-in
     * for the reference's spell-check rule (SURVEY.md §2.2 P9; the

@@ -247,4 +247,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(4L) === ((0.0, 0.0, 0.0)))
     assert(got(5L) === ((1.0, 0.0, 0.0)))
   }
+
+  test("tfidf keywords rank rare terms above common ones, k-capped") {
+    import spark.implicits._
+    // "shared" appears in all 3 docs (df=3); each doc has one private
+    // term (df=1). tf·N/df: private 1·3/1 = 3 > shared 1·3/3 = 1.
+    val docs = Seq(
+      (1L, "shared alpha"),
+      (2L, "shared beta beta"),
+      (3L, "shared gamma")).toDF("doc_id", "text")
+    val got = graft.text.TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 1)
+      .select("id", "word", "score_e6", "kw_rank")
+      .as[(Long, String, Long, Int)].collect().toSet
+    // doc 2's beta: tf=2 → score 2·3/1 = 6
+    assert(got == Set((1L, "alpha", 3000000L, 1),
+      (2L, "beta", 6000000L, 1), (3L, "gamma", 3000000L, 1)))
+    // k=2 brings in the shared term at rank 2 everywhere
+    val k2 = graft.text.TextAnalysis.tfidfKeywords(docs, "text", "doc_id", k = 2)
+    assert(k2.filter(col("word") === "shared" && col("kw_rank") === 2)
+      .count() == 3L)
+  }
 }

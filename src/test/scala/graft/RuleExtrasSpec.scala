@@ -73,6 +73,34 @@ class RuleExtrasSpec extends SparkSpec {
     assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
   }
 
+  test("source blocklist: stats, decision, scannable rules") {
+    import spark.implicits._
+    val good = "The quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet meadow toward the river bank. " * 4
+    val shortDoc = "tiny"
+    val junk = "@@@@ #### 1234 5678 !!!! %%%% 9999 0000 &&&& ****"
+    val docs = (
+      (1 to 10).map(i => (i.toLong, "clean", good)) ++
+      (11 to 20).map(i => (i.toLong, "shorty", if (i <= 16) shortDoc else good)) ++
+      (21 to 30).map(i => (i.toLong, "junky", junk))
+    ).toDF("doc_id", "source", "text")
+    val stats = CorpusRules.sourceStats(docs, "source", "text",
+      minAvgQuality = 0.6, maxShortFrac = 0.5)
+    val byS = stats.collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(!byS("clean").getAs[Boolean]("blocked"))
+    assert(byS("shorty").getAs[Boolean]("blocked")) // 6/10 short > 0.5
+    assert(byS("junky").getAs[Boolean]("blocked")) // punct/digit-heavy
+    assert(byS("clean").getAs[Long]("n_docs") == 10L)
+    // rules: one predicate per blocked source, sorted, serde-stable
+    val rules = CorpusRules.blocklistRules(stats)
+    assert(rules.map(_.ruleName) ==
+      Seq("source_block(junky)", "source_block(shorty)"))
+    assert(RuleSerde.fromJson(RuleSerde.toJson(rules)) == rules)
+    // a violation scan flags exactly the blocked sources' documents
+    val viol = ViolationScanner.scan(docs, "docs", rules, "doc_id")
+    assert(viol.count() == 20L)
+  }
+
   test("constant CFD discovery finds conditional bindings, emits scannable rules") {
     import spark.implicits._
     // k=a: always x (binding, support 20). k=b: 19×y, 1×z (conf 0.95).
