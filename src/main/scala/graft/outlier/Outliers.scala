@@ -37,6 +37,35 @@ object Outliers {
         col("__mean").as("mean"), col("__sigma").as("sigma"))
   }
 
+  /** Robust outliers by modified z-score (Iglewicz–Hoaglin): flag rows
+    * where 0.6745·|x − median| > k·MAD. Unlike [[sigmaOutliers]], the
+    * estimator itself is outlier-resistant — a heavy tail can't drag μ/σ
+    * toward the outliers it should flag.
+    *
+    * Median and MAD both come from
+    * [[graft.profile.ExactPercentiles.byGroup]]'s sketch-bracketed
+    * exact kernel — no per-group sort, group-size-independent memory,
+    * so the fit holds at any scale; each fit is a one-row broadcast and
+    * the flagging pass is a map-side predicate (the sigma-family
+    * estimator/transformer shape, robust edition). */
+  def madOutliers(df: DataFrame, column: String, keyCol: String,
+      k: Double = 3.5): DataFrame = {
+    val d = col(s"`$column`").cast(DoubleType)
+    def medianOf(values: DataFrame, as: String): DataFrame =
+      graft.profile.ExactPercentiles.byGroup(
+          values.select(lit(1).as("__g"), col("__x")),
+          "__g", "__x", Seq((as, 0.5)))
+        .select(as)
+    val med = broadcast(medianOf(df.select(d.as("__x")), "__med"))
+    val mad = broadcast(medianOf(
+      df.crossJoin(med).select(abs(d - col("__med")).as("__x")), "__mad"))
+    df.crossJoin(med).crossJoin(mad)
+      .filter(d.isNotNull && col("__mad") > 0 &&
+        lit(0.6745) * abs(d - col("__med")) > lit(k) * col("__mad"))
+      .select(col(s"`$keyCol`").as("row_id"), d.as("value"),
+        col("__med").as("median"), col("__mad").as("mad"))
+  }
+
   /** Values whose relative frequency is below `minRatio`
     * (reference: rules/evaluation.py:441-446 flags values under 1%). */
   def lowFrequencyValues(df: DataFrame, column: String,

@@ -131,6 +131,26 @@ object RuleQueries {
       |WHERE value IS NOT NULL AND ABS(value - m) > 3.0 * sqrt(m2 - m * m)
       |ORDER BY row_id""".stripMargin
 
+  // ---- o4: MAD robust outliers -----------------------------------------
+
+  /** Modified z-score outliers on the skewed event values: the robust
+    * estimator (median/MAD via the exact-percentile kernel) flags the
+    * heavy right tail that drags the o1 Gaussian fit toward itself. */
+  def madOutliers(spark: SparkSession, dir: String): DataFrame =
+    Outliers.madOutliers(Tables.load(spark, dir, "events"), "value",
+        "event_id", k = 3.5)
+      .select("row_id", "value", "median", "mad")
+      .orderBy("row_id")
+
+  val madOutliersSql: String =
+    """WITH s AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+      |m AS (SELECT quantile_cont(ABS(value - med), 0.5) AS mad FROM events, s)
+      |SELECT event_id AS row_id, value, med AS median, mad
+      |FROM events, s, m
+      |WHERE value IS NOT NULL AND mad > 0
+      |  AND 0.6745 * ABS(value - med) > 3.5 * mad
+      |ORDER BY row_id""".stripMargin
+
   // ---- o2: low-frequency categorical outliers (A22) --------------------
 
   def lowFrequency(spark: SparkSession, dir: String): DataFrame =
@@ -556,6 +576,7 @@ object RuleQueries {
     "r8_dictionary_misses" -> (dictionaryMisses _),
     "r9_composite_key" -> (compositeKeyViolations _),
     "o1_sigma_outliers" -> (sigmaOutliers _),
+    "o4_mad_outliers" -> (madOutliers _),
     "o2_low_frequency" -> (lowFrequency _),
     "o3_grouped_sigma" -> (groupedSigma _))
 
@@ -575,6 +596,7 @@ object RuleQueries {
     "r8_dictionary_misses" -> dictionaryMissesSql,
     "r9_composite_key" -> compositeKeyViolationsSql,
     "o1_sigma_outliers" -> sigmaOutliersSql,
+    "o4_mad_outliers" -> madOutliersSql,
     "o2_low_frequency" -> lowFrequencySql,
     "o3_grouped_sigma" -> groupedSigmaSql)
 }
