@@ -213,7 +213,9 @@ object SimQueries {
         "vec_id", "embedding", K, pqCbs, NQueries)
       .orderBy("query_id", "rk")
 
-  val pqTopKSql: String = {
+  /** The s8 WITH-chain through the `adc` CTE — shared by the s8 final
+    * select and the s9 re-rank mirror. */
+  private def pqAdcSql: String = {
     val cbs = pqCbs
     val rows = for {
       (cb, j) <- cbs.zipWithIndex
@@ -241,17 +243,50 @@ object SimQueries {
        |    CAST(SUM(q.d) AS BIGINT) AS sd
        |  FROM sd q JOIN codes c2 ON q.j = c2.j AND q.k = c2.code
        |  WHERE q.vec_id < $NQueries AND c2.vec_id <> q.vec_id
-       |  GROUP BY 1, 2)
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val pqTopKSql: String =
+    s"""$pqAdcSql
        |SELECT query_id, neighbor_id, CAST(sd AS DOUBLE) / 10000.0 AS dist, rk
        |FROM (SELECT query_id, neighbor_id, sd,
        |        row_number() OVER (PARTITION BY query_id
        |          ORDER BY sd, neighbor_id) AS rk
        |      FROM adc)
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
-  }
+
+  // ---- s9: PQ shortlist + exact re-rank --------------------------------
+
+  private val Shortlist = 50
+
+  def pqRerank(spark: SparkSession, dir: String): DataFrame =
+    Similarity.pqRerankTopK(Tables.load(spark, dir, "embeddings"),
+        "vec_id", "embedding", K, Shortlist, pqCbs, NQueries)
+      .orderBy("query_id", "rk")
+
+  val pqRerankSql: String =
+    s"""$pqAdcSql,
+       |short AS (
+       |  SELECT query_id, neighbor_id
+       |  FROM (SELECT query_id, neighbor_id,
+       |          row_number() OVER (PARTITION BY query_id
+       |            ORDER BY sd, neighbor_id) AS srk
+       |        FROM adc)
+       |  WHERE srk <= $Shortlist)
+       |SELECT query_id, neighbor_id, score, rk FROM (
+       |  SELECT s.query_id, s.neighbor_id,
+       |    ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY s.query_id
+       |      ORDER BY ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) DESC,
+       |               s.neighbor_id) AS rk
+       |  FROM short s
+       |  JOIN embeddings a ON a.vec_id = s.query_id
+       |  JOIN embeddings b ON b.vec_id = s.neighbor_id)
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s8_pq_topk" -> (pqTopK _),
+    "s9_pq_rerank" -> (pqRerank _),
     "s1_cosine_topk" -> (cosineTopK _),
     "s2_lsh_buckets" -> (lshBuckets _),
     "s3_lsh_topk" -> (lshTopK _),
@@ -261,6 +296,7 @@ object SimQueries {
 
   def oracleSql: Map[String, String] = Map(
     "s8_pq_topk" -> pqTopKSql,
+    "s9_pq_rerank" -> pqRerankSql,
     "s1_cosine_topk" -> cosineTopKSql,
     "s2_lsh_buckets" -> lshBucketsSql,
     "s3_lsh_topk" -> lshTopKSql,

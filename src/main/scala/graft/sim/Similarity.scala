@@ -316,6 +316,31 @@ object Similarity {
         (col("__sd").cast("double") / 10000.0).as("dist"), col("rk"))
   }
 
+  /** Two-stage ANN: PQ/ADC shortlist, exact cosine re-rank — the
+    * production serving pattern. The integer ADC scan bounds the
+    * candidate set to `shortlist` rows per query, then the exact metric
+    * corrects the quantization error on only those. Scale shapes: the
+    * shortlist inherits [[pqTopK]]'s broadcast-ADC scan; the vector
+    * fetch is a corpus-keyed equi-join (full vectors travel only for
+    * shortlisted ids); the re-rank window partitions per query. */
+  def pqRerankTopK(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, shortlist: Int, codebooks: Seq[Seq[Seq[Double]]],
+      numQueries: Long, scale: Int = 4): DataFrame = {
+    require(shortlist >= k, "shortlist must cover the final k")
+    val short = pqTopK(corpus, idCol, vecCol, shortlist, codebooks, numQueries)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(corpus.filter(col(idCol) < numQueries)
+      .select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val scored = short.join(cv, "neighbor_id").join(qv, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round4(cosine(col("__qv"), col("__cv")), scale).as("score"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "neighbor_id", "score", "rk")
+  }
+
   /** Centroid indices sorted by ascending distance to the vector —
     * probe order for IVF. Same single-literal form as [[listIdExpr]]. */
   private def rankToCentroidExpr(vecCol: Column, centroids: Seq[Seq[Double]]): Column =

@@ -87,6 +87,25 @@ class IvfSpec extends SparkSpec {
     assert(recall >= 0.9, s"trained-PQ clustered recall@10 = $recall")
   }
 
+  test("PQ re-rank recovers exact ranking the raw ADC scan misorders") {
+    // With a generous shortlist the two-stage result must agree with
+    // brute force at least as well as the raw PQ ranking does — and on
+    // a 200-vector slice the shortlist covers everything, so re-rank ≡
+    // exact while raw ADC (quantized) typically is not.
+    val emb = Tables.load(spark, sf, "embeddings").limit(200).localCheckpoint()
+    val cbs = Similarity.pqCodebooks(8, 16, 8)
+    val exact = topkSet(Similarity.cosineTopK(
+      emb, emb.filter(col("vec_id") < 10), "vec_id", "embedding", k = 5))
+    val rerank = topkSet(Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+      k = 5, shortlist = 199, cbs, numQueries = 10L))
+    assert(rerank === exact)
+    val raw = topkSet(Similarity.pqTopK(emb, "vec_id", "embedding",
+      k = 5, cbs, numQueries = 10L))
+    val rawRecall = (raw & exact).size.toDouble / exact.size
+    val rerankRecall = (rerank & exact).size.toDouble / exact.size
+    assert(rerankRecall >= rawRecall)
+  }
+
   test("s5 gate configuration holds recall@10 >= 0.9 vs brute force") {
     // The s5 gate query is rows-only (ANN has no SQL oracle); this is
     // its quality bound: at the gate parameters (k=10, nlist=8,
