@@ -200,7 +200,46 @@ object StreamQueries {
       |    - GREATEST(before, bin_id * 256) AS token_len
       |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
 
+  // ---- w7: batch-trained rules enforced on the stream --------------------
+
+  /** The generate-on-history, enforce-on-stream loop closed end to end:
+    * the r14 source blocklist is trained on the batch corpus
+    * (control-plane rules), then applied by the STATELESS streaming
+    * violation scanner — run here in batch mode, the identical code
+    * path an append-mode stream executes (StreamingSpec pins the
+    * multi-micro-batch run to these rows). Output is the Violation
+    * layout for exactly the documents of blocked sources. */
+  def streamSourceGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val stats = graft.rules.CorpusRules.sourceStats(docs, "source", "text",
+      minAvgQuality = 0.91, maxShortFrac = 0.45)
+    val rules = graft.rules.CorpusRules.blocklistRules(stats)
+    graft.streaming.StreamingQuality.violations(docs, "documents", rules, "doc_id")
+      .select("column", "row_id", "value", "rule", "severity")
+      .orderBy("row_id", "rule")
+  }
+
+  val streamSourceGateSql: String =
+    s"""WITH q AS (
+       |  SELECT source, CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT) AS e4,
+       |    LENGTH(text) AS len
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT source FROM q GROUP BY source
+       |  HAVING CAST(SUM(e4) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0)
+       |           < CAST(0.91 AS DOUBLE)
+       |     OR CAST(SUM(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+       |          / CAST(COUNT(*) AS DOUBLE) > CAST(0.45 AS DOUBLE))
+       |SELECT 'source_block(' || b.source || ')' AS "column",
+       |  d.doc_id AS row_id,
+       |  '`source` <> ''' || b.source || '''' AS value,
+       |  'cross_field(source_block(' || b.source || '))' AS rule,
+       |  'error' AS severity
+       |FROM documents d JOIN blocked b ON d.source = b.source
+       |ORDER BY row_id, rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w7_stream_source_gate" -> (streamSourceGate _),
     "w1_windowed_stats" -> (windowedStats _),
     "w2_session_stats" -> (sessionStats _),
     "w3_stream_dedup" -> (streamDedup _),
@@ -209,6 +248,7 @@ object StreamQueries {
     "w6_stream_packed" -> (streamPacked _))
 
   def oracleSql: Map[String, String] = Map(
+    "w7_stream_source_gate" -> streamSourceGateSql,
     "w1_windowed_stats" -> windowedStatsSql,
     "w2_session_stats" -> sessionStatsSql,
     "w3_stream_dedup" -> streamDedupSql,

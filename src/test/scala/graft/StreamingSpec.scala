@@ -211,6 +211,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("batch-trained blocklist rules enforce on a stream (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // history: junky source fails the quality gate, clean one passes
+    val good = "The quick brown fox jumps over the lazy dog and keeps " +
+      "running through the quiet meadow toward the river bank. " * 4
+    val junk = "@@@@ #### 1234 5678 !!!! %%%% 9999 0000 &&&& ****"
+    val history = ((1 to 10).map(i => (i.toLong, "clean", good)) ++
+      (11 to 20).map(i => (i.toLong, "junky", junk)))
+      .toDF("doc_id", "source", "text")
+    val rules = graft.rules.CorpusRules.blocklistRules(
+      graft.rules.CorpusRules.sourceStats(history, "source", "text",
+        minAvgQuality = 0.6, maxShortFrac = 0.5))
+    assert(rules.map(_.ruleName) == Seq("source_block(junky)"))
+    // live traffic: two micro-batches, mixed sources
+    val live = Seq((100L, "clean", good), (101L, "junky", junk),
+      (102L, "junky", junk), (103L, "clean", good))
+    val batch = graft.streaming.StreamingQuality.violations(
+        live.toDF("doc_id", "source", "text"), "documents", rules, "doc_id")
+      .select("row_id").as[Long].collect().toSet
+    assert(batch === Set(101L, 102L))
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.streaming.StreamingQuality.violations(
+        input.toDF().toDF("doc_id", "source", "text"), "documents", rules, "doc_id")
+      .writeStream.format("memory").queryName("w7_stream")
+      .outputMode("append").start() // stateless scan: append works
+    try {
+      input.addData(live.take(2): _*)
+      q.processAllAvailable()
+      input.addData(live.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w7_stream")
+        .select("row_id").as[Long].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("weighted sampling streams in append mode and matches the batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
