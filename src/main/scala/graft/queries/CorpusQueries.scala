@@ -114,11 +114,14 @@ object CorpusQueries {
        |reach AS (
        |  SELECT a AS src, b AS dst FROM edges
        |  UNION
-       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
-       |noncanon AS (
-       |  SELECT src AS doc_id FROM reach GROUP BY src
-       |  HAVING src <> LEAST(src, MIN(dst)))""".stripMargin
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)""".stripMargin
   }
+
+  /** Min-id canonical finisher over `reach` (the l1/l2 policy). */
+  private val noncanonCteSql: String =
+    """noncanon AS (
+      |  SELECT src AS doc_id FROM reach GROUP BY src
+      |  HAVING src <> LEAST(src, MIN(dst)))""".stripMargin
 
   private val WsqSql =
     "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
@@ -195,6 +198,7 @@ object CorpusQueries {
        |exact AS (
        |  SELECT MIN(doc_id) AS doc_id, text FROM doubled GROUP BY text),
        |$nearDupCtesSql,
+       |$noncanonCteSql,
        |kept AS (
        |  SELECT e.doc_id, e.text FROM exact e
        |  WHERE e.doc_id NOT IN (SELECT doc_id FROM noncanon)
@@ -268,6 +272,7 @@ object CorpusQueries {
        |  JOIN (SELECT text, MIN(doc_id) AS keep FROM doubled GROUP BY text) w
        |    ON d.text = w.text AND d.doc_id = w.keep),
        |$nearDupCtesSql,
+       |$noncanonCteSql,
        |canon AS (
        |  SELECT doc_id, lang, text FROM exact
        |  WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)),
@@ -312,11 +317,151 @@ object CorpusQueries {
        |${chunkPackTailSql("sampled")}""".stripMargin
   }
 
+  // ---- l3: the curated pipeline (round-8 policies) -----------------------
+
+  /** The l2 chain upgraded with this round's curation policies:
+    * a batch-trained source blocklist gates ingestion (the r14
+    * thresholds, applied as a broadcast anti-join — the data-plane
+    * form; the rule emission is r14's), and near-dup components keep
+    * their highest-QUALITY member (the d11 policy) instead of min-id.
+    * Everything downstream (decontamination, quality/repetition gates,
+    * temperature sampling, chunk, pack) is the certified l2 tail. */
+  def curatedPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("text"))
+    // stage 0: source gate — the r14 blocklist trained on the raw corpus
+    val blocked = graft.rules.CorpusRules.sourceStats(raw, "source", "text",
+        minAvgQuality = 0.91, maxShortFrac = 0.45)
+      .filter(col("blocked")).select("source")
+    val docs = raw.join(broadcast(blocked), Seq("source"), "left_anti")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val doubled = docs.unionByName(
+      docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
+    // stage 1: exact dedup
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text", "doc_id"))
+    // stage 2: near-dup components, keep-BEST quality (d11; ties → lowest id)
+    val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
+        shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
+        threshold = 0.8)
+      .select(col("ida"), col("idb"))
+    val labels = Components.connectedComponents(pairs, "ida", "idb")._1
+    val scored = exact.select(col("doc_id").as("id"),
+      TextQueries.round4(TextAnalysis.qualityScore("text")).as("q"))
+    val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")
+      .filter(!col("keep")).select(col("id").as("doc_id"))
+    val canon = exact.join(nonBest, Seq("doc_id"), "left_anti")
+    // stage 3: decontamination against the eval set (d8 construction)
+    val evalSet = Tables.load(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
+    val decon = stage(Decontamination.decontaminate(canon, evalSet, "text",
+      "doc_id", n = 5))
+    // stage 4: quality gate + repetition filter (t2/t13 roundings)
+    val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("dup_trigram_frac"))
+    val kept = stage(decon.join(rep, Seq("doc_id"))
+      .filter(TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9 &&
+        TextQueries.round4(col("dup_trigram_frac")) < 0.3)
+      .select(col("doc_id"), col("lang"), col("text")))
+    // stage 5: temperature-rebalanced sampling by language (t11)
+    val sampled = Sampling.temperatureSample(kept, "lang", "doc_id")
+    // stages 6-7: chunk and pack (t7/t10 parameters)
+    Packing.binSegments(
+        Chunking.tokenChunks(sampled, "doc_id", "text", window = 32, step = 24),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("bin_id", "seq")
+  }
+
+  /** Mirror: the l2 CTE chain with a blocked-source gate at the head
+    * and a per-component quality argmax replacing the min-id
+    * finisher. */
+  val curatedPipelineSql: String = {
+    val ws = WsSql
+    val gram5 = (1 to 5).map(k => s"$ws[i${if (k == 1) "" else s"+${k - 1}"}]")
+      .mkString(" || ' ' || ")
+    s"""WITH RECURSIVE q0 AS (
+       |  SELECT source, CAST($qualityE4ExprSql AS BIGINT) AS e4,
+       |    LENGTH(text) AS len
+       |  FROM documents),
+       |blocked AS (
+       |  SELECT source FROM q0 GROUP BY source
+       |  HAVING CAST(SUM(e4) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0)
+       |           < CAST(0.91 AS DOUBLE)
+       |     OR CAST(SUM(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+       |          / CAST(COUNT(*) AS DOUBLE) > CAST(0.45 AS DOUBLE)),
+       |src0 AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  WHERE source NOT IN (SELECT source FROM blocked)),
+       |doubled AS (
+       |  SELECT doc_id, lang, text FROM src0
+       |  UNION ALL SELECT doc_id + 1000000, lang, text FROM src0),
+       |exact AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM doubled d
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM doubled GROUP BY text) w
+       |    ON d.text = w.text AND d.doc_id = w.keep),
+       |$nearDupCtesSql,
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+       |  FROM reach GROUP BY src),
+       |lq AS (
+       |  SELECT e.doc_id, l.comp, $qualityExprSql AS q
+       |  FROM exact e JOIN labels l USING (doc_id)),
+       |nonbest AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+       |      ORDER BY q DESC, doc_id) AS rn
+       |    FROM lq)
+       |  WHERE rn > 1),
+       |canon AS (
+       |  SELECT doc_id, lang, text FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nonbest)),
+       |cg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 3, 1)),
+       |    i -> $gram5)) AS g
+       |  FROM canon WHERE len($ws) >= 5),
+       |cgrams AS (SELECT DISTINCT doc_id, g FROM cg0),
+       |eg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 3, 1)),
+       |    i -> $gram5)) AS g
+       |  FROM documents WHERE doc_id % 10 = 0 AND len($ws) >= 5),
+       |egrams AS (SELECT DISTINCT g FROM eg0),
+       |flagged AS (SELECT DISTINCT c.doc_id FROM cgrams c JOIN egrams e USING (g)),
+       |decon AS (
+       |  SELECT doc_id, lang, text FROM canon
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+       |rtoks AS (SELECT doc_id, $WsqSql AS ts FROM decon),
+       |rgrams AS (
+       |  SELECT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+       |  FROM (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS i FROM rtoks)
+       |  WHERE i <= len(ts) - 2),
+       |rcnt AS (SELECT doc_id, g, count(*) AS c FROM rgrams GROUP BY 1, 2),
+       |ragg AS (SELECT doc_id, sum(c) AS total,
+       |           coalesce(sum(CASE WHEN c > 1 THEN c END), 0) AS dup
+       |         FROM rcnt GROUP BY 1),
+       |kept AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM decon d LEFT JOIN ragg r USING (doc_id)
+       |  WHERE $qualityExprSql >= 0.9
+       |    AND FLOOR(coalesce(CAST(r.dup AS DOUBLE) / CAST(r.total AS DOUBLE), 0.0)
+       |      * 10000 + 0.5) / 10000.0 < 0.3),
+       |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+       |mn AS (SELECT MIN(n) AS n_min FROM counts),
+       |probs AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 1.0)
+       |      * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts, mn),
+       |sampled AS (
+       |  SELECT k.doc_id, k.text FROM kept k JOIN probs p ON k.lang = p.lang
+       |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr),
+       |${chunkPackTailSql("sampled")}""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_corpus_pipeline" -> (corpusPipeline _),
-    "l2_full_pipeline" -> (fullPipeline _))
+    "l2_full_pipeline" -> (fullPipeline _),
+    "l3_curated_pipeline" -> (curatedPipeline _))
 
   def oracleSql: Map[String, String] = Map(
     "l1_corpus_pipeline" -> corpusPipelineSql,
-    "l2_full_pipeline" -> fullPipelineSql)
+    "l2_full_pipeline" -> fullPipelineSql,
+    "l3_curated_pipeline" -> curatedPipelineSql)
 }
