@@ -486,6 +486,48 @@ object TextQueries {
        |FROM spans s JOIN rtoks r USING (doc_id)
        |ORDER BY doc_id, piece_start""".stripMargin
 
+  // ---- t20: cross-split bigram familiarity ------------------------------
+
+  /** t16's deterministic split, then every val/test document scored by
+    * train-split bigram coverage. */
+  def crossSplitFamiliarity(spark: SparkSession, dir: String): DataFrame =
+    TextAnalysis.crossSplitFamiliarity(
+        graft.text.Sampling.splitAssign(
+          Tables.load(spark, dir, "documents"), "doc_id", SplitFractions),
+        "text", "doc_id", "split")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+
+  val crossSplitFamiliaritySql: String = {
+    val thr = graft.text.Sampling.splitThresholds(SplitFractions)
+    s"""WITH sp AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN h < ${thr(0)} THEN 'train'
+       |         WHEN h < ${thr(1)} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, text,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+       |    FROM documents)),
+       |b0 AS (
+       |  SELECT doc_id, split, unnest(list_transform(range(1, len($WS)),
+       |    i -> $WS[i] || ' ' || $WS[i+1])) AS bigram
+       |  FROM sp WHERE len($WS) >= 2),
+       |bi AS (SELECT DISTINCT doc_id, split, bigram FROM b0),
+       |tdf AS (
+       |  SELECT bigram, COUNT(*) AS tdf FROM bi WHERE split = 'train'
+       |  GROUP BY bigram)
+       |SELECT b.doc_id, b.split,
+       |  COUNT(*) AS n_bigrams,
+       |  CAST(SUM(CASE WHEN t.tdf IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_seen,
+       |  CAST(SUM(COALESCE(t.tdf, 0)) AS BIGINT) AS train_mass,
+       |  CAST(SUM(CASE WHEN t.tdf IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS seen_frac
+       |FROM bi b LEFT JOIN tdf t USING (bigram)
+       |WHERE b.split <> 'train'
+       |GROUP BY b.doc_id, b.split
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   // ---- t19: TF-IDF keywords --------------------------------------------
 
   /** Top-5 TF-IDF keywords per document (raw-ratio idf, score as exact
@@ -515,6 +557,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t19_tfidf_keywords" -> (tfidfKeywords _),
+    "t20_split_familiarity" -> (crossSplitFamiliarity _),
     "t17_piece_chunks" -> (pieceChunks _),
     "t18_bpe_merges" -> (bpeMerges _),
     "t16_dataset_split" -> (datasetSplit _),
@@ -536,6 +579,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "t19_tfidf_keywords" -> tfidfKeywordsSql,
+    "t20_split_familiarity" -> crossSplitFamiliaritySql,
     "t17_piece_chunks" -> pieceChunksSql,
     "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,

@@ -126,6 +126,45 @@ object TextAnalysis {
         col("kw_rank"))
   }
 
+  /** Cross-split distributional familiarity: score every non-train
+    * document by how much of its word-bigram vocabulary the TRAIN
+    * split has seen — the split-sanity / domain-shift check run after
+    * a t16 split (a held-out shard whose bigrams the training corpus
+    * barely covers is out-of-distribution or mis-split). Integer-exact
+    * by construction (counts and document frequencies, no log-probs),
+    * the t15 convention at bigram grain with a train/apply boundary.
+    *
+    * Output per non-train doc: `n_bigrams` (distinct), `n_seen` (of
+    * those, present anywhere in train), `train_mass` (sum of the seen
+    * bigrams' train document frequencies), `seen_frac`.
+    *
+    * Scale shape: per-row distinct bigrams BEFORE the explode (no
+    * duplicate shuffle), one partially-aggregated groupBy for the
+    * train frequencies, one bigram-keyed equi-join (vocabulary-keyed,
+    * not broadcast — train vocabulary is corpus-sized), one per-doc
+    * rollup. */
+  def crossSplitFamiliarity(df: DataFrame, textCol: String, idCol: String,
+      splitCol: String, trainSplit: String = "train"): DataFrame = {
+    def bigrams(t: Column): Column = array_distinct(
+      zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+        (a, b) => concat(a, lit(" "), b)))
+    val toks = df.select(col(s"`$idCol`").as("id"),
+      col(s"`$splitCol`").as("split"), tokens(col(s"`$textCol`")).as("__t"))
+      .filter(size(col("__t")) >= 2)
+    val exploded = toks.select(col("id"), col("split"),
+      explode(bigrams(col("__t"))).as("bigram"))
+    val trainDf = exploded.filter(col("split") === trainSplit)
+      .groupBy("bigram").agg(count(lit(1)).as("__tdf"))
+    exploded.filter(col("split") =!= trainSplit)
+      .join(trainDf, Seq("bigram"), "left")
+      .groupBy("id", "split")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("__tdf").isNotNull, 1L).otherwise(0L)).as("n_seen"),
+        sum(coalesce(col("__tdf"), lit(0L))).as("train_mass"))
+      .withColumn("seen_frac",
+        col("n_seen").cast(DoubleType) / col("n_bigrams").cast(DoubleType))
+  }
+
   /** Out-of-vocabulary tokens: words appearing in fewer than
     * `minDocFreq` documents — the deterministic, network-free stand-in
     * for the reference's spell-check rule (SURVEY.md §2.2 P9; the

@@ -248,6 +248,28 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(5L) === ((1.0, 0.0, 0.0)))
   }
 
+  test("cross-split familiarity separates in-distribution from OOD docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "train", "alpha beta gamma delta"),
+      (2L, "train", "alpha beta epsilon zeta"),
+      (3L, "val", "alpha beta gamma"),        // fully covered by train
+      (4L, "val", "totally novel words here"), // zero train coverage
+      (5L, "test", "alpha beta unseen pair"),  // partial
+      (6L, "val", "solo")                      // <2 tokens: absent
+    ).toDF("doc_id", "split", "text")
+    val got = graft.text.TextAnalysis.crossSplitFamiliarity(
+        docs, "text", "doc_id", "split")
+      .select("id", "n_bigrams", "n_seen", "train_mass")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 3: bigrams {alpha beta, beta gamma}; both in train ("alpha
+    // beta" appears in BOTH train docs → tdf 2, "beta gamma" in one)
+    assert(got(3L) === ((3L, 2L, 2L, 3L)))
+    assert(got(4L) === ((4L, 3L, 0L, 0L)))
+    assert(got(5L) === ((5L, 3L, 1L, 2L)))
+    assert(!got.contains(6L) && !got.contains(1L) && !got.contains(2L))
+  }
+
   test("tfidf keywords rank rare terms above common ones, k-capped") {
     import spark.implicits._
     // "shared" appears in all 3 docs (df=3); each doc has one private
