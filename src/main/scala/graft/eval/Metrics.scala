@@ -126,4 +126,37 @@ object Metrics {
         .otherwise(0.0))
     prf(perColumn.select("column", "tp", "fp", "fn").unionByName(overall))
   }
+
+  /** Per-RULE detection attribution — the detector-tuning view of
+    * [[score]]: which rule catches which share of the actual errors,
+    * and how noisy each rule is. `violations` at (rule, row_id, column)
+    * grain (the scanner's layout); `actual` at (row_id, column).
+    *
+    * Output per rule: `n_flagged` (distinct flagged cells), `tp`
+    * (flagged cells that are real errors), `fp`, `precision`, and
+    * `error_coverage` = tp / |actual errors| (a rule's recall share —
+    * undetected errors attribute to NO rule, so per-rule fn is
+    * undefined by construction).
+    *
+    * Scale shape: one distinct, one cell-keyed left join against the
+    * (smaller) truth set, one partially-aggregated groupBy(rule), and
+    * a broadcast one-row total. */
+  def scoreByRule(violations: DataFrame, actual: DataFrame): DataFrame = {
+    val p = violations.select("rule", "row_id", "column").distinct()
+    val a = actual.select("row_id", "column").distinct().withColumn("__a", lit(1))
+    val total = a.agg(count(lit(1)).as("__n_actual"))
+    p.join(a, Seq("row_id", "column"), "left")
+      .groupBy("rule")
+      .agg(count(lit(1)).as("n_flagged"),
+        sum(when(col("__a").isNotNull, 1L).otherwise(0L)).as("tp"))
+      .withColumn("fp", col("n_flagged") - col("tp"))
+      .crossJoin(broadcast(total))
+      .withColumn("precision", when(col("n_flagged") > 0,
+        col("tp").cast(DoubleType) / col("n_flagged").cast(DoubleType))
+        .otherwise(0.0))
+      .withColumn("error_coverage", when(col("__n_actual") > 0,
+        col("tp").cast(DoubleType) / col("__n_actual").cast(DoubleType))
+        .otherwise(0.0))
+      .drop("__n_actual")
+  }
 }

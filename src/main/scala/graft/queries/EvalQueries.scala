@@ -210,13 +210,74 @@ object EvalQueries {
        |    THEN CAST(ec_tp AS DOUBLE) / (ed_tp + ed_fn) ELSE 0.0 END, 6) AS ec_recall
        |FROM counts""".stripMargin
 
+  // ---- e4: per-rule detection attribution ------------------------------
+
+  /** The e2 construction scored per RULE instead of per column: the
+    * enum and not-null detectors must attribute their planted errors
+    * exactly; the deliberately imprecise range rule must surface its
+    * false positives with zero coverage of the real errors. */
+  def ruleAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val dirty = dirtyOrders(spark, dir)
+    val violations = ViolationScanner.scan(dirty, "orders", detectorRules,
+      "o_orderkey")
+    val actual = Metrics.actualErrorCells(dirty, cleanOrders(spark, dir),
+      "o_orderkey")
+    Metrics.scoreByRule(violations, actual)
+      .withColumn("precision", round(col("precision"), 6))
+      .withColumn("error_coverage", round(col("error_coverage"), 6))
+      .orderBy("rule")
+  }
+
+  val ruleAttributionSql: String =
+    s"""WITH dirty AS ($dirtySql),
+       |predicted AS (
+       |  SELECT 'enum(o_orderstatus)' AS rule, o_orderkey AS row_id,
+       |    'o_orderstatus' AS "column" FROM dirty
+       |  WHERE o_orderstatus IS NOT NULL AND TRIM(o_orderstatus) <> ''
+       |    AND o_orderstatus NOT IN ('F', 'O', 'P')
+       |  UNION
+       |  SELECT 'not_null(o_orderpriority)', o_orderkey, 'o_orderpriority' FROM dirty
+       |  WHERE o_orderpriority IS NULL OR TRIM(o_orderpriority) = ''
+       |  UNION
+       |  SELECT 'range(o_totalprice)', o_orderkey, 'o_totalprice' FROM dirty
+       |  WHERE o_totalprice IS NOT NULL
+       |    AND (TRY_CAST(o_totalprice AS DOUBLE) IS NULL
+       |         OR o_totalprice < 2000.0 OR o_totalprice > 450000.0)),
+       |actual AS (
+       |  SELECT o_orderkey AS row_id, 'o_orderstatus' AS "column" FROM dirty d
+       |  JOIN orders o USING (o_orderkey)
+       |  WHERE d.o_orderstatus IS DISTINCT FROM o.o_orderstatus
+       |  UNION
+       |  SELECT o_orderkey, 'o_orderpriority' FROM dirty d
+       |  JOIN orders o USING (o_orderkey)
+       |  WHERE d.o_orderpriority IS DISTINCT FROM o.o_orderpriority),
+       |tot AS (SELECT COUNT(*) AS n_actual FROM actual),
+       |per_rule AS (
+       |  SELECT p.rule, COUNT(*) AS n_flagged,
+       |    SUM(CASE WHEN a.row_id IS NOT NULL THEN 1 ELSE 0 END) AS tp
+       |  FROM predicted p LEFT JOIN actual a
+       |    ON p.row_id = a.row_id AND p."column" = a."column"
+       |  GROUP BY p.rule)
+       |SELECT rule, CAST(n_flagged AS BIGINT) AS n_flagged,
+       |  CAST(tp AS BIGINT) AS tp,
+       |  CAST(n_flagged - tp AS BIGINT) AS fp,
+       |  ROUND(CASE WHEN n_flagged > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_flagged AS DOUBLE) ELSE 0.0 END, 6)
+       |    AS precision,
+       |  ROUND(CASE WHEN n_actual > 0
+       |    THEN CAST(tp AS DOUBLE) / CAST(n_actual AS DOUBLE) ELSE 0.0 END, 6)
+       |    AS error_coverage
+       |FROM per_rule, tot ORDER BY rule""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "e1_cell_diff" -> (cellDiff _),
     "e2_detector_score" -> (detectorScore _),
-    "e3_repair_score" -> (repairScore _))
+    "e3_repair_score" -> (repairScore _),
+    "e4_rule_attribution" -> (ruleAttribution _))
 
   def oracleSql: Map[String, String] = Map(
     "e1_cell_diff" -> cellDiffSql,
     "e2_detector_score" -> detectorScoreSql,
-    "e3_repair_score" -> repairScoreSql)
+    "e3_repair_score" -> repairScoreSql,
+    "e4_rule_attribution" -> ruleAttributionSql)
 }

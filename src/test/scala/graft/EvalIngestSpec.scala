@@ -30,6 +30,24 @@ class EvalIngestSpec extends SparkSpec {
     assert(math.abs(overall.getAs[Double]("recall") - 0.5) < 1e-9)
   }
 
+  test("scoreByRule attributes hits per rule, duplicates collapsed") {
+    val violations = Seq(
+      ("r1", 1L, "a"), ("r1", 1L, "a"), // duplicate flag: counts once
+      ("r1", 2L, "a"), // r1 false positive
+      ("r2", 4L, "b")) // r2 exact hit
+      .toDF("rule", "row_id", "column")
+    val actual = Seq((1L, "a"), (4L, "b"), (9L, "c")).toDF("row_id", "column")
+    val rows = Metrics.scoreByRule(violations, actual).collect()
+      .map(r => r.getAs[String]("rule") -> r).toMap
+    assert(rows("r1").getAs[Long]("n_flagged") == 2)
+    assert(rows("r1").getAs[Long]("tp") == 1)
+    assert(rows("r1").getAs[Long]("fp") == 1)
+    assert(math.abs(rows("r1").getAs[Double]("precision") - 0.5) < 1e-9)
+    assert(math.abs(rows("r1").getAs[Double]("error_coverage") - 1.0 / 3) < 1e-9)
+    assert(rows("r2").getAs[Long]("fp") == 0)
+    assert(math.abs(rows("r2").getAs[Double]("precision") - 1.0) < 1e-9)
+  }
+
   test("strict CSV reader keeps everything as trimmed strings") {
     val dir = java.nio.file.Files.createTempDirectory("graft-csv").toFile
     val f = new java.io.File(dir, "t.csv")
