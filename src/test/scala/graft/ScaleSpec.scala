@@ -227,4 +227,49 @@ class ScaleSpec extends SparkSpec {
     assert(!generateLine.contains("media"),
       s"blob column carried through the frame explode:\n$generateLine")
   }
+
+  test("round-8 additions stay keyed: keep-best, tfidf, re-rank, familiarity") {
+    import spark.implicits._
+    // d11 keep-best: id/component-keyed joins + struct argmax — no
+    // pairwise or nested-loop join anywhere
+    val labels = (1 to 40).map(i => (i.toLong, (i % 5).toLong))
+      .toDF("id", "component_id")
+    val scored = (1 to 40).map(i => (i.toLong, i * 0.01)).toDF("id", "q")
+    val d11 = graft.dedup.Components.keepBest(labels, scored, "id",
+      "component_id", "q")
+    val p1 = d11.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"keep-best must stay equi-join shaped:\n$p1")
+    // t19 tfidf: the tf frame is persisted (one explode, not two) and
+    // the per-doc top-k plans a WindowGroupLimit, not a global sort
+    val docs = (1 to 30).map(i => (i.toLong, s"alpha beta w$i common text"))
+      .toDF("doc_id", "text")
+    val t19 = graft.text.TextAnalysis.tfidfKeywords(docs, "text", "doc_id", 3)
+    val p2 = t19.queryExecution.executedPlan.toString
+    assert(p2.contains("InMemoryTableScan"),
+      s"tf frame must be persisted for its two consumers:\n$p2")
+    assert(p2.contains("WindowGroupLimit"),
+      s"per-doc top-k should push the group limit:\n$p2")
+    graft.ops.StagePersists.release(spark)
+    // s9 re-rank: the shortlist joins BROADCAST against the corpus —
+    // no full-corpus shuffle into the vector fetch
+    val emb = Tables.load(spark, sf, "embeddings").limit(100)
+    val s9 = graft.sim.Similarity.pqRerankTopK(emb, "vec_id", "embedding",
+      k = 3, shortlist = 10,
+      graft.sim.Similarity.pqCodebooks(8, 16, 8), numQueries = 3L)
+    val p3 = s9.queryExecution.executedPlan.toString
+    assert(!p3.contains("CartesianProduct"),
+      s"re-rank must not plan a cartesian vector fetch:\n$p3")
+    assert(p3.contains("BroadcastHashJoin"),
+      s"the shortlist fetch should broadcast:\n$p3")
+    // t20 familiarity: the train-vocabulary join stays a keyed
+    // equi-join (never broadcast-nested-loop), explode is distinct-per-row
+    val split = docs.withColumn("split",
+      when(col("doc_id") % 5 === 0, "val").otherwise("train"))
+    val t20 = graft.text.TextAnalysis.crossSplitFamiliarity(
+      split, "text", "doc_id", "split")
+    val p4 = t20.queryExecution.executedPlan.toString
+    assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
+      s"familiarity join must stay keyed:\n$p4")
+  }
 }
