@@ -116,6 +116,43 @@ object Dedup {
       .select("ida", "idb", "common", "jaccard")
   }
 
+  /** IDF-weighted near-duplicate pairs — the boilerplate-robust form of
+    * [[jaccardPairs]]: every shingle carries an integer inverse-
+    * document-frequency weight ⌊10⁶ / df⌋, so two documents sharing a
+    * site-wide footer (df huge, weight ≈ 0) no longer look similar,
+    * while sharing RARE content still does. Weighted Jaccard =
+    * Σ_{A∩B} w / (Σ_A w + Σ_B w − Σ_{A∩B} w).
+    *
+    * The weights are integers, so every aggregate is an exact Long sum
+    * (order-independent, engine-portable — a 1/df double sum would
+    * drift by accumulation order); only the final ratio divides.
+    *
+    * Same scale shape as the unweighted form: inverted-index self-join
+    * with a stop-shingle cap, per-doc weight rollups joined back by
+    * id. */
+  def weightedJaccardPairs(shingles: DataFrame, threshold: Double,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val df_ = shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+    val weighted = shingles.join(df_, Seq("shingle"))
+      .withColumn("w", floor(lit(1000000L) / col("df")).cast("long"))
+    val masses = weighted.groupBy("id").agg(sum("w").as("mass"))
+    val filtered = weighted.filter(col("df") <= maxDocFreq)
+      .select("id", "shingle", "w")
+    val a = filtered.select(col("id").as("ida"), col("shingle"), col("w"))
+    val b = filtered.select(col("id").as("idb"), col("shingle"))
+    val shared = a.join(b, Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(sum("w").as("shared_w"))
+    shared
+      .join(masses.withColumnRenamed("id", "ida").withColumnRenamed("mass", "massa"), "ida")
+      .join(masses.withColumnRenamed("id", "idb").withColumnRenamed("mass", "massb"), "idb")
+      .withColumn("wjaccard",
+        col("shared_w").cast(DoubleType) /
+          (col("massa") + col("massb") - col("shared_w")).cast(DoubleType))
+      .filter(col("wjaccard") >= threshold)
+      .select("ida", "idb", "shared_w", "wjaccard")
+  }
+
   // ---- MinHash / LSH ----------------------------------------------------
 
   /** Mersenne prime 2^61-1 keeps (a*x+b) mod p exact within Long...

@@ -479,6 +479,52 @@ object DedupQueries {
        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d12: IDF-weighted near-duplicate pairs --------------------------
+
+  /** Weighted Jaccard on a corpus where EVERY document carries the same
+    * boilerplate footer: the shared footer's shingles have df = N, so
+    * their ⌊10⁶/df⌋ weight is negligible and only genuinely shared
+    * content creates pairs — the boilerplate robustness plain d2 lacks.
+    * Threshold 0.5 (weighted similarity of true near-dups stays high;
+    * footer-only overlap lands near zero). */
+  def weightedJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(col("text"), lit(" " + Boiler)).as("text"))
+    Dedup.weightedJaccardPairs(
+        Dedup.wordShingles(planted, "text", "doc_id", 3),
+        threshold = 0.5, maxDocFreq = 100000)
+      .withColumn("wjaccard", round(col("wjaccard"), 6))
+      .orderBy("ida", "idb")
+  }
+
+  val weightedJaccardPairsSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id, text || ' $Boiler' AS text FROM documents),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 1, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2])) AS g
+       |  FROM planted WHERE len($WS) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |dfs AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
+       |wg AS (
+       |  SELECT doc_id, g, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+       |  FROM grams JOIN dfs USING (g)),
+       |masses AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS mass FROM wg GROUP BY doc_id),
+       |shared AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(SUM(a.w) AS BIGINT) AS shared_w
+       |  FROM wg a JOIN wg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, shared_w,
+       |  ROUND(CAST(shared_w AS DOUBLE)
+       |    / CAST(ma.mass + mb.mass - shared_w AS DOUBLE), 6) AS wjaccard
+       |FROM shared
+       |JOIN masses ma ON ida = ma.doc_id
+       |JOIN masses mb ON idb = mb.doc_id
+       |WHERE CAST(shared_w AS DOUBLE)
+       |    / CAST(ma.mass + mb.mass - shared_w AS DOUBLE) >= 0.5
+       |ORDER BY ida, idb""".stripMargin
+
   // ---- d11: quality-ranked canonical selection -------------------------
 
   /** Keep-best canonicalization over the d4 minhash near-dup
@@ -587,6 +633,7 @@ object DedupQueries {
     "d9_dup_passages" -> (dupPassages _),
     "d10_substring_dedup" -> (substringDedup _),
     "d11_keep_best" -> (keepBestCanonical _),
+    "d12_weighted_jaccard" -> (weightedJaccardPairs _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -601,5 +648,6 @@ object DedupQueries {
     "d9_dup_passages" -> dupPassagesSql,
     "d10_substring_dedup" -> substringDedupSql,
     "d11_keep_best" -> keepBestCanonicalSql,
+    "d12_weighted_jaccard" -> weightedJaccardPairsSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

@@ -290,4 +290,26 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(b(0L) == b(1L))
   }
+
+  test("weighted jaccard ignores boilerplate where plain jaccard drowns") {
+    import spark.implicits._
+    val footer = "standard legal footer text shared across the whole site " +
+      "every single page gets this exact block appended"
+    val docs = Seq(
+      (1L, s"unique alpha story about rivers and stones flowing down $footer"),
+      (2L, s"unique alpha story about rivers and stones flowing down slowly $footer"),
+      (3L, s"completely different beta report on market numbers today $footer"),
+      (4L, s"another unrelated gamma essay concerning orbital mechanics $footer"))
+      .toDF("doc_id", "text")
+    val sh = Dedup.wordShingles(docs, "text", "doc_id", 3)
+    // plain jaccard at 0.4: the shared footer alone pushes UNRELATED
+    // pairs over the line
+    val plain = Dedup.jaccardPairs(sh, threshold = 0.4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(plain.contains((3L, 4L)), s"footer should fool plain jaccard: $plain")
+    // weighted at the same threshold: only the true near-dup survives
+    val weighted = Dedup.weightedJaccardPairs(sh, threshold = 0.4)
+      .select("ida", "idb").as[(Long, Long)].collect().toSet
+    assert(weighted === Set((1L, 2L)), s"weighted pairs: $weighted")
+  }
 }
