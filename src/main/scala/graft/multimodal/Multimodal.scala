@@ -246,6 +246,74 @@ object Multimodal {
       }
   }
 
+  // ---- audio fingerprint near-dups (mm5) --------------------------------
+
+  /** Batch-oriented audio-fingerprint boundary: one 65-entry temporal
+    * energy sequence per blob (a real implementation computes
+    * chromaprint-style per-window spectral energies at this exact
+    * boundary; the engine only ever sees the integer sequence). */
+  trait AudioEnergyDecoder extends Serializable {
+    def energyBatch(ids: Seq[Long],
+        blobs: Seq[Array[Byte]]): Seq[(Long, Array[Int])]
+  }
+
+  /** Deterministic stand-in energies: the chained-md5 hex device of
+    * [[StubGrayscaleDecoder]] read as a 1-D sequence — 5 blocks give 80
+    * byte values, the first 65 are the windows. Oracle-portable
+    * (`md5(varchar)` only). */
+  object StubAudioEnergyDecoder extends AudioEnergyDecoder {
+    private def hex(b: Array[Byte]): String = b.map("%02x".format(_)).mkString
+    def energyBatch(ids: Seq[Long],
+        blobs: Seq[Array[Byte]]): Seq[(Long, Array[Int])] =
+      ids.zip(blobs).map { case (id, bytes) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val blocks = Iterator.iterate(hex(md.digest(bytes)))(
+          prev => hex(md.digest(prev.getBytes("UTF-8")))).take(5).toSeq
+        val hexs = blocks.mkString
+        (id, Array.tabulate(65)(i =>
+          Integer.parseInt(hexs.substring(2 * i, 2 * i + 2), 16)))
+      }
+  }
+
+  /** 64-bit audio fingerprint: bit w set iff energy rises from window w
+    * to w+1 — the sign-of-delta coding chromaprint-family fingerprints
+    * use, so near-identical audio (same content, small re-encode
+    * jitter) lands within a few Hamming bits. */
+  def audioFingerprint64(energies: Array[Int]): Long = {
+    require(energies.length == 65, s"fingerprint needs 65 windows, got ${energies.length}")
+    var h = 0L
+    var w = 0
+    while (w < 64) {
+      if (energies(w) > energies(w + 1)) h |= 1L << w
+      w += 1
+    }
+    h
+  }
+
+  /** (id, afp) per audio row — decode batches at the mapPartitions
+    * boundary, fingerprint in the same task; blobs never shuffle. */
+  def audioFingerprintFeatures(mediaTable: DataFrame,
+      decoder: AudioEnergyDecoder, batchSize: Int = 64): DataFrame = {
+    val spark = mediaTable.sparkSession
+    import spark.implicits._
+    mediaTable.select(col("id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          decoder.energyBatch(batch.map(_._1), batch.map(_._2))
+            .map { case (id, e) => (id, audioFingerprint64(e)) }
+        }
+      }
+      .toDF("id", "afp")
+  }
+
+  /** Audio near-dup pairs with Hamming ≤ maxDistance — the banded
+    * 16-bit equi-join of [[graft.dedup.Dedup.simhashPairs]] applied to
+    * the audio fingerprint (same pigeonhole recall guarantee). */
+  def audioFingerprintPairs(fps: DataFrame, maxDistance: Int = 3): DataFrame =
+    graft.dedup.Dedup.simhashPairs(
+      fps.select(col("id"), col("afp").as("simhash")), maxDistance)
+
   // ---- video frame sampling (mm3) ---------------------------------------
 
   /** Wrap a corpus as a video table: (id, media, checksum, duration_ms,

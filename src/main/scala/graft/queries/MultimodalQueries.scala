@@ -140,15 +140,69 @@ object MultimodalQueries {
       |  ((('0x' || substr(md5(text), 1, 15))::UBIGINT // 8) % 10)::BIGINT AS loudness_bucket
       |FROM documents ORDER BY id""".stripMargin
 
+  // ---- mm5: audio fingerprint near-dups ----------------------------------
+
+  /** documents-as-audio ∪ exact copies: every blob meets its bit-
+    * identical twin at Hamming 0; the banded join must recover exactly
+    * those plus whatever incidental near-collisions the corpus holds. */
+  def audioDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.asMediaTable(Tables.load(spark, dir, "documents"),
+      "doc_id", "text").select(col("id"), col("media"))
+    val doubled = media.unionByName(
+      media.select((col("id") + 1000000).as("id"), col("media")))
+    Multimodal.audioFingerprintPairs(
+        Multimodal.audioFingerprintFeatures(doubled,
+          Multimodal.StubAudioEnergyDecoder),
+        maxDistance = 3)
+      .orderBy("ida", "idb")
+  }
+
+  /** Mirror of StubAudioEnergyDecoder + audioFingerprint64 + the banded
+    * Hamming join: 5 chained md5 hex blocks → 65 window energies → 64
+    * rise/fall delta bits → banded 16-bit keys (the mm2/simhash oracle
+    * device, 1-D). */
+  val audioDupPairsSql: String = {
+    def e(i: Int) = s"('0x' || substr(hexs, ${2 * i + 1}, 2))::INT"
+    val sig = (0 until 64).map(w =>
+      s"CASE WHEN ${e(w)} > ${e(w + 1)} THEN ${java.math.BigInteger.ONE.shiftLeft(w)}::HUGEINT ELSE 0::HUGEINT END")
+      .mkString(" + ")
+    val bandStructs = (0 until 4).map(b =>
+      s"SELECT id, ssig, $b AS band, ((usig // ${1L << (b * 16)}) % 65536)::BIGINT AS key FROM sigs2")
+      .mkString("\nUNION ALL\n")
+    s"""WITH doubled AS (
+       |  SELECT doc_id AS id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, text FROM documents),
+       |chain AS (
+       |  SELECT id, md5(text) AS h1 FROM doubled),
+       |chain2 AS (
+       |  SELECT id, h1, md5(h1) AS h2, md5(md5(h1)) AS h3,
+       |    md5(md5(md5(h1))) AS h4, md5(md5(md5(md5(h1)))) AS h5
+       |  FROM chain),
+       |seqs AS (SELECT id, h1 || h2 || h3 || h4 || h5 AS hexs FROM chain2),
+       |sigs AS (SELECT id, ($sig) AS usig FROM seqs),
+       |sigs2 AS (SELECT id, usig,
+       |  (CASE WHEN usig >= 9223372036854775808::HUGEINT
+       |        THEN usig - 18446744073709551616::HUGEINT ELSE usig END)::BIGINT AS ssig
+       |  FROM sigs),
+       |banded AS ($bandStructs)
+       |SELECT DISTINCT a.id AS ida, b.id AS idb,
+       |  bit_count(xor(a.ssig, b.ssig)) AS hamming
+       |FROM banded a JOIN banded b ON a.band = b.band AND a.key = b.key
+       |WHERE a.id < b.id AND bit_count(xor(a.ssig, b.ssig)) <= 3
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm1_media_features" -> (mediaFeatures _),
     "mm2_image_dup_pairs" -> (imageDupPairs _),
     "mm3_frame_sample" -> (frameSample _),
-    "mm4_audio_features" -> (audioFeatures _))
+    "mm4_audio_features" -> (audioFeatures _),
+    "mm5_audio_dup_pairs" -> (audioDupPairs _))
 
   def oracleSql: Map[String, String] = Map(
     "mm1_media_features" -> mediaFeaturesSql,
     "mm2_image_dup_pairs" -> imageDupPairsSql,
     "mm3_frame_sample" -> frameSampleSql,
-    "mm4_audio_features" -> audioFeaturesSql)
+    "mm4_audio_features" -> audioFeaturesSql,
+    "mm5_audio_dup_pairs" -> audioDupPairsSql)
 }

@@ -92,6 +92,30 @@ class MultimodalSpec extends SparkSpec {
     assert(got == want) // (1,5) at distance 4 must be absent
   }
 
+  test("audio fingerprint: delta coding, bounded Hamming under jitter") {
+    import spark.implicits._
+    // delta bit layout: energies [0,1,0,1,...] → every rise sets a bit
+    val rising = Array.tabulate(65)(i => i)
+    assert(Multimodal.audioFingerprint64(rising) == 0L) // never energy(w) > energy(w+1)
+    val falling = Array.tabulate(65)(i => 65 - i)
+    assert(Multimodal.audioFingerprint64(falling) == -1L) // all 64 bits
+    // one window perturbed flips at most its two adjacent delta bits
+    val jittered = rising.clone(); jittered(30) = 100
+    val d = java.lang.Long.bitCount(
+      Multimodal.audioFingerprint64(rising) ^ Multimodal.audioFingerprint64(jittered))
+    assert(d <= 2 && d >= 1)
+    // identical blobs → identical fingerprints → Hamming-0 pair found
+    val media = Seq((1L, "same clip".getBytes("UTF-8")),
+      (2L, "same clip".getBytes("UTF-8")),
+      (3L, "other clip".getBytes("UTF-8"))).toDF("id", "media")
+    val fps = Multimodal.audioFingerprintFeatures(media,
+      Multimodal.StubAudioEnergyDecoder)
+    val pairs = Multimodal.audioFingerprintPairs(fps, maxDistance = 0)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
   test("stub grayscale decoder is deterministic and planted dups hash equal") {
     import spark.implicits._
     val media = Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
