@@ -200,6 +200,38 @@ object StreamQueries {
       |    - GREATEST(before, bin_id * 256) AS token_len
       |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
 
+  // ---- w8: windowed drift alarm against trained bands --------------------
+
+  /** Percentile bands trained on the event history (the r6 exact
+    * kernel), then the hourly out-of-band rate with an alarm threshold
+    * — numeric drift monitoring as the streaming twin of trained-rule
+    * detection. The right-skewed synthetic values put every window's
+    * baseline near 10%; hours where the heavy tail clusters cross the
+    * 12% alarm line. */
+  def streamDriftAlarm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, dir)
+    val b = graft.rules.TrainedRules.percentileBands(ev, Seq("value"))
+      .collect().head
+    StreamingQuality.driftAlarm(ev, "ts", "value",
+        b.getAs[Double]("p05"), b.getAs[Double]("p95"), alarmRate = 0.12)
+      .withColumn("out_rate", round(col("out_rate"), 6))
+      .orderBy("window_start")
+  }
+
+  val streamDriftAlarmSql: String =
+    """WITH b AS (
+      |  SELECT quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi
+      |  FROM events),
+      |agg AS (
+      |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+      |    COUNT(*) AS n,
+      |    CAST(SUM(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      |  FROM events, b GROUP BY 1)
+      |SELECT window_start, n, n_out,
+      |  ROUND(CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE), 6) AS out_rate,
+      |  CAST(n_out AS DOUBLE) / CAST(n AS DOUBLE) > 0.12 AS alarm
+      |FROM agg ORDER BY window_start""".stripMargin
+
   // ---- w7: batch-trained rules enforced on the stream --------------------
 
   /** The generate-on-history, enforce-on-stream loop closed end to end:
@@ -240,6 +272,7 @@ object StreamQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w7_stream_source_gate" -> (streamSourceGate _),
+    "w8_stream_drift_alarm" -> (streamDriftAlarm _),
     "w1_windowed_stats" -> (windowedStats _),
     "w2_session_stats" -> (sessionStats _),
     "w3_stream_dedup" -> (streamDedup _),
@@ -249,6 +282,7 @@ object StreamQueries {
 
   def oracleSql: Map[String, String] = Map(
     "w7_stream_source_gate" -> streamSourceGateSql,
+    "w8_stream_drift_alarm" -> streamDriftAlarmSql,
     "w1_windowed_stats" -> windowedStatsSql,
     "w2_session_stats" -> sessionStatsSql,
     "w3_stream_dedup" -> streamDedupSql,

@@ -70,6 +70,30 @@ object StreamingQuality {
         col("n"), col("mean"))
   }
 
+  /** Windowed drift alarm: per event-time window, the rate of values
+    * outside a batch-trained [lo, hi] band and an alarm flag when the
+    * rate exceeds `alarmRate` — the numeric-drift face of the
+    * generate-on-history, monitor-on-stream loop (bands from
+    * [[graft.rules.TrainedRules.percentileBands]], two collected
+    * doubles of control plane). The per-row flag is stateless; the
+    * windowed aggregate is watermark-bounded in streaming mode. */
+  def driftAlarm(events: DataFrame, tsCol: String, valueCol: String,
+      lo: Double, hi: Double, windowLen: String = "1 hour",
+      alarmRate: Double = 0.15, watermark: String = "2 hours"): DataFrame = {
+    val withWm =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark) else events
+    val v = col(s"`$valueCol`").cast(DoubleType)
+    withWm
+      .groupBy(window(col(s"`$tsCol`"), windowLen).as("w"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum(when(v < lo || v > hi, 1L)), lit(0L)).as("n_out"))
+      .withColumn("out_rate",
+        col("n_out").cast(DoubleType) / col("n").cast(DoubleType))
+      .withColumn("alarm", col("out_rate") > lit(alarmRate))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("n"), col("n_out"), col("out_rate"), col("alarm"))
+  }
+
   /** Stateless streaming violation scan: only scalar rules (relational
     * rules need bounded input — run those on completed windows
     * instead). The compiled predicate bundle is the batch scanner's. */

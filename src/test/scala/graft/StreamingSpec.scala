@@ -211,6 +211,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("drift alarm windows a stream against trained bands") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    // band [0, 10] trained on history; hour 10 stays in band, hour 11
+    // drifts (3 of 4 values out of band)
+    val result = StreamingQuality.driftAlarm(
+      input.toDF().toDF("ts", "value"), "ts", "value",
+      lo = 0.0, hi = 10.0, alarmRate = 0.5)
+    val q = result.writeStream.format("memory")
+      .queryName("drift_alarm").outputMode("complete").start()
+    try {
+      input.addData(
+        (ts("2024-01-01 10:05:00"), 1.0),
+        (ts("2024-01-01 10:35:00"), 9.0),
+        (ts("2024-01-01 11:05:00"), 50.0),
+        (ts("2024-01-01 11:15:00"), 60.0),
+        (ts("2024-01-01 11:25:00"), 5.0),
+        (ts("2024-01-01 11:45:00"), 70.0))
+      q.processAllAvailable()
+      val rows = spark.table("drift_alarm").collect()
+        .map(r => r.getString(0) ->
+          (r.getAs[Long]("n"), r.getAs[Long]("n_out"), r.getAs[Boolean]("alarm"))).toMap
+      assert(rows("2024-01-01 10:00:00") === ((2L, 0L, false)))
+      assert(rows("2024-01-01 11:00:00") === ((4L, 3L, true)))
+    } finally q.stop()
+  }
+
   test("batch-trained blocklist rules enforce on a stream (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
