@@ -219,6 +219,42 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** Per-row LSH band buckets: byte-identical (id, band, bucket) rows
+    * to [[lshBuckets]]/[[lshBucketsWide]], computed entirely as scalar
+    * Columns — each permutation's signature min runs INSIDE the row
+    * over the doc's distinct shingle array (`array_min`∘`transform`)
+    * instead of via groupBy(id), so the whole bucket derivation is a
+    * stateless narrow map with zero exchanges. That makes it legal on
+    * an append-mode STREAM (the w9 streaming near-dedup path: no
+    * aggregation before the stateful stage) and exchange-free in batch.
+    * Docs with no shingles emit no rows, matching the aggregated
+    * formulation (they never reach the groupBy there). */
+  def inlineLshBuckets(df: DataFrame, textCol: String, idCol: String,
+      shingleSize: Int, numPerms: Int, rowsPerBand: Int): DataFrame = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand)")
+    val ws = words(col(textCol))
+    val grams = when(size(ws) >= shingleSize,
+      transform(sequence(lit(0), size(ws) - shingleSize),
+        i => array_join(slice(ws, i + lit(1), lit(shingleSize)), " ")))
+      .otherwise(array().cast("array<string>"))
+    val mins = perm(numPerms).map { case (a, b) =>
+      array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(b), lit(P))))
+    }
+    val bands = (0 until numPerms / rowsPerBand).map { b =>
+      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => mins(i).cast("string"))
+      struct(lit(b).as("band"), md5(concat_ws(",", hs: _*)).as("bucket"))
+    }
+    df.select(col(idCol).as("id"),
+        array_distinct(filter(grams, g => length(g) > 0)).as("__gs"))
+      .filter(size(col("__gs")) > 0)
+      .withColumn("__hs",
+        transform(col("__gs"), g => pmod(md5Long(g), lit(1073741824L))))
+      .select(col("id"), explode(array(bands: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+  }
+
   /** Candidate near-duplicate pairs: ids sharing any LSH bucket. */
   def lshCandidates(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("band"), col("bucket"), col("id").as("ida"))
@@ -264,6 +300,57 @@ object Dedup {
           (col("sza") + col("szb") - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "jaccard")
+  }
+
+  // ---- incremental (cross-corpus) dedup ---------------------------------
+
+  /** Near-duplicate matches of a NEW batch against an EXISTING corpus:
+    * (batch_id, corpus_id, jaccard) for every batch doc whose true
+    * shingle Jaccard against some corpus doc reaches `threshold`,
+    * candidates pre-filtered by shared MinHash-LSH band buckets exactly
+    * as [[minhashNearDuplicates]] — but joined ACROSS the two frames,
+    * never self-joined. This is the "dedup the new dump against what we
+    * already have" step of an incremental training-data pipeline
+    * (reference's single-shot pandas pipeline has no incremental story;
+    * cf. main.py's one-corpus runs): at 100 TB the corpus shingles and
+    * buckets are corpus-side tables maintained across dumps, and the
+    * per-dump cost is the (band, bucket) equi-join probe plus the
+    * candidate verify — linear in the dump and its candidates, never in
+    * corpus × dump. */
+  def crossCorpusNearDuplicates(corpus: DataFrame, batch: DataFrame,
+      textCol: String, idCol: String, shingleSize: Int = 3,
+      numPerms: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    // each shingle frame feeds three consumers (signatures, sizes, its
+    // verify-join side): persist so the split+explode runs once per side
+    val cs = graft.ops.StagePersists.track(
+      wordShingles(corpus, textCol, idCol, shingleSize))
+    val bs = graft.ops.StagePersists.track(
+      wordShingles(batch, textCol, idCol, shingleSize))
+    val cb = lshBucketsWide(minhashWide(cs, numPerms), numPerms, rowsPerBand)
+    val bb = lshBucketsWide(minhashWide(bs, numPerms), numPerms, rowsPerBand)
+    val cands = bb.select(col("band"), col("bucket"), col("id").as("batch_id"))
+      .join(cb.select(col("band"), col("bucket"), col("id").as("corpus_id")),
+        Seq("band", "bucket"))
+      .select("batch_id", "corpus_id").distinct()
+    val bSizes = bs.groupBy("id").agg(count(lit(1)).as("szb"))
+    val cSizes = cs.groupBy("id").agg(count(lit(1)).as("szc"))
+    // candidate-first verify, as in minhashNearDuplicates: expand each
+    // candidate by the batch doc's shingles, equi-join the corpus side —
+    // O(|candidates| × shingles/doc), never all-pairs
+    val common = cands
+      .join(bs.select(col("id").as("batch_id"), col("shingle")), Seq("batch_id"))
+      .join(cs.select(col("id").as("corpus_id"), col("shingle")),
+        Seq("corpus_id", "shingle"))
+      .groupBy("batch_id", "corpus_id").agg(count(lit(1)).as("common"))
+    common
+      .join(bSizes.withColumnRenamed("id", "batch_id"), "batch_id")
+      .join(cSizes.withColumnRenamed("id", "corpus_id"), "corpus_id")
+      .withColumn("jaccard",
+        col("common").cast(DoubleType) /
+          (col("szb") + col("szc") - col("common")).cast(DoubleType))
+      .filter(col("jaccard") >= threshold)
+      .select("batch_id", "corpus_id", "jaccard")
   }
 
   // ---- duplicate passages -----------------------------------------------

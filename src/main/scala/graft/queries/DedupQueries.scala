@@ -525,6 +525,60 @@ object DedupQueries {
        |    / CAST(ma.mass + mb.mass - shared_w AS DOUBLE) >= 0.5
        |ORDER BY ida, idb""".stripMargin
 
+  // ---- d13: incremental dedup — new batch vs existing corpus -----------
+
+  /** Split documents by doc_id parity: even = the accumulated corpus,
+    * odd = the incoming dump. The planted near-dup pairs that straddle
+    * the parity split are exactly what incremental dedup must catch;
+    * same-side pairs must NOT appear (no self-join on either frame). */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    Dedup.crossCorpusNearDuplicates(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "text", "doc_id", shingleSize = 3, numPerms = NumPerms,
+        rowsPerBand = 4, threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("batch_id", "corpus_id")
+  }
+
+  /** d4's minhash mirror with the candidate join split by parity:
+    * signatures/bands are per-doc, so computing them over all docs and
+    * filtering parity IN the join is identical to two per-side runs. */
+  val incrementalDedupSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT b.id AS batch_id, c.id AS corpus_id
+       |  FROM bands b JOIN bands c ON b.band = c.band AND b.bucket = c.bucket
+       |  WHERE b.id % 2 = 1 AND c.id % 2 = 0),
+       |pairs AS (
+       |  SELECT bg.doc_id AS batch_id, cg.doc_id AS corpus_id,
+       |    COUNT(*) AS common
+       |  FROM grams bg JOIN grams cg ON bg.g = cg.g
+       |  JOIN cands k ON k.batch_id = bg.doc_id AND k.corpus_id = cg.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT batch_id, corpus_id,
+       |  ROUND(CAST(common AS DOUBLE)
+       |    / CAST(sb.sz + sc.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sb ON batch_id = sb.doc_id
+       |JOIN sizes sc ON corpus_id = sc.doc_id
+       |WHERE CAST(common AS DOUBLE)
+       |    / CAST(sb.sz + sc.sz - common AS DOUBLE) >= 0.5
+       |ORDER BY batch_id, corpus_id""".stripMargin
+  }
+
   // ---- d11: quality-ranked canonical selection -------------------------
 
   /** Keep-best canonicalization over the d4 minhash near-dup
@@ -634,6 +688,7 @@ object DedupQueries {
     "d10_substring_dedup" -> (substringDedup _),
     "d11_keep_best" -> (keepBestCanonical _),
     "d12_weighted_jaccard" -> (weightedJaccardPairs _),
+    "d13_incremental_dedup" -> (incrementalDedup _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -649,5 +704,6 @@ object DedupQueries {
     "d10_substring_dedup" -> substringDedupSql,
     "d11_keep_best" -> keepBestCanonicalSql,
     "d12_weighted_jaccard" -> weightedJaccardPairsSql,
+    "d13_incremental_dedup" -> incrementalDedupSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

@@ -270,6 +270,55 @@ object StreamQueries {
        |FROM documents d JOIN blocked b ON d.source = b.source
        |ORDER BY row_id, rule""".stripMargin
 
+  // ---- w9: streaming near-dedup (LSH first-seen bucket evidence) ---------
+
+  /** The d4 candidate probe as a RUNNING STREAM: per-row LSH buckets
+    * (zero exchanges, legal in append mode) feed the stateful
+    * first-seen-bucket stage; an emitted row means "this doc collides
+    * with an earlier doc's bucket" — the crawl-ingest near-dup gate.
+    * Run here in batch mode, where the operator's per-bucket sort makes
+    * it exactly the window formulation the oracle replays; the
+    * streaming spec pins the multi-micro-batch run to the same rows. */
+  def streamNearDupEvidence(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    StreamingQuality.firstSeenBucketEvidence(
+        graft.dedup.Dedup.inlineLshBuckets(docs, "text", "doc_id",
+          shingleSize = 3, numPerms = 16, rowsPerBand = 4))
+      .orderBy("id", "band")
+  }
+
+  private val WS3 =
+    "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+
+  val streamNearDupEvidenceSql: String = {
+    val perms = (0 until 16).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % graft.dedup.Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${graft.dedup.Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS3) - 1, 1)),
+       |    i -> $WS3[i] || ' ' || $WS3[i+1] || ' ' || $WS3[i+2])) AS g
+       |  FROM documents WHERE len($WS3) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |hashes AS (SELECT doc_id,
+       |  (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT AS h
+       |  FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |w AS (
+       |  SELECT id, band, bucket,
+       |    MIN(id) OVER (PARTITION BY band, bucket ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS first_id
+       |  FROM bands)
+       |SELECT id, band, bucket, first_id FROM w
+       |WHERE first_id IS NOT NULL
+       |ORDER BY id, band""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "w7_stream_source_gate" -> (streamSourceGate _),
     "w8_stream_drift_alarm" -> (streamDriftAlarm _),
@@ -278,7 +327,8 @@ object StreamQueries {
     "w3_stream_dedup" -> (streamDedup _),
     "w4_stream_decontamination" -> (streamDecontamination _),
     "w5_stream_weighted_sample" -> (streamWeightedSample _),
-    "w6_stream_packed" -> (streamPacked _))
+    "w6_stream_packed" -> (streamPacked _),
+    "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
     "w7_stream_source_gate" -> streamSourceGateSql,
@@ -288,5 +338,6 @@ object StreamQueries {
     "w3_stream_dedup" -> streamDedupSql,
     "w4_stream_decontamination" -> streamDecontaminationSql,
     "w5_stream_weighted_sample" -> streamWeightedSampleSql,
-    "w6_stream_packed" -> streamPackedSql)
+    "w6_stream_packed" -> streamPackedSql,
+    "w9_stream_neardup" -> streamNearDupEvidenceSql)
 }

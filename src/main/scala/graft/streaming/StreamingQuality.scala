@@ -156,6 +156,66 @@ object StreamingQuality {
         col("first.id").as("first_event_id"),
         col("n_events"))
 
+  /** One (band, bucket) collision against an earlier-seen doc. */
+  final case class BucketEvidence(id: Long, band: Int, bucket: String,
+    first_id: Long)
+  /** Input row / per-bucket state for [[firstSeenBucketEvidence]] —
+    * public because encoder-generated code instantiates them. */
+  final case class BucketRow(id: Long, band: Int, bucket: String)
+  final case class BucketSeen(firstId: Long)
+
+  /** Streaming MinHash-LSH near-dedup evidence: for every incoming
+    * doc's LSH bucket (from [[graft.dedup.Dedup.inlineLshBuckets]] —
+    * stateless, so the whole chain runs in append mode), emit a row iff
+    * an EARLIER doc already claimed that bucket — the "is this new page
+    * a near-dup of anything we already accepted?" probe of a crawl
+    * ingest loop, the streaming form of d4's candidate join. Downstream
+    * a doc is a near-dup candidate iff it has any evidence row
+    * (aggregate per id, or verify by true Jaccard as in d4).
+    *
+    * State: one Long (first doc id) per distinct bucket —
+    * O(#distinct buckets) ≤ O(#docs × bands), the same cardinality the
+    * batch join shuffles; production streams bound it with a TTL
+    * (re-admitting dups older than the horizon, the standard streaming
+    * dedup trade, cf. [[firstSeenDedup]]).
+    *
+    * Ordering contract (as [[graft.text.Packing.streamingBinSegments]]):
+    * ids arrive in increasing order per bucket across micro-batches;
+    * each invocation sorts its own batch, so in batch mode (one
+    * invocation per bucket) the sort is global and the output equals
+    * the window formulation `min(id) OVER (PARTITION BY band, bucket
+    * ORDER BY id ROWS UNBOUNDED PRECEDING EXCLUDING CURRENT)` — the
+    * oracle pin. */
+  def firstSeenBucketEvidence(buckets: DataFrame): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val rowEnc = Encoders.product[BucketRow]
+    implicit val evEnc = Encoders.product[BucketEvidence]
+    implicit val stEnc = Encoders.product[BucketSeen]
+    implicit val keyEnc = Encoders.STRING
+    buckets
+      .select(col("id").cast("long").as("id"),
+        col("band").cast("int").as("band"),
+        col("bucket").cast("string").as("bucket"))
+      .as[BucketRow]
+      .groupByKey(r => s"${r.band}:${r.bucket}")
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, rows: Iterator[BucketRow], state: GroupState[BucketSeen]) =>
+          val sorted = rows.toSeq.sortBy(_.id)
+          var first = state.getOption.map(_.firstId)
+          val out = sorted.flatMap { r =>
+            val ev = first.collect {
+              case f if f < r.id => BucketEvidence(r.id, r.band, r.bucket, f)
+            }
+            if (first.forall(_ > r.id)) first = Some(r.id)
+            ev
+          }
+          first.foreach(f => state.update(BucketSeen(f)))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Running stats state per key. */
   final case class RunningStats(key: String, n: Long, sum: Double,
       min: Double, max: Double) {

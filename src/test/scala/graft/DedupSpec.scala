@@ -51,6 +51,32 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((1L, 3L)))
   }
 
+  test("cross-corpus dedup matches batch docs to corpus docs only") {
+    val corpus = docs.filter(col("doc_id") =!= 3L) // 1, 2 (dups), 4
+    val batch = Seq(
+      (10L, base + " tonight"), // near dup of corpus 1/2
+      (11L, "nothing in common with any corpus document at all here")
+    ).toDF("doc_id", "text")
+    val m = Dedup.crossCorpusNearDuplicates(corpus, batch, "text", "doc_id",
+        threshold = 0.5)
+      .select("batch_id", "corpus_id").as[(Long, Long)].collect().toSet
+    // batch 10 matches corpus 1 AND 2; batch 11 matches nothing; no
+    // corpus-corpus pair (1,2 are exact dups of each other) leaks out
+    assert(m == Set((10L, 1L), (10L, 2L)))
+  }
+
+  test("inline per-row LSH buckets are byte-identical to the aggregated path") {
+    val docs500 = spark.read.parquet(s"$sf/documents.parquet")
+    val agg = Dedup.lshBuckets(
+        Dedup.minhashSignatures(
+          Dedup.wordShingles(docs500, "text", "doc_id", 3), 16), 4)
+      .select("id", "band", "bucket").as[(Long, Int, String)].collect().toSet
+    val inline = Dedup.inlineLshBuckets(docs500, "text", "doc_id", 3, 16, 4)
+      .select("id", "band", "bucket").as[(Long, Int, String)].collect().toSet
+    assert(inline === agg)
+    assert(agg.nonEmpty)
+  }
+
   test("identical docs have identical minhash signatures") {
     val sh = Dedup.wordShingles(docs, "text", "doc_id", 3)
     val sigs = Dedup.minhashSignatures(sh, 8)

@@ -228,6 +228,26 @@ class ScaleSpec extends SparkSpec {
       s"blob column carried through the frame explode:\n$generateLine")
   }
 
+  test("incremental dedup joins stay keyed; inline LSH buckets are exchange-free") {
+    import spark.implicits._
+    // w9's bucket derivation must be a pure narrow map — that is what
+    // makes it legal before the stateful stage of an append-mode stream
+    val docs = Seq((1L, "a b c d e"), (2L, "c d e f g")).toDF("doc_id", "text")
+    val buckets = graft.dedup.Dedup.inlineLshBuckets(docs, "text", "doc_id", 3, 16, 4)
+    val p1 = buckets.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"),
+      s"inline LSH buckets must not shuffle:\n$p1")
+    // d13: batch-vs-corpus candidate probe and verify are all equi-joins
+    val corpus = Seq((2L, "c d e f g h i"), (4L, "x y z w v u t")).toDF("doc_id", "text")
+    val batch = Seq((1L, "c d e f g h j"), (3L, "p q r s t u v")).toDF("doc_id", "text")
+    val d13 = graft.dedup.Dedup.crossCorpusNearDuplicates(
+      corpus, batch, "text", "doc_id", threshold = 0.1)
+    val p2 = d13.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") && !p2.contains("BroadcastNestedLoopJoin"),
+      s"cross-corpus dedup must stay equi-join shaped:\n$p2")
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("round-8 additions stay keyed: keep-best, tfidf, re-rank, familiarity") {
     import spark.implicits._
     // d11 keep-best: id/component-keyed joins + struct argmax — no

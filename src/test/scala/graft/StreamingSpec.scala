@@ -417,6 +417,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dedup evidence matches the batch run across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    // ids arrive in increasing order (the operator's ordering contract);
+    // 1↔3 and 1↔4 are near/exact dups whose buckets collide, 2 is noise
+    val rows = Seq(
+      (1L, base),
+      (2L, "completely different words about spark engines and data lakes now"),
+      (3L, base), // exact dup of 1 — every band collides
+      (4L, base + " tonight"), // near dup — some bands collide
+      (5L, "yet more unrelated content talking about benchmarks and planners"))
+    def buckets(df: org.apache.spark.sql.DataFrame) =
+      graft.dedup.Dedup.inlineLshBuckets(df, "text", "doc_id", 3, 16, 4)
+    val batch = StreamingQuality.firstSeenBucketEvidence(
+        buckets(rows.toDF("doc_id", "text")))
+      .as[(Long, Int, String, Long)].collect().toSet
+    assert(batch.map(_._1).contains(3L) && batch.map(_._1).contains(4L))
+    assert(batch.forall(_._4 == 1L) && !batch.map(_._1).contains(2L))
+    val input = MemoryStream[(Long, String)]
+    val q = StreamingQuality.firstSeenBucketEvidence(
+        buckets(input.toDF().toDF("doc_id", "text")))
+      .writeStream.format("memory").queryName("w9_evidence")
+      .outputMode("append").start()
+    try {
+      // dup arrives two micro-batches after its first-seen bucket:
+      // state must carry across batches
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.slice(2, 3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w9_evidence")
+        .as[(Long, Int, String, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
