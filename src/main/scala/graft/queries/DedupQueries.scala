@@ -486,14 +486,21 @@ object DedupQueries {
     * their ⌊10⁶/df⌋ weight is negligible and only genuinely shared
     * content creates pairs — the boilerplate robustness plain d2 lacks.
     * Threshold 0.5 (weighted similarity of true near-dups stays high;
-    * footer-only overlap lands near zero). */
+    * footer-only overlap lands near zero).
+    *
+    * maxDocFreq = 100 is the load-bearing scale bound here: the planted
+    * footer's shingles sit in EVERY doc, so without the stop-gram cut
+    * the inverted-index self-join expands N²·|footer| rows (measured
+    * 71 s at sf0.1 vs ~2 s bounded). Masses keep the full weights
+    * (the operator drops stop-grams from the JOIN only), so scores
+    * change just by the footer's negligible shared weight. */
   def weightedJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val planted = docs.select(col("doc_id"),
       concat(col("text"), lit(" " + Boiler)).as("text"))
     Dedup.weightedJaccardPairs(
         Dedup.wordShingles(planted, "text", "doc_id", 3),
-        threshold = 0.5, maxDocFreq = 100000)
+        threshold = 0.5, maxDocFreq = 100)
       .withColumn("wjaccard", round(col("wjaccard"), 6))
       .orderBy("ida", "idb")
   }
@@ -508,12 +515,13 @@ object DedupQueries {
        |grams AS (SELECT DISTINCT doc_id, g FROM g0),
        |dfs AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g),
        |wg AS (
-       |  SELECT doc_id, g, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
+       |  SELECT doc_id, g, df, CAST(FLOOR(1000000.0 / df) AS BIGINT) AS w
        |  FROM grams JOIN dfs USING (g)),
        |masses AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS mass FROM wg GROUP BY doc_id),
        |shared AS (
        |  SELECT a.doc_id AS ida, b.doc_id AS idb, CAST(SUM(a.w) AS BIGINT) AS shared_w
        |  FROM wg a JOIN wg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  WHERE a.df <= 100 AND b.df <= 100
        |  GROUP BY 1, 2)
        |SELECT ida, idb, shared_w,
        |  ROUND(CAST(shared_w AS DOUBLE)
