@@ -271,7 +271,33 @@ object ProfileQueries {
        |ORDER BY "column", metric""".stripMargin
   }
 
+  // ---- p11: incremental profile maintenance ----------------------------
+
+  /** Profile three disjoint increments of `documents` independently,
+    * merge their mergeable histogram states, and derive the profile
+    * from the merged state alone — no re-scan of the union. The oracle
+    * profiles the whole table directly, so hash-equality proves the
+    * merge algebra exact: state(A∪B∪C) ≡ merge(state(A), state(B),
+    * state(C)). The 100 TB shape: per-increment profiling touches
+    * each increment once; the merge is one shuffle bounded by the
+    * combined distinct-value count, never the data. */
+  def profileMerge(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val states = (0 until 3).map(i =>
+      Profiler.incrementState(Seq("documents" ->
+        d.filter(pmod(col("doc_id"), lit(3)) === i))))
+    Profiler.profileFromState(Profiler.mergeStates(states),
+        ProfilerConfig(features = Set("mode")))
+      .select("column", "row_count", "null_count", "distinct_count",
+              "min_len", "max_len", "avg_len")
+      .orderBy("column")
+  }
+
+  /** Same oracle as p1: the direct whole-table profile. */
+  val profileMergeSql: String = profileBasicSql
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p11_profile_merge" -> (profileMerge _),
     "p10_sketch_bounds" -> (sketchBounds _),
     "p9_dataset_profile" -> (datasetProfile _),
     "p6_semantic_types" -> (semanticTypes _),
@@ -284,6 +310,7 @@ object ProfileQueries {
     "p5_top_keywords" -> (topKeywords _))
 
   def oracleSql: Map[String, String] = Map(
+    "p11_profile_merge" -> profileMergeSql,
     "p10_sketch_bounds" -> sketchBoundsSql,
     "p9_dataset_profile" -> datasetProfileSql,
     "p6_semantic_types" -> semanticTypesSql,

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.text.TextAnalysis
+import graft.text.{Sampling, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -51,14 +51,16 @@ object TextQueries {
         round4(TextAnalysis.qualityScore("text")).as("quality"))
       .orderBy("doc_id")
 
-  val qualitySql: String = {
-    // mirrors TextAnalysis.qualityScore term by term, same parenthesization
+  /** The raw (pre-rounding) quality expression — mirrors
+    * TextAnalysis.qualityScore term by term, same parenthesization.
+    * Shared by t2 (rounded score) and t21 (fixed-point order key). */
+  private val rawQualitySql: String = {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
     val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
     val nTok = s"CAST(len($WS) AS DOUBLE)"
-    s"""SELECT doc_id, FLOOR((
+    s"""(
        |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
        |        WHEN $len < 200 THEN $len / 200.0
        |        ELSE 20000.0 / $len END) * 0.3
@@ -69,9 +71,12 @@ object TextQueries {
        |     ELSE 0.0 END) * 0.2
        |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
        |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
-       |) * 10000 + 0.5) / 10000.0 AS quality
-       |FROM documents ORDER BY doc_id""".stripMargin
+       |)""".stripMargin
   }
+
+  val qualitySql: String =
+    s"""SELECT doc_id, FLOOR($rawQualitySql * 10000 + 0.5) / 10000.0 AS quality
+       |FROM documents ORDER BY doc_id""".stripMargin
 
   // ---- t3: token statistics --------------------------------------------
 
@@ -555,7 +560,40 @@ object TextQueries {
        |  CAST(FLOOR(s * 1000000 + 0.5) AS BIGINT) AS score_e6, kw_rank
        |FROM ranked WHERE kw_rank <= 5 ORDER BY doc_id, kw_rank""".stripMargin
 
+  // ---- t21: budgeted quality-greedy corpus selection ---------------------
+
+  /** Select documents greedily by quality (t2's rounded score as a
+    * fixed-point order key, doc_id tie-break) until the running token
+    * total reaches half the corpus's tokens — "the best half of the
+    * crawl, by token budget". One prefix-sum spine; the oracle replays
+    * the identical ordering and budget with a window sum. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        TextAnalysis.tokenCount("text").as("n_tokens"),
+        floor(TextAnalysis.qualityScore("text") * 10000d + 0.5d)
+          .cast("long").as("__q"))
+    Sampling.budgetSelect(scored, "doc_id", "n_tokens", "__q",
+        budgetFraction = 0.5)
+      .orderBy("doc_id")
+  }
+
+  val budgetSelectSql: String =
+    s"""WITH s AS (
+       |  SELECT doc_id, CAST(len($WS) AS BIGINT) AS n_tokens,
+       |    CAST(FLOOR($rawQualitySql * 10000 + 0.5) AS BIGINT) AS q
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (ORDER BY q DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM s),
+       |b AS (SELECT CAST(FLOOR(SUM(n_tokens) * 0.5) AS BIGINT) AS budget FROM s)
+       |SELECT doc_id, n_tokens, cum AS cum_tokens
+       |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t21_budget_select" -> (budgetSelect _),
     "t19_tfidf_keywords" -> (tfidfKeywords _),
     "t20_split_familiarity" -> (crossSplitFamiliarity _),
     "t17_piece_chunks" -> (pieceChunks _),
@@ -578,6 +616,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t21_budget_select" -> budgetSelectSql,
     "t19_tfidf_keywords" -> tfidfKeywordsSql,
     "t20_split_familiarity" -> crossSplitFamiliaritySql,
     "t17_piece_chunks" -> pieceChunksSql,

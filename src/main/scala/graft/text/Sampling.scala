@@ -102,6 +102,41 @@ object Sampling {
     weightedSample(df, groupCol, idCol, probs)
   }
 
+  /** Quality-greedy corpus selection under a global TOKEN budget — the
+    * curation step that answers "we can afford to train on B tokens;
+    * which documents?": take documents in (score desc, id asc) order
+    * until the running token total exceeds `budgetFraction` of the
+    * corpus's total tokens. Greedy-by-score is the standard budgeted
+    * curation rule (score thresholding with an exact token target
+    * instead of a hand-tuned cutoff).
+    *
+    * `scoreCol` must be an INTEGER score (fixed-point-scale doubles
+    * first — e.g. ⌊q·10⁴+½⌋, the engine's portable rounding) and
+    * `idCol` a non-negative id below 10¹², so the composite order key
+    * id − score·10¹² is collision-free and fits a Long. The budget is
+    * ⌊total·fraction⌋ with the multiply on the driver — one exact IEEE
+    * op any engine reproduces.
+    *
+    * Scale shape: one [[graft.ops.Scale.prefixSums]] spine (range
+    * partition on the order key, parallel per-partition windows, an
+    * O(#partitions) offset broadcast) — the corpus total falls out of
+    * the same pass, so the budget costs no extra job — then a pure
+    * filter. No global single-task window, no driver-side data. */
+  def budgetSelect(df: DataFrame, idCol: String, tokensCol: String,
+      scoreCol: String, budgetFraction: Double): DataFrame = {
+    require(budgetFraction > 0.0 && budgetFraction <= 1.0,
+      s"budgetFraction must be in (0, 1]: $budgetFraction")
+    val ordered = df
+      .withColumn("__n", col(s"`$tokensCol`").cast("long"))
+      .withColumn("__ord", col(s"`$idCol`").cast("long") -
+        col(s"`$scoreCol`").cast("long") * 1000000000000L)
+    val (cum, totals) = graft.ops.Scale.prefixSums(ordered, "__ord", Seq("__n"))
+    val budget = math.floor(totals("__n") * budgetFraction).toLong
+    cum.filter(col("__cum___n") <= budget)
+      .select(col(s"`$idCol`"), col(s"`$tokensCol`"),
+        col("__cum___n").as("cum_tokens"))
+  }
+
   /** One strategy surface over the engine's per-group samplers, so a
     * composed pipeline (l2's stage 5) can swap count-capped for
     * probabilistic selection per call site. Every strategy keeps a

@@ -218,6 +218,26 @@ class CorpusOpsSpec extends SparkSpec {
       === ids(Sampling.temperatureSample(docs, "lang", "doc_id")))
   }
 
+  test("budget select takes best-score docs until the token budget, in order") {
+    import spark.implicits._
+    // scores descending 5..1, 10 tokens each; total 50, budget 0.5 → 25:
+    // takes score 5 (cum 10) and score 4 (cum 20); score 3 would hit 30 > 25
+    val docs = Seq((1L, 10L, 3L), (2L, 10L, 5L), (3L, 10L, 1L),
+      (4L, 10L, 4L), (5L, 10L, 2L)).toDF("id", "n_tok", "score")
+    val got = graft.text.Sampling.budgetSelect(docs, "id", "n_tok", "score", 0.5)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 10L, 10L), (4L, 10L, 20L)))
+    // ties broken by id ascending: equal scores, budget covers 2 of 3
+    val tied = Seq((7L, 10L, 9L), (5L, 10L, 9L), (9L, 10L, 9L))
+      .toDF("id", "n_tok", "score")
+    val gotTied = graft.text.Sampling.budgetSelect(tied, "id", "n_tok", "score", 0.67)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(gotTied == Set((5L, 10L, 10L), (7L, 10L, 20L)))
+    // fraction 1.0 keeps everything
+    assert(graft.text.Sampling.budgetSelect(docs, "id", "n_tok", "score", 1.0)
+      .count() == 5L)
+  }
+
   test("repetition metrics match hand-computed fractions") {
     import spark.implicits._
     val docs = Seq(

@@ -104,4 +104,45 @@ class ProfilerSpec extends SparkSpec {
     assert(p("amount").getAs[Long]("distinct_count") == 3L)
     assert(p("amount").getAs[Double]("num_median") == 12.5)
   }
+
+  // ---- incremental (mergeable) profiling --------------------------------
+
+  private lazy val incCfg =
+    ProfilerConfig(features = Profiler.AllFeatures - "quartiles")
+
+  test("merged increment states reproduce the direct profile exactly") {
+    // deliberate overlap across slices: duplicate values, nulls and
+    // empties split over increments so the merge has real work to do
+    val a = Seq(("a1", "New York", "12.5"), ("a2", "", "7.25")).toDF("id", "city", "amount")
+    val b = Seq(("a3", null: String, "12.5")).toDF("id", "city", "amount")
+    val c = Seq(("a4", "New York", "oops"), ("a5", "Boston", "12.5")).toDF("id", "city", "amount")
+    val merged = Profiler.mergeStates(Seq(
+      Profiler.incrementState(Seq("t" -> a)),
+      Profiler.incrementState(Seq("t" -> b)),
+      Profiler.incrementState(Seq("t" -> c))))
+    val fromState = Profiler.profileFromState(merged, incCfg)
+      .orderBy("column").collect()
+    val direct = Profiler.profile(a.union(b).union(c), "t", incCfg)
+      .orderBy("column").collect()
+    assert(fromState.toSeq == direct.toSeq)
+  }
+
+  test("state merge is order-insensitive") {
+    val a = Seq(("a1", "x"), ("a2", "y")).toDF("id", "v")
+    val b = Seq(("a3", "x")).toDF("id", "v")
+    val sa = Profiler.incrementState(Seq("t" -> a))
+    val sb = Profiler.incrementState(Seq("t" -> b))
+    val ab = Profiler.profileFromState(Profiler.mergeStates(Seq(sa, sb)), incCfg)
+      .orderBy("column").collect()
+    val ba = Profiler.profileFromState(Profiler.mergeStates(Seq(sb, sa)), incCfg)
+      .orderBy("column").collect()
+    assert(ab.toSeq == ba.toSeq)
+  }
+
+  test("profileFromState rejects quartiles") {
+    val s = Profiler.incrementState(Seq("t" -> mini))
+    intercept[IllegalArgumentException] {
+      Profiler.profileFromState(s, ProfilerConfig())
+    }
+  }
 }
