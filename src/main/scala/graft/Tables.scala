@@ -24,8 +24,19 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val path = s"$sfDir/$name.parquet"
     val df = spark.read.parquet(path)
+    // data bytes, not the directory-entry size: a Spark-written table
+    // is a DIRECTORY of part files, and File.length() on a directory is
+    // the ~4 KB inode size — under the 64 KB floor, which silently
+    // disabled the rebalance for every ScaleUp-shaped input and left
+    // each downstream map side on one core (t21's quality scoring ran
+    // 15s serial at sf1 vs ~1s rebalanced)
+    def dataBytes(f: java.io.File): Long =
+      if (f.isDirectory)
+        f.listFiles().filter(p => p.isFile && !p.getName.startsWith(".") &&
+          !p.getName.startsWith("_")).map(_.length()).sum
+      else f.length()
     val size =
-      try new java.io.File(path).length()
+      try dataBytes(new java.io.File(path))
       catch { case _: Throwable => Long.MaxValue }
     // floor: sub-64KB dimension tables are broadcast fodder; spreading
     // 25 rows over 32 tasks only adds scheduling overhead

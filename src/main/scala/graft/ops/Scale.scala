@@ -102,8 +102,19 @@ object Scale {
     // and its blocks are released when the frame is GC'd instead of
     // pinning the cache for the session lifetime (the old persist
     // handle was dropped on return and could never be unpersisted).
+    //
+    // The partition count is pinned EXPLICITLY: a bare
+    // repartitionByRange(col) is REPARTITION_BY_COL, which AQE may
+    // coalesce to ONE post-shuffle partition on a small-byte-estimate
+    // frame — serializing the caller's entire upstream compute (t21's
+    // per-document quality regexes ran 17s in one task at sf1 vs ~1s
+    // parallel; row-count small, per-row cost large). With an explicit
+    // count AQE leaves the layout alone, and the cost of a few
+    // near-empty partitions on tiny inputs is nil.
     val ranged = df
-      .repartitionByRange(col(s"`$orderCol`"))
+      .repartitionByRange(
+        df.sparkSession.sessionState.conf.numShufflePartitions,
+        col(s"`$orderCol`"))
       .sortWithinPartitions(orderCol)
       .withColumn("__pid", spark_partition_id())
       .lockedCheckpoint()

@@ -292,4 +292,49 @@ class ScaleSpec extends SparkSpec {
     assert(!p4.contains("CartesianProduct") && !p4.contains("BroadcastNestedLoopJoin"),
       s"familiarity join must stay keyed:\n$p4")
   }
+
+  test("prefix sums keep their partition spread (AQE must not serialize upstream)") {
+    import spark.implicits._
+    // a bare repartitionByRange(col) is REPARTITION_BY_COL — AQE
+    // coalesced 50k rows to ONE post-shuffle partition and the caller's
+    // per-row compute (t21's quality scoring) ran serial (15s at sf1).
+    // With the explicit count the checkpointed spine keeps the spread.
+    // the spread that matters is the CHECKPOINTED spine (it executes
+    // the caller's upstream compute); the final window stage may be
+    // AQE-coalesced freely (cheap arithmetic). The spine surfaces in
+    // getPersistentRDDs as the localCheckpoint block set.
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val df = (1L to 5000L).map(i => (i, 1L)).toDF("__ord", "n")
+    val (cum, totals) = Scale.prefixSums(df, "__ord", Seq("n"))
+    assert(totals("n") == 5000L)
+    val spineParts = spark.sparkContext.getPersistentRDDs.values
+      .map(_.getNumPartitions).maxOption.getOrElse(0)
+    assert(spineParts > 1,
+      s"prefix-sum spine collapsed to $spineParts partition(s)")
+    assert(cum.count() == 5000L)
+  }
+
+  test("Tables.load rebalances directory-shaped parquet (ScaleUp layout)") {
+    import spark.implicits._
+    // File.length() on a parquet DIRECTORY is the ~4KB inode size —
+    // below the 64KB floor, which silently disabled the rebalance for
+    // every Spark-written table and left map sides on one core
+    val dir = java.nio.file.Files.createTempDirectory("graft_load").toFile
+    try {
+      (1 to 30000).map(i => (i.toLong, s"some longer padding text $i"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val loaded = Tables.load(spark, dir.getAbsolutePath, "documents")
+      assert(loaded.rdd.getNumPartitions > 1,
+        s"single-part directory read stayed on ${loaded.rdd.getNumPartitions} partition(s)")
+      assert(loaded.count() == 30000L)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(dir)
+    }
+  }
 }
