@@ -540,6 +540,67 @@ object Profiler {
     assemble(emptyLong, Some(state), cfg)
   }
 
+  /** Per-column distribution DRIFT between two profile states
+    * ([[incrementState]] of two snapshots — e.g. yesterday's crawl vs
+    * today's): row/null/distinct deltas plus an exact total-variation
+    * distance over the value histograms. "Did the new dump change
+    * shape?" is the data-ops question profiles exist to answer; the
+    * reference re-profiles and eyeballs, this diffs algebraically.
+    *
+    * All comparisons are INTEGER-exact: the value-frequency L1 is
+    * computed cross-multiplied — Σ|cnt_a·n_b − cnt_b·n_a| — so there
+    * is no per-value float division whose summation order could drift
+    * between engines; the single closing division (TV distance =
+    * l1 / (2·n_a·n_b)) is one exact IEEE op on exact integers.
+    * Missing values count as one histogram bucket (null-rate drift is
+    * also reported separately).
+    *
+    * Scale shape: one full-outer equi-join of the two states on
+    * (table, column, value) — linear in distinct values, partially
+    * aggregated into O(#columns) rows. The Long cross-products are
+    * exact while 2·n_a·n_b < 2⁶³ (~2·10⁹ rows per side); beyond that
+    * cast the products to DecimalType(38,0) — same plan, wider
+    * buffers. */
+  def stateDrift(a: DataFrame, b: DataFrame): DataFrame = {
+    def totals(s: DataFrame, suffix: String): DataFrame =
+      s.groupBy("table", "column").agg(
+        sum("cnt").as(s"n_$suffix"),
+        coalesce(sum(when(isMissing(col("value")), col("cnt"))), lit(0L))
+          .as(s"null_$suffix"),
+        count(when(!isMissing(col("value")), lit(1)))
+          .as(s"distinct_$suffix"))
+    // null-safe on value: a plain using-column join would NOT match the
+    // two snapshots' null buckets (null ≠ null under EqualTo), splitting
+    // one histogram cell into two phantom drift cells
+    val aS = a.select(col("table").as("ta_t"), col("column").as("ta_c"),
+      col("value").as("va"), col("cnt").as("cnt_a"))
+    val bS = b.select(col("table").as("tb_t"), col("column").as("tb_c"),
+      col("value").as("vb"), col("cnt").as("cnt_b"))
+    val joined = aS.join(bS,
+        aS("ta_t") === bS("tb_t") && aS("ta_c") === bS("tb_c") &&
+          aS("va") <=> bS("vb"), "full_outer")
+      .select(coalesce(col("ta_t"), col("tb_t")).as("table"),
+        coalesce(col("ta_c"), col("tb_c")).as("column"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val l1 = joined
+      .join(broadcast(totals(a, "a").select(col("table"), col("column"),
+        col("n_a"))), Seq("table", "column"))
+      .join(broadcast(totals(b, "b").select(col("table"), col("column"),
+        col("n_b"))), Seq("table", "column"))
+      .groupBy("table", "column")
+      .agg(sum(abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")))
+        .as("l1_scaled"))
+    totals(a, "a").join(totals(b, "b"), Seq("table", "column"))
+      .join(l1, Seq("table", "column"))
+      .select(col("table"), col("column"),
+        col("n_a"), col("n_b"), col("null_a"), col("null_b"),
+        col("distinct_a"), col("distinct_b"), col("l1_scaled"),
+        (col("l1_scaled").cast(DoubleType) /
+          (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
+          .as("tv_distance"))
+  }
+
   /** Joins Pass-A with the requested feature branches into the final
     * profile frame.
     *

@@ -296,7 +296,65 @@ object ProfileQueries {
   /** Same oracle as p1: the direct whole-table profile. */
   val profileMergeSql: String = profileBasicSql
 
+  // ---- p12: profile drift between snapshots ------------------------------
+
+  /** Diff the profile states of two deterministic snapshots of
+    * `documents` (even vs odd doc_id — a stand-in for yesterday's vs
+    * today's crawl): per-column row/null/distinct deltas plus the
+    * integer-exact total-variation distance over the value
+    * histograms. */
+  def profileDrift(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    val a = Profiler.incrementState(Seq("documents" ->
+      d.filter(pmod(col("doc_id"), lit(2)) === 0)))
+    val b = Profiler.incrementState(Seq("documents" ->
+      d.filter(pmod(col("doc_id"), lit(2)) === 1)))
+    Profiler.stateDrift(a, b)
+      .select("column", "n_a", "n_b", "null_a", "null_b",
+              "distinct_a", "distinct_b", "l1_scaled", "tv_distance")
+      .orderBy("column")
+  }
+
+  val profileDriftSql: String = {
+    def st(par: Int) = documentsCols.map { c =>
+      s"""SELECT '$c' AS "column", ${v(c)} AS value, COUNT(*) AS cnt
+         |FROM documents WHERE doc_id % 2 = $par GROUP BY 1, 2""".stripMargin
+    }.mkString("(", "\nUNION ALL\n", ")")
+    s"""WITH a AS ${st(0)},
+       |b AS ${st(1)},
+       |ta AS (SELECT "column", CAST(SUM(cnt) AS BIGINT) AS n_a,
+       |  CAST(COALESCE(SUM(CASE WHEN value IS NULL OR TRIM(value) = ''
+       |    THEN cnt END), 0) AS BIGINT) AS null_a,
+       |  CAST(COUNT(CASE WHEN NOT (value IS NULL OR TRIM(value) = '')
+       |    THEN 1 END) AS BIGINT) AS distinct_a
+       |  FROM a GROUP BY 1),
+       |tb AS (SELECT "column", CAST(SUM(cnt) AS BIGINT) AS n_b,
+       |  CAST(COALESCE(SUM(CASE WHEN value IS NULL OR TRIM(value) = ''
+       |    THEN cnt END), 0) AS BIGINT) AS null_b,
+       |  CAST(COUNT(CASE WHEN NOT (value IS NULL OR TRIM(value) = '')
+       |    THEN 1 END) AS BIGINT) AS distinct_b
+       |  FROM b GROUP BY 1),
+       |j AS (SELECT COALESCE(a."column", b."column") AS "column",
+       |  COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+       |  FROM a FULL OUTER JOIN b
+       |    ON a."column" = b."column" AND a.value IS NOT DISTINCT FROM b.value),
+       |l1 AS (SELECT j."column",
+       |  CAST(SUM(ABS(j.cnt_a * tb.n_b - j.cnt_b * ta.n_a)) AS BIGINT)
+       |    AS l1_scaled
+       |  FROM j JOIN ta ON j."column" = ta."column"
+       |         JOIN tb ON j."column" = tb."column"
+       |  GROUP BY 1)
+       |SELECT ta."column", n_a, n_b, null_a, null_b, distinct_a, distinct_b,
+       |  l1_scaled,
+       |  CAST(l1_scaled AS DOUBLE) /
+       |    (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS tv_distance
+       |FROM ta JOIN tb ON ta."column" = tb."column"
+       |        JOIN l1 ON ta."column" = l1."column"
+       |ORDER BY ta."column"""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p12_profile_drift" -> (profileDrift _),
     "p11_profile_merge" -> (profileMerge _),
     "p10_sketch_bounds" -> (sketchBounds _),
     "p9_dataset_profile" -> (datasetProfile _),
@@ -310,6 +368,7 @@ object ProfileQueries {
     "p5_top_keywords" -> (topKeywords _))
 
   def oracleSql: Map[String, String] = Map(
+    "p12_profile_drift" -> profileDriftSql,
     "p11_profile_merge" -> profileMergeSql,
     "p10_sketch_bounds" -> sketchBoundsSql,
     "p9_dataset_profile" -> datasetProfileSql,

@@ -319,7 +319,30 @@ object StreamQueries {
        |ORDER BY id, band""".stripMargin
   }
 
+  /** w10: LIVE profile state — the mergeable value histogram
+    * ([[graft.profile.Profiler.incrementState]], p11's state)
+    * maintained as a streaming aggregation: the long-format explode is
+    * stateless and the (table, column, value) count is a standard
+    * update-mode stateful agg, so the lake profile stays current on
+    * the ingest stream with no batch re-profile (StreamingSpec pins
+    * stream ≡ batch). Batch twin here for the oracle. */
+  def streamProfileState(spark: SparkSession, dir: String): DataFrame =
+    graft.profile.Profiler.incrementState(
+        Seq("documents" -> Tables.load(spark, dir, "documents")))
+      .orderBy("column", "value")
+
+  val streamProfileStateSql: String = {
+    val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+    val lf = cols.map(c =>
+      s"""SELECT '$c' AS "column", CAST($c AS VARCHAR) AS value FROM documents""")
+      .mkString("\nUNION ALL\n")
+    s"""WITH lf AS ($lf)
+       |SELECT 'documents' AS "table", "column", value, COUNT(*) AS cnt
+       |FROM lf GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w10_stream_profile" -> (streamProfileState _),
     "w7_stream_source_gate" -> (streamSourceGate _),
     "w8_stream_drift_alarm" -> (streamDriftAlarm _),
     "w1_windowed_stats" -> (windowedStats _),
@@ -331,6 +354,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w10_stream_profile" -> streamProfileStateSql,
     "w7_stream_source_gate" -> streamSourceGateSql,
     "w8_stream_drift_alarm" -> streamDriftAlarmSql,
     "w1_windowed_stats" -> windowedStatsSql,

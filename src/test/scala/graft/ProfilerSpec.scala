@@ -139,6 +139,27 @@ class ProfilerSpec extends SparkSpec {
     assert(ab.toSeq == ba.toSeq)
   }
 
+  test("state drift: identical snapshots → zero, disjoint → TV 1, nulls pair up") {
+    val x = Seq(("a", "x"), ("b", "y"), (null, "y")).toDF("u", "w")
+    val sx = Profiler.incrementState(Seq("t" -> x))
+    val same = Profiler.stateDrift(sx, sx).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    same.values.foreach { r =>
+      assert(r.getAs[Long]("l1_scaled") == 0L)
+      assert(r.getAs[Double]("tv_distance") == 0.0)
+    }
+    // u: A has {a,b,null}, B has {c,d,e} → disjoint → TV = 1
+    val y = Seq(("c", "x"), ("d", "y"), ("e", "y")).toDF("u", "w")
+    val drift = Profiler.stateDrift(sx,
+      Profiler.incrementState(Seq("t" -> y))).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(drift("u").getAs[Double]("tv_distance") == 1.0)
+    assert(drift("u").getAs[Long]("null_a") == 1L)
+    assert(drift("u").getAs[Long]("distinct_a") == 2L)
+    // w is identically distributed {x:1, y:2} both sides → zero drift
+    assert(drift("w").getAs[Long]("l1_scaled") == 0L)
+  }
+
   test("profileFromState rejects quartiles") {
     val s = Profiler.incrementState(Seq("t" -> mini))
     intercept[IllegalArgumentException] {

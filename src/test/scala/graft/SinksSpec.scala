@@ -10,6 +10,48 @@ import java.nio.file.Files
   * malformed-row filter (P12). */
 class SinksSpec extends SparkSpec {
 
+  test("corpus release: partition layout, shard bound, pack-order files, manifest") {
+    import spark.implicits._
+    val corpus = (1 to 600).map { i =>
+      (i.toLong, if (i % 3 == 0) "val" else "train",
+        if (i % 2 == 0) "en" else "de", (i % 40).toLong, i.toLong * 3)
+    }.toDF("doc_id", "split", "lang", "bin_id", "n_tokens")
+    val dir = java.nio.file.Files.createTempDirectory("graft_release").toFile
+    try {
+      val man = graft.text.CorpusRelease.write(corpus, dir.getAbsolutePath,
+        sumCols = Seq("n_tokens"), maxRecordsPerFile = 50L)
+      // 4 partition dirs with exact counts and token sums
+      val rows = man.collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+      assert(rows.keySet == Set(("train", "en"), ("train", "de"),
+        ("val", "en"), ("val", "de")))
+      assert(rows.values.map(_._1).sum == 600L)
+      assert(rows.values.map(_._2).sum == (1 to 600).map(_.toLong * 3).sum)
+      // hive layout on disk; shards bounded at 50 records → >1 file per
+      // 200-row partition
+      val trainEn = new java.io.File(dir, "split=train/lang=en")
+      assert(trainEn.isDirectory, "expected hive-partitioned layout")
+      assert(trainEn.listFiles().count(_.getName.endsWith(".parquet")) > 1,
+        "maxRecordsPerFile must split shards")
+      // pack order inside each file: bin_id non-decreasing
+      trainEn.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val bins = spark.read.parquet(f.getAbsolutePath)
+          .select("bin_id").collect().map(_.getLong(0))
+        assert(bins.toSeq == bins.toSeq.sorted, s"unsorted shard ${f.getName}")
+      }
+      // round trip preserves every row
+      val back = spark.read.parquet(dir.getAbsolutePath)
+      assert(back.count() == 600L)
+      assert(back.select("doc_id").as[Long].collect().sorted.toSeq ==
+        (1L to 600L).toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("S5: typed profiles round-trip through parquet") {
     val profiles = Profiler.profileTyped(
       Tables.load(spark, sf, "customer"), "customer")

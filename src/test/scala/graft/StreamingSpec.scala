@@ -211,6 +211,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("profile state maintains live on a stream and matches the batch state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "alpha", "en"), (2L, "beta", "de"),
+      (3L, "alpha", "en"), (4L, null: String, "en"), (5L, "", "de"))
+    val batch = graft.profile.Profiler.incrementState(
+        Seq("docs" -> rows.toDF("id", "text", "lang")))
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val input = MemoryStream[(Long, String, String)]
+    val q = graft.profile.Profiler.incrementState(
+        Seq("docs" -> input.toDF().toDF("id", "text", "lang")))
+      .writeStream.format("memory").queryName("w10_stream")
+      .outputMode("complete").start()
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w10_stream")
+        .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("drift alarm windows a stream against trained bands") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
