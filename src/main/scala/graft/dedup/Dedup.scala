@@ -233,25 +233,18 @@ object Dedup {
       shingleSize: Int, numPerms: Int, rowsPerBand: Int): DataFrame = {
     require(numPerms % rowsPerBand == 0,
       s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand)")
-    val ws = words(col(textCol))
-    val grams = when(size(ws) >= shingleSize,
-      transform(sequence(lit(0), size(ws) - shingleSize),
-        i => array_join(slice(ws, i + lit(1), lit(shingleSize)), " ")))
-      .otherwise(array().cast("array<string>"))
-    val mins = perm(numPerms).map { case (a, b) =>
-      array_min(transform(col("__hs"), h => pmod(lit(a) * h + lit(b), lit(P))))
-    }
-    val bands = (0 until numPerms / rowsPerBand).map { b =>
-      val hs = (b * rowsPerBand until (b + 1) * rowsPerBand)
-        .map(i => mins(i).cast("string"))
-      struct(lit(b).as("band"), md5(concat_ws(",", hs: _*)).as("bucket"))
-    }
-    df.select(col(idCol).as("id"),
-        array_distinct(filter(grams, g => length(g) > 0)).as("__gs"))
-      .filter(size(col("__gs")) > 0)
-      .withColumn("__hs",
-        transform(col("__gs"), g => pmod(md5Long(g), lit(1073741824L))))
-      .select(col("id"), explode(array(bands: _*)).as("bb"))
+    // the whole words → distinct-gram-hash → perm-minima → band-bucket
+    // chain is the fused native [[graft.functions.LshBands]]: the
+    // Column formulation's higher-order functions (transform/filter/
+    // array_min) are CodegenFallback — interpreted, a closure per
+    // element — which cost ~25 ms/doc (w9 ~40 s for 50 k docs at sf1
+    // vs ~1 s fused). Bit-identical (LshBandsSpec pins it against the
+    // Column reference form; the w9 oracle pins it cross-engine).
+    // Fewer-than-k-word docs yield an empty array: explode drops them,
+    // matching the aggregated formulation.
+    df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+      .select(col("id"), explode(graft.functions.LshBands(col("__ws"),
+        shingleSize, numPerms, rowsPerBand)).as("bb"))
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 

@@ -561,7 +561,13 @@ object Profiler {
     * exact while 2·n_a·n_b < 2⁶³ (~2·10⁹ rows per side); beyond that
     * cast the products to DecimalType(38,0) — same plan, wider
     * buffers. */
-  def stateDrift(a: DataFrame, b: DataFrame): DataFrame = {
+  def stateDrift(aState: DataFrame, bState: DataFrame): DataFrame = {
+    // each state feeds three consumers (the value join + its totals
+    // twice): persist so the state aggregation runs once per side —
+    // the trigramFamiliarity convention; StagePersists release
+    // contract applies
+    val a = graft.ops.StagePersists.track(aState)
+    val b = graft.ops.StagePersists.track(bState)
     def totals(s: DataFrame, suffix: String): DataFrame =
       s.groupBy("table", "column").agg(
         sum("cnt").as(s"n_$suffix"),
