@@ -28,23 +28,17 @@ object TextAnalysis {
   private def tokens(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-zà-ÿ0-9]+"), w => w =!= "")
 
-  /** Count of marker hits for one language over the token array. */
-  private def markerHits(c: String, lang: String): Column = {
-    val set = array(markers(lang).map(lit): _*)
-    size(filter(tokens(col(s"`$c`")), w => array_contains(set, w)))
-  }
-
-  /** Heuristic language ID: the language with the most marker-word hits;
-    * 'unknown' when nothing matches. Deterministic tie-break by language
-    * code. */
-  def langId(c: String): Column = {
-    val scored = markers.keys.toSeq.sorted.map { lang =>
-      struct((-markerHits(c, lang)).as("neg"), lit(lang).as("lang"))
-    }
-    when(array_min(array(scored: _*)).getField("neg") < 0,
-      array_min(array(scored: _*)).getField("lang"))
-      .otherwise("unknown")
-  }
+  /** Heuristic language ID: the language with the most marker-word
+    * hits; 'unknown' when nothing matches. Deterministic tie-break by
+    * language code. Fused into the native
+    * [[graft.functions.MarkerLangId]] — the Column form paid ~10
+    * interpreted split+filter passes per document (one
+    * `size(filter(tokens, contains))` per language, evaluated twice
+    * under the `when`); the native pass lowercases once and scores
+    * every language in one token walk, bit-identical
+    * (MarkerLangIdSpec + the t1 oracle pin it). */
+  def langId(c: String): Column =
+    graft.functions.MarkerLangId(col(s"`$c`"))
 
   /** Whitespace-ish token count — the fused
     * [[graft.functions.QualityStats]] run-count, bit-identical to

@@ -8,14 +8,17 @@ object DebugT21 {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    def t[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"$label ${(System.nanoTime()-t0)/1e9}%.2fs"); r
+    }
     val docs = graft.Tables.load(spark, "/tmp/sf1", "documents")
-    val buckets = graft.dedup.Dedup.inlineLshBuckets(docs, "text", "doc_id", 3, 16, 4)
-    val plan = buckets.queryExecution.executedPlan.toString
-    println("md5Long occurrences: " + ("conv".r.findAllIn(plan).length))
-    println("split occurrences: " + ("split".r.findAllIn(plan).length))
-    println("transform occurrences: " + ("transform".r.findAllIn(plan).length))
-    println("plan length: " + plan.length)
-    println(plan.take(2500))
+    t("langId cold")(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.langId("text").as("lang_pred"))
+      .localCheckpoint(true).count())
+    t("langId warm")(docs.select(col("doc_id"),
+      graft.text.TextAnalysis.langId("text").as("lang_pred"))
+      .localCheckpoint(true).count())
     spark.stop()
   }
 }
