@@ -160,6 +160,31 @@ class ProfilerSpec extends SparkSpec {
     assert(drift("w").getAs[Long]("l1_scaled") == 0L)
   }
 
+  test("increment states round-trip through parquet (the daily-fold workflow)") {
+    // day 1: profile the increment, store the STATE; day 2: load it,
+    // fold the new increment in, derive the profile — no day-1 re-scan
+    val day1 = Seq(("a1", "New York"), ("a2", "")).toDF("id", "city")
+    val day2 = Seq(("a3", "New York"), ("a4", "Boston")).toDF("id", "city")
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toFile
+    try {
+      Profiler.incrementState(Seq("t" -> day1))
+        .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/state")
+      val stored = spark.read.parquet(s"${dir.getAbsolutePath}/state")
+      val merged = Profiler.mergeStates(Seq(stored,
+        Profiler.incrementState(Seq("t" -> day2))))
+      val folded = Profiler.profileFromState(merged, incCfg)
+        .orderBy("column").collect()
+      val direct = Profiler.profile(day1.union(day2), "t", incCfg)
+        .orderBy("column").collect()
+      assert(folded.toSeq == direct.toSeq)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+      }
+      rm(dir)
+    }
+  }
+
   test("profileFromState rejects quartiles") {
     val s = Profiler.incrementState(Seq("t" -> mini))
     intercept[IllegalArgumentException] {
