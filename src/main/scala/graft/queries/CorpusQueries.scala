@@ -455,13 +455,81 @@ object CorpusQueries {
        |${chunkPackTailSql("sampled")}""".stripMargin
   }
 
+  // ---- l4: release report (the dataset card) ----------------------------
+
+  private val ReportFractions =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  /** The per-(split, language) RELEASE REPORT — the dataset card a
+    * corpus consumer reads next to [[graft.text.CorpusRelease]]'s
+    * layout: document and token counts, exact-duplicate share
+    * (corpus-wide content-hash frequency > 1), and mean quality. All
+    * integer-exact until one closing division: tokens and the ×10⁴
+    * fixed-point quality sum aggregate as longs, so group order
+    * cannot drift the result between engines.
+    *
+    * Scale shape: one corpus-wide content-hash count (partial-agg
+    * groupBy) joined back on the hash (linear equi-join), then ONE
+    * partially-aggregated groupBy(split, lang) whose per-row
+    * expressions (split assignment, token count, quality) are all
+    * map-side native kernels. */
+  def releaseReport(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{Sampling, TextAnalysis}
+    val d = Tables.load(spark, dir, "documents")
+    val s = Sampling.splitAssign(d, "doc_id", ReportFractions)
+    val hc = d.groupBy(md5(col("text")).as("__h")).agg(count(lit(1)).as("__hc"))
+    s.withColumn("__h", md5(col("text")))
+      .join(hc, "__h")
+      .groupBy("split", "lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount("text")).as("n_tokens"),
+        coalesce(sum(when(col("__hc") > 1, 1L)), lit(0L)).as("n_dup_docs"),
+        sum(floor(TextAnalysis.qualityScore("text") * 10000d + 0.5d)
+          .cast("long")).as("sum_quality_e4"))
+      .withColumn("mean_quality",
+        col("sum_quality_e4").cast("double") / lit(10000.0) /
+          col("n_docs").cast("double"))
+      .orderBy("split", "lang")
+  }
+
+  val releaseReportSql: String = {
+    val thr = graft.text.Sampling.splitThresholds(ReportFractions)
+    val ws = TextQueries.WS
+    val q = TextQueries.rawQualitySql
+    s"""WITH s AS (
+       |  SELECT doc_id, lang, text,
+       |    CASE WHEN h < ${thr(0)} THEN 'train'
+       |         WHEN h < ${thr(1)} THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM (SELECT doc_id, lang, text,
+       |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+       |    FROM documents)),
+       |hc AS (SELECT md5(text) AS h2, COUNT(*) AS hc FROM documents GROUP BY 1),
+       |g AS (
+       |  SELECT split, lang, COUNT(*) AS n_docs,
+       |    CAST(SUM(len($ws)) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(CASE WHEN hc > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+       |      AS n_dup_docs,
+       |    CAST(SUM(CAST(FLOOR($q * 10000 + 0.5) AS BIGINT)) AS BIGINT)
+       |      AS sum_quality_e4
+       |  FROM s JOIN hc ON md5(s.text) = hc.h2
+       |  GROUP BY 1, 2)
+       |SELECT split, lang, n_docs, n_tokens, n_dup_docs, sum_quality_e4,
+       |  CAST(sum_quality_e4 AS DOUBLE) / 10000.0 / CAST(n_docs AS DOUBLE)
+       |    AS mean_quality
+       |FROM g ORDER BY split, lang""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_corpus_pipeline" -> (corpusPipeline _),
     "l2_full_pipeline" -> (fullPipeline _),
-    "l3_curated_pipeline" -> (curatedPipeline _))
+    "l3_curated_pipeline" -> (curatedPipeline _),
+    "l4_release_report" -> (releaseReport _))
 
   def oracleSql: Map[String, String] = Map(
     "l1_corpus_pipeline" -> corpusPipelineSql,
     "l2_full_pipeline" -> fullPipelineSql,
-    "l3_curated_pipeline" -> curatedPipelineSql)
+    "l3_curated_pipeline" -> curatedPipelineSql,
+    "l4_release_report" -> releaseReportSql)
 }

@@ -9,7 +9,7 @@ import org.apache.spark.sql.functions._
   * scoring, token stats, fingerprinting). */
 object TextQueries {
 
-  private val WS = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+  private[queries] val WS = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
 
   // ---- t1: language identification -------------------------------------
 
@@ -54,7 +54,7 @@ object TextQueries {
   /** The raw (pre-rounding) quality expression — mirrors
     * TextAnalysis.qualityScore term by term, same parenthesization.
     * Shared by t2 (rounded score) and t21 (fixed-point order key). */
-  private val rawQualitySql: String = {
+  private[queries] val rawQualitySql: String = {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
