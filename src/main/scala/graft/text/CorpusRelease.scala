@@ -37,11 +37,22 @@ object CorpusRelease {
       sumCols: Seq[String] = Nil,
       maxRecordsPerFile: Long = 1000000L): DataFrame = {
     require(partitionCols.nonEmpty, "a release needs partition dimensions")
+    val orderCols = (partitionCols ++ sortCols).map(c => col(s"`$c`"))
     corpus
-      // one shuffle keyed by the partition dims so each writer task
-      // emits few directories (not #tasks × #dirs small files)
-      .repartition(partitionCols.map(c => col(s"`$c`")): _*)
-      .sortWithinPartitions((partitionCols ++ sortCols).map(c => col(s"`$c`")): _*)
+      // RANGE partition on (dims, pack order), with an explicit count:
+      // a hash repartition on the dims alone would leave only
+      // #distinct(dims) writer tasks active (≈4 for split×lang — a
+      // single-digit-parallelism write at 100 TB), while the range
+      // layout spreads each dimension's rows over many tasks that each
+      // still write into only one or two directories (contiguous
+      // ranges), keeping both the writer parallelism and the
+      // few-files-per-task property. Explicit count for the same
+      // reason as Scale.prefixSums: REPARTITION_BY_COL may be
+      // AQE-coalesced to one partition on small byte estimates.
+      .repartitionByRange(
+        corpus.sparkSession.sessionState.conf.numShufflePartitions,
+        orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)

@@ -112,8 +112,10 @@ object Sampling {
     *
     * `scoreCol` must be an INTEGER score (fixed-point-scale doubles
     * first — e.g. ⌊q·10⁴+½⌋, the engine's portable rounding) and
-    * `idCol` a non-negative id below 10¹², so the composite order key
-    * id − score·10¹² is collision-free and fits a Long. The budget is
+    * `idCol` a UNIQUE non-negative id below 10¹², so the composite
+    * order key id − score·10¹² is collision-free and fits a Long
+    * (duplicate ids would tie the order key and make the running sum
+    * order-dependent). The budget is
     * ⌊total·fraction⌋ with the multiply on the driver — one exact IEEE
     * op any engine reproduces.
     *
