@@ -30,10 +30,14 @@ object Tables {
     // disabled the rebalance for every ScaleUp-shaped input and left
     // each downstream map side on one core (t21's quality scoring ran
     // 15s serial at sf1 vs ~1s rebalanced)
+    // recurse: hive-partitioned layouts (split=.../lang=.../part-*)
+    // keep their data files in SUBDIRECTORIES — a top-level-only sum
+    // reads 0 and silently disables the rebalance again
     def dataBytes(f: java.io.File): Long =
       if (f.isDirectory)
-        f.listFiles().filter(p => p.isFile && !p.getName.startsWith(".") &&
-          !p.getName.startsWith("_")).map(_.length()).sum
+        f.listFiles()
+          .filter(p => !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+          .map(dataBytes).sum
       else f.length()
     val size =
       try dataBytes(new java.io.File(path))

@@ -75,8 +75,10 @@ object Components {
     * [[dupComponents]]' arbitrary min-id convention.
     *
     * `labels`: (idCol, componentCol) from [[connectedComponents]];
-    * `scored`: (idCol, scoreCol) — any deterministic per-id score
-    * (e.g. the rounded [[graft.text.TextAnalysis.qualityScore]]).
+    * `scored`: (idCol, scoreCol) — any deterministic per-id NUMERIC
+    * score (it is negated to build the argmax ordering; e.g. the
+    * rounded [[graft.text.TextAnalysis.qualityScore]]). idCol may be
+    * any orderable type — string keys work.
     *
     * Scale shape: one equi-join on id, one partially-aggregated
     * groupBy(component) whose argmax carries a single struct per
@@ -85,12 +87,14 @@ object Components {
   def keepBest(labels: DataFrame, scored: DataFrame, idCol: String,
       componentCol: String, scoreCol: String): DataFrame = {
     val withScore = labels.join(scored, idCol)
-    // argmax as a struct max: (score asc, -id asc) ⇒ highest score,
-    // then lowest id — total order, so the pick is deterministic
+    // argmax as a struct MIN over (-score, id) ⇒ highest score, then
+    // lowest id — a total order, so the pick is deterministic. The
+    // SCORE is negated (numeric by contract), never the id, so string
+    // and other orderable id types work
     val best = withScore.groupBy(componentCol)
-      .agg(max(struct(col(s"`$scoreCol`").as("s"),
-        (-col(s"`$idCol`")).as("negid"))).as("b"))
-      .select(col(s"`$componentCol`"), (-col("b.negid")).as("__best_id"))
+      .agg(min(struct((-col(s"`$scoreCol`")).as("negs"),
+        col(s"`$idCol`").as("id"))).as("b"))
+      .select(col(s"`$componentCol`"), col("b.id").as("__best_id"))
     withScore.join(best, componentCol)
       .withColumn("keep", col(s"`$idCol`") === col("__best_id"))
       .drop("__best_id")

@@ -412,18 +412,21 @@ object Dedup {
       .select(col("o.g").as("g"), col("id"), col("o.pos").as("pos")))
     val first = occ.groupBy("g")
       .agg(min(struct(col("id"), col("pos"))).as("f"))
+    // carry duplicate-window STARTS only (c ints, not c·k exploded
+    // positions); the native CoverRewrite merges the intervals and
+    // rebuilds the text in one O(n + c log c) pass per document
     val covered = occ.join(first, "g")
       .filter(struct(col("id"), col("pos")) =!= col("f"))
       .groupBy("id")
-      .agg(array_distinct(flatten(collect_list(
-        sequence(col("pos"), col("pos") + lit(k - 1))))).as("__cov"))
-    val cov = coalesce(col("__cov"), array().cast("array<int>"))
+      .agg(collect_list(col("pos")).as("__starts"))
+    val starts = coalesce(col("__starts"), array().cast("array<int>"))
     toks.join(covered, Seq("id"), "left")
+      .withColumn("__cr",
+        graft.functions.CoverRewrite(ws, starts, k))
       .select(col("id"),
         size(ws).cast("long").as("n_tokens"),
-        size(cov).cast("long").as("n_removed"),
-        array_join(filter(ws, (w, i) => !array_contains(cov, i)), " ")
-          .as("clean_text"))
+        col("__cr.n_removed").as("n_removed"),
+        col("__cr.clean_text").as("clean_text"))
   }
 
   // ---- SimHash ----------------------------------------------------------

@@ -86,8 +86,11 @@ object MarkerLangId {
       if (b < 0x80) {
         tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
       } else if (b < 0xe0) {
-        val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
-        tok = cp >= 0xe0 && cp <= 0xff
+        // dangling lead byte (malformed UTF-8) is a token break
+        tok = j + 1 < m && {
+          val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
+          cp >= 0xe0 && cp <= 0xff
+        }
         step = 2
       } else if (b < 0xf0) step = 3
       else step = 4

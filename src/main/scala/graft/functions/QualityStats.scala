@@ -79,9 +79,13 @@ object QualityStats {
                  (b >= '[' && b <= '`') || (b >= '{' && b <= '~')) punct += 1
         i += 1
       } else if (b < 0xe0) {
-        // 2-byte sequence: code point = 0x80..0x7FF; à-ÿ = U+00E0–U+00FF
-        val cp = ((b & 0x1f) << 6) | (raw(i + 1) & 0x3f)
-        if (cp >= 0xe0 && cp <= 0xff) alpha += 1
+        // 2-byte sequence: code point = 0x80..0x7FF; à-ÿ = U+00E0–U+00FF.
+        // A lead byte with no continuation (truncated/malformed UTF-8 —
+        // parquet binary is not validated) counts as one non-alpha char.
+        if (i + 1 < n) {
+          val cp = ((b & 0x1f) << 6) | (raw(i + 1) & 0x3f)
+          if (cp >= 0xe0 && cp <= 0xff) alpha += 1
+        }
         i += 2
       } else if (b < 0xf0) i += 3
       else i += 4
@@ -101,8 +105,11 @@ object QualityStats {
       if (b < 0x80) {
         tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
       } else if (b < 0xe0) {
-        val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
-        tok = cp >= 0xe0 && cp <= 0xff
+        // dangling lead byte (malformed UTF-8) is a token break
+        tok = j + 1 < m && {
+          val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
+          cp >= 0xe0 && cp <= 0xff
+        }
         step = 2
       } else if (b < 0xf0) step = 3
       else step = 4

@@ -275,10 +275,12 @@ object Multimodal {
       }
   }
 
-  /** 64-bit audio fingerprint: bit w set iff energy rises from window w
-    * to w+1 — the sign-of-delta coding chromaprint-family fingerprints
-    * use, so near-identical audio (same content, small re-encode
-    * jitter) lands within a few Hamming bits. */
+  /** 64-bit audio fingerprint: bit w set iff energy FALLS from window w
+    * to w+1 (energies(w) > energies(w+1)) — the sign-of-delta coding
+    * chromaprint-family fingerprints use, so near-identical audio (same
+    * content, small re-encode jitter) lands within a few Hamming bits.
+    * The fall convention is the cross-engine contract (mm5 oracle +
+    * MultimodalSpec pin it: a rising ramp fingerprints to 0L). */
   def audioFingerprint64(energies: Array[Int]): Long = {
     require(energies.length == 65, s"fingerprint needs 65 windows, got ${energies.length}")
     var h = 0L

@@ -553,7 +553,10 @@ object Profiler {
     * between engines; the single closing division (TV distance =
     * l1 / (2·n_a·n_b)) is one exact IEEE op on exact integers.
     * Missing values count as one histogram bucket (null-rate drift is
-    * also reported separately).
+    * also reported separately). A (table, column) present in only ONE
+    * state — empty snapshot, or a column added/removed between crawls —
+    * reports with the other side's totals at 0 and tv_distance = 1.0
+    * (total drift), never silently vanishes.
     *
     * Scale shape: one full-outer equi-join of the two states on
     * (table, column, value) — linear in distinct values, partially
@@ -589,22 +592,33 @@ object Profiler {
         coalesce(col("ta_c"), col("tb_c")).as("column"),
         coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
         coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    // left joins + coalesce-to-0: a column present in only ONE state
+    // (snapshot empty, column added/removed between crawls) must still
+    // report — that is the most drastic drift, not a row to drop
     val l1 = joined
       .join(broadcast(totals(a, "a").select(col("table"), col("column"),
-        col("n_a"))), Seq("table", "column"))
+        col("n_a"))), Seq("table", "column"), "left_outer")
       .join(broadcast(totals(b, "b").select(col("table"), col("column"),
-        col("n_b"))), Seq("table", "column"))
+        col("n_b"))), Seq("table", "column"), "left_outer")
       .groupBy("table", "column")
-      .agg(sum(abs(col("cnt_a") * col("n_b") - col("cnt_b") * col("n_a")))
+      .agg(sum(abs(col("cnt_a") * coalesce(col("n_b"), lit(0L)) -
+          col("cnt_b") * coalesce(col("n_a"), lit(0L))))
         .as("l1_scaled"))
-    totals(a, "a").join(totals(b, "b"), Seq("table", "column"))
+    totals(a, "a").join(totals(b, "b"), Seq("table", "column"), "full_outer")
       .join(l1, Seq("table", "column"))
       .select(col("table"), col("column"),
-        col("n_a"), col("n_b"), col("null_a"), col("null_b"),
-        col("distinct_a"), col("distinct_b"), col("l1_scaled"),
-        (col("l1_scaled").cast(DoubleType) /
-          (lit(2.0) * col("n_a").cast(DoubleType) * col("n_b").cast(DoubleType)))
-          .as("tv_distance"))
+        coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"),
+        coalesce(col("null_a"), lit(0L)).as("null_a"),
+        coalesce(col("null_b"), lit(0L)).as("null_b"),
+        coalesce(col("distinct_a"), lit(0L)).as("distinct_a"),
+        coalesce(col("distinct_b"), lit(0L)).as("distinct_b"),
+        col("l1_scaled"))
+      .withColumn("tv_distance",
+        when(col("n_a") === 0L || col("n_b") === 0L, lit(1.0))
+          .otherwise(col("l1_scaled").cast(DoubleType) /
+            (lit(2.0) * col("n_a").cast(DoubleType) *
+              col("n_b").cast(DoubleType))))
   }
 
   /** Joins Pass-A with the requested feature branches into the final

@@ -485,8 +485,7 @@ object CorpusQueries {
         count(lit(1)).as("n_docs"),
         sum(TextAnalysis.tokenCount("text")).as("n_tokens"),
         coalesce(sum(when(col("__hc") > 1, 1L)), lit(0L)).as("n_dup_docs"),
-        sum(floor(TextAnalysis.qualityScore("text") * 10000d + 0.5d)
-          .cast("long")).as("sum_quality_e4"))
+        sum(TextAnalysis.qualityE4("text")).as("sum_quality_e4"))
       .withColumn("mean_quality",
         col("sum_quality_e4").cast("double") / lit(10000.0) /
           col("n_docs").cast("double"))

@@ -339,18 +339,25 @@ object ProfileQueries {
        |  FROM a FULL OUTER JOIN b
        |    ON a."column" = b."column" AND a.value IS NOT DISTINCT FROM b.value),
        |l1 AS (SELECT j."column",
-       |  CAST(SUM(ABS(j.cnt_a * tb.n_b - j.cnt_b * ta.n_a)) AS BIGINT)
+       |  CAST(SUM(ABS(j.cnt_a * COALESCE(tb.n_b, 0)
+       |            - j.cnt_b * COALESCE(ta.n_a, 0))) AS BIGINT)
        |    AS l1_scaled
-       |  FROM j JOIN ta ON j."column" = ta."column"
-       |         JOIN tb ON j."column" = tb."column"
-       |  GROUP BY 1)
-       |SELECT ta."column", n_a, n_b, null_a, null_b, distinct_a, distinct_b,
+       |  FROM j LEFT JOIN ta ON j."column" = ta."column"
+       |         LEFT JOIN tb ON j."column" = tb."column"
+       |  GROUP BY 1),
+       |t AS (SELECT COALESCE(ta."column", tb."column") AS "column",
+       |  COALESCE(n_a, 0) AS n_a, COALESCE(n_b, 0) AS n_b,
+       |  COALESCE(null_a, 0) AS null_a, COALESCE(null_b, 0) AS null_b,
+       |  COALESCE(distinct_a, 0) AS distinct_a,
+       |  COALESCE(distinct_b, 0) AS distinct_b
+       |  FROM ta FULL OUTER JOIN tb ON ta."column" = tb."column")
+       |SELECT t."column", n_a, n_b, null_a, null_b, distinct_a, distinct_b,
        |  l1_scaled,
-       |  CAST(l1_scaled AS DOUBLE) /
-       |    (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) AS tv_distance
-       |FROM ta JOIN tb ON ta."column" = tb."column"
-       |        JOIN l1 ON ta."column" = l1."column"
-       |ORDER BY ta."column"""".stripMargin
+       |  CASE WHEN n_a = 0 OR n_b = 0 THEN 1.0
+       |       ELSE CAST(l1_scaled AS DOUBLE) /
+       |    (2.0 * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)) END AS tv_distance
+       |FROM t JOIN l1 ON t."column" = l1."column"
+       |ORDER BY t."column"""".stripMargin
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -571,8 +571,7 @@ object TextQueries {
     val scored = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         TextAnalysis.tokenCount("text").as("n_tokens"),
-        floor(TextAnalysis.qualityScore("text") * 10000d + 0.5d)
-          .cast("long").as("__q"))
+        TextAnalysis.qualityE4("text").as("__q"))
     Sampling.budgetSelect(scored, "doc_id", "n_tokens", "__q",
         budgetFraction = 0.5)
       .orderBy("doc_id")

@@ -28,8 +28,7 @@ object CorpusRules {
   def sourceStats(docs: DataFrame, sourceCol: String, textCol: String,
       minAvgQuality: Double = 0.0, maxShortFrac: Double = 1.0,
       shortLen: Int = 200): DataFrame = {
-    val qE4 = floor(TextAnalysis.qualityScore(textCol) * 10000d + 0.5d)
-      .cast(LongType)
+    val qE4 = TextAnalysis.qualityE4(textCol)
     docs.groupBy(col(s"`$sourceCol`").as("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(qE4).as("sum_quality_e4"),

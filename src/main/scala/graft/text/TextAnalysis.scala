@@ -85,6 +85,14 @@ object TextAnalysis {
       (lit(1.0) - least(digitPenalty * 5, lit(1.0))) * 0.1)
   }
 
+  /** [[qualityScore]] in exact 10⁻⁴ fixed point: floor(q·10⁴ + 0.5) as
+    * Long — THE cross-engine determinism contract for every quality SUM
+    * (e4/l4/r14/t21 oracles replay it as
+    * `CAST(FLOOR(q * 10000 + 0.5) AS BIGINT)`). One definition so a
+    * future change to the rounding device cannot miss a call site. */
+  def qualityE4(c: String): Column =
+    floor(qualityScore(c) * 10000d + 0.5d).cast(LongType)
+
   /** 60-bit content fingerprint: min of md5-derived hashes over word
     * 4-shingles (a 1-perm MinHash — stable under small edits at the
     * document tail, portable across engines). */

@@ -86,4 +86,15 @@ class ComponentsSpec extends SparkSpec {
     assert(out == Set((1L, 1L, false), (4L, 1L, true), (7L, 1L, false),
       (2L, 2L, false), (9L, 2L, true)))
   }
+
+  test("keepBest works with STRING ids (only the score is negated)") {
+    val labels = Seq(("u1", "c1"), ("u2", "c1"), ("u3", "c1"))
+      .toDF("id", "component_id")
+    val scored = Seq(("u1", 0.9), ("u2", 0.9), ("u3", 0.5))
+      .toDF("id", "quality")
+    val out = Components.keepBest(labels, scored, "id", "component_id", "quality")
+      .select("id", "keep").as[(String, Boolean)].collect().toSet
+    // tie at 0.9 breaks to the lexicographically lowest id
+    assert(out == Set(("u1", true), ("u2", false), ("u3", false)))
+  }
 }

@@ -240,6 +240,26 @@ class DedupSpec extends SparkSpec {
     assert(got(4L) === ((4L, 0L, "p q r s")))
   }
 
+  test("cover rewrite merges overlapping intervals; starts may arrive unsorted") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(ws: String*) =
+      new GenericArrayData(ws.map(UTF8String.fromString).toArray[Any])
+    // k=3, starts {4, 2} (unsorted, overlapping) → covered 2..6
+    val row = graft.functions.CoverRewrite.rewriteOf(
+      arr("t0", "t1", "t2", "t3", "t4", "t5", "t6", "t7"),
+      new GenericArrayData(Array[Any](4, 2)), 3)
+    assert(row.getLong(0) == 5L)
+    assert(row.getUTF8String(1).toString == "t0 t1 t7")
+    // no starts → untouched; all covered → empty text
+    val none = graft.functions.CoverRewrite.rewriteOf(
+      arr("a", "b"), new GenericArrayData(Array.empty[Any]), 3)
+    assert(none.getLong(0) == 0L && none.getUTF8String(1).toString == "a b")
+    val all = graft.functions.CoverRewrite.rewriteOf(
+      arr("a", "b", "c"), new GenericArrayData(Array[Any](0)), 3)
+    assert(all.getLong(0) == 3L && all.getUTF8String(1).toString == "")
+  }
+
   test("native dot_product equals the HOF reference bit-for-bit") {
     import spark.implicits._
     // float and double element types, denormal-ish and large magnitudes

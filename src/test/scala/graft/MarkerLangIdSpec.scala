@@ -64,4 +64,12 @@ class MarkerLangIdSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("the and of"))
     assert(direct.toString == "en")
   }
+
+  test("malformed UTF-8 (dangling lead byte) does not crash") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // truncated multi-byte tail = token break, not a crash
+    val got = graft.functions.MarkerLangId.langIdOf(
+      UTF8String.fromBytes(Array[Byte]('t', 'h', 'e', ' ', 0xc3.toByte)))
+    assert(got.toString == "en")
+  }
 }

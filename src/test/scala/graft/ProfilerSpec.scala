@@ -160,6 +160,22 @@ class ProfilerSpec extends SparkSpec {
     assert(drift("w").getAs[Long]("l1_scaled") == 0L)
   }
 
+  test("state drift reports one-sided columns instead of dropping them") {
+    // the most drastic drift — a column (or whole snapshot) vanished —
+    // must surface as n=0 / TV=1, not as a silently missing row
+    val a = Seq(("a", "x"), ("b", "y")).toDF("u", "w")
+    val b = Seq(Tuple1("x")).toDF("w") // column u absent from snapshot B
+    val drift = Profiler.stateDrift(
+        Profiler.incrementState(Seq("t" -> a)),
+        Profiler.incrementState(Seq("t" -> b))).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    assert(drift.contains("u"), "one-sided column vanished from the report")
+    assert(drift("u").getAs[Long]("n_a") == 2L)
+    assert(drift("u").getAs[Long]("n_b") == 0L)
+    assert(drift("u").getAs[Long]("distinct_b") == 0L)
+    assert(drift("u").getAs[Double]("tv_distance") == 1.0)
+  }
+
   test("increment states round-trip through parquet (the daily-fold workflow)") {
     // day 1: profile the increment, store the STATE; day 2: load it,
     // fold the new increment in, derive the profile — no day-1 re-scan

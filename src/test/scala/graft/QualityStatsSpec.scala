@@ -53,6 +53,19 @@ class QualityStatsSpec extends SparkSpec {
     cmp.foreach(r => assert(r.getLong(0) == r.getLong(1)))
   }
 
+  test("malformed UTF-8 (dangling lead byte) does not crash") {
+    // parquet binary is NOT validated UTF-8: a truncated multi-byte
+    // sequence at the end of the buffer must classify as one
+    // non-alpha char, never read past the array
+    import org.apache.spark.unsafe.types.UTF8String
+    for (bad <- Seq(Array[Byte]('a', 'b', 0xc3.toByte),
+        Array[Byte](0xc3.toByte), Array[Byte]('1', 0xdf.toByte))) {
+      val stats = graft.functions.QualityStats.statsOf(
+        UTF8String.fromBytes(bad))
+      assert(stats.length == 5) // no ArrayIndexOutOfBoundsException
+    }
+  }
+
   test("interpreted eval matches codegen") {
     val s = org.apache.spark.unsafe.types.UTF8String.fromString(
       "Déjà! 42 ÷ 6 — λ test İ")

@@ -329,6 +329,17 @@ class ScaleSpec extends SparkSpec {
       assert(loaded.rdd.getNumPartitions > 1,
         s"single-part directory read stayed on ${loaded.rdd.getNumPartitions} partition(s)")
       assert(loaded.count() == 30000L)
+      // hive-partitioned layout (CorpusRelease shape): data files live
+      // in split=/... SUBDIRECTORIES — the size probe must recurse or
+      // the rebalance silently dies again
+      (1 to 30000).map(i => (i.toLong, i % 2, s"some longer padding text $i"))
+        .toDF("doc_id", "split", "text")
+        .coalesce(1).write.mode("overwrite").partitionBy("split")
+        .parquet(s"${dir.getAbsolutePath}/release.parquet")
+      val part = Tables.load(spark, dir.getAbsolutePath, "release")
+      assert(part.rdd.getNumPartitions > 2,
+        s"partitioned directory read stayed on ${part.rdd.getNumPartitions} partition(s)")
+      assert(part.count() == 30000L)
     } finally {
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
