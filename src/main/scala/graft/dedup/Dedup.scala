@@ -429,6 +429,55 @@ object Dedup {
         col("__cr.clean_text").as("clean_text"))
   }
 
+  // ---- line-grain dedup --------------------------------------------------
+
+  /** C4/RefinedWeb-style LINE-frequency dedup: split each document on
+    * `sep`, and every line whose exact text already occurred at an
+    * earlier global position — (doc, line position) lexicographic,
+    * first occurrence wins, corpus-wide — is removed; each document is
+    * reassembled from its surviving lines. The web-pipeline
+    * counterpart of [[exactSubstringDedup]] at line grain (C4 §2.2
+    * dedups three-sentence spans; RefinedWeb/CCNet drop repeated
+    * lines — boilerplate navigation, cookie banners, license footers).
+    *
+    * Output per document: n_lines, n_removed, dup_line_frac (the
+    * MassiveText-style doc-level signal: a document that is mostly
+    * duplicated lines is itself boilerplate), clean_text (surviving
+    * lines joined by `sep`).
+    *
+    * Scale shape: line explode → one map-side-combinable min per
+    * distinct line text → inverted-index join back on line text
+    * (duplicate occurrences only, never a pair join) → per-doc
+    * position-set rebuild over line arrays bounded by document size.
+    * Same plan family as [[exactSubstringDedup]] — linear in corpus
+    * lines, no window over the corpus. */
+  def lineDedup(df: DataFrame, textCol: String, idCol: String,
+      sep: String = "\n"): DataFrame = {
+    val lines = col("__lines")
+    val toks = df.select(col(s"`$idCol`").as("id"),
+      split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep))
+        .as("__lines"))
+    // two consumers (first-occurrence min + join back): persist the
+    // corpus-sized explode (StagePersists release contract applies)
+    val occ = graft.ops.StagePersists.track(
+      toks.select(col("id"), posexplode(lines).as(Seq("pos", "line"))))
+    val first = occ.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+    val removed = occ.join(first, "line")
+      .filter(struct(col("id"), col("pos")) =!= col("f"))
+      .groupBy("id")
+      .agg(collect_list(col("pos")).as("__rm"))
+    val rm = coalesce(col("__rm"), array().cast("array<int>"))
+    toks.join(removed, Seq("id"), "left")
+      .select(col("id"),
+        size(lines).cast("long").as("n_lines"),
+        size(rm).cast("long").as("n_removed"),
+        (size(rm).cast(DoubleType) / size(lines).cast(DoubleType))
+          .as("dup_line_frac"),
+        array_join(filter(lines, (_, i) => !array_contains(rm, i)), sep)
+          .as("clean_text"))
+  }
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: for each bit, vote +1/-1 per

@@ -683,6 +683,56 @@ object DedupQueries {
        |FROM grams JOIN eval_grams USING (g)
        |GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // ---- d14: line-frequency dedup ---------------------------------------
+
+  private val NavLine = "repeated boilerplate navigation line planted on every fourth page"
+
+  /** Documents recut into three 60-char lines, with a shared
+    * boilerplate line planted on every fourth doc — [[Dedup.lineDedup]]
+    * drops every later occurrence of an exact line (the RefinedWeb/
+    * CCNet repeated-line rule; first occurrence survives corpus-wide)
+    * and reports the MassiveText doc-level dup_line_frac signal. */
+  def lineDedupRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 61, 60), lit("\n"),
+        when(col("doc_id") % 4 === 0, lit(NavLine))
+          .otherwise(substring(col("text"), 121, 60))).as("text"))
+    Dedup.lineDedup(planted, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_removed"),
+        col("dup_line_frac"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val lineDedupRewriteSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 60) || chr(10) || substr(text, 61, 60) || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '$NavLine'
+       |         ELSE substr(text, 121, 60) END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM planted),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM t)),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |rm AS (SELECT doc_id, list(pos) AS rm
+       |       FROM ranked WHERE rn > 1 GROUP BY doc_id)
+       |SELECT t.doc_id, len(lines)::BIGINT AS n_lines,
+       |  coalesce(len(rm), 0)::BIGINT AS n_removed,
+       |  coalesce(len(rm), 0)::DOUBLE / len(lines)::DOUBLE AS dup_line_frac,
+       |  coalesce(array_to_string(list_filter(lines, (l, i) -> NOT
+       |    list_contains(coalesce(rm, CAST([] AS INTEGER[])), i - 1)),
+       |    chr(10)), '') AS clean_text
+       |FROM t LEFT JOIN rm USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
@@ -697,6 +747,7 @@ object DedupQueries {
     "d11_keep_best" -> (keepBestCanonical _),
     "d12_weighted_jaccard" -> (weightedJaccardPairs _),
     "d13_incremental_dedup" -> (incrementalDedup _),
+    "d14_line_dedup" -> (lineDedupRewrite _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -713,5 +764,6 @@ object DedupQueries {
     "d11_keep_best" -> keepBestCanonicalSql,
     "d12_weighted_jaccard" -> weightedJaccardPairsSql,
     "d13_incremental_dedup" -> incrementalDedupSql,
+    "d14_line_dedup" -> lineDedupRewriteSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

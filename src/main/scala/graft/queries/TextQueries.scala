@@ -591,7 +591,105 @@ object TextQueries {
        |SELECT doc_id, n_tokens, cum AS cum_tokens
        |FROM c, b WHERE cum <= budget ORDER BY doc_id""".stripMargin
 
+  // ---- t22: C4 heuristic cleaning --------------------------------------
+
+  /** Documents recut into planted lines exercising every C4 rule:
+    * line 1 keeps (many words + terminal '.'), line 2 drops (no
+    * terminal), line 3 drops ('too short.' < 5 words), line 4 keeps
+    * when the doc is long enough ('!'); every 6th doc plants a
+    * "lorem ipsum" line (doc dropped), every 7th a curly-brace line
+    * (doc dropped). [[graft.text.Cleaning.c4Clean]] applies the rule
+    * set in one map-side pass. */
+  def c4Clean(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        substring(col("text"), 61, 60), lit("\n"),
+        lit("too short.\n"),
+        substring(col("text"), 121, 60), lit("!"),
+        when(col("doc_id") % 6 === 0, lit("\nthis page is lorem ipsum filler text only."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 3, lit("\nvar config = { \"mode\": 1 };"))
+          .otherwise(lit(""))).as("text"))
+    graft.text.Cleaning.c4Clean(planted, "text", "doc_id",
+        minLineWords = 5, minKeptLines = 2)
+      .select(col("id").as("doc_id"), col("n_lines"), col("n_kept"),
+        col("kept"), col("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  val c4CleanSql: String = {
+    val w4 = "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 60) || '.' || chr(10) ||
+       |    substr(text, 61, 60) || chr(10) ||
+       |    'too short.' || chr(10) ||
+       |    substr(text, 121, 60) || '!' ||
+       |    CASE WHEN doc_id % 6 = 0
+       |      THEN chr(10) || 'this page is lorem ipsum filler text only.'
+       |      ELSE '' END ||
+       |    CASE WHEN doc_id % 7 = 3
+       |      THEN chr(10) || 'var config = { "mode": 1 };'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |t AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+       |      FROM planted),
+       |k AS (SELECT doc_id, text, lines,
+       |        list_filter(lines, l -> len($w4) >= 5
+       |          AND right(l, 1) IN ('.', '!', '?', '"')) AS keptl
+       |      FROM t)
+       |SELECT doc_id, len(lines)::BIGINT AS n_lines,
+       |  len(keptl)::BIGINT AS n_kept,
+       |  (NOT lower(text) LIKE '%lorem ipsum%'
+       |    AND NOT text LIKE '%{%' AND NOT text LIKE '%}%'
+       |    AND len(keptl) >= 2) AS kept,
+       |  coalesce(array_to_string(keptl, chr(10)), '') AS clean_text
+       |FROM k ORDER BY doc_id""".stripMargin
+  }
+
+  // ---- t23: DSIR-style importance scores -------------------------------
+
+  /** Importance-resampling scores for every document against the
+    * English subset as the target corpus
+    * ([[graft.text.Importance.importanceScores]], word bigrams):
+    * positive score = the doc's bigrams are over-represented in the
+    * target — the integer-exact linear form of the DSIR log-ratio. */
+  def dsirScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.Importance.importanceScores(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id", n = 2)
+      .select(col("id").as("doc_id"), col("n_grams"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val dsirScoresSql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+       |rg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |  FROM t WHERE len(ws) >= 2),
+       |cr AS (SELECT g, COUNT(*) AS nr FROM rg GROUP BY g),
+       |ct AS (SELECT g, COUNT(*) AS nt FROM rg WHERE lang = 'en' GROUP BY g),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rg) AS nr_tot,
+       |               (SELECT COUNT(*) FROM rg WHERE lang = 'en') AS nt_tot),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(coalesce(nt, 0) * nr_tot - nr * nt_tot) AS BIGINT) AS score
+       |  FROM rg JOIN cr USING (g) LEFT JOIN ct USING (g), tot
+       |  GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(score, 0)::BIGINT AS score
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t22_c4_clean" -> (c4Clean _),
+    "t23_dsir_scores" -> (dsirScores _),
     "t21_budget_select" -> (budgetSelect _),
     "t19_tfidf_keywords" -> (tfidfKeywords _),
     "t20_split_familiarity" -> (crossSplitFamiliarity _),
@@ -615,6 +713,8 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t22_c4_clean" -> c4CleanSql,
+    "t23_dsir_scores" -> dsirScoresSql,
     "t21_budget_select" -> budgetSelectSql,
     "t19_tfidf_keywords" -> tfidfKeywordsSql,
     "t20_split_familiarity" -> crossSplitFamiliaritySql,

@@ -309,4 +309,58 @@ class CorpusOpsSpec extends SparkSpec {
     assert(k2.filter(col("word") === "shared" && col("kw_rank") === 2)
       .count() == 3L)
   }
+
+  test("line dedup: first occurrence survives corpus-wide, later ones drop") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "unique opening line\nshared boilerplate nav\nanother line"),
+      (2L, "shared boilerplate nav\nown content here"),
+      // intra-doc repeat: second copy is removed from the SAME doc
+      (3L, "repeat me\nrepeat me")).toDF("doc_id", "text")
+    val got = graft.dedup.Dedup.lineDedup(docs, "text", "doc_id")
+      .select("id", "n_lines", "n_removed", "clean_text")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((3L, 0L,
+      "unique opening line\nshared boilerplate nav\nanother line")))
+    assert(got(2L) === ((2L, 1L, "own content here")))
+    assert(got(3L) === ((2L, 1L, "repeat me")))
+  }
+
+  test("c4 clean: line rules, phrase/brace/min-lines doc rules") {
+    import spark.implicits._
+    val good = "this first line has plenty of words inside." + "\n" +
+      "the second line also carries enough words here!"
+    val docs = Seq(
+      (1L, good), // 2 kept lines → kept
+      (2L, good + "\nno terminal punctuation on this long enough line"),
+      (3L, good + "\ntiny line."), // < 5 words → line drops, doc still kept
+      (4L, "only one surviving line is not enough today."), // < 2 kept
+      (5L, good + "\nsome Lorem Ipsum filler."), // phrase → dropped
+      (6L, good + "\ncode { block }")) // brace → dropped
+      .toDF("doc_id", "text")
+    val got = graft.text.Cleaning.c4Clean(docs, "text", "doc_id")
+      .select("id", "n_kept", "kept")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((2L, true)))
+    assert(got(2L) === ((2L, true))) // extra line just drops
+    assert(got(3L) === ((2L, true)))
+    assert(got(4L) === ((1L, false)))
+    assert(got(5L) === ((2L, false)))
+    assert(got(6L) === ((2L, false)))
+  }
+
+  test("dsir importance: target-overrepresented grams score positive") {
+    import spark.implicits._
+    // raw = {d1 "a b", d2 "c d"}; target = {d1} → gram "a b" has
+    // nt=1, nr=1; totals NT=1, NR=2 → w("a b") = 1·2 − 1·1 = 1;
+    // w("c d") = 0·2 − 1·1 = −1. Short doc (one word) scores 0/0.
+    val raw = Seq((1L, "a b"), (2L, "c d"), (3L, "x")).toDF("doc_id", "text")
+    val tgt = raw.filter(col("doc_id") === 1L)
+    val got = graft.text.Importance.importanceScores(raw, tgt, "text", "doc_id")
+      .select("id", "n_grams", "score")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 1L, 1L), (2L, 1L, -1L), (3L, 0L, 0L)))
+  }
 }

@@ -293,6 +293,32 @@ class ScaleSpec extends SparkSpec {
       s"familiarity join must stay keyed:\n$p4")
   }
 
+  test("line dedup / c4 clean / dsir keep their scale shapes") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i =>
+      (i.toLong, s"alpha beta line $i.\nshared nav line\ngamma delta $i!"))
+      .toDF("doc_id", "text")
+    // d14: line-keyed equi-joins only (the inverted-index family)
+    val d14 = graft.dedup.Dedup.lineDedup(docs, "text", "doc_id")
+    val p1 = d14.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") && !p1.contains("BroadcastNestedLoopJoin"),
+      s"line dedup must stay equi-join shaped:\n$p1")
+    graft.ops.StagePersists.release(spark)
+    // t22: pure map — NO exchange anywhere in the plan
+    val t22 = graft.text.Cleaning.c4Clean(docs, "text", "doc_id")
+    val p2 = t22.queryExecution.executedPlan.toString
+    assert(!p2.contains("Exchange"),
+      s"c4 clean must be a pure map-side pass:\n$p2")
+    // t23: gram-keyed joins; the totals cross-join must BROADCAST a
+    // 1-row frame, never a data-sized nested loop
+    val t23 = graft.text.Importance.importanceScores(
+      docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id")
+    val p3 = t23.queryExecution.executedPlan.toString
+    assert(!p3.contains("CartesianProduct"),
+      s"dsir totals must broadcast, not cartesian:\n$p3")
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("prefix sums keep their partition spread (AQE must not serialize upstream)") {
     import spark.implicits._
     // a bare repartitionByRange(col) is REPARTITION_BY_COL — AQE
