@@ -478,6 +478,32 @@ object Dedup {
           .as("clean_text"))
   }
 
+  /** The lines a batch pass has seen more than `minDf − 1` times —
+    * the trained boilerplate-line table a STREAMING filter enforces
+    * ([[lineFilterEvidence]]): the batch/stream split production line
+    * dedup actually runs, since corpus-wide first-occurrence ranking
+    * ([[lineDedup]]) is not computable on an unbounded stream. */
+  def knownDupLines(df: DataFrame, textCol: String, sep: String = "\n",
+      minDf: Long = 2L): DataFrame =
+    df.select(explode(split(col(s"`$textCol`"),
+        java.util.regex.Pattern.quote(sep))).as("line"))
+      .groupBy("line").agg(count(lit(1)).as("line_df"))
+      .filter(col("line_df") >= minDf)
+
+  /** (id, pos, line) for every line of `docs` present in the trained
+    * `knownLines` table — the APPEND-SAFE evidence form of line
+    * filtering: a stateless per-row explode plus one stream-static
+    * equi-join, no aggregation, so it runs identically on a batch
+    * frame and an unbounded stream (StreamingSpec pins stream ≡
+    * batch). Consumers drop the flagged (id, pos) lines on write-out. */
+  def lineFilterEvidence(docs: DataFrame, knownLines: DataFrame,
+      textCol: String, idCol: String, sep: String = "\n"): DataFrame =
+    docs.select(col(s"`$idCol`").as("id"),
+        posexplode(split(col(s"`$textCol`"),
+          java.util.regex.Pattern.quote(sep))).as(Seq("pos", "line")))
+      .join(knownLines.select("line"), "line")
+      .select(col("id"), col("pos"), col("line"))
+
   // ---- SimHash ----------------------------------------------------------
 
   /** 64-bit SimHash over word hashes: for each bit, vote +1/-1 per

@@ -520,15 +520,123 @@ object CorpusQueries {
        |FROM g ORDER BY split, lang""".stripMargin
   }
 
+  // ---- l5: the C4 web-crawl pipeline -------------------------------------
+
+  private val NavL =
+    "repeated boilerplate navigation line planted on every fourth page."
+
+  /** The C4 construction (Raffel et al. 2020 §2.2) end-to-end over the
+    * LINE-grain stages this round added: documents recut into planted
+    * web-page lines → heuristic cleaning (t22: line word/terminal
+    * rules, lorem-ipsum and brace page drops) → corpus-wide
+    * line-frequency dedup (d14: every later occurrence of an exact
+    * line removed) → exact page dedup of the post-clean text (d1
+    * family, min-id survivor) → per-doc release stats (token count and
+    * rounded quality of the FINAL text). One oracled query; the l2/l3
+    * chains certify the span/near-dup tail this pipeline would feed.
+    *
+    * Scale shape: every stage is map-side or a keyed equi-join —
+    * c4Clean is exchange-free, lineDedup is the inverted-index family,
+    * exact dedup one content-hash groupBy; stage persists stop the
+    * multi-consumer stages re-running upstream. */
+  def c4Pipeline(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val planted = docs.select(col("doc_id"), col("lang"),
+      concat(
+        substring(col("text"), 1, 60), lit(".\n"),
+        substring(col("text"), 61, 60), lit("\n"),
+        lit("too short.\n"),
+        when(col("doc_id") % 4 === 0, lit(NavL))
+          .otherwise(concat(substring(col("text"), 121, 60), lit("."))),
+        when(col("doc_id") % 6 === 0,
+            lit("\nthis page is lorem ipsum filler text only."))
+          .otherwise(lit(""))).as("text"))
+    // stage 1: C4 heuristic cleaning (t22) — dropped pages leave
+    val cleaned = stage(graft.text.Cleaning.c4Clean(planted, "text", "doc_id",
+        minLineWords = 5, minKeptLines = 2)
+      .filter(col("kept"))
+      .select(col("id").as("doc_id"), col("clean_text").as("text")))
+    // stage 2: corpus-wide line dedup (d14) on the cleaned pages
+    val lineDeduped = stage(Dedup.lineDedup(cleaned, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_removed").as("n_dup_lines"),
+        col("clean_text").as("text")))
+    // stage 3: exact dedup of the final text (min-id survivor)
+    val exact = Dedup.dropExactDuplicates(lineDeduped, "text", "doc_id")
+    // stage 4: release stats over the FINAL text
+    exact.join(planted.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_dup_lines"),
+        TextAnalysis.tokenCount("text").as("n_tokens"),
+        TextQueries.round4(TextAnalysis.qualityScore("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  val c4PipelineSql: String = {
+    val w4 = "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang,
+       |    substr(text, 1, 60) || '.' || chr(10) ||
+       |    substr(text, 61, 60) || chr(10) ||
+       |    'too short.' || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0 THEN '$NavL'
+       |         ELSE substr(text, 121, 60) || '.' END ||
+       |    CASE WHEN doc_id % 6 = 0
+       |      THEN chr(10) || 'this page is lorem ipsum filler text only.'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |k AS (SELECT doc_id, lang, text,
+       |        list_filter(string_split(text, chr(10)),
+       |          l -> len($w4) >= 5
+       |            AND right(l, 1) IN ('.', '!', '?', '"')) AS keptl
+       |      FROM planted),
+       |cleaned AS (
+       |  SELECT doc_id, coalesce(array_to_string(keptl, chr(10)), '') AS text
+       |  FROM k
+       |  WHERE NOT lower(text) LIKE '%lorem ipsum%'
+       |    AND NOT text LIKE '%{%' AND NOT text LIKE '%}%'
+       |    AND len(keptl) >= 2),
+       |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM cleaned),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM t)),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |rm AS (SELECT doc_id, list(pos) AS rm
+       |       FROM ranked WHERE rn > 1 GROUP BY doc_id),
+       |ld AS (
+       |  SELECT t.doc_id,
+       |    coalesce(len(rm), 0)::BIGINT AS n_dup_lines,
+       |    coalesce(array_to_string(list_filter(lines, (l, i) -> NOT
+       |      list_contains(coalesce(rm, CAST([] AS INTEGER[])), i - 1)),
+       |      chr(10)), '') AS text
+       |  FROM t LEFT JOIN rm USING (doc_id)),
+       |exact AS (
+       |  SELECT ld.doc_id, ld.n_dup_lines, ld.text FROM ld
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM ld GROUP BY text) w
+       |    ON ld.text = w.text AND ld.doc_id = w.keep),
+       |fin AS (
+       |  SELECT e.doc_id, p.lang, e.n_dup_lines, e.text
+       |  FROM exact e JOIN planted p USING (doc_id))
+       |SELECT doc_id, lang, n_dup_lines,
+       |  len(${TextQueries.WS})::BIGINT AS n_tokens,
+       |  FLOOR(${TextQueries.rawQualitySql} * 10000 + 0.5) / 10000.0 AS quality
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "l1_corpus_pipeline" -> (corpusPipeline _),
     "l2_full_pipeline" -> (fullPipeline _),
     "l3_curated_pipeline" -> (curatedPipeline _),
-    "l4_release_report" -> (releaseReport _))
+    "l4_release_report" -> (releaseReport _),
+    "l5_c4_pipeline" -> (c4Pipeline _))
 
   def oracleSql: Map[String, String] = Map(
     "l1_corpus_pipeline" -> corpusPipelineSql,
     "l2_full_pipeline" -> fullPipelineSql,
     "l3_curated_pipeline" -> curatedPipelineSql,
-    "l4_release_report" -> releaseReportSql)
+    "l4_release_report" -> releaseReportSql,
+    "l5_c4_pipeline" -> c4PipelineSql)
 }

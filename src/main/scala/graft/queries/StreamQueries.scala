@@ -341,7 +341,50 @@ object StreamQueries {
        |FROM lf GROUP BY 1, 2, 3 ORDER BY 2, 3""".stripMargin
   }
 
+  // ---- w11: streaming boilerplate-line filter (batch twin) ---------------
+
+  /** Batch twin of the stream-side line filter: a batch pass trains the
+    * duplicate-line table (lines occurring ≥ 2 times in the planted
+    * corpus — [[graft.dedup.Dedup.knownDupLines]]), and the filter
+    * emits (doc, pos, line) evidence for every incoming line found in
+    * it ([[graft.dedup.Dedup.lineFilterEvidence]] — a stateless
+    * explode + stream-static equi-join, so the spec runs this exact
+    * operator in append mode). The d14 line planting. */
+  def streamLineFilter(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val planted = docs.select(col("doc_id"),
+      concat(
+        substring(col("text"), 1, 60), lit("\n"),
+        substring(col("text"), 61, 60), lit("\n"),
+        when(col("doc_id") % 4 === 0,
+            lit("repeated boilerplate navigation line planted on every fourth page"))
+          .otherwise(substring(col("text"), 121, 60))).as("text"))
+    val known = graft.dedup.Dedup.knownDupLines(planted, "text")
+    graft.dedup.Dedup.lineFilterEvidence(planted, known, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("pos"), col("line"))
+      .orderBy("doc_id", "pos")
+  }
+
+  val streamLineFilterSql: String =
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |    substr(text, 1, 60) || chr(10) || substr(text, 61, 60) || chr(10) ||
+       |    CASE WHEN doc_id % 4 = 0
+       |      THEN 'repeated boilerplate navigation line planted on every fourth page'
+       |      ELSE substr(text, 121, 60) END AS text
+       |  FROM documents),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, string_split(text, chr(10)) AS lines,
+       |          unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i
+       |        FROM planted)),
+       |known AS (SELECT line FROM occ GROUP BY line HAVING COUNT(*) >= 2)
+       |SELECT doc_id, pos, line
+       |FROM occ JOIN known USING (line)
+       |ORDER BY doc_id, pos""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w11_stream_line_filter" -> (streamLineFilter _),
     "w10_stream_profile" -> (streamProfileState _),
     "w7_stream_source_gate" -> (streamSourceGate _),
     "w8_stream_drift_alarm" -> (streamDriftAlarm _),
@@ -354,6 +397,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w11_stream_line_filter" -> streamLineFilterSql,
     "w10_stream_profile" -> streamProfileStateSql,
     "w7_stream_source_gate" -> streamSourceGateSql,
     "w8_stream_drift_alarm" -> streamDriftAlarmSql,

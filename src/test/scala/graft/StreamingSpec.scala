@@ -326,6 +326,65 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("c4 cleaning streams in append mode and matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "this first line has plenty of words inside.\n" +
+        "the second line also carries enough words here!"),
+      (2L, "only one surviving line is not enough today."),
+      (3L, "keep these five good words okay.\nsome lorem ipsum filler."))
+    val batch = graft.text.Cleaning.c4Clean(
+        rows.toDF("doc_id", "text"), "text", "doc_id")
+      .select("id", "n_kept", "kept", "clean_text")
+      .as[(Long, Long, Boolean, String)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.Cleaning.c4Clean(
+        input.toDF().toDF("doc_id", "text"), "text", "doc_id")
+      .select("id", "n_kept", "kept", "clean_text")
+      .writeStream.format("memory").queryName("c4_stream")
+      .outputMode("append").start() // pure map: stateless by construction
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("c4_stream")
+        .as[(Long, Long, Boolean, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("line filter evidence streams in append mode against a trained table") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train the dup-line table on a BATCH corpus; enforce on a stream
+    val corpus = Seq(
+      (1L, "unique alpha\nshared nav line\nbeta"),
+      (2L, "shared nav line\ngamma"),
+      (3L, "delta\nshared nav line")).toDF("doc_id", "text")
+    val known = graft.dedup.Dedup.knownDupLines(corpus, "text")
+    val batch = graft.dedup.Dedup.lineFilterEvidence(
+        corpus, known, "text", "doc_id")
+      .as[(Long, Int, String)].collect().toSet
+    assert(batch.map(_._1) == Set(1L, 2L, 3L)) // every doc carries the line
+    val input = MemoryStream[(Long, String)]
+    val q = graft.dedup.Dedup.lineFilterEvidence(
+        input.toDF().toDF("doc_id", "text"), known, "text", "doc_id")
+      .writeStream.format("memory").queryName("w11_stream")
+      .outputMode("append").start() // stateless explode + stream-static join
+    try {
+      input.addData((1L, "unique alpha\nshared nav line\nbeta"),
+        (2L, "shared nav line\ngamma"))
+      q.processAllAvailable()
+      input.addData((3L, "delta\nshared nav line"))
+      q.processAllAvailable()
+      val streamed = spark.table("w11_stream")
+        .as[(Long, Int, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("token chunking streams in append mode (stateless explode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
