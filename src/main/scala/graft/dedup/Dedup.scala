@@ -116,6 +116,42 @@ object Dedup {
       .select("ida", "idb", "common", "jaccard")
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder 1997's second resemblance
+    * measure): c(A→B) = |S(A) ∩ S(B)| / |S(A)| over shingle sets —
+    * "how much of A is inside B". Catches what Jaccard structurally
+    * misses: a short excerpt, quote, or syndicated fragment inside a
+    * long page scores containment ≈ 1 while Jaccard ≈ |A|/|B| ≈ 0.
+    * Emits pairs once (idA < idB) with BOTH directions' scores when
+    * either clears `threshold`.
+    *
+    * Same inverted-index + stop-shingle machinery as [[jaccardPairs]]
+    * (linear, never all-pairs); sizes come from the shingle frame, so
+    * both denominators are ≥ 1 by construction — no ANSI
+    * divide-by-zero surface. */
+  def containmentPairs(shingles: DataFrame, threshold: Double,
+      maxDocFreq: Long = 1000): DataFrame = {
+    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("sz"))
+    val filtered = shingles.join(
+      shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDocFreq).select("shingle"),
+      Seq("shingle"))
+    val a = filtered.select(col("id").as("ida"), col("shingle"))
+    val b = filtered.select(col("id").as("idb"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("ida") < col("idb"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("containment_ab",
+        col("common").cast(DoubleType) / col("sza").cast(DoubleType))
+      .withColumn("containment_ba",
+        col("common").cast(DoubleType) / col("szb").cast(DoubleType))
+      .filter(col("containment_ab") >= threshold ||
+        col("containment_ba") >= threshold)
+      .select("ida", "idb", "common", "containment_ab", "containment_ba")
+  }
+
   /** IDF-weighted near-duplicate pairs — the boilerplate-robust form of
     * [[jaccardPairs]]: every shingle carries an integer inverse-
     * document-frequency weight ⌊10⁶ / df⌋, so two documents sharing a

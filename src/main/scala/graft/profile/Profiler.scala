@@ -621,6 +621,29 @@ object Profiler {
               col("n_b").cast(DoubleType))))
   }
 
+  /** Per-column value CONCENTRATION from a profile state
+    * ([[incrementState]]): the Herfindahl–Hirschman index
+    * HHI = Σ (cnt_v / n)² — 1/distinct for uniform columns, → 1 as one
+    * value dominates. The log-free concentration measure (entropy's
+    * transcendental terms are not portable across engines; HHI is a
+    * ratio of two exact integers — Σ cnt² and n² — with ONE closing
+    * IEEE division, so engines agree bit-for-bit). The data-ops use:
+    * a key column whose HHI jumps stopped being a key; a categorical
+    * whose HHI → 1 collapsed to a constant.
+    *
+    * Missing values count as one bucket (the stateDrift convention).
+    * Scale shape: one partially-aggregated groupBy over the
+    * distinct-value-sized state. Σ cnt² is exact in a Long while
+    * cnt < 3·10⁹; beyond that cast cnt to DecimalType(38,0) — same
+    * plan, wider buffers. */
+  def stateConcentration(state: DataFrame): DataFrame =
+    state.groupBy("table", "column").agg(
+        sum("cnt").as("n"),
+        count(lit(1)).as("n_buckets"),
+        sum(col("cnt") * col("cnt")).as("sum_sq"))
+      .withColumn("hhi", col("sum_sq").cast(DoubleType) /
+        (col("n").cast(DoubleType) * col("n").cast(DoubleType)))
+
   /** Joins Pass-A with the requested feature branches into the final
     * profile frame.
     *

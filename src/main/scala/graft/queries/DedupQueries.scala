@@ -733,6 +733,54 @@ object DedupQueries {
        |FROM t LEFT JOIN rm USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  // ---- d15: asymmetric containment pairs --------------------------------
+
+  /** The first 150 chars of every fifth doc republished as a new doc —
+    * an excerpt/quote whose Jaccard vs its source is low (small ∩ over
+    * a big ∪) but whose CONTAINMENT in the source is ≈ 1.
+    * [[Dedup.containmentPairs]] flags exactly these. */
+  def containment(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val excerpts = docs.filter(col("doc_id") % 5 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text"), 1, 150).as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(excerpts)
+    Dedup.containmentPairs(Dedup.wordShingles(all, "text", "doc_id", 3),
+        threshold = 0.9)
+      .select(col("ida"), col("idb"), col("common"),
+        col("containment_ab"), col("containment_ba"))
+      .orderBy("ida", "idb")
+  }
+
+  val containmentSql: String = {
+    val ws = WS
+    s"""WITH all_docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, substr(text, 1, 150)
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |w AS (SELECT doc_id, $ws AS ws FROM all_docs),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+       |    i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS g
+       |  FROM w WHERE len(ws) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY 1),
+       |keepg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 1000),
+       |f AS (SELECT doc_id, g FROM grams JOIN keepg USING (g)),
+       |c AS (SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |      FROM f a JOIN f b ON a.g = b.g AND a.doc_id < b.doc_id
+       |      GROUP BY 1, 2)
+       |SELECT ida, idb, common,
+       |  CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS containment_ab,
+       |  CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS containment_ba
+       |FROM c JOIN sizes sa ON c.ida = sa.doc_id
+       |       JOIN sizes sb ON c.idb = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz AS DOUBLE) >= 0.9
+       |   OR CAST(common AS DOUBLE) / CAST(sb.sz AS DOUBLE) >= 0.9
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
@@ -748,6 +796,7 @@ object DedupQueries {
     "d12_weighted_jaccard" -> (weightedJaccardPairs _),
     "d13_incremental_dedup" -> (incrementalDedup _),
     "d14_line_dedup" -> (lineDedupRewrite _),
+    "d15_containment" -> (containment _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -765,5 +814,6 @@ object DedupQueries {
     "d12_weighted_jaccard" -> weightedJaccardPairsSql,
     "d13_incremental_dedup" -> incrementalDedupSql,
     "d14_line_dedup" -> lineDedupRewriteSql,
+    "d15_containment" -> containmentSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

@@ -360,8 +360,36 @@ object ProfileQueries {
        |ORDER BY t."column"""".stripMargin
   }
 
+  // ---- p13: column concentration (HHI) -----------------------------------
+
+  /** Value-concentration index per `documents` column from the p11
+    * profile state — integer-exact Σcnt²/n² with one closing
+    * division. */
+  def profileConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.load(spark, dir, "documents")
+    Profiler.stateConcentration(
+        Profiler.incrementState(Seq("documents" -> d)))
+      .select("column", "n", "n_buckets", "sum_sq", "hhi")
+      .orderBy("column")
+  }
+
+  val profileConcentrationSql: String = {
+    val st = documentsCols.map { c =>
+      s"""SELECT '$c' AS "column", ${v(c)} AS value, COUNT(*) AS cnt
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    }.mkString("(", "\nUNION ALL\n", ")")
+    s"""WITH s AS ${st}
+       |SELECT "column", CAST(SUM(cnt) AS BIGINT) AS n,
+       |  CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       |  CAST(SUM(cnt * cnt) AS BIGINT) AS sum_sq,
+       |  CAST(SUM(cnt * cnt) AS DOUBLE) /
+       |    (CAST(SUM(cnt) AS DOUBLE) * CAST(SUM(cnt) AS DOUBLE)) AS hhi
+       |FROM s GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p12_profile_drift" -> (profileDrift _),
+    "p13_concentration" -> (profileConcentration _),
     "p11_profile_merge" -> (profileMerge _),
     "p10_sketch_bounds" -> (sketchBounds _),
     "p9_dataset_profile" -> (datasetProfile _),
@@ -376,6 +404,7 @@ object ProfileQueries {
 
   def oracleSql: Map[String, String] = Map(
     "p12_profile_drift" -> profileDriftSql,
+    "p13_concentration" -> profileConcentrationSql,
     "p11_profile_merge" -> profileMergeSql,
     "p10_sketch_bounds" -> sketchBoundsSql,
     "p9_dataset_profile" -> datasetProfileSql,

@@ -260,6 +260,22 @@ class DedupSpec extends SparkSpec {
     assert(all.getLong(0) == 3L && all.getUTF8String(1).toString == "")
   }
 
+  test("containment flags an excerpt inside its source where jaccard misses") {
+    import spark.implicits._
+    // doc 2 = a 4-word excerpt of doc 1's 12 words: containment(2→1)
+    // = 2/2 = 1.0 while jaccard = 2/10 = 0.2
+    val docs = Seq(
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+      (2L, "w1 w2 w3 w4"),
+      (3L, "x1 x2 x3 x4 x5")).toDF("doc_id", "text")
+    val sh = graft.dedup.Dedup.wordShingles(docs, "text", "doc_id", 3)
+    val cont = graft.dedup.Dedup.containmentPairs(sh, threshold = 0.9)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(cont.toSeq == Seq((1L, 2L, 2L, 0.2, 1.0)))
+    val jac = graft.dedup.Dedup.jaccardPairs(sh, threshold = 0.9)
+    assert(jac.isEmpty) // jaccard at the same threshold sees nothing
+  }
+
   test("native dot_product equals the HOF reference bit-for-bit") {
     import spark.implicits._
     // float and double element types, denormal-ish and large magnitudes

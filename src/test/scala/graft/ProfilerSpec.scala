@@ -176,6 +176,19 @@ class ProfilerSpec extends SparkSpec {
     assert(drift("u").getAs[Double]("tv_distance") == 1.0)
   }
 
+  test("concentration: uniform → 1/k, constant → 1, integer-exact sums") {
+    val x = Seq("a", "a", "b", "b", "c", "c").map(v => (v, "k")).toDF("u", "w")
+    val got = Profiler.stateConcentration(
+        Profiler.incrementState(Seq("t" -> x))).collect()
+      .map(r => r.getAs[String]("column") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("n_buckets"),
+          r.getAs[Long]("sum_sq"), r.getAs[Double]("hhi")))).toMap
+    // u: three equal buckets of 2 → HHI = 3·4/36 = 1/3
+    assert(got("u") === ((6L, 3L, 12L, 12.0 / 36.0)))
+    // w: constant → HHI = 1
+    assert(got("w") === ((6L, 1L, 36L, 1.0)))
+  }
+
   test("increment states round-trip through parquet (the daily-fold workflow)") {
     // day 1: profile the increment, store the STATE; day 2: load it,
     // fold the new increment in, derive the profile — no day-1 re-scan

@@ -317,6 +317,13 @@ class ScaleSpec extends SparkSpec {
     assert(!p3.contains("CartesianProduct"),
       s"dsir totals must broadcast, not cartesian:\n$p3")
     graft.ops.StagePersists.release(spark)
+    // d15: the containment join is the d2 inverted-index family —
+    // shingle-keyed equi-joins only
+    val d15 = graft.dedup.Dedup.containmentPairs(
+      graft.dedup.Dedup.wordShingles(docs, "text", "doc_id", 3), 0.9)
+    val p5 = d15.queryExecution.executedPlan.toString
+    assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay equi-join shaped:\n$p5")
   }
 
   test("prefix sums keep their partition spread (AQE must not serialize upstream)") {

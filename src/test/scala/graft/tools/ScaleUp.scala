@@ -33,8 +33,21 @@ object ScaleUp {
 
     def src(name: String): DataFrame = spark.read.parquet(s"$srcDir/$name.parquet")
 
-    /** N copies of df with each named Long key shifted by copy*Off. */
+    /** N copies of df with each named Long key shifted by copy*Off.
+      * REFUSES source keys ≥ Off: re-scaling an already-scaled dir
+      * (e.g. sf1 → ×10) collides copy-0 keys with the source's shifted
+      * keys, and the duplicate ids silently violate the one-row-per-id
+      * contract of every dedup operator downstream (surfaced as a 2×
+      * inflated `common` → ANSI DIVIDE_BY_ZERO in d7 at sf10). Scale
+      * from the ORIGINAL testdata with a bigger factor instead. */
     def scaled(df: DataFrame, keys: String*): DataFrame = {
+      keys.foreach { k =>
+        val mx = df.agg(max(col(k))).head().getLong(0)
+        require(mx < Off,
+          s"$k max $mx >= offset $Off: source is already scaled; " +
+            "rerun from the original dir with a larger factor")
+      }
+      require(factor.toLong * Off <= Long.MaxValue / 2, s"factor $factor too large")
       val exploded = df.withColumn("__copy", explode(sequence(lit(0L), lit(factor - 1L))))
       keys.foldLeft(exploded) { (d, k) =>
         d.withColumn(k, col(k) + col("__copy") * Off)

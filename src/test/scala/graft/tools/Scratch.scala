@@ -3,8 +3,8 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Disposable experiment harness (test scope, rewritten per experiment).
-  * Current experiment: time the d7 chain's stages at a given SF —
-  * pair generation vs the CC loop (with round count). */
+  * Current experiment: find the d7 rows whose jaccard denominator is 0
+  * at sf10. */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -14,25 +14,29 @@ object Scratch {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    def t[A](label: String)(f: => A): A = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[scratch] $label ${(System.nanoTime() - t0) / 1e9}%.1fs")
-      r
-    }
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val pairs = t("minhash pairs materialized") {
-      graft.dedup.Dedup.minhashNearDuplicates(docs, "text", "doc_id",
-        shingleSize = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.7)
-        .select("ida", "idb").localCheckpoint(true)
-    }
-    println(s"[scratch] n_pairs=${pairs.count()}")
-    val (labels, rounds) = t("cc loop") {
-      val r = graft.dedup.Components.connectedComponents(pairs, "ida", "idb")
-      r._1.count()
-      r
-    }
-    println(s"[scratch] rounds=$rounds labels=${labels.count()}")
+    val sh = graft.dedup.Dedup.wordShingles(docs, "text", "doc_id", 3)
+      .persist()
+    val buckets = graft.dedup.Dedup.lshBuckets(
+      graft.dedup.Dedup.minhashSignatures(sh, 16), 4)
+    val cands = graft.dedup.Dedup.lshCandidates(buckets)
+    println("cands=" + cands.count())
+    val dupCands = cands.groupBy("ida", "idb").count().filter(col("count") > 1).count()
+    println("dup cand pairs=" + dupCands)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    println("zero-size docs=" + docs.select(col("doc_id")).except(sizes.select(col("id"))).count())
+    val a = sh.select(col("id").as("ida"), col("shingle"))
+    val b = sh.select(col("id").as("idb"), col("shingle"))
+    val common = cands.join(a, Seq("ida"))
+      .join(b, Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    val j = common
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+      .withColumn("den", col("sza") + col("szb") - col("common"))
+    val bad = j.filter(col("den") <= 0)
+    println("bad rows=" + bad.count())
+    bad.show(10, false)
     spark.stop()
   }
 }
