@@ -90,12 +90,15 @@ object Dedup {
     * than `maxDocFreq` docs are dropped (stop-shingles) to bound the
     * candidate blowup — the standard trick for quadratic-safe similarity
     * joins at scale. Pairs are emitted once (idA < idB). */
-  def jaccardPairs(shingles: DataFrame, threshold: Double,
-      maxDocFreq: Long = 1000): DataFrame = {
-    // four consumers (sizes, df filter, both join sides) share the
-    // shingle distinct's exchange via ReusedExchange — an explicit
-    // persist was measured SLOWER (cache write-through on a frame the
-    // reused shuffle already serves)
+  /** Shared inverted-index pair machinery for [[jaccardPairs]] and
+    * [[containmentPairs]]: (ida, idb, common, sza, szb) for every pair
+    * sharing a sub-`maxDocFreq` shingle, ida < idb, sizes ≥ 1 by
+    * construction. Four consumers (sizes, df filter, both join sides)
+    * share the shingle distinct's exchange via ReusedExchange — an
+    * explicit persist was measured SLOWER (cache write-through on a
+    * frame the reused shuffle already serves). */
+  private def pairCommonCounts(shingles: DataFrame,
+      maxDocFreq: Long): DataFrame = {
     val sizes = shingles.groupBy("id").agg(count(lit(1)).as("sz"))
     val filtered = shingles.join(
       shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
@@ -103,18 +106,21 @@ object Dedup {
       Seq("shingle"))
     val a = filtered.select(col("id").as("ida"), col("shingle"))
     val b = filtered.select(col("id").as("idb"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
+    a.join(b, Seq("shingle"))
       .filter(col("ida") < col("idb"))
       .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    common
       .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
       .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+  }
+
+  def jaccardPairs(shingles: DataFrame, threshold: Double,
+      maxDocFreq: Long = 1000): DataFrame =
+    pairCommonCounts(shingles, maxDocFreq)
       .withColumn("jaccard",
         col("common").cast(DoubleType) /
           (col("sza") + col("szb") - col("common")).cast(DoubleType))
       .filter(col("jaccard") >= threshold)
       .select("ida", "idb", "common", "jaccard")
-  }
 
   /** Asymmetric CONTAINMENT pairs (Broder 1997's second resemblance
     * measure): c(A→B) = |S(A) ∩ S(B)| / |S(A)| over shingle sets —
@@ -130,19 +136,7 @@ object Dedup {
     * divide-by-zero surface. */
   def containmentPairs(shingles: DataFrame, threshold: Double,
       maxDocFreq: Long = 1000): DataFrame = {
-    val sizes = shingles.groupBy("id").agg(count(lit(1)).as("sz"))
-    val filtered = shingles.join(
-      shingles.groupBy("shingle").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= maxDocFreq).select("shingle"),
-      Seq("shingle"))
-    val a = filtered.select(col("id").as("ida"), col("shingle"))
-    val b = filtered.select(col("id").as("idb"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("ida") < col("idb"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
-      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
+    pairCommonCounts(shingles, maxDocFreq)
       .withColumn("containment_ab",
         col("common").cast(DoubleType) / col("sza").cast(DoubleType))
       .withColumn("containment_ba",
@@ -490,13 +484,15 @@ object Dedup {
   def lineDedup(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n"): DataFrame = {
     val lines = col("__lines")
-    val toks = df.select(col(s"`$idCol`").as("id"),
-      split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep))
-        .as("__lines"))
-    // two consumers (first-occurrence min + join back): persist the
-    // corpus-sized explode (StagePersists release contract applies)
-    val occ = graft.ops.StagePersists.track(
-      toks.select(col("id"), posexplode(lines).as(Seq("pos", "line"))))
+    // the regex split feeds THREE consumers (the two occ derivations
+    // and the final rebuild join): persist the split — the expensive
+    // pass — once; the posexplode re-derives from the cached arrays
+    // for pennies (StagePersists release contract applies)
+    val toks = graft.ops.StagePersists.track(
+      df.select(col(s"`$idCol`").as("id"),
+        split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep))
+          .as("__lines")))
+    val occ = toks.select(col("id"), posexplode(lines).as(Seq("pos", "line")))
     val first = occ.groupBy("line")
       .agg(min(struct(col("id"), col("pos"))).as("f"))
     val removed = occ.join(first, "line")

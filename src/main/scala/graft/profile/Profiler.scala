@@ -633,9 +633,11 @@ object Profiler {
     *
     * Missing values count as one bucket (the stateDrift convention).
     * Scale shape: one partially-aggregated groupBy over the
-    * distinct-value-sized state. Σ cnt² is exact in a Long while
-    * cnt < 3·10⁹; beyond that cast cnt to DecimalType(38,0) — same
-    * plan, wider buffers. */
+    * distinct-value-sized state. Σ cnt² ≤ n², so the Long sum is
+    * exact while the column's TOTAL row count n < 3·10⁹ (a single
+    * bucket below that bound does NOT make the sum safe); beyond
+    * that cast cnt to DecimalType(38,0) — same plan, wider
+    * buffers. */
   def stateConcentration(state: DataFrame): DataFrame =
     state.groupBy("table", "column").agg(
         sum("cnt").as("n"),

@@ -350,14 +350,16 @@ object StreamQueries {
     * it ([[graft.dedup.Dedup.lineFilterEvidence]] — a stateless
     * explode + stream-static equi-join, so the spec runs this exact
     * operator in append mode). The d14 line planting. */
+  private val W11Nav =
+    "repeated boilerplate navigation line planted on every fourth page"
+
   def streamLineFilter(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val planted = docs.select(col("doc_id"),
       concat(
         substring(col("text"), 1, 60), lit("\n"),
         substring(col("text"), 61, 60), lit("\n"),
-        when(col("doc_id") % 4 === 0,
-            lit("repeated boilerplate navigation line planted on every fourth page"))
+        when(col("doc_id") % 4 === 0, lit(W11Nav))
           .otherwise(substring(col("text"), 121, 60))).as("text"))
     val known = graft.dedup.Dedup.knownDupLines(planted, "text")
     graft.dedup.Dedup.lineFilterEvidence(planted, known, "text", "doc_id")
@@ -370,7 +372,7 @@ object StreamQueries {
        |  SELECT doc_id,
        |    substr(text, 1, 60) || chr(10) || substr(text, 61, 60) || chr(10) ||
        |    CASE WHEN doc_id % 4 = 0
-       |      THEN 'repeated boilerplate navigation line planted on every fourth page'
+       |      THEN '$W11Nav'
        |      ELSE substr(text, 121, 60) END AS text
        |  FROM documents),
        |occ AS (

@@ -22,10 +22,13 @@ import org.apache.spark.sql.functions._
   * map-side-combinable gram-count aggregations (distinct-gram sized) →
   * gram totals as a broadcast 1-row frame → one keyed equi-join of the
   * raw gram stream against the weight table → per-doc sum. Linear in
-  * corpus grams; nothing pairwise, nothing on the driver. The Long
-  * cross-products are exact while cnt·N < 2⁶³ (~3·10⁹ grams per side);
-  * beyond that cast the two products to DecimalType(38,0) — same plan,
-  * wider buffers. */
+  * corpus grams; nothing pairwise, nothing on the driver. Overflow
+  * bound: a doc's score sums one |weight| ≤ cnt·N per gram
+  * OCCURRENCE, so the Long arithmetic is exact while
+  * max(cnt·N) · (grams per doc) < 2⁶³ — gram totals up to ~10⁸ per
+  * side with 10⁴-gram docs, NOT the 2⁶³ product bound alone; beyond
+  * that cast the products and the sum to DecimalType(38,0) — same
+  * plan, wider buffers. */
 object Importance {
 
   private def grams(df: DataFrame, textCol: String, idCol: String,

@@ -41,11 +41,16 @@ object ScaleUp {
       * inflated `common` → ANSI DIVIDE_BY_ZERO in d7 at sf10). Scale
       * from the ORIGINAL testdata with a bigger factor instead. */
     def scaled(df: DataFrame, keys: String*): DataFrame = {
-      keys.foreach { k =>
-        val mx = df.agg(max(col(k))).head().getLong(0)
-        require(mx < Off,
-          s"$k max $mx >= offset $Off: source is already scaled; " +
-            "rerun from the original dir with a larger factor")
+      // ONE scan for all key maxima; empty source → null maxima → pass
+      val maxRow = df.agg(max(col(keys.head)),
+        keys.tail.map(k => max(col(k))): _*).head()
+      keys.zipWithIndex.foreach { case (k, i) =>
+        if (!maxRow.isNullAt(i)) {
+          val mx = maxRow.getLong(i)
+          require(mx < Off,
+            s"$k max $mx >= offset $Off: source is already scaled; " +
+              "rerun from the original dir with a larger factor")
+        }
       }
       require(factor.toLong * Off <= Long.MaxValue / 2, s"factor $factor too large")
       val exploded = df.withColumn("__copy", explode(sequence(lit(0L), lit(factor - 1L))))
