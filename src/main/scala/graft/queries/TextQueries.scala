@@ -687,7 +687,54 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- t24: hashed importance weights (the shipped DSIR model) ----------
+
+  /** The DSIR model in its DEPLOYMENT form: gram→bucket hashed weights
+    * (O(buckets), broadcast-able by construction) trained against the
+    * English subset, then every document scored by a pure per-row fold
+    * over its gram buckets — the exact operator w12 runs on a stream
+    * ([[graft.text.Importance.hashedWeights]] /
+    * [[Importance.scoreWithWeights]], 4096 buckets). */
+  def dsirHashedScores(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val weights = graft.text.Importance.hashedWeights(
+      docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+      n = 2, buckets = 4096)
+    graft.text.Importance.scoreWithWeights(docs, weights, "text", "doc_id",
+        n = 2, buckets = 4096)
+      .select(col("id").as("doc_id"), col("n_grams"), col("score"))
+      .orderBy("doc_id")
+  }
+
+  val dsirHashedScoresSql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val bkt = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096)::BIGINT"
+    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+       |rg AS (
+       |  SELECT doc_id, lang,
+       |    unnest(list_transform(range(1, len(ws)),
+       |      i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |  FROM t WHERE len(ws) >= 2),
+       |rb AS (SELECT doc_id, lang, $bkt AS b FROM rg),
+       |cr AS (SELECT b, COUNT(*) AS nr FROM rb GROUP BY b),
+       |ct AS (SELECT b, COUNT(*) AS nt FROM rb WHERE lang = 'en' GROUP BY b),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rb) AS nr_tot,
+       |               (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt_tot),
+       |w AS (SELECT cr.b,
+       |        CAST(coalesce(nt, 0) * nr_tot - nr * nt_tot AS BIGINT) AS wt
+       |      FROM cr LEFT JOIN ct USING (b), tot),
+       |perdoc AS (
+       |  SELECT doc_id, COUNT(*) AS n_grams,
+       |    CAST(SUM(coalesce(wt, 0)) AS BIGINT) AS score
+       |  FROM rb LEFT JOIN w USING (b) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(score, 0)::BIGINT AS score
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t24_dsir_hashed" -> (dsirHashedScores _),
     "t22_c4_clean" -> (c4Clean _),
     "t23_dsir_scores" -> (dsirScores _),
     "t21_budget_select" -> (budgetSelect _),
@@ -713,6 +760,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t24_dsir_hashed" -> dsirHashedScoresSql,
     "t22_c4_clean" -> c4CleanSql,
     "t23_dsir_scores" -> dsirScoresSql,
     "t21_budget_select" -> budgetSelectSql,

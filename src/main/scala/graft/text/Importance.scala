@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** DSIR-style data selection via n-gram importance (Xie et al. 2023,
@@ -72,5 +72,63 @@ object Importance {
       .select(col("id"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** md5-derived gram→bucket hash (the portable
+    * [[graft.dedup.Dedup.md5Long]] device, mod `buckets`). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    pmod(graft.dedup.Dedup.md5Long(g), lit(buckets.toLong))
+
+  /** HASHED importance weights — the deployment form DSIR actually
+    * ships (Xie et al. 2023 §3 hash n-grams into a fixed bucket count
+    * precisely so the model is O(buckets), not O(distinct grams)):
+    * weight(b) = cnt_target(b)·N_raw − cnt_raw(b)·N_target over md5
+    * gram buckets. Returns ≤ `buckets` rows — broadcast-sized BY
+    * CONSTRUCTION, so scoring can run anywhere, including per-row on
+    * a stream ([[scoreWithWeights]]). */
+  def hashedWeights(raw: DataFrame, target: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+    def cnts(df: DataFrame, name: String) =
+      grams(df, textCol, idCol, n)
+        .groupBy(bucketOf(col("g"), buckets).as("bucket"))
+        .agg(count(lit(1)).as(name))
+    val cntR = cnts(raw, "__nr")
+    val cntT = cnts(target, "__nt")
+    val totals = broadcast(
+      cntR.agg(coalesce(sum("__nr"), lit(0L)).as("__nr_tot"))
+        .crossJoin(cntT.agg(coalesce(sum("__nt"), lit(0L)).as("__nt_tot"))))
+    cntR.join(cntT, Seq("bucket"), "left_outer")
+      .crossJoin(totals)
+      .select(col("bucket"),
+        (coalesce(col("__nt"), lit(0L)) * col("__nr_tot") -
+          col("__nr") * col("__nt_tot")).as("weight"))
+  }
+
+  /** Score documents against a trained [[hashedWeights]] table as a
+    * PURE per-row map: the ≤`buckets`-row weight table is collected to
+    * a map literal (the s7 collected-centroid convention — control
+    * plane, bounded by construction), and each document's score is an
+    * in-row fold over its gram buckets. No shuffle, no state — legal
+    * in streaming append mode verbatim (StreamingSpec pins stream ≡
+    * batch). Same Long-overflow envelope as [[importanceScores]]. */
+  def scoreWithWeights(docs: DataFrame, weights: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+    val wmap: Map[Long, Long] = weights.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
+      w => w =!= "")
+    val gramArr = when(size(col("__ws")) >= n,
+        transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(j =>
+            element_at(col("__ws"), i + lit(j))): _*)))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col(s"`$idCol`").as("id"), ws.as("__ws"))
+      .select(col("id"), gramArr.as("__gs"))
+      .select(col("id"),
+        size(col("__gs")).cast("long").as("n_grams"),
+        aggregate(col("__gs"), lit(0L), (acc, g) =>
+          acc + coalesce(
+            element_at(typedLit(wmap), bucketOf(g, buckets)), lit(0L)))
+          .as("score"))
   }
 }

@@ -324,6 +324,17 @@ class ScaleSpec extends SparkSpec {
     val p5 = d15.queryExecution.executedPlan.toString
     assert(!p5.contains("CartesianProduct") && !p5.contains("BroadcastNestedLoopJoin"),
       s"containment must stay equi-join shaped:\n$p5")
+    // t24/w12: scoring against the collected weight map is a PURE map —
+    // no exchange anywhere (that is what makes it stream-legal)
+    val weights = graft.text.Importance.hashedWeights(
+      docs, docs.filter(col("doc_id") % 2 === 0), "text", "doc_id",
+      n = 2, buckets = 64)
+    val t24 = graft.text.Importance.scoreWithWeights(
+      docs, weights, "text", "doc_id", n = 2, buckets = 64)
+    val p6 = t24.queryExecution.executedPlan.toString
+    assert(!p6.contains("Exchange"),
+      s"hashed-weight scoring must be a pure map-side pass:\n$p6")
+    graft.ops.StagePersists.release(spark)
   }
 
   test("prefix sums keep their partition spread (AQE must not serialize upstream)") {

@@ -385,6 +385,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("hashed importance scoring streams in append mode (trained weights)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train the hashed DSIR weights on a BATCH corpus (target = doc 1's
+    // dialect), then score a stream with the pure per-row fold
+    val corpus = Seq(
+      (1L, "alpha beta alpha beta gamma"),
+      (2L, "delta epsilon zeta delta"),
+      (3L, "alpha beta zeta")).toDF("doc_id", "text")
+    val weights = graft.text.Importance.hashedWeights(
+      corpus, corpus.filter(col("doc_id") === 1L), "text", "doc_id",
+      n = 2, buckets = 64)
+    val batch = graft.text.Importance.scoreWithWeights(
+        corpus, weights, "text", "doc_id", n = 2, buckets = 64)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 > 0L)) // the target doc scores positive
+    val input = MemoryStream[(Long, String)]
+    val q = graft.text.Importance.scoreWithWeights(
+        input.toDF().toDF("doc_id", "text"), weights, "text", "doc_id",
+        n = 2, buckets = 64)
+      .writeStream.format("memory").queryName("w12_stream")
+      .outputMode("append").start() // pure per-row fold: stateless
+    try {
+      input.addData((1L, "alpha beta alpha beta gamma"),
+        (2L, "delta epsilon zeta delta"))
+      q.processAllAvailable()
+      input.addData((3L, "alpha beta zeta"))
+      q.processAllAvailable()
+      val streamed = spark.table("w12_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("token chunking streams in append mode (stateless explode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
