@@ -438,21 +438,89 @@ object TextQueries {
         window = 16, step = 12)
       .orderBy("doc_id", "piece_start")
 
-  // ---- t18: BPE merge training (rows-only: each round's argmax feeds
-  // the next round's tokenization — a data-dependent iterative loop no
-  // static SQL can replay; TokenCounterSpec pins the exact merge table
-  // on the hand-derivable Sennrich corpus) ------------------------------
+  // ---- t18: BPE merge training --------------------------------------
 
   /** The canonical tokenizer-training job: learn the 12 most frequent
     * adjacent-piece merges from the documents corpus
     * ([[graft.text.BpeTrainer.trainMerges]] — weighted distinct-word
-    * formulation, deterministic lexicographic ties). */
+    * formulation, deterministic lexicographic ties). Oracled since the
+    * merge count is a FIXED parameter: the oracle unrolls the 12
+    * data-dependent rounds as chained CTEs (argmax → greedy merge
+    * application via run-parity islands → next round's pair counts),
+    * replaying the training loop exactly. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.text.BpeTrainer
       .trainMerges(Tables.load(spark, dir, "documents"), "text", numMerges = 12)
       .toDF("rank", "piece_left", "piece_right", "freq")
       .orderBy("rank")
+  }
+
+  /** 12 unrolled BPE rounds. Per round r (state s{r-1} = one row per
+    * DISTINCT word: immutable key w, corpus frequency n, piece list p):
+    *  - pair{r}: adjacent-piece counts weighted by n;
+    *  - best{r}: the argmax merge (c DESC, l, r lexicographic — the
+    *    trainer's exact tie order), minFreq ≥ 2;
+    *  - e/mm/isl{r}: positions, match flags, and gaps-and-islands run
+    *    parity — greedy left-to-right pairing merges positions at even
+    *    offsets within each run of consecutive matches (runs longer
+    *    than 1 only occur when l = r, where chaining must alternate);
+    *  - s{r}: the rebuilt piece lists (merge starts become l||r, the
+    *    consumed right neighbors drop).
+    * An exhausted corpus (best{r} empty) empties every later round's
+    * state and output rows — the trainer's early stop, same rows. */
+  val bpeMergesSql: String = {
+    val numMerges = 12
+    val ws18 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), x -> x <> '')"
+    def round(r: Int): String = {
+      val prev = s"s${r - 1}"
+      s"""pair$r AS (
+         |  SELECT p[i] AS l, p[i + 1] AS r2, CAST(SUM(n) AS BIGINT) AS c
+         |  FROM (SELECT n, p, unnest(range(1, len(p))) AS i FROM $prev)
+         |  GROUP BY 1, 2),
+         |best$r AS MATERIALIZED (SELECT l, r2, c FROM pair$r WHERE c >= 2
+         |           ORDER BY c DESC, l, r2 LIMIT 1),
+         |out$r AS (SELECT $r AS "rank", l AS piece_left, r2 AS piece_right,
+         |                 c AS freq FROM best$r),
+         |e$r AS MATERIALIZED (
+         |  SELECT w, n, p, CAST(i AS INTEGER) AS i, p[i] AS pc
+         |  FROM (SELECT w, n, p, unnest(range(1, len(p) + 1)) AS i FROM $prev)),
+         |mm$r AS (
+         |  SELECT e.w, e.i
+         |  FROM e$r e, best$r b
+         |  WHERE e.i < len(e.p) AND e.pc = b.l AND e.p[e.i + 1] = b.r2),
+         |isl$r AS (
+         |  SELECT w, i,
+         |    i - CAST(row_number() OVER (PARTITION BY w ORDER BY i) AS INTEGER)
+         |      AS island
+         |  FROM mm$r),
+         |st$r AS (
+         |  SELECT w, i FROM (
+         |    SELECT w, i,
+         |      MIN(i) OVER (PARTITION BY w, island) AS first
+         |    FROM isl$r)
+         |  WHERE (i - first) % 2 = 0),
+         |s$r AS MATERIALIZED (
+         |  SELECT e.w, ANY_VALUE(e.n) AS n,
+         |    list(CASE WHEN st.i IS NOT NULL THEN b.l || b.r2 ELSE e.pc END
+         |         ORDER BY e.i) AS p
+         |  FROM e$r e
+         |  CROSS JOIN best$r b
+         |  LEFT JOIN st$r st ON e.w = st.w AND e.i = st.i
+         |  LEFT JOIN st$r c ON e.w = c.w AND e.i = c.i + 1
+         |  WHERE c.i IS NULL
+         |  GROUP BY e.w)""".stripMargin
+    }
+    s"""WITH s0 AS MATERIALIZED (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
+       |    list_transform(range(1, length(w) + 1),
+       |      i -> substr(w, CAST(i AS INTEGER), 1)) AS p
+       |  FROM (SELECT unnest($ws18) AS w FROM documents)
+       |  GROUP BY w),
+       |${(1 to numMerges).map(round).mkString(",\n")}
+       |SELECT * FROM (${(1 to numMerges).map(r => s"SELECT * FROM out$r")
+           .mkString("\nUNION ALL\n")})
+       |ORDER BY "rank"""".stripMargin
   }
 
   val pieceChunksSql: String =
@@ -767,6 +835,7 @@ object TextQueries {
     "t19_tfidf_keywords" -> tfidfKeywordsSql,
     "t20_split_familiarity" -> crossSplitFamiliaritySql,
     "t17_piece_chunks" -> pieceChunksSql,
+    "t18_bpe_merges" -> bpeMergesSql,
     "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,
     "t14_subword_tokens" -> subwordTokensSql,
