@@ -288,10 +288,66 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup pairs: LSH candidates verified by true
-    * shingle Jaccard ≥ threshold. */
+    * shingle Jaccard ≥ threshold.
+    *
+    * `collapseExactDups` handles duplication-DENSE inputs (a raw crawl
+    * where pages have many byte-identical copies): the signature/verify
+    * machinery runs on one REPRESENTATIVE per distinct text and the
+    * representative pairs expand back to member pairs afterwards —
+    * identical copies share every shingle, so the output is unchanged
+    * row-for-row (identical docs share all LSH buckets and verify at
+    * jaccard exactly 1), while the verify join shrinks by the SQUARE of
+    * the duplication factor (the ×100-copy rehearsal spilled >45 GB
+    * through the direct path; DedupSpec pins both paths equal). OFF by
+    * default: the collapse/expansion adds ~4 exchanges of fixed
+    * overhead, wasted when the input is already exact-deduped — which
+    * is how the composed pipelines (l1-l3, l5) always call this. */
   def minhashNearDuplicates(df: DataFrame, textCol: String, idCol: String,
       shingleSize: Int = 3, numPerms: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      collapseExactDups: Boolean = false): DataFrame = {
+    if (!collapseExactDups)
+      return minhashNearDupReps(df, textCol, idCol, shingleSize, numPerms,
+        rowsPerBand, threshold)
+    // exact-dup collapse: gid = min id per distinct text
+    val members = graft.ops.StagePersists.track(
+      df.select(col(s"`$idCol`").as("id"), md5(col(s"`$textCol`")).as("__h"))
+        .withColumn("gid", min(col("id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("__h")))
+        .select(col("gid"), col("id")))
+    val reps = df.join(
+      members.filter(col("gid") === col("id")).select(col("id").as("__rid")),
+      col(s"`$idCol`") === col("__rid")).drop("__rid")
+    val repPairs = minhashNearDupReps(reps, textCol, idCol, shingleSize,
+      numPerms, rowsPerBand, threshold)
+    // shingle-bearing groups only: docs below the shingle size produce
+    // no signature and therefore no pairs — even for identical copies.
+    // ≥ shingleSize words ⟺ ≥ 1 shingle, so a map-side predicate
+    // suffices (no second shingle explode)
+    val withSh = members.join(
+      reps.filter(size(words(col(s"`$textCol`"))) >= shingleSize)
+        .select(col(s"`$idCol`").as("gid")),
+      Seq("gid"))
+    // cross-group expansion + within-group all-pairs (jaccard exactly 1)
+    val ma = withSh.select(col("gid").as("__ga"), col("id").as("ia"))
+    val mb = withSh.select(col("gid").as("__gb"), col("id").as("ib"))
+    val cross = repPairs
+      .join(ma, col("ida") === col("__ga"))
+      .join(mb, col("idb") === col("__gb"))
+      .select(least(col("ia"), col("ib")).as("ida"),
+        greatest(col("ia"), col("ib")).as("idb"), col("jaccard"))
+    val within = ma.join(mb, col("__ga") === col("__gb"))
+      .filter(col("ia") < col("ib"))
+      .select(col("ia").as("ida"), col("ib").as("idb"),
+        lit(1.0).as("jaccard"))
+    cross.unionByName(within)
+  }
+
+  /** The direct pair machinery — [[minhashNearDuplicates]] wraps it
+    * with optional exact-duplicate collapse/expansion. */
+  private def minhashNearDupReps(df: DataFrame, textCol: String,
+      idCol: String, shingleSize: Int, numPerms: Int, rowsPerBand: Int,
+      threshold: Double): DataFrame = {
     // The shingle table feeds four consumers (signatures, sizes, both
     // verify-join sides); without persist the split+explode+distinct
     // shuffle re-runs per consumer. MEMORY_AND_DISK so the 100 TB case

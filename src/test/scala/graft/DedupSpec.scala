@@ -260,6 +260,36 @@ class DedupSpec extends SparkSpec {
     assert(all.getLong(0) == 3L && all.getUTF8String(1).toString == "")
   }
 
+  test("exact-dup collapse path emits exactly the direct minhash pairs") {
+    import spark.implicits._
+    // duplication-dense corpus: 4 copies of each of 5 base texts plus
+    // one near-dup and one short (< shingle size) duplicated doc
+    val base = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta",
+      "one two three four five six seven eight",
+      "red green blue yellow purple orange pink white",
+      "north south east west up down left right",
+      "cat dog bird fish horse sheep goat cow")
+    val docs = (base.zipWithIndex.flatMap { case (t, i) =>
+      (0 until 4).map(c => (i * 100L + c, t))
+    } ++ Seq((900L, "alpha beta gamma delta epsilon zeta eta NINE"),
+      (901L, "ab"), (902L, "ab"))).toDF("doc_id", "text")
+    def run(collapse: Boolean) =
+      graft.dedup.Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.5,
+          collapseExactDups = collapse)
+        .as[(Long, Long, Double)].collect().toSet
+    val direct = run(collapse = false)
+    val collapsed = run(collapse = true)
+    assert(direct.nonEmpty)
+    // identical copies pair at exactly 1.0; the short dup pair is absent
+    // from BOTH paths (no shingles → no signature)
+    assert(direct.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 1.0))
+    assert(!direct.exists(p => p._1 == 901L))
+    assert(collapsed === direct)
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("containment flags an excerpt inside its source where jaccard misses") {
     import spark.implicits._
     // doc 2 = a 4-word excerpt of doc 1's 12 words: containment(2→1)

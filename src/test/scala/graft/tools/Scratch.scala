@@ -3,8 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Disposable experiment harness (test scope, rewritten per experiment).
-  * Current experiment: find the d7 rows whose jaccard denominator is 0
-  * at sf10. */
+  * Current experiment: does the exact-dup collapse path complete the
+  * ×100-duplication minhash pair generation that spilled >45 GB
+  * through the direct path? */
 object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
@@ -15,28 +16,11 @@ object Scratch {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val docs = graft.Tables.load(spark, sfDir, "documents")
-    val sh = graft.dedup.Dedup.wordShingles(docs, "text", "doc_id", 3)
-      .persist()
-    val buckets = graft.dedup.Dedup.lshBuckets(
-      graft.dedup.Dedup.minhashSignatures(sh, 16), 4)
-    val cands = graft.dedup.Dedup.lshCandidates(buckets)
-    println("cands=" + cands.count())
-    val dupCands = cands.groupBy("ida", "idb").count().filter(col("count") > 1).count()
-    println("dup cand pairs=" + dupCands)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
-    println("zero-size docs=" + docs.select(col("doc_id")).except(sizes.select(col("id"))).count())
-    val a = sh.select(col("id").as("ida"), col("shingle"))
-    val b = sh.select(col("id").as("idb"), col("shingle"))
-    val common = cands.join(a, Seq("ida"))
-      .join(b, Seq("idb", "shingle"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
-    val j = common
-      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("sz", "sza"), "ida")
-      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("sz", "szb"), "idb")
-      .withColumn("den", col("sza") + col("szb") - col("common"))
-    val bad = j.filter(col("den") <= 0)
-    println("bad rows=" + bad.count())
-    bad.show(10, false)
+    val t0 = System.nanoTime()
+    val n = graft.dedup.Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleSize = 3, numPerms = 16, rowsPerBand = 4, threshold = 0.8,
+      collapseExactDups = true).count()
+    println(f"collapse path: ${(System.nanoTime() - t0) / 1e9}%.1fs pairs=$n")
     spark.stop()
   }
 }
