@@ -471,7 +471,6 @@ object TextQueries {
     * state and output rows — the trainer's early stop, same rows. */
   val bpeMergesSql: String = {
     val numMerges = 12
-    val ws18 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), x -> x <> '')"
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""pair$r AS (
@@ -515,7 +514,7 @@ object TextQueries {
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
        |    list_transform(range(1, length(w) + 1),
        |      i -> substr(w, CAST(i AS INTEGER), 1)) AS p
-       |  FROM (SELECT unnest($ws18) AS w FROM documents)
+       |  FROM (SELECT unnest($WS) AS w FROM documents)
        |  GROUP BY w),
        |${(1 to numMerges).map(round).mkString(",\n")}
        |SELECT * FROM (${(1 to numMerges).map(r => s"SELECT * FROM out$r")

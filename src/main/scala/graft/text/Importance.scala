@@ -31,18 +31,29 @@ import org.apache.spark.sql.functions._
   * plan, wider buffers. */
 object Importance {
 
-  private def grams(df: DataFrame, textCol: String, idCol: String,
+  /** (id, __gs = n-gram array) — ONE tokenizer definition shared by
+    * training ([[grams]]) and scoring ([[scoreWithWeights]]), so the
+    * two cannot drift. The word array materializes in its own
+    * projection BEFORE the gram transform references it (the
+    * wordShingles lesson: a split referenced inside the lambda
+    * re-splits the text per gram index — O(len²)). */
+  private def withGramArray(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
       w => w =!= "")
-    // occurrences WITH multiplicity — DSIR sums over the token stream
     df.select(col(s"`$idCol`").as("id"), ws.as("__ws"))
-      .select(col("id"), explode(when(size(col("__ws")) >= n,
+      .select(col("id"), when(size(col("__ws")) >= n,
           transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
             i => concat_ws(" ", (0 until n).map(j =>
               element_at(col("__ws"), i + lit(j))): _*)))
-        .otherwise(array().cast("array<string>"))).as("g"))
+        .otherwise(array().cast("array<string>")).as("__gs"))
   }
+
+  private def grams(df: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame =
+    // occurrences WITH multiplicity — DSIR sums over the token stream
+    withGramArray(df, textCol, idCol, n)
+      .select(col("id"), explode(col("__gs")).as("g"))
 
   /** (id, n_grams, score) for every raw document (docs with fewer than
     * `n` words report 0/0). `target` is any frame with the same text
@@ -97,11 +108,16 @@ object Importance {
     val totals = broadcast(
       cntR.agg(coalesce(sum("__nr"), lit(0L)).as("__nr_tot"))
         .crossJoin(cntT.agg(coalesce(sum("__nt"), lit(0L)).as("__nt_tot"))))
-    cntR.join(cntT, Seq("bucket"), "left_outer")
+    // FULL outer: a bucket occurring only in the TARGET (the standard
+    // deployment — target is a curated corpus, not a subset of raw)
+    // carries the largest positive weight cnt_t·N_r; dropping it would
+    // silently zero exactly the most target-characteristic grams when
+    // scoring novel/stream documents
+    cntR.join(cntT, Seq("bucket"), "full_outer")
       .crossJoin(totals)
       .select(col("bucket"),
         (coalesce(col("__nt"), lit(0L)) * col("__nr_tot") -
-          col("__nr") * col("__nt_tot")).as("weight"))
+          coalesce(col("__nr"), lit(0L)) * col("__nt_tot")).as("weight"))
   }
 
   /** Score documents against a trained [[hashedWeights]] table as a
@@ -115,15 +131,7 @@ object Importance {
       idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
     val wmap: Map[Long, Long] = weights.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
-      w => w =!= "")
-    val gramArr = when(size(col("__ws")) >= n,
-        transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(j =>
-            element_at(col("__ws"), i + lit(j))): _*)))
-      .otherwise(array().cast("array<string>"))
-    docs.select(col(s"`$idCol`").as("id"), ws.as("__ws"))
-      .select(col("id"), gramArr.as("__gs"))
+    withGramArray(docs, textCol, idCol, n)
       .select(col("id"),
         size(col("__gs")).cast("long").as("n_grams"),
         aggregate(col("__gs"), lit(0L), (acc, g) =>

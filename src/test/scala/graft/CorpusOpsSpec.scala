@@ -351,6 +351,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(6L) === ((2L, false)))
   }
 
+  test("hashed weights keep target-only buckets (the curated-target deployment)") {
+    import spark.implicits._
+    // target is NOT a subset of raw: its signature bigram "gold gold"
+    // never occurs in raw, yet must carry the largest positive weight
+    val raw = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val tgt = Seq((10L, "gold gold")).toDF("doc_id", "text")
+    val w = graft.text.Importance.hashedWeights(raw, tgt, "text", "doc_id",
+        n = 2, buckets = 64)
+      .as[(Long, Long)].collect().toMap
+    // NT=1, NR=2: "gold gold" bucket → 1·2 − 0·1 = 2; raw buckets → −1
+    assert(w.values.toSeq.sorted == Seq(-1L, -1L, 2L))
+    // scoring a NOVEL doc containing the target gram sees the weight
+    val weights = graft.text.Importance.hashedWeights(raw, tgt, "text",
+      "doc_id", n = 2, buckets = 64)
+    val scored = graft.text.Importance.scoreWithWeights(
+        Seq((99L, "gold gold")).toDF("doc_id", "text"), weights,
+        "text", "doc_id", n = 2, buckets = 64)
+      .as[(Long, Long, Long)].collect().head
+    assert(scored === ((99L, 1L, 2L)))
+  }
+
   test("dsir importance: target-overrepresented grams score positive") {
     import spark.implicits._
     // raw = {d1 "a b", d2 "c d"}; target = {d1} → gram "a b" has
