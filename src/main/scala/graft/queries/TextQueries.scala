@@ -469,8 +469,15 @@ object TextQueries {
     *    consumed right neighbors drop).
     * An exhausted corpus (best{r} empty) empties every later round's
     * state and output rows — the trainer's early stop, same rows. */
-  val bpeMergesSql: String = {
-    val numMerges = 12
+  /** The shared replay chain: s0..s{numMerges} word states and
+    * out1..out{numMerges} merge rows. The state join to best$r is a
+    * LEFT JOIN ON TRUE (not CROSS) so an exhausted corpus (best$r
+    * empty) carries s{r} = s{r-1} forward unchanged — out rows stay
+    * empty either way (pair counts are unchanged on a carried state,
+    * so the argmax stays below minFreq forever: the trainer's hard
+    * stop), but the FINAL state remains the true encode table, which
+    * t25 consumes. */
+  private def bpeChainSql(numMerges: Int): String = {
     def round(r: Int): String = {
       val prev = s"s${r - 1}"
       s"""pair$r AS (
@@ -504,23 +511,68 @@ object TextQueries {
          |    list(CASE WHEN st.i IS NOT NULL THEN b.l || b.r2 ELSE e.pc END
          |         ORDER BY e.i) AS p
          |  FROM e$r e
-         |  CROSS JOIN best$r b
+         |  LEFT JOIN best$r b ON TRUE
          |  LEFT JOIN st$r st ON e.w = st.w AND e.i = st.i
          |  LEFT JOIN st$r c ON e.w = c.w AND e.i = c.i + 1
          |  WHERE c.i IS NULL
          |  GROUP BY e.w)""".stripMargin
     }
-    s"""WITH s0 AS MATERIALIZED (
+    s"""s0 AS MATERIALIZED (
        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS n,
        |    list_transform(range(1, length(w) + 1),
        |      i -> substr(w, CAST(i AS INTEGER), 1)) AS p
        |  FROM (SELECT unnest($WS) AS w FROM documents)
        |  GROUP BY w),
-       |${(1 to numMerges).map(round).mkString(",\n")}
+       |${(1 to numMerges).map(round).mkString(",\n")}""".stripMargin
+  }
+
+  val bpeMergesSql: String = {
+    val numMerges = 12
+    s"""WITH ${bpeChainSql(numMerges)}
        |SELECT * FROM (${(1 to numMerges).map(r => s"SELECT * FROM out$r")
            .mkString("\nUNION ALL\n")})
        |ORDER BY "rank"""".stripMargin
   }
+
+  // ---- t25: encode the corpus with its own trained tokenizer ---------
+
+  /** The consumer half of the t18 train → encode loop: learn the 12
+    * merges, then encode EVERY document with them
+    * ([[graft.text.BpeTokenCounter]]) — per-doc word and piece counts,
+    * the numbers a pipeline needs to budget sequence packing under the
+    * tokenizer it just trained. Training reduces the corpus once to
+    * the distinct-word frame; encoding is a pure map-side fold per row
+    * (no shuffle, stream-safe — the same operator runs unchanged in an
+    * append-mode stream once the merge table is collected). */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = graft.text.BpeTrainer
+      .trainMerges(docs, "text", numMerges = 12)
+      .map(m => (m._2, m._3))
+    val counter = graft.text.BpeTokenCounter(merges)
+    docs.select(col("doc_id"),
+        size(graft.text.BpeTrainer.words(col("text"))).cast("long")
+          .as("n_words"),
+        counter.count(col("text")).as("n_pieces"))
+      .orderBy("doc_id")
+  }
+
+  /** Replays the t18 training chain (shared CTEs), then reads each
+    * word's piece count off the FINAL state s12 — the early-stop-robust
+    * chain makes s12 the true encode table even if training exhausts
+    * before 12 merges. */
+  val bpeEncodeSql: String =
+    s"""WITH ${bpeChainSql(12)},
+       |docw AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+       |plen AS (SELECT w, CAST(len(p) AS BIGINT) AS np FROM s12),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |    CAST(SUM(np) AS BIGINT) AS n_pieces
+       |  FROM docw JOIN plen USING (w) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+       |  coalesce(n_pieces, 0)::BIGINT AS n_pieces
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
 
   val pieceChunksSql: String =
     s"""WITH RECURSIVE rtoks AS (
@@ -809,6 +861,7 @@ object TextQueries {
     "t20_split_familiarity" -> (crossSplitFamiliarity _),
     "t17_piece_chunks" -> (pieceChunks _),
     "t18_bpe_merges" -> (bpeMerges _),
+    "t25_bpe_encode" -> (bpeEncode _),
     "t16_dataset_split" -> (datasetSplit _),
     "t15_trigram_familiarity" -> (trigramFamiliarity _),
     "t14_subword_tokens" -> (subwordTokens _),
@@ -835,6 +888,7 @@ object TextQueries {
     "t20_split_familiarity" -> crossSplitFamiliaritySql,
     "t17_piece_chunks" -> pieceChunksSql,
     "t18_bpe_merges" -> bpeMergesSql,
+    "t25_bpe_encode" -> bpeEncodeSql,
     "t16_dataset_split" -> datasetSplitSql,
     "t15_trigram_familiarity" -> trigramFamiliaritySql,
     "t14_subword_tokens" -> subwordTokensSql,

@@ -28,7 +28,7 @@ import org.apache.spark.sql.functions._
 object BpeTrainer {
 
   /** The engine's canonical word stream (the t3/t14 splitter). */
-  private def words(textCol: Column): Column =
+  private[graft] def words(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-zà-ÿ0-9]+"), w => w =!= "")
 
   /** One greedy left-to-right application of merge (l, r): fold pieces,

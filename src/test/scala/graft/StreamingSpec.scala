@@ -419,6 +419,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bpe encoding streams in append mode (trained merge table)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // train the merge table on a BATCH corpus, then encode a stream
+    // with the pure per-word fold — the t25 operator's deploy shape
+    val corpus = Seq(
+      (1L, "low low low low low lower lower"),
+      (2L, "newest newest newest newest newest newest widest widest widest"))
+      .toDF("doc_id", "text")
+    val counter = graft.text.BpeTokenCounter(
+      graft.text.BpeTrainer.trainMerges(corpus, "text", numMerges = 4)
+        .map(m => (m._2, m._3)))
+    def encode(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.text.BpeTrainer.words(col("text"))).cast("long").as("n_words"),
+        counter.count(col("text")).as("n_pieces"))
+    val batch = encode(corpus).as[(Long, Long, Long)].collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = encode(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("t25_stream")
+      .outputMode("append").start() // stateless map: no watermark needed
+    try {
+      input.addData((1L, "low low low low low lower lower"))
+      q.processAllAvailable()
+      input.addData(
+        (2L, "newest newest newest newest newest newest widest widest widest"))
+      q.processAllAvailable()
+      val streamed = spark.table("t25_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("token chunking streams in append mode (stateless explode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -82,6 +82,24 @@ class TokenCounterSpec extends SparkSpec {
     assert(got == Seq(8L, 0L, 3L))
   }
 
+  test("t25 encode shape: early-stopped merge table and wordless docs") {
+    import org.apache.spark.sql.functions.col
+    // training early-stops at 0 merges (all pairs below minFreq) —
+    // encoding must fall back to character grain, and a doc with no
+    // words must report 0/0 (the oracle's LEFT JOIN coalesce path)
+    val docs = Seq((1L, "ab cd"), (2L, "!!!")).toDF("doc_id", "text")
+    val merges = graft.text.BpeTrainer.trainMerges(docs, "text",
+      numMerges = 12).map(m => (m._2, m._3))
+    assert(merges.isEmpty)
+    val counter = graft.text.BpeTokenCounter(merges)
+    val got = docs.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.text.BpeTrainer.words(col("text"))).cast("long").as("n_words"),
+        counter.count(col("text")).as("n_pieces"))
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 4L), (2L, 0L, 0L)))
+  }
+
   test("longest match wins over shorter prefixes") {
     // "tion" must match the 4-char piece, not th|i|on or t|i|on
     assert(pieces("tion") == Map("tion" -> 1L))
