@@ -33,19 +33,24 @@ object Importance {
 
   /** (id, __gs = n-gram array) — ONE tokenizer definition shared by
     * training ([[grams]]) and scoring ([[scoreWithWeights]]), so the
-    * two cannot drift. The word array materializes in its own
-    * projection BEFORE the gram transform references it (the
-    * wordShingles lesson: a split referenced inside the lambda
-    * re-splits the text per gram index — O(len²)). */
+    * two cannot drift. Built by zipping n SHIFTED SLICES of the word
+    * array, NOT by per-index element_at into a prior projection:
+    * CollapseProject inlines a deterministic projected expression into
+    * the consuming lambda, so the element_at form re-ran the
+    * split-lower-filter once per gram index × per lambda reference —
+    * measured 170s for 2.65M bigrams at sf1 vs 2.8s for this form,
+    * whose word array is referenced only n times per ROW. */
   private def withGramArray(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
       w => w =!= "")
-    df.select(col(s"`$idCol`").as("id"), ws.as("__ws"))
-      .select(col("id"), when(size(col("__ws")) >= n,
-          transform(sequence(lit(1), size(col("__ws")) - (n - 1)),
-            i => concat_ws(" ", (0 until n).map(j =>
-              element_at(col("__ws"), i + lit(j))): _*)))
+    val len = size(ws) - (n - 1)
+    val gs = (1 until n).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(1 + j), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    df.select(col(s"`$idCol`").as("id"),
+      when(size(ws) >= n, gs)
         .otherwise(array().cast("array<string>")).as("__gs"))
   }
 
@@ -131,12 +136,18 @@ object Importance {
       idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
     val wmap: Map[Long, Long] = weights.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // DENSE array literal indexed by bucket: element_at on a map
+    // literal is a LINEAR scan of all `buckets` entries per gram
+    // (ArrayBasedMapData has no hash index) — O(docs × grams × buckets),
+    // measured 224s at sf1 — while an array ordinal access is O(1).
+    // 4096 longs ≈ 32 KB of plan literal: still control-plane sized.
+    val dense: Seq[Long] = (0 until buckets).map(b => wmap.getOrElse(b.toLong, 0L))
     withGramArray(docs, textCol, idCol, n)
       .select(col("id"),
         size(col("__gs")).cast("long").as("n_grams"),
         aggregate(col("__gs"), lit(0L), (acc, g) =>
-          acc + coalesce(
-            element_at(typedLit(wmap), bucketOf(g, buckets)), lit(0L)))
+          acc + element_at(typedLit(dense),
+            (bucketOf(g, buckets) + lit(1L)).cast("int")))
           .as("score"))
   }
 }
