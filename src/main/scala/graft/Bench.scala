@@ -22,8 +22,17 @@ object Bench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
+    // Force FULL row materialization, not .count(): under count()
+    // Catalyst prunes every computed column (and eliminates final
+    // unique-key left joins), so a map-shaped query was timed as a bare
+    // parquet scan — t23 read 0.44s while its real cost is 3.5s —
+    // while the DuckDB side of every head-to-head executes the whole
+    // query. toRdd runs the query's own executed plan, every column.
+    def force(df: org.apache.spark.sql.DataFrame): Unit = {
+      df.queryExecution.toRdd.count(); ()
+    }
     SparkEntry.queries.foreach { case (_, fn) =>
-      try { fn(spark, "/root/testdata/sf0.001").count() }
+      try { force(fn(spark, "/root/testdata/sf0.001")) }
       catch { case _: Throwable => () }
       dropState()
     }
@@ -44,7 +53,7 @@ object Bench {
         // and silently improve the median) — record -1 and keep it out
         // of the median below.
         val ok =
-          try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+          try { force(SparkEntry.queries(name)(spark, sfDir)); true }
           catch { case t: Throwable =>
             System.err.println(s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: ${t.getMessage}")
             false

@@ -16,11 +16,15 @@ object MiniBench {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
+    // force full row materialization (the Bench convention): .count()
+    // lets Catalyst prune computed columns, timing map queries as scans
+    def force(df: org.apache.spark.sql.DataFrame): Long =
+      df.queryExecution.toRdd.count()
     // warmup
-    names.foreach { n => try { graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => }; drop() }
+    names.foreach { n => try { force(graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.001")) } catch { case _: Throwable => }; drop() }
     names.foreach { n =>
       val t0 = System.nanoTime()
-      val c = graft.SparkEntry.queries(n)(spark, sfDir).count()
+      val c = force(graft.SparkEntry.queries(n)(spark, sfDir))
       println(f"$n ${(System.nanoTime()-t0)/1e9}%.2fs rows=$c")
       drop()
     }
