@@ -85,6 +85,25 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
     val failJson = failures.map(n => s""""$n"""").mkString("[", ",", "]")
+    // raw per-epoch samples (epoch order, -1 = failed run) so cross-round
+    // comparisons can separate this host's bursty load from real
+    // regressions — the median alone can't show that one epoch was 3×
+    // the others on identical code. Own line: the driver parses the
+    // per_query and total lines positionally-by-key and must not choke.
+    val samples = names.map { k =>
+      s""""$k":${epochs.map(e => d3(e(k))).mkString("[", ",", "]")}"""
+    }.mkString("{", ",", "}")
+    val samplesLine = s"""{"metric":"samples","unit":"sec","queries":$samples,"sf":"$sfDir"}"""
+    // the driver keeps only a ~2000-char stdout TAIL, which a 127-query
+    // samples map outgrows — persist the full line to a repo file too
+    // (committed with the round) so cross-round diffing has the data
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
+        "/root/repo/BENCH_SAMPLES.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (samplesLine + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
+    println(samplesLine)
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"failures":$failJson,"sf":"$sfDir"}""")
     spark.stop()

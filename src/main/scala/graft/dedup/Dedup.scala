@@ -69,15 +69,38 @@ object Dedup {
     * would cost a full groupBy job per call, so the contract stays
     * documentation; callers that cannot guarantee uniqueness must
     * `dropDuplicates(idCol)` first. */
+  /** Opt-in tripwire for the [[wordShingles]] one-row-per-id contract:
+    * with `-Dgraft.debug.uniqueIds=true` every shingling pass verifies
+    * id uniqueness lazily (an id-partitioned window count + raise_error
+    * — ONE extra shuffle per call, debug-mode price) and fails LOUDLY
+    * on the first duplicate instead of silently inflating overlap
+    * counts downstream (the exact failure mode the sf10 rehearsal hit:
+    * colliding doc_ids → 2× `common` → ANSI divide-by-zero in d7). */
+  private[graft] def debugUniqueIds: Boolean =
+    sys.props.get("graft.debug.uniqueIds").contains("true")
+
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
     val ws = col("__ws")
     val grams = when(size(ws) >= n,
       transform(sequence(lit(0), size(ws) - n),
         i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
       .otherwise(array().cast("array<string>"))
-    df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
-      .select(col("id"),
-        explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
+    val keyed = df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
+    val checked =
+      if (!debugUniqueIds) keyed
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("id"))
+        keyed.withColumn("__idn", count(lit(1)).over(w))
+          .withColumn("id", when(col("__idn") === 1L, col("id"))
+            .otherwise(raise_error(concat(
+              lit("[graft] wordShingles: duplicate id "),
+              col("id").cast("string"),
+              lit(" violates the one-row-per-id contract; " +
+                "dropDuplicates(idCol) first")))))
+          .drop("__idn")
+      }
+    checked.select(col("id"),
+      explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
   }
 
   private[dedup] def words(textCol: Column): Column =

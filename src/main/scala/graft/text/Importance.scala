@@ -31,6 +31,25 @@ import org.apache.spark.sql.functions._
   * plan, wider buffers. */
 object Importance {
 
+  /** ⌊√(2⁶³)⌋ — the largest per-side gram total for which every
+    * cross-multiplied product cnt·N (cnt ≤ N ≤ total) stays inside
+    * Long. The per-doc score SUM has a further factor of grams-per-doc
+    * (see the class doc); ANSI mode makes that sum throw loudly on
+    * overflow, and this guard makes the root cause — totals past the
+    * documented envelope — fail with an actionable message instead of
+    * an anonymous ARITHMETIC_OVERFLOW deep in a join stage. */
+  val SafeTotalBound: Long = 3037000499L
+
+  /** The envelope check as a zero-job Column guard: totals are columns
+    * of the broadcast 1-row frame, so the check rides the existing
+    * weight projection (no extra aggregation pass — the alternative, a
+    * driver-side collect of the totals, would re-run the gram counts). */
+  private def guardedTotal(tot: Column, side: String, bound: Long): Column =
+    when(tot <= lit(bound), tot).otherwise(raise_error(concat(
+      lit(s"[graft] DSIR $side gram total "), tot.cast("string"),
+      lit(s" exceeds the Long-exact envelope ($bound); " +
+        "recompute with DecimalType(38,0) weight/sum columns"))).cast("long"))
+
   /** (id, __gs = n-gram array) — ONE tokenizer definition shared by
     * training ([[grams]]) and scoring ([[scoreWithWeights]]), so the
     * two cannot drift. Built by zipping n SHIFTED SLICES of the word
@@ -64,7 +83,8 @@ object Importance {
     * `n` words report 0/0). `target` is any frame with the same text
     * column — typically a filtered subset of `raw`. */
   def importanceScores(raw: DataFrame, target: DataFrame, textCol: String,
-      idCol: String, n: Int = 2): DataFrame = {
+      idCol: String, n: Int = 2,
+      maxSafeTotal: Long = SafeTotalBound): DataFrame = {
     // raw grams feed three consumers (raw counts, totals, per-doc
     // join): persist the corpus-sized explode once (StagePersists
     // release contract applies)
@@ -79,8 +99,10 @@ object Importance {
     val weights = cntR.join(cntT, Seq("g"), "left_outer")
       .crossJoin(totals)
       .select(col("g"),
-        (coalesce(col("__nt"), lit(0L)) * col("__nr_tot") -
-          col("__nr") * col("__nt_tot")).as("__w"))
+        (coalesce(col("__nt"), lit(0L)) *
+          guardedTotal(col("__nr_tot"), "raw", maxSafeTotal) -
+          col("__nr") *
+            guardedTotal(col("__nt_tot"), "target", maxSafeTotal)).as("__w"))
     val perDoc = rawG.join(weights, "g")
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum("__w").as("score"))
@@ -103,7 +125,8 @@ object Importance {
     * CONSTRUCTION, so scoring can run anywhere, including per-row on
     * a stream ([[scoreWithWeights]]). */
   def hashedWeights(raw: DataFrame, target: DataFrame, textCol: String,
-      idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+      idCol: String, n: Int = 2, buckets: Int = 4096,
+      maxSafeTotal: Long = SafeTotalBound): DataFrame = {
     def cnts(df: DataFrame, name: String) =
       grams(df, textCol, idCol, n)
         .groupBy(bucketOf(col("g"), buckets).as("bucket"))
@@ -121,8 +144,10 @@ object Importance {
     cntR.join(cntT, Seq("bucket"), "full_outer")
       .crossJoin(totals)
       .select(col("bucket"),
-        (coalesce(col("__nt"), lit(0L)) * col("__nr_tot") -
-          coalesce(col("__nr"), lit(0L)) * col("__nt_tot")).as("weight"))
+        (coalesce(col("__nt"), lit(0L)) *
+          guardedTotal(col("__nr_tot"), "raw", maxSafeTotal) -
+          coalesce(col("__nr"), lit(0L)) *
+            guardedTotal(col("__nt_tot"), "target", maxSafeTotal)).as("weight"))
   }
 
   /** Score documents against a trained [[hashedWeights]] table as a
@@ -133,9 +158,20 @@ object Importance {
     * in streaming append mode verbatim (StreamingSpec pins stream ≡
     * batch). Same Long-overflow envelope as [[importanceScores]]. */
   def scoreWithWeights(docs: DataFrame, weights: DataFrame, textCol: String,
-      idCol: String, n: Int = 2, buckets: Int = 4096): DataFrame = {
+      idCol: String, n: Int = 2, buckets: Int = 4096,
+      maxDocGrams: Long = 1L << 20): DataFrame = {
     val wmap: Map[Long, Long] = weights.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the per-doc fold sums one weight per gram OCCURRENCE: exact while
+    // max|weight| · grams-per-doc < 2⁶³. The weights are on the driver
+    // anyway, so the envelope check is free — and fails HERE with the
+    // trained magnitudes in hand, not mid-stream as an anonymous ANSI
+    // ARITHMETIC_OVERFLOW on some unlucky document
+    val maxAbsW = wmap.values.foldLeft(0L)((m, w) => math.max(m, math.abs(w)))
+    require(maxAbsW <= Long.MaxValue / math.max(maxDocGrams, 1L),
+      s"[graft] DSIR hashed weights reach |w|=$maxAbsW; documents with up " +
+        s"to $maxDocGrams grams could overflow the Long score sum — " +
+        "retrain with smaller corpora totals or DecimalType(38,0) scoring")
     // DENSE array literal indexed by bucket: element_at on a map
     // literal is a LINEAR scan of all `buckets` entries per gram
     // (ArrayBasedMapData has no hash index) — O(docs × grams × buckets),

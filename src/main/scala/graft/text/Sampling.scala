@@ -128,10 +128,24 @@ object Sampling {
       scoreCol: String, budgetFraction: Double): DataFrame = {
     require(budgetFraction > 0.0 && budgetFraction <= 1.0,
       s"budgetFraction must be in (0, 1]: $budgetFraction")
+    // the composite key is only collision-free/monotone under the
+    // documented contract (unique non-negative id < 10¹², |score| small
+    // enough that score·10¹² fits Long); violating inputs — raw DSIR
+    // scores, synthetic 2⁶³-ish ids — would silently CORRUPT the
+    // selection order, so the contract is enforced per row in the same
+    // projection (zero extra jobs; ~two comparisons per row)
+    val idL = col(s"`$idCol`").cast("long")
+    val scL = col(s"`$scoreCol`").cast("long")
+    val contractOk = idL.between(0L, 999999999999L) &&
+      abs(scL) <= lit(9000000L)
     val ordered = df
       .withColumn("__n", col(s"`$tokensCol`").cast("long"))
-      .withColumn("__ord", col(s"`$idCol`").cast("long") -
-        col(s"`$scoreCol`").cast("long") * 1000000000000L)
+      .withColumn("__ord", when(contractOk, idL - scL * 1000000000000L)
+        .otherwise(raise_error(concat(
+          lit("[graft] budgetSelect order-key contract violated " +
+            "(need 0 <= id < 10^12 and |score| <= 9e6; fixed-point-scale " +
+            "scores first): id="), idL.cast("string"),
+          lit(" score="), scL.cast("string"))).cast("long")))
     val (cum, totals) = graft.ops.Scale.prefixSums(ordered, "__ord", Seq("__n"))
     val budget = math.floor(totals("__n") * budgetFraction).toLong
     cum.filter(col("__cum___n") <= budget)

@@ -52,7 +52,9 @@ object ScaleUp {
               "rerun from the original dir with a larger factor")
         }
       }
-      require(factor.toLong * Off <= Long.MaxValue / 2, s"factor $factor too large")
+      // divide, don't multiply: the product form overflows Long INSIDE
+      // the guard for large factors and can wrap past the check
+      require(factor.toLong <= (Long.MaxValue / 2) / Off, s"factor $factor too large")
       val exploded = df.withColumn("__copy", explode(sequence(lit(0L), lit(factor - 1L))))
       keys.foldLeft(exploded) { (d, k) =>
         d.withColumn(k, col(k) + col("__copy") * Off)
