@@ -87,14 +87,20 @@ object BpeTrainer {
   * simple sequential variant — identical to training-time tokenization
   * on the training corpus; a priority-queue inference can differ on
   * novel words where a late merge re-creates an early merge's
-  * adjacency, which this engine trades for pure-Column portability).
-  * Interpreted HOF cost is |merges| folds per word — fine for bounded
-  * merge tables; the [[graft.functions.PieceCounts]] native pattern is
-  * the upgrade path if a large learned vocab ever needs the hot path. */
+  * adjacency, which this engine trades for cross-engine determinism).
+  *
+  * The hot path is the native [[graft.functions.BpeMergeCounts]] — one
+  * heap-driven pass per word that only pays for merges whose sides the
+  * word contains, so a 30k-merge production vocabulary costs about the
+  * same as the gate's 12. The Column-expression fold
+  * ([[referenceCount]], |merges| interpreted array folds per word) is
+  * retained as the reference form: BpeSpec pins native ≡ fold
+  * bit-identical, and the t25 oracle replays the fold's semantics as
+  * unrolled CTEs. */
 final case class BpeTokenCounter(merges: Seq[(String, String)]) extends TokenCounter {
   import org.apache.spark.sql.functions._
 
-  private def piecesOf(word: Column): Column = {
+  private[text] def piecesOf(word: Column): Column = {
     val chars = transform(sequence(lit(1), length(word)),
       i => substr(word, i, lit(1)))
     merges.foldLeft(chars) { case (p, (l, r)) =>
@@ -102,7 +108,19 @@ final case class BpeTokenCounter(merges: Seq[(String, String)]) extends TokenCou
     }
   }
 
+  /** Per-word piece counts of a WORD ARRAY column, native pass. */
+  def pieceCounts(wordsArr: Column): Column =
+    graft.functions.BpeMergeCounts(wordsArr, merges)
+
   def count(text: Column): Column = {
+    val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
+    coalesce(aggregate(pieceCounts(toks), lit(0L), (acc, c) => acc + c),
+      lit(0L))
+  }
+
+  /** The interpreted reference form of [[count]] (spec anchor only —
+    * O(|merges|) folds per word, a cliff at real vocab sizes). */
+  def referenceCount(text: Column): Column = {
     val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
     coalesce(aggregate(toks, lit(0L),
       (acc, w) => acc + size(piecesOf(w)).cast("long")), lit(0L))
