@@ -809,15 +809,26 @@ object TextQueries {
   // ---- t24: hashed importance weights (the shipped DSIR model) ----------
 
   /** The DSIR model in its DEPLOYMENT form: gram→bucket hashed weights
-    * (O(buckets), broadcast-able by construction) trained against the
-    * English subset, then every document scored by a pure per-row fold
-    * over its gram buckets — the exact operator w12 runs on a stream
+    * (O(buckets), broadcast-able by construction), then every document
+    * scored by a pure per-row fold over its gram buckets — the exact
+    * operator w12 runs on a stream
     * ([[graft.text.Importance.hashedWeights]] /
-    * [[Importance.scoreWithWeights]], 4096 buckets). */
+    * [[Importance.scoreWithWeights]], 4096 buckets).
+    *
+    * The raw side trains on ONE crawl shard (source src0) while the
+    * target is the full curated English subset — deliberately NOT a
+    * subset of raw, the standard deployment (curated target corpus,
+    * separate raw pool), so buckets carrying only TARGET mass exist and
+    * the full-outer branch of the weight join is exercised cross-engine
+    * (a target-subset-of-raw setup can never produce one, which left
+    * that branch unit-test-only through round 8). Scoring then covers
+    * ALL documents — novel docs against a trained table, the stream
+    * shape. */
   def dsirHashedScores(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val weights = graft.text.Importance.hashedWeights(
-      docs, docs.filter(col("lang") === "en"), "text", "doc_id",
+      docs.filter(col("source") === "src0"),
+      docs.filter(col("lang") === "en"), "text", "doc_id",
       n = 2, buckets = 4096)
     graft.text.Importance.scoreWithWeights(docs, weights, "text", "doc_id",
         n = 2, buckets = 4096)
@@ -828,20 +839,21 @@ object TextQueries {
   val dsirHashedScoresSql: String = {
     val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
     val bkt = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096)::BIGINT"
-    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+    s"""WITH t AS (SELECT doc_id, lang, source, $ws4 AS ws FROM documents),
        |rg AS (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, lang, source,
        |    unnest(list_transform(range(1, len(ws)),
        |      i -> ws[i] || ' ' || ws[i + 1])) AS g
        |  FROM t WHERE len(ws) >= 2),
-       |rb AS (SELECT doc_id, lang, $bkt AS b FROM rg),
-       |cr AS (SELECT b, COUNT(*) AS nr FROM rb GROUP BY b),
+       |rb AS (SELECT doc_id, lang, source, $bkt AS b FROM rg),
+       |cr AS (SELECT b, COUNT(*) AS nr FROM rb WHERE source = 'src0' GROUP BY b),
        |ct AS (SELECT b, COUNT(*) AS nt FROM rb WHERE lang = 'en' GROUP BY b),
-       |tot AS (SELECT (SELECT COUNT(*) FROM rb) AS nr_tot,
+       |tot AS (SELECT (SELECT COUNT(*) FROM rb WHERE source = 'src0') AS nr_tot,
        |               (SELECT COUNT(*) FROM rb WHERE lang = 'en') AS nt_tot),
-       |w AS (SELECT cr.b,
-       |        CAST(coalesce(nt, 0) * nr_tot - nr * nt_tot AS BIGINT) AS wt
-       |      FROM cr LEFT JOIN ct USING (b), tot),
+       |w AS (SELECT b,
+       |        CAST(coalesce(nt, 0) * nr_tot - coalesce(nr, 0) * nt_tot
+       |          AS BIGINT) AS wt
+       |      FROM cr FULL JOIN ct USING (b), tot),
        |perdoc AS (
        |  SELECT doc_id, COUNT(*) AS n_grams,
        |    CAST(SUM(coalesce(wt, 0)) AS BIGINT) AS score
