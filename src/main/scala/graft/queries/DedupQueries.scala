@@ -781,7 +781,75 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- d16: CJK near-duplicate pairs (script-aware shingles) -----------
+
+  /** Near-dup detection on a SPACELESS script: the zh-labeled docs
+    * rendered in real CJK code points (the t26 derivation), each also
+    * planted with an 80%-prefix near-duplicate (id + 100000), then
+    * [[graft.text.ScriptText.shingles]] — character 7-grams, since CJK
+    * tokens are single characters (long char n-grams are the CJK
+    * near-dup convention) — through the UNCHANGED
+    * [[Dedup.jaccardPairs]] pair machinery. Under the Latin tokenizer
+    * these documents have ZERO shingles and every planted pair is
+    * invisible; the script plane recovers every planted pair (plus any
+    * genuine zh near-dups).
+    *
+    * The df cap is LOAD-BEARING here, not belt-and-braces: the derived
+    * corpus writes from a 26-char alphabet, so short char n-grams are
+    * low-entropy and the uncapped inverted index paid Σdf² ≈ 113M
+    * candidate rows at sf0.1 (18.5s); 7-grams + cap 400 cut that ~10×
+    * with all planted pairs intact — the exact stop-shingle guard a
+    * real boilerplate-heavy crawl needs. */
+  def cjkNearDups(spark: SparkSession, dir: String): DataFrame = {
+    val zh = graft.queries.TextQueries.Scripts
+      .derived(Tables.load(spark, dir, "documents"))
+      .filter(col("lang") === "zh")
+      .select(col("doc_id"), col("text2"))
+    val planted = zh.select((col("doc_id") + 100000L).as("doc_id"),
+      substr(col("text2"), lit(1),
+        floor(length(col("text2")) * 0.8).cast("int")).as("text2"))
+    val corpus = zh.unionByName(planted)
+    Dedup.jaccardPairs(
+        graft.text.ScriptText.shingles(corpus, "text2", "doc_id", 7),
+        threshold = 0.6, maxDocFreq = 400)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("ida", "idb")
+  }
+
+  val cjkNearDupsSql: String = {
+    val toks = graft.queries.TextQueries.Scripts.toksSql("text2")
+    s"""WITH ${graft.queries.TextQueries.Scripts.derivedSql},
+       |zh AS (SELECT doc_id, text2 FROM docs2 WHERE lang = 'zh'),
+       |corpus AS (
+       |  SELECT doc_id, text2 FROM zh
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |    substr(text2, 1, CAST(FLOOR(length(text2) * 0.8) AS INT))
+       |  FROM zh),
+       |toks AS (SELECT doc_id, $toks AS ws FROM corpus),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws) - 5, 1)),
+       |    i -> list_aggregate(ws[i:i+6], 'string_agg', ' '))) AS g
+       |  FROM toks WHERE len(ws) >= 7),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |keep AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= 400),
+       |fg AS (SELECT doc_id, g FROM grams JOIN keep USING (g)),
+       |pairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT ida, idb, common,
+       |  ROUND(CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE), 6) AS jaccard
+       |FROM pairs
+       |JOIN sizes sa ON ida = sa.doc_id
+       |JOIN sizes sb ON idb = sb.doc_id
+       |WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.6
+       |ORDER BY ida, idb""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_cjk_neardups" -> (cjkNearDups _),
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
     "d3_minhash_signatures" -> (minhashSignatures _),
@@ -800,6 +868,7 @@ object DedupQueries {
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
+    "d16_cjk_neardups" -> cjkNearDupsSql,
     "d1_exact_dup_groups" -> exactDupGroupsSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,
     "d3_minhash_signatures" -> minhashSignaturesSql,

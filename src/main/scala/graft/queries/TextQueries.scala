@@ -864,7 +864,149 @@ object TextQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- t26: script-aware multilingual text stats -----------------------
+
+  /** Deterministic multilingual derivation of the (all-ASCII) testdata
+    * corpus: docs labeled zh/de/es get their letters TRANSLATED into
+    * CJK/Cyrillic/Arabic code points (letter→letter, both engines'
+    * `translate`), en/fr stay Latin — same word/char structure, real
+    * non-Latin scripts. Query scaffolding only: a real crawl arrives
+    * already multilingual. */
+  private[queries] object Scripts {
+    val latin26 = "abcdefghijklmnopqrstuvwxyz"
+    val cjk26 = "一二三四五六七八九十百千万上下左右中大小明月日水火木"
+    val cyr26 = "абвгдежзийклмнопрстуфхцчшщ"
+    val ar26 = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+
+    def derived(docs: DataFrame): DataFrame =
+      docs.select(col("doc_id"), col("lang"),
+        when(col("lang") === "zh", translate(lower(col("text")), latin26, cjk26))
+          .when(col("lang") === "de", translate(lower(col("text")), latin26, cyr26))
+          .when(col("lang") === "es", translate(lower(col("text")), latin26, ar26))
+          .otherwise(col("text")).as("text2"))
+
+    /** The same derivation as a DuckDB CTE body (docs2(doc_id, lang, text2)). */
+    val derivedSql: String =
+      s"""docs2 AS (
+         |  SELECT doc_id, lang,
+         |    CASE lang
+         |      WHEN 'zh' THEN translate(lower(text), '$latin26', '$cjk26')
+         |      WHEN 'de' THEN translate(lower(text), '$latin26', '$cyr26')
+         |      WHEN 'es' THEN translate(lower(text), '$latin26', '$ar26')
+         |      ELSE text END AS text2
+         |  FROM documents)""".stripMargin
+
+    /** Script-aware token array of a SQL expression (RE2 forms). */
+    def toksSql(e: String): String =
+      s"list_filter(string_split_regex(lower(regexp_replace($e, " +
+        s"'([\\p{Han}\\p{Hiragana}\\p{Katakana}])', ' \\1 ', 'g')), " +
+        s"'[^\\pL\\pN]+'), w -> w <> '')"
+
+    def censusSql(e: String, clazz: String): String =
+      s"CAST(length(regexp_replace($e, '[^$clazz]', '', 'g')) AS BIGINT)"
+  }
+
+  /** The multilingual plane end to end on the derived corpus
+    * ([[graft.text.ScriptText]]): per-script code-point census,
+    * dominant script, script-gated language ID, script-aware token
+    * count, and the script-aware quality score in exact fixed point —
+    * the numbers that make non-Latin documents VISIBLE to dedup,
+    * quality gates, and token budgeting. */
+  def scriptStats(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.ScriptText
+    val d2 = Scripts.derived(Tables.load(spark, dir, "documents"))
+    d2.select(col("doc_id"),
+        ScriptText.nLatin(col("text2")).as("n_latin"),
+        ScriptText.nCjk(col("text2")).as("n_cjk"),
+        ScriptText.nCyrillic(col("text2")).as("n_cyrillic"),
+        ScriptText.nArabic(col("text2")).as("n_arabic"),
+        ScriptText.dominantScript(col("text2")).as("script"),
+        ScriptText.langId("text2").as("lang_pred"),
+        ScriptText.tokenCount("text2").as("n_tokens"),
+        ScriptText.qualityE4("text2").as("q_e4"))
+      .orderBy("doc_id")
+  }
+
+  val scriptStatsSql: String = {
+    import Scripts._
+    val t = "text2"
+    val toks = toksSql(t)
+    val nLatin = censusSql(t, "\\p{Latin}")
+    val nCjk = censusSql(t, "\\p{Han}\\p{Hiragana}\\p{Katakana}")
+    val nCyr = censusSql(t, "\\p{Cyrillic}")
+    val nAr = censusSql(t, "\\p{Arabic}")
+    val nGr = censusSql(t, "\\p{Greek}")
+    val nLet = censusSql(t, "\\pL")
+    // dominant script: the Scala fold (name order, strict >, ties keep
+    // the earlier name) expanded over the census CTE's columns
+    val scriptExact =
+      """CASE WHEN greatest(c_ar, c_cjk, c_cyr, c_gr, c_lat) = 0 THEN 'none'
+        |  ELSE (CASE WHEN c_lat > greatest(c_ar, c_cjk, c_cyr, c_gr) THEN 'latin'
+        |             WHEN c_gr > greatest(c_ar, c_cjk, c_cyr) THEN 'greek'
+        |             WHEN c_cyr > greatest(c_ar, c_cjk) THEN 'cyrillic'
+        |             WHEN c_cjk > c_ar THEN 'cjk'
+        |             ELSE 'arabic' END)
+        |END""".stripMargin
+    // marker vote (t1 semantics) over the derived column, for the
+    // Latin fallback branch
+    val wsLat = s"list_filter(string_split_regex(lower($t), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val hits = graft.text.TextAnalysis.markers.keys.toSeq.sorted.map { lang =>
+      val set = graft.text.TextAnalysis.markers(lang).map(w => s"'$w'").mkString("[", ",", "]")
+      s"SELECT doc_id, '$lang' AS lang, len(list_filter($wsLat, w -> list_contains($set, w))) AS n FROM docs2"
+    }.mkString("\nUNION ALL\n")
+    // script-aware quality (t2 formula, substituted inputs)
+    val len = s"CAST(LENGTH($t) AS DOUBLE)"
+    val alpha = s"CAST($nLet AS DOUBLE)"
+    val digits = s"CAST(length(regexp_replace($t, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = s"CAST(length(regexp_replace($t, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val nTok = s"CAST(len($toks) AS DOUBLE)"
+    val qual =
+      s"""(
+         |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+         |        WHEN $len < 200 THEN $len / 200.0
+         |        ELSE 20000.0 / $len END) * 0.3
+         |  + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+         |  + (CASE WHEN $nTok > 0 THEN
+         |       CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+         |            THEN 1.0 ELSE 0.5 END
+         |     ELSE 0.0 END) * 0.2
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |)""".stripMargin
+    s"""WITH $derivedSql,
+       |mhits AS (
+       |$hits
+       |), mranked AS (
+       |  SELECT doc_id, lang, n,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk,
+       |    MAX(n) OVER (PARTITION BY doc_id) AS mx
+       |  FROM mhits),
+       |marker AS (
+       |  SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'unknown' END AS mlang
+       |  FROM mranked WHERE rk = 1),
+       |cen AS (
+       |  SELECT doc_id, $nLatin AS c_lat, $nCjk AS c_cjk, $nCyr AS c_cyr,
+       |    $nAr AS c_ar, $nGr AS c_gr, $nLet AS c_let,
+       |    CAST(len($toks) AS BIGINT) AS n_toks,
+       |    CAST(FLOOR($qual * 10000 + 0.5) AS BIGINT) AS q_e4
+       |  FROM docs2)
+       |SELECT c.doc_id,
+       |  c.c_lat AS n_latin, c.c_cjk AS n_cjk, c.c_cyr AS n_cyrillic,
+       |  c.c_ar AS n_arabic,
+       |  $scriptExact AS script,
+       |  CASE WHEN c_let = 0 THEN m.mlang
+       |       WHEN c_cjk * 10 > c_let * 3 THEN 'zh'
+       |       WHEN c_cyr * 10 > c_let * 3 THEN 'ru'
+       |       WHEN c_ar * 10 > c_let * 3 THEN 'ar'
+       |       WHEN c_gr * 10 > c_let * 3 THEN 'el'
+       |       ELSE m.mlang END AS lang_pred,
+       |  c.n_toks AS n_tokens, c.q_e4
+       |FROM cen c JOIN marker m USING (doc_id)
+       |ORDER BY c.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t26_script_stats" -> (scriptStats _),
     "t24_dsir_hashed" -> (dsirHashedScores _),
     "t22_c4_clean" -> (c4Clean _),
     "t23_dsir_scores" -> (dsirScores _),
@@ -892,6 +1034,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t26_script_stats" -> scriptStatsSql,
     "t24_dsir_hashed" -> dsirHashedScoresSql,
     "t22_c4_clean" -> c4CleanSql,
     "t23_dsir_scores" -> dsirScoresSql,

@@ -1,0 +1,159 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Script-aware text plane for multilingual corpora (north-star
+  * mandate: at 100 TB web scale the Latin-1-only tokenizer contract —
+  * `[^a-zà-ÿ0-9]+` everywhere — makes CJK/Cyrillic/Arabic/Greek text
+  * yield ZERO tokens, so whole languages become invisible to dedup,
+  * score ≈ 0 on every quality gate, and carry meaningless token
+  * weights in packing/sampling. The reference corpus is Latin-only so
+  * §2 parity never needed this; a real crawl does).
+  *
+  * Design: Unicode SCRIPT classes, not code-page ranges.
+  *  - Latin/Cyrillic/Arabic/Greek text has word boundaries → letter
+  *    runs are tokens, exactly the Latin convention extended by
+  *    `\p{L}`.
+  *  - CJK (Han + Hiragana + Katakana) has NO spaces → each character
+  *    is one token (the standard unit for CJK dedup/counting; shingling
+  *    over char tokens then yields character n-grams, the CJK
+  *    near-dup convention).
+  * Both engines agree on every construct here: Java regex script
+  * classes (`\p{IsHan}`) mirror RE2's (`\p{Han}`), `\p{L}`/`\p{N}`
+  * are shared, and `lower` applies the same simple case mappings on
+  * the scripts involved — every operator below is DuckDB-oracled
+  * (t26/d16).
+  *
+  * All pure Column expressions: map-side, codegen'd, stream-safe. The
+  * default Latin plane ([[TextAnalysis]], [[graft.dedup.Dedup.words]])
+  * is UNCHANGED — its oracles pin the historic semantics; this module
+  * is the opt-in multilingual twin of each operator. */
+object ScriptText {
+
+  /** The spaceless-script character class (Java regex form). */
+  val CjkClassJava = "\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}"
+  /** Same class, RE2 form (DuckDB oracles). */
+  val CjkClassRe2 = "\\p{Han}\\p{Hiragana}\\p{Katakana}"
+
+  /** CJK characters spaced out so the letter-run splitter sees each as
+    * its own token. */
+  private def spaced(c: Column): Column =
+    regexp_replace(c, s"([$CjkClassJava])", " $1 ")
+
+  /** Script-aware tokens: lowercased letter/digit runs over ALL
+    * scripts, with CJK characters as single-character tokens. The
+    * multilingual extension of the `[^a-zà-ÿ0-9]+` contract. */
+  def tokens(c: Column): Column =
+    filter(split(lower(spaced(c)), "[^\\p{L}\\p{N}]+"), w => w =!= "")
+
+  def tokenCount(c: String): Column =
+    size(tokens(col(s"`$c`"))).cast(LongType)
+
+  /** Code-point census of a script class (regex-definable, so the
+    * DuckDB oracle replays it verbatim). */
+  private def census(c: Column, clazz: String): Column =
+    length(regexp_replace(c, s"[^$clazz]", "")).cast(LongType)
+
+  // script classes, not letter intersections: RE2 (the oracle engine)
+  // has no character-class intersection syntax, and Script=Latin is
+  // letters + a handful of letter-marks anyway — identical under both
+  // engines' Unicode tables on real text
+  def nLatin(c: Column): Column = census(c, "\\p{IsLatin}")
+  def nCjk(c: Column): Column = census(c, CjkClassJava)
+  def nCyrillic(c: Column): Column = census(c, "\\p{IsCyrillic}")
+  def nArabic(c: Column): Column = census(c, "\\p{IsArabic}")
+  def nGreek(c: Column): Column = census(c, "\\p{IsGreek}")
+  def nLetters(c: Column): Column = census(c, "\\p{L}")
+
+  /** Dominant-script vote: the script with the most letter code
+    * points; 'none' when the text has no letters. Deterministic
+    * tie-break by script name (the t1 langId convention). */
+  def dominantScript(c: Column): Column = {
+    // fold in name order carrying (name, count); strict > keeps the
+    // alphabetically-first name on ties
+    val counts = Seq(
+      ("arabic", nArabic(c)), ("cjk", nCjk(c)),
+      ("cyrillic", nCyrillic(c)), ("greek", nGreek(c)),
+      ("latin", nLatin(c)))
+    var name: Column = lit(counts.head._1)
+    var cnt: Column = counts.head._2
+    counts.tail.foreach { case (n2, c2) =>
+      name = when(c2 > cnt, lit(n2)).otherwise(name)
+      cnt = when(c2 > cnt, c2).otherwise(cnt)
+    }
+    when(cnt > 0L, name).otherwise(lit("none"))
+  }
+
+  /** Language ID with a script gate in front of the Latin marker vote:
+    * a text whose letters are >30% CJK/Cyrillic/Arabic/Greek is
+    * classified by script (zh/ru/ar/el — the script's dominant
+    * language standing in for a per-language model, the same "tiny
+    * deterministic heuristic" contract as [[TextAnalysis.markers]]);
+    * otherwise the existing marker vote decides among the five Latin
+    * languages. Integer arithmetic only (cnt·10 > letters·3), so the
+    * oracle replays it exactly. */
+  def langId(c: String): Column = {
+    val t = col(s"`$c`")
+    val letters = nLetters(t)
+    def gate(n: Column) = n * 10 > letters * 3
+    when(letters === 0L, TextAnalysis.langId(c))
+      .when(gate(nCjk(t)), "zh")
+      .when(gate(nCyrillic(t)), "ru")
+      .when(gate(nArabic(t)), "ar")
+      .when(gate(nGreek(t)), "el")
+      .otherwise(TextAnalysis.langId(c))
+  }
+
+  /** Script-aware quality score: [[TextAnalysis.qualityScore]]'s exact
+    * formula with alpha = ALL letters (`\p{L}`) and the script-aware
+    * token count — so a Chinese or Russian document scores on its
+    * merits instead of ≈ 0. The word-length band [3,10] naturally
+    * passes CJK (char tokens, ~1 letter each → the 0.5 branch) without
+    * special-casing; length/punct/digit terms are script-neutral.
+    * Cross-engine: same construction as the t2 oracle with the two
+    * substituted inputs. */
+  def qualityScore(c: String): Column = {
+    val t = col(s"`$c`")
+    val len = length(t).cast("double")
+    val alpha = nLetters(t).cast("double")
+    val digits = census(t, "0-9").cast("double")
+    val punct = census(t, "\\p{Punct}").cast("double")
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = when(len >= 200 && len <= 20000, 1.0)
+      .when(len < 200, len / 200.0)
+      .otherwise(lit(20000.0) / len)
+    val alphaScore = when(len > 0, alpha / len).otherwise(0.0)
+    val punctPenalty = when(len > 0, punct / len).otherwise(1.0)
+    val digitPenalty = when(len > 0, digits / len).otherwise(1.0)
+    val wordLenScore = when(nTok > 0,
+      when(alpha / nTok >= 3 && alpha / nTok <= 10, 1.0).otherwise(0.5))
+      .otherwise(0.0)
+    (lenScore * 0.3 + alphaScore * 0.3 + wordLenScore * 0.2 +
+      (lit(1.0) - least(punctPenalty * 5, lit(1.0))) * 0.1 +
+      (lit(1.0) - least(digitPenalty * 5, lit(1.0))) * 0.1)
+  }
+
+  /** [[qualityScore]] in the engine's exact 10⁻⁴ fixed point. */
+  def qualityE4(c: String): Column =
+    floor(qualityScore(c) * 10000d + 0.5d).cast(LongType)
+
+  /** (id, shingle) pairs over SCRIPT-AWARE tokens — for CJK text the
+    * n-grams are character n-grams (the standard CJK near-dup unit),
+    * for everything else word n-grams; one corpus, one operator, every
+    * script visible to the whole [[graft.dedup.Dedup]] pair machinery
+    * (jaccard/containment/MinHash/LSH all consume this frame
+    * unchanged). Same shape as [[graft.dedup.Dedup.wordShingles]]:
+    * per-row distinct before the explode, no extra shuffle. */
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
+    val ws = col("__ws")
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
+      .select(col("id"),
+        explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
+  }
+}

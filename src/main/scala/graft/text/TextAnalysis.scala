@@ -301,6 +301,45 @@ object TextAnalysis {
         coalesce(col("dup_trigram_frac"), lit(0.0)).as("dup_trigram_frac"))
   }
 
+  /** The [[repetitionMetrics]] `dup_trigram_frac` as ONE stateless
+    * per-row Column — the form a running stream can gate on (the
+    * grouped formulation shuffles the gram stream; a single document's
+    * trigram multiset lives entirely in its own row, so the duplicated
+    * fraction is pure array arithmetic: sort the trigrams, count
+    * occurrences whose sorted neighbors differ on both sides —
+    * singletons — and dup = total − singletons). Bit-identical to the
+    * grouped metric per document (StreamingSpec pins it); token-less
+    * documents score 0.0, matching [[repetitionMetrics]]. */
+  def inlineDupTrigramFrac(c: String): Column = {
+    val ws = tokens(col(s"`$c`"))
+    val g3 = when(size(ws) >= 3,
+      sort_array(transform(sequence(lit(0), size(ws) - 3),
+        i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2),
+          element_at(ws, i + 3)))))
+      .otherwise(array().cast("array<string>"))
+    // run-length fold over the SORTED array: the lambda touches only
+    // its accumulator and the element (an outer reference to g3 inside
+    // a lambda would re-embed — and re-sort — the whole expression per
+    // element, the CollapseProject trap Importance.withGramArray pins)
+    val zero = struct(lit(" ").as("prev"), lit(0L).as("run"),
+      lit(0L).as("dup"), lit(0L).as("total"))
+    val dup = aggregate(g3, zero,
+      (acc, x) => struct(x.as("prev"),
+        when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L)).as("run"),
+        (acc.getField("dup") + when(x === acc.getField("prev"), 0L)
+          .otherwise(when(acc.getField("run") > 1L, acc.getField("run"))
+            .otherwise(0L))).as("dup"),
+        (acc.getField("total") + 1L).as("total")),
+      acc => struct(
+        (acc.getField("dup") + when(acc.getField("run") > 1L,
+          acc.getField("run")).otherwise(0L)).as("dup"),
+        acc.getField("total").as("total")))
+    when(dup.getField("total") > 0L,
+      dup.getField("dup").cast(DoubleType) /
+        dup.getField("total").cast(DoubleType)).otherwise(0.0)
+  }
+
   /** Character-trigram familiarity — the deterministic form of the
     * rare-ngram/perplexity quality filter (gibberish and mojibake
     * score low because few other documents contain their trigrams):

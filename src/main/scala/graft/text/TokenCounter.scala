@@ -91,3 +91,13 @@ object VocabTokenCounter extends TokenCounter {
       s"WHEN substr(w, pos, ${p.length}) = '$p' THEN ${p.length}")
       .mkString("CASE ", " ", " ELSE 1 END")
 }
+
+/** Script-aware token counting ([[ScriptText.tokens]]): CJK characters
+  * count one each, all other scripts count letter/digit runs — the
+  * multilingual twin of [[WhitespaceTokenCounter]], pluggable into
+  * every `TokenCounter` consumer (chunking, packing, domain mixing)
+  * so token budgets stop reading 0 for non-Latin documents. */
+object ScriptTokenCounter extends TokenCounter {
+  def count(text: Column): Column =
+    size(ScriptText.tokens(text)).cast("long")
+}
