@@ -301,6 +301,20 @@ object Dedup {
       .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
+  /** The per-row band/bucket ARRAY form of [[inlineLshBuckets]] (no
+    * explode): array<struct<band:int,bucket:string>> per document —
+    * what a composed stream needs to probe its bands against a static
+    * corpus-bucket table via per-band join keys instead of an
+    * explode-and-reaggregate (which would force an append-illegal
+    * aggregation mid-stream). Fewer-than-`shingleSize`-word docs yield
+    * an empty array. */
+  def lshBandArray(textCol: Column, shingleSize: Int, numPerms: Int,
+      rowsPerBand: Int): Column = {
+    require(numPerms % rowsPerBand == 0,
+      s"numPerms ($numPerms) must be divisible by rowsPerBand ($rowsPerBand)")
+    graft.functions.LshBands(words(textCol), shingleSize, numPerms, rowsPerBand)
+  }
+
   /** Candidate near-duplicate pairs: ids sharing any LSH bucket. */
   def lshCandidates(buckets: DataFrame): DataFrame = {
     val a = buckets.select(col("band"), col("bucket"), col("id").as("ida"))

@@ -385,7 +385,304 @@ object StreamQueries {
        |FROM occ JOIN known USING (line)
        |ORDER BY doc_id, pos""".stripMargin
 
+  // ---- w13: the crawl→corpus pipeline as ONE running stream --------------
+
+  /** The l2/l3 chain composed as a SINGLE stream — every stage is one
+    * of the certified twins (w7 source gate, t22 C4 line filter, the
+    * d13-shape LSH corpus probe, t2 quality / t13 repetition / w12
+    * DSIR gates, w5 sampling, w6 stateful packing), wired so the whole
+    * chain is legal in ONE append-mode streaming query:
+    *
+    *  - the control plane (blocklist, corpus buckets, DSIR weights,
+    *    sampling thresholds) is batch-trained on the ingested-corpus
+    *    state — broadcast/static tables, the generate-on-history /
+    *    enforce-on-stream loop of w7/w8/w11/w12;
+    *  - every data-plane stage up to packing is STATELESS per row: the
+    *    near-dup probe keeps its 4 band buckets as COLUMNS (
+    *    [[graft.dedup.Dedup.lshBandArray]]) and anti-probes the static
+    *    corpus-bucket table with four stream-static left joins — an
+    *    exploded probe would need an append-illegal re-aggregation;
+    *    the repetition gate is the in-row
+    *    [[graft.text.TextAnalysis.inlineDupTrigramFrac]];
+    *  - sequence packing is the chain's single arbitrary-stateful
+    *    operator ([[graft.text.Packing.streamingBinSegments]]), in the
+    *    one position Spark permits it (last).
+    *
+    * Batch mode runs the identical code path (state starts empty, one
+    * group invocation per shard), which is what the DuckDB oracle
+    * certifies; StreamingSpec feeds the same corpus through
+    * MemoryStream micro-batches and pins stream ≡ batch. */
+  private[graft] def w13Planted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"), col("source"),
+      concat(
+        substring(col("text"), 1, 120), lit(".\n"),
+        substring(col("text"), 121, 100), lit("\n"),
+        lit("too short.\n"),
+        substring(col("text"), 221, 100), lit("!"),
+        when(col("doc_id") % 6 === 0,
+          lit("\nthis page is lorem ipsum filler text only."))
+          .otherwise(lit(""))).as("text"))
+
+  /** Batch-trained control plane: (blocked sources, corpus LSH
+    * buckets, dense DSIR weights, per-language sampling thresholds).
+    * The corpus state is the cleaned prior dump (doc_id % 3 == 0); the
+    * sampling thresholds are trained on the gate survivors the chain
+    * itself produces — history standing in for the stream. */
+  private[graft] def w13Control(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, Seq[Long], DataFrame) = {
+    val planted = w13Planted(Tables.load(spark, dir, "documents"))
+    val blocked = graft.rules.CorpusRules.sourceStats(planted, "source", "text",
+        minAvgQuality = 0.895, maxShortFrac = 0.45)
+      .filter(col("blocked")).select("source")
+      .localCheckpoint(true)
+    val cleaned = graft.text.Cleaning.c4Clean(
+        planted.join(broadcast(blocked), Seq("source"), "left_anti"),
+        "text", "doc_id", keep = Seq("lang"))
+      .filter(col("kept"))
+      .select(col("id").as("doc_id"), col("lang"),
+        col("clean_text").as("text"))
+      .localCheckpoint(true)
+    val refBuckets = graft.dedup.Dedup.inlineLshBuckets(
+        cleaned.filter(col("doc_id") % 3 === 0), "text", "doc_id",
+        shingleSize = 3, numPerms = 16, rowsPerBand = 4)
+      .select("band", "bucket").distinct()
+      .localCheckpoint(true)
+    val dense = graft.text.Importance.denseWeights(
+      graft.text.Importance.hashedWeights(cleaned,
+        cleaned.filter(col("lang") === "en"), "text", "doc_id",
+        n = 2, buckets = 4096), buckets = 4096)
+    val gated = w13Gated(cleaned, refBuckets, dense)
+    val counts = gated.groupBy("lang").agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__nmin"))
+    val probs = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+      .localCheckpoint(true)
+    (blocked, refBuckets, dense, probs)
+  }
+
+  /** The stateless mid-chain (probe + gates) over already-cleaned
+    * rows — shared by control-plane training and the live chain. */
+  private def w13Gated(cleaned: DataFrame, refBuckets: DataFrame,
+      dense: Seq[Long]): DataFrame = {
+    val withBands = cleaned.withColumn("__bb",
+      graft.dedup.Dedup.lshBandArray(col("text"),
+        shingleSize = 3, numPerms = 16, rowsPerBand = 4))
+    val probed = (0 until 4).foldLeft(withBands) { (df, k) =>
+      val ref = refBuckets.filter(col("band") === k)
+        .select(col("bucket").as(s"__r$k"))
+      df.join(broadcast(ref),
+          element_at(col("__bb"), k + 1).getField("bucket") === col(s"__r$k"),
+          "left_outer")
+    }
+    val survivors = probed
+      .filter((0 until 4).map(k => col(s"__r$k").isNull).reduce(_ && _))
+      .select(col("doc_id"), col("lang"), col("text"))
+    val (_, score) = graft.text.Importance.scoreColumns(
+      dense, "text", n = 2, buckets = 4096)
+    survivors.filter(
+      TextQueries.round4(graft.text.TextAnalysis.qualityScore("text")) >= 0.9 &&
+        TextQueries.round4(
+          graft.text.TextAnalysis.inlineDupTrigramFrac("text")) < 0.3 &&
+        score >= 0L)
+  }
+
+  /** The full data-plane chain over a (possibly streaming) planted
+    * frame, given the trained control plane. */
+  private[graft] def w13Chain(planted: DataFrame, blocked: DataFrame,
+      refBuckets: DataFrame, dense: Seq[Long], probs: DataFrame): DataFrame = {
+    val gatedSrc = planted.join(broadcast(blocked), Seq("source"), "left_anti")
+    val cleaned = graft.text.Cleaning.c4Clean(gatedSrc, "text", "doc_id",
+        keep = Seq("lang"))
+      .filter(col("kept"))
+      .select(col("id").as("doc_id"), col("lang"),
+        col("clean_text").as("text"))
+    val kept = w13Gated(cleaned, refBuckets, dense)
+    val sampled = graft.text.Sampling.weightedSample(kept, "lang", "doc_id", probs)
+    val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text",
+      window = 32, step = 24, keep = Seq("lang"))
+    graft.text.Packing.streamingBinSegments(chunks, "lang", "doc_id",
+      "token_start", "n_tokens", seqLen = 256)
+  }
+
+  def streamCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val (blocked, refBuckets, dense, probs) = w13Control(spark, dir)
+    w13Chain(w13Planted(Tables.load(spark, dir, "documents")),
+        blocked, refBuckets, dense, probs)
+      .orderBy("lang", "bin_id", "seq")
+  }
+
+  val streamCorpusPipelineSql: String = {
+    val wsq = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val ws3 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val w4l = "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
+    // t2 quality over an aliased text column (the CTE names each stage's
+    // text `text`, so the t2 fragment applies verbatim)
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val nTok = s"CAST(len($wsq) AS DOUBLE)"
+    val qual =
+      s"""(
+         |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+         |        WHEN $len < 200 THEN $len / 200.0
+         |        ELSE 20000.0 / $len END) * 0.3
+         |  + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+         |  + (CASE WHEN $nTok > 0 THEN
+         |       CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+         |            THEN 1.0 ELSE 0.5 END
+         |     ELSE 0.0 END) * 0.2
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |)""".stripMargin
+    val e4 = s"CAST(FLOOR($qual * 10000 + 0.5) AS BIGINT)"
+    val perms = (0 until 16).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % graft.dedup.Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${graft.dedup.Dedup.P}) AS min_hash FROM chashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val bkt = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096)::BIGINT"
+    s"""WITH planted AS (
+       |  SELECT doc_id, lang, source,
+       |    substr(text, 1, 120) || '.' || chr(10) ||
+       |    substr(text, 121, 100) || chr(10) ||
+       |    'too short.' || chr(10) ||
+       |    substr(text, 221, 100) || '!' ||
+       |    CASE WHEN doc_id % 6 = 0
+       |      THEN chr(10) || 'this page is lorem ipsum filler text only.'
+       |      ELSE '' END AS text
+       |  FROM documents),
+       |q0 AS (SELECT source, $e4 AS e4, LENGTH(text) AS len FROM planted),
+       |blocked AS (
+       |  SELECT source FROM q0 GROUP BY source
+       |  HAVING CAST(SUM(e4) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 10000.0)
+       |           < CAST(0.895 AS DOUBLE)
+       |     OR CAST(SUM(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS DOUBLE)
+       |          / CAST(COUNT(*) AS DOUBLE) > CAST(0.45 AS DOUBLE)),
+       |gated AS (
+       |  SELECT doc_id, lang, text FROM planted
+       |  WHERE source NOT IN (SELECT source FROM blocked)),
+       |lk AS (SELECT doc_id, lang, text, string_split(text, chr(10)) AS lines
+       |       FROM gated),
+       |lk2 AS (SELECT doc_id, lang, text,
+       |          list_filter(lines, l -> len($w4l) >= 5
+       |            AND right(l, 1) IN ('.', '!', '?', '"')) AS keptl
+       |        FROM lk),
+       |clean AS (
+       |  SELECT doc_id, lang, array_to_string(keptl, chr(10)) AS text
+       |  FROM lk2
+       |  WHERE NOT lower(text) LIKE '%lorem ipsum%'
+       |    AND NOT text LIKE '%{%' AND NOT text LIKE '%}%'
+       |    AND len(keptl) >= 2),
+       |cg0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws3) - 1, 1)),
+       |    i -> $ws3[i] || ' ' || $ws3[i+1] || ' ' || $ws3[i+2])) AS g
+       |  FROM clean WHERE len($ws3) >= 3),
+       |cgrams AS (SELECT DISTINCT doc_id, g FROM cg0),
+       |chashes AS (SELECT doc_id,
+       |  (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT AS h
+       |  FROM cgrams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |refb AS (
+       |  SELECT DISTINCT band, bucket FROM bands WHERE id % 3 = 0),
+       |collide AS (
+       |  SELECT DISTINCT b.id FROM bands b JOIN refb r USING (band, bucket)),
+       |survivors AS (
+       |  SELECT doc_id, lang, text FROM clean
+       |  WHERE doc_id NOT IN (SELECT id FROM collide)),
+       |rg AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len($ws3)),
+       |      i -> $ws3[i] || ' ' || $ws3[i + 1])) AS g
+       |  FROM clean WHERE len($ws3) >= 2),
+       |cr AS (SELECT $bkt AS b, COUNT(*) AS nr FROM rg GROUP BY 1),
+       |ct AS (SELECT $bkt AS b, COUNT(*) AS nt
+       |       FROM rg JOIN clean USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM rg) AS nr_tot,
+       |               (SELECT COUNT(*) FROM rg
+       |                JOIN clean USING (doc_id) WHERE lang = 'en') AS nt_tot),
+       |wt AS (SELECT b,
+       |        CAST(coalesce(nt, 0) * nr_tot - coalesce(nr, 0) * nt_tot
+       |          AS BIGINT) AS w
+       |      FROM cr FULL JOIN ct USING (b), tot),
+       |dscore AS (
+       |  SELECT s.doc_id, CAST(SUM(coalesce(w, 0)) AS BIGINT) AS score
+       |  FROM (SELECT doc_id, $bkt AS b
+       |        FROM (SELECT doc_id,
+       |                unnest(list_transform(range(1, len($ws3)),
+       |                  i -> $ws3[i] || ' ' || $ws3[i + 1])) AS g
+       |              FROM survivors WHERE len($ws3) >= 2)) s
+       |  LEFT JOIN wt USING (b) GROUP BY s.doc_id),
+       |rep AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(g3) > 0 THEN
+       |      CAST(len(g3) - len(list_filter(g3, (x, i) ->
+       |        (i = 1 OR g3[i-1] <> x) AND (i = len(g3) OR g3[i+1] <> x)))
+       |        AS DOUBLE) / CAST(len(g3) AS DOUBLE)
+       |    ELSE 0.0 END AS frac
+       |  FROM (
+       |    SELECT doc_id,
+       |      CASE WHEN len($wsq) >= 3 THEN
+       |        list_sort(list_transform(range(1, len($wsq) - 1),
+       |          i -> $wsq[i] || ' ' || $wsq[i+1] || ' ' || $wsq[i+2]))
+       |      ELSE [] END AS g3
+       |    FROM survivors)),
+       |kept AS (
+       |  SELECT s.doc_id, s.lang, s.text
+       |  FROM survivors s
+       |  JOIN rep USING (doc_id)
+       |  LEFT JOIN dscore USING (doc_id)
+       |  WHERE FLOOR($qual * 10000 + 0.5) / 10000.0 >= 0.9
+       |    AND FLOOR(rep.frac * 10000 + 0.5) / 10000.0 < 0.3
+       |    AND coalesce(dscore.score, 0) >= 0),
+       |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
+       |mn AS (SELECT MIN(n) AS n_min FROM counts),
+       |probs AS (
+       |  SELECT lang,
+       |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 1.0)
+       |      * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts, mn),
+       |sampled AS (
+       |  SELECT k.doc_id, k.lang, k.text FROM kept k JOIN probs p ON k.lang = p.lang
+       |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT < p.thr),
+       |toks AS (
+       |  SELECT doc_id, lang, regexp_extract_all(text, '\\S+') AS t FROM sampled),
+       |starts AS (
+       |  SELECT doc_id, lang, t, unnest(range(0, len(t), 24)) AS token_start
+       |  FROM toks WHERE len(t) > 0),
+       |chunks AS (
+       |  SELECT doc_id, lang, CAST(token_start AS BIGINT) AS token_start,
+       |    CAST(len(t[token_start + 1 : token_start + 32]) AS BIGINT) AS n_tokens
+       |  FROM starts),
+       |c2 AS (
+       |  SELECT doc_id, lang, token_start, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks WHERE n_tokens > 0),
+       |segs AS (
+       |  SELECT lang, doc_id, token_start, n_tokens, before,
+       |    unnest(generate_series(
+       |      CAST((before - before % 256) / 256 AS BIGINT),
+       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 256) / 256 AS BIGINT)))
+       |      AS bin_id
+       |  FROM c2)
+       |SELECT lang, bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY lang, bin_id
+       |    ORDER BY GREATEST(before, bin_id * 256)) AS BIGINT) AS seq,
+       |  doc_id,
+       |  token_start + GREATEST(before, bin_id * 256) - before AS token_start,
+       |  LEAST(before + n_tokens, (bin_id + 1) * 256)
+       |    - GREATEST(before, bin_id * 256) AS token_len
+       |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w13_stream_pipeline" -> (streamCorpusPipeline _),
     "w11_stream_line_filter" -> (streamLineFilter _),
     "w10_stream_profile" -> (streamProfileState _),
     "w7_stream_source_gate" -> (streamSourceGate _),
@@ -399,6 +696,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w13_stream_pipeline" -> streamCorpusPipelineSql,
     "w11_stream_line_filter" -> streamLineFilterSql,
     "w10_stream_profile" -> streamProfileStateSql,
     "w7_stream_source_gate" -> streamSourceGateSql,

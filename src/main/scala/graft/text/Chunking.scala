@@ -22,20 +22,24 @@ object Chunking {
     * token); the final chunks truncate at the document tail. Empty
     * documents produce no chunks. */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
-      window: Int = 64, step: Int = 48): DataFrame = {
+      window: Int = 64, step: Int = 48,
+      keep: Seq[String] = Nil): DataFrame = {
     require(window >= 1 && step >= 1, s"window/step must be >= 1")
     val toks = tokens(col(s"`$textCol`"))
-    df.select(col(s"`$idCol`"), toks.as("__toks"))
+    // `keep` columns ride along unchanged — a composed STREAM cannot
+    // join chunks back to their source frame (stream-stream joins),
+    // so shard keys like `lang` must flow through the explode
+    val kept = keep.map(k => col(s"`$k`"))
+    df.select(col(s"`$idCol`") +: toks.as("__toks") +: kept: _*)
       .filter(size(col("__toks")) > 0)
-      .select(col(s"`$idCol`"),
+      .select(col(s"`$idCol`") +:
         explode(sequence(lit(0), size(col("__toks")) - 1, lit(step)))
-          .as("token_start"),
-        col("__toks"))
-      .select(col(s"`$idCol`"), col("token_start"),
+          .as("token_start") +: col("__toks") +: kept: _*)
+      .select(col(s"`$idCol`") +: col("token_start") +:
         size(slice(col("__toks"), col("token_start") + 1, lit(window)))
-          .as("n_tokens"),
+          .as("n_tokens") +:
         concat_ws(" ", slice(col("__toks"), col("token_start") + 1, lit(window)))
-          .as("chunk"))
+          .as("chunk") +: kept: _*)
   }
 
   /** Subword-grain chunking: windows of `window` SUBWORD PIECES starting

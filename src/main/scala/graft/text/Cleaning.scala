@@ -38,7 +38,8 @@ object Cleaning {
   def c4Clean(df: DataFrame, textCol: String, idCol: String,
       sep: String = "\n", minLineWords: Int = 5, minKeptLines: Int = 2,
       badPhrases: Seq[String] = Seq("lorem ipsum"),
-      braceFilter: Boolean = true): DataFrame = {
+      braceFilter: Boolean = true,
+      keep: Seq[String] = Nil): DataFrame = {
     val lines = split(col(s"`$textCol`"), java.util.regex.Pattern.quote(sep))
     val keptLines = filter(lines,
       l => lineWords(l) >= minLineWords && terminal(l))
@@ -50,11 +51,12 @@ object Cleaning {
       if (braceFilter) col(s"`$textCol`").contains("{") ||
         col(s"`$textCol`").contains("}")
       else lit(false)
-    df.select(col(s"`$idCol`").as("id"),
-        size(lines).cast("long").as("n_lines"),
-        size(keptLines).cast("long").as("n_kept"),
+    df.select(col(s"`$idCol`").as("id") +:
+        size(lines).cast("long").as("n_lines") +:
+        size(keptLines).cast("long").as("n_kept") +:
         (!phraseHit && !braceHit &&
-          size(keptLines) >= minKeptLines).as("kept"),
-        array_join(keptLines, sep).as("clean_text"))
+          size(keptLines) >= minKeptLines).as("kept") +:
+        array_join(keptLines, sep).as("clean_text") +:
+        keep.map(k => col(s"`$k`")): _*)
   }
 }

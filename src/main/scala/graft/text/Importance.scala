@@ -157,16 +157,17 @@ object Importance {
     * in-row fold over its gram buckets. No shuffle, no state — legal
     * in streaming append mode verbatim (StreamingSpec pins stream ≡
     * batch). Same Long-overflow envelope as [[importanceScores]]. */
-  def scoreWithWeights(docs: DataFrame, weights: DataFrame, textCol: String,
-      idCol: String, n: Int = 2, buckets: Int = 4096,
-      maxDocGrams: Long = 1L << 20): DataFrame = {
+  /** Collect a [[hashedWeights]] table to the dense driver-side form
+    * [[scoreColumns]] consumes, with the sum-envelope guard applied at
+    * collect time: the per-doc fold sums one weight per gram
+    * OCCURRENCE, exact while max|weight| · grams-per-doc < 2⁶³ — the
+    * weights are on the driver anyway, so the check is free, and fails
+    * HERE with the trained magnitudes in hand rather than mid-stream as
+    * an anonymous ANSI ARITHMETIC_OVERFLOW on some unlucky document. */
+  def denseWeights(weights: DataFrame, buckets: Int,
+      maxDocGrams: Long = 1L << 20): Seq[Long] = {
     val wmap: Map[Long, Long] = weights.collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // the per-doc fold sums one weight per gram OCCURRENCE: exact while
-    // max|weight| · grams-per-doc < 2⁶³. The weights are on the driver
-    // anyway, so the envelope check is free — and fails HERE with the
-    // trained magnitudes in hand, not mid-stream as an anonymous ANSI
-    // ARITHMETIC_OVERFLOW on some unlucky document
     val maxAbsW = wmap.values.foldLeft(0L)((m, w) => math.max(m, math.abs(w)))
     require(maxAbsW <= Long.MaxValue / math.max(maxDocGrams, 1L),
       s"[graft] DSIR hashed weights reach |w|=$maxAbsW; documents with up " +
@@ -177,13 +178,34 @@ object Importance {
     // (ArrayBasedMapData has no hash index) — O(docs × grams × buckets),
     // measured 224s at sf1 — while an array ordinal access is O(1).
     // 4096 longs ≈ 32 KB of plan literal: still control-plane sized.
-    val dense: Seq[Long] = (0 until buckets).map(b => wmap.getOrElse(b.toLong, 0L))
-    withGramArray(docs, textCol, idCol, n)
-      .select(col("id"),
-        size(col("__gs")).cast("long").as("n_grams"),
-        aggregate(col("__gs"), lit(0L), (acc, g) =>
-          acc + element_at(typedLit(dense),
-            (bucketOf(g, buckets) + lit(1L)).cast("int")))
-          .as("score"))
+    (0 until buckets).map(b => wmap.getOrElse(b.toLong, 0L))
+  }
+
+  /** (n_grams, score) as PURE COLUMNS over a text column — the form a
+    * composed stream chains into a wider projection (w13 gates on the
+    * score without losing its other columns). */
+  def scoreColumns(dense: Seq[Long], textCol: String, n: Int,
+      buckets: Int): (Column, Column) = {
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
+      w => w =!= "")
+    val len = size(ws) - (n - 1)
+    val gs0 = (1 until n).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(1 + j), len),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    val gs = when(size(ws) >= n, gs0).otherwise(array().cast("array<string>"))
+    (size(gs).cast("long"),
+      aggregate(gs, lit(0L), (acc, g) =>
+        acc + element_at(typedLit(dense),
+          (bucketOf(g, buckets) + lit(1L)).cast("int"))))
+  }
+
+  def scoreWithWeights(docs: DataFrame, weights: DataFrame, textCol: String,
+      idCol: String, n: Int = 2, buckets: Int = 4096,
+      maxDocGrams: Long = 1L << 20): DataFrame = {
+    val dense = denseWeights(weights, buckets, maxDocGrams)
+    val (nGrams, score) = scoreColumns(dense, textCol, n, buckets)
+    docs.select(col(s"`$idCol`").as("id"),
+      nGrams.as("n_grams"), score.as("score"))
   }
 }

@@ -607,6 +607,73 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w13: the whole crawl→corpus chain runs as ONE append-mode stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = sf // sf0.001 keeps the spec fast; w13's gate run is sf0.01
+    val docsStatic = graft.Tables.load(spark, dir, "documents")
+    // control plane batch-trained once (static tables + literal weights)
+    val (blocked, refBuckets, dense, probs) =
+      graft.queries.StreamQueries.w13Control(spark, dir)
+    val planted = graft.queries.StreamQueries.w13Planted(docsStatic)
+    val outCols = Seq("lang", "bin_id", "seq", "doc_id", "token_start",
+      "token_len")
+    val batch = graft.queries.StreamQueries
+      .w13Chain(planted, blocked, refBuckets, dense, probs)
+      .select(outCols.head, outCols.tail: _*)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // the same chain, same control plane, on a MemoryStream — source
+    // gate, C4 line filter, 4-way static bucket probe, quality/
+    // repetition/DSIR gates, threshold sampling, chunk explode, and the
+    // stateful packer, all in ONE append-mode query. Micro-batches
+    // split the corpus in doc_id order (the packer's ordering
+    // contract).
+    val rows = planted.orderBy("doc_id")
+      .as[(Long, String, String, String)].collect()
+    val input = MemoryStream[(Long, String, String, String)]
+    val stream = input.toDF().toDF("doc_id", "lang", "source", "text")
+    val q = graft.queries.StreamQueries
+      .w13Chain(stream, blocked, refBuckets, dense, probs)
+      .writeStream.format("memory").queryName("w13_out")
+      .outputMode("append").start()
+    try {
+      val third = (rows.length + 2) / 3
+      rows.grouped(third).foreach { g =>
+        input.addData(g.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("w13_out")
+        .select(outCols.head, outCols.tail: _*)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("inline dup-trigram fraction equals the grouped repetition metric") {
+    import spark.implicits._
+    val docs = graft.Tables.load(spark, sf, "documents")
+      .unionByName(Seq(
+        (9001L, "alpha beta gamma alpha beta gamma alpha beta gamma delta"),
+        (9002L, "one two three four five six seven"),
+        (9003L, "x y"),
+        (9004L, "")).toDF("doc_id", "text")
+        .withColumn("lang", org.apache.spark.sql.functions.lit("en"))
+        .withColumn("source", org.apache.spark.sql.functions.lit("s"))
+        .withColumn("n_chars",
+          org.apache.spark.sql.functions.length($"text").cast("long")),
+        allowMissingColumns = true)
+    val grouped = graft.text.TextAnalysis.repetitionMetrics(docs, "text", "doc_id")
+      .select($"id".as("doc_id"), $"dup_trigram_frac".as("g"))
+    val inline = docs.select($"doc_id",
+      graft.text.TextAnalysis.inlineDupTrigramFrac("text").as("i"))
+    val bad = grouped.join(inline, "doc_id").filter($"g" =!= $"i").count()
+    assert(bad == 0L)
+    // the planted repeat actually produces a nonzero fraction
+    val hot = inline.filter($"doc_id" === 9001L).collect().head.getDouble(1)
+    assert(hot > 0.5, s"expected heavy duplication, got $hot")
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
