@@ -215,7 +215,10 @@ object SimQueries {
 
   /** The s8 WITH-chain through the `adc` CTE — shared by the s8 final
     * select and the s9 re-rank mirror. */
-  private def pqAdcSql: String = {
+  /** The shared prefix (codebook literals → per-vector scaled sub
+    * distances → argmin ranking) of every PQ oracle — s8/s9 complete
+    * it with whole-corpus codes, s10 with the stored-corpus split. */
+  private def pqAdcCtes: String = {
     val cbs = pqCbs
     val rows = for {
       (cb, j) <- cbs.zipWithIndex
@@ -236,7 +239,11 @@ object SimQueries {
        |ranked AS (
        |  SELECT vec_id, j, k, d,
        |    row_number() OVER (PARTITION BY vec_id, j ORDER BY d, k) AS rn
-       |  FROM sd),
+       |  FROM sd)""".stripMargin
+  }
+
+  private def pqAdcSql: String =
+    s"""$pqAdcCtes,
        |codes AS (SELECT vec_id, j, k AS code FROM ranked WHERE rn = 1),
        |adc AS (
        |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
@@ -244,7 +251,6 @@ object SimQueries {
        |  FROM sd q JOIN codes c2 ON q.j = c2.j AND q.k = c2.code
        |  WHERE q.vec_id < $NQueries AND c2.vec_id <> q.vec_id
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   val pqTopKSql: String =
     s"""$pqAdcSql
@@ -284,7 +290,45 @@ object SimQueries {
        |  JOIN embeddings b ON b.vec_id = s.neighbor_id)
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
+  // ---- s10: incremental PQ — probe a new dump against stored codes -----
+
+  /** The PQ index operated ACROSS dumps: the corpus state is the codes
+    * of the prior dumps (vec_id % 4 != 0, encoded once and stored);
+    * a new dump arrives (vec_id % 4 == 0) and is probed against the
+    * stored codes via ADC — the corpus is never re-encoded
+    * ([[Similarity.pqProbeStored]]; IncrementalPqSpec pins
+    * incremental ≡ full-re-encode and the upsert ≡ whole-corpus
+    * encode). Queries are the new dump's first [[NQueries]] vectors,
+    * the s8 bounded-query convention. */
+  def pqIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val stored = Similarity.pqCodesTable(
+      emb.filter(pmod(col("vec_id"), lit(4)) =!= 0), "vec_id", "embedding", pqCbs)
+    val batch = emb.filter(pmod(col("vec_id"), lit(4)) === 0 &&
+      col("vec_id") < NQueries * 4)
+    Similarity.pqProbeStored(stored, batch, "vec_id", "embedding", K, pqCbs)
+      .orderBy("query_id", "rk")
+  }
+
+  val pqIncrementalSql: String =
+    s"""$pqAdcCtes,
+       |codes AS (SELECT vec_id, j, k AS code FROM ranked
+       |          WHERE rn = 1 AND vec_id % 4 <> 0),
+       |adc AS (
+       |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+       |    CAST(SUM(q.d) AS BIGINT) AS sd
+       |  FROM sd q JOIN codes c2 ON q.j = c2.j AND q.k = c2.code
+       |  WHERE q.vec_id % 4 = 0 AND q.vec_id < ${NQueries * 4}
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, CAST(sd AS DOUBLE) / 10000.0 AS dist, rk
+       |FROM (SELECT query_id, neighbor_id, sd,
+       |        row_number() OVER (PARTITION BY query_id
+       |          ORDER BY sd, neighbor_id) AS rk
+       |      FROM adc)
+       |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s10_pq_incremental" -> (pqIncremental _),
     "s8_pq_topk" -> (pqTopK _),
     "s9_pq_rerank" -> (pqRerank _),
     "s1_cosine_topk" -> (cosineTopK _),
@@ -295,6 +339,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s10_pq_incremental" -> pqIncrementalSql,
     "s8_pq_topk" -> pqTopKSql,
     "s9_pq_rerank" -> pqRerankSql,
     "s1_cosine_topk" -> cosineTopKSql,

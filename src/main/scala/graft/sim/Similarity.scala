@@ -316,6 +316,56 @@ object Similarity {
         (col("__sd").cast("double") / 10000.0).as("dist"), col("rk"))
   }
 
+  // ---- incremental corpus-side PQ state (the d13 pattern for ANN) ------
+
+  /** The maintained corpus state of a PQ index: one (id, codes) row
+    * per vector — what an embedding pipeline persists across dumps
+    * (m small ints per vector instead of 4·dim floats). Pure map-side
+    * encode. */
+  def pqCodesTable(corpus: DataFrame, idCol: String, vecCol: String,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    corpus.select(col(idCol).as("id"),
+      pqCodes(col(vecCol), codebooks).as("codes"))
+
+  /** Incremental index maintenance across dumps: encode ONLY the new
+    * batch and append to the stored codes — the existing corpus is
+    * NEVER re-read or re-encoded (the [[graft.dedup.Dedup]] d13
+    * incremental-dedup pattern applied to the PQ index). Ids must be
+    * disjoint from the stored state (new dump vs corpus — the same
+    * contract as d13); codebooks are frozen with the index, the
+    * standard PQ deployment (retraining codebooks means rebuilding the
+    * index). */
+  def pqCodesUpsert(stored: DataFrame, batch: DataFrame, idCol: String,
+      vecCol: String, codebooks: Seq[Seq[Seq[Double]]]): DataFrame =
+    stored.unionByName(pqCodesTable(batch, idCol, vecCol, codebooks))
+
+  /** Probe a new batch against the STORED corpus codes via ADC: each
+    * new vector broadcasts its m·ksub lookup table and scans the code
+    * table — the corpus pays ZERO encode work per incoming dump, the
+    * probe is a broadcast join against m-int rows, and the arithmetic
+    * is the identical integer ADC of [[pqTopK]] (so incremental ≡
+    * re-encoded, which IncrementalPqSpec pins and the s10 oracle
+    * certifies cross-engine). */
+  def pqProbeStored(storedCodes: DataFrame, queries: DataFrame,
+      idCol: String, vecCol: String, k: Int,
+      codebooks: Seq[Seq[Seq[Double]]]): DataFrame = {
+    val ksub = codebooks.head.size
+    val qt = broadcast(queries.select(col(idCol).as("query_id"),
+      pqTable(col(vecCol), codebooks).as("__qt")))
+    val scaled = aggregate(
+      transform(col("codes"),
+        (c, j) => element_at(col("__qt"), j * ksub + c + 1)),
+      lit(0L), (a, x) => a + x)
+    val w = Window.partitionBy("query_id").orderBy(asc("__sd"), asc("neighbor_id"))
+    storedCodes.select(col("id").as("neighbor_id"), col("codes"))
+      .crossJoin(qt)
+      .withColumn("__sd", scaled)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id"), col("neighbor_id"),
+        (col("__sd").cast("double") / 10000.0).as("dist"), col("rk"))
+  }
+
   /** Two-stage ANN: PQ/ADC shortlist, exact cosine re-rank — the
     * production serving pattern. The integer ADC scan bounds the
     * candidate set to `shortlist` rows per query, then the exact metric
