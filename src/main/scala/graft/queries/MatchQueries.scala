@@ -566,11 +566,118 @@ object MatchQueries {
        |ORDER BY column_id""".stripMargin
   }
 
-  /** c1 stays algorithmic (seeded KMeans iterations — no SQL
-    * equivalent; rows-only + exact partition-pin spec). c2's DBSCAN at
-    * minPts=2 reduces to eps-graph connected components, which
-    * [[dbscanClustersSql]] mirrors exactly. */
+  /** c1 hash-oracled via the t18 unroll device: the seeded Lloyd loop
+    * has a FIXED draw sequence and a bounded round count, so the whole
+    * fit replays as chained CTEs.
+    *
+    *  - The kmeans++ randomness is a pure function of seed 42 and the
+    *    (schema-fixed) point count: this VAL consumes the same
+    *    java.util.Random stream at SQL-BUILD time and embeds the draws
+    *    as literals (one nextInt for the first center, one nextDouble
+    *    per additional center — assumes the degenerate all-points-
+    *    identical total==0 branch never fires, which the profile
+    *    features guarantee).
+    *  - The D² walk `r -= dists(i)` is replayed as a recursive CTE
+    *    doing the IDENTICAL subtraction sequence (comparing against
+    *    cumulative sums would round differently); the total is the
+    *    left-fold ordered SUM.
+    *  - Lloyd rounds unroll [[KmRounds]] deep — far past convergence on
+    *    24 points (KmeansUnrollSpec pins convergence within the
+    *    unroll); converged rounds are no-ops, so depth only costs
+    *    oracle time. Means accumulate via ordered SUM to mirror the
+    *    ascending-index fold; argmin ties break (d, c), minBy's
+    *    first-minimum rule.
+    *  - Final labels relabel by first appearance in id order = dense
+    *    rank of each cluster's minimum id. */
+  private val KmRounds = 20
+
+  val kmeansClustersSql: String = {
+    val tables = Seq(
+      "customer" -> customerCols,
+      "supplier" -> supplierCols,
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size",
+        "p_retailprice"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"))
+    val n = tables.map(_._2.size).sum
+    val rng = new scala.util.Random(42L)
+    val i0 = rng.nextInt(n)
+    val rs = Seq.fill(3)(rng.nextDouble())
+    val fs = (1 to 9).map(i => s"f$i")
+    val statCols = fs.map(f => s"MIN($f) AS lo_$f, MAX($f) AS hi_$f").mkString(", ")
+    val scaledCols = fs.map(f =>
+      s"CASE WHEN hi_$f = lo_$f THEN 0.5 ELSE ($f - lo_$f) / (hi_$f - lo_$f) END AS $f")
+      .mkString(",\n  ")
+    def d2(a: String, b: String): String =
+      fs.map(f => s"($a.$f - $b.$f) * ($a.$f - $b.$f)").mkString(" + ")
+    def fsOf(a: String): String = fs.map(f => s"$a.$f AS $f").mkString(", ")
+    // seeding: center j+1 from the D² walk over min distance to 1..j
+    val seeds = (2 to 4).map { j =>
+      val aliases = (1 until j).map(t => s"cen$t c$t").mkString(", ")
+      val terms = (1 until j).map(t => s"(${d2("r", s"c$t")})")
+      val dist = if (terms.size == 1) terms.head
+        else s"LEAST(${terms.mkString(", ")})"
+      val r = rs(j - 2)
+      s"""sd$j AS (SELECT r.rn, $dist AS d FROM ranked r, $aliases),
+         |walk$j AS (
+         |  SELECT 1 AS i, CAST($r AS DOUBLE) *
+         |    (SELECT SUM(d ORDER BY rn) FROM sd$j) AS rr
+         |  UNION ALL
+         |  SELECT w.i + 1, w.rr - d.d FROM walk$j w JOIN sd$j d ON d.rn = w.i
+         |  WHERE w.rr > d.d AND w.i < $n),
+         |cen$j AS (SELECT ${fs.mkString(", ")} FROM ranked
+         |          WHERE rn = (SELECT MAX(i) FROM walk$j))""".stripMargin
+    }.mkString(",\n")
+    val cents0 = (1 to 4).map(j => s"SELECT ${j - 1} AS c, * FROM cen$j")
+      .mkString("\nUNION ALL\n")
+    val rounds = (1 to KmRounds).map { r =>
+      val prev = s"cents${r - 1}"
+      val meanCols = fs.map(f =>
+        s"SUM(r.$f ORDER BY r.rn) / COUNT(*) AS $f").mkString(", ")
+      val keepCols = fs.map(f => s"COALESCE(m.$f, p.$f) AS $f").mkString(", ")
+      s"""asg$r AS MATERIALIZED (
+         |  SELECT rn, c FROM (
+         |    SELECT r.rn, k.c,
+         |      row_number() OVER (PARTITION BY r.rn
+         |        ORDER BY ${d2("r", "k")}, k.c) AS a
+         |    FROM ranked r, $prev k)
+         |  WHERE a = 1),
+         |cents$r AS MATERIALIZED (
+         |  SELECT p.c, $keepCols
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.c, $meanCols
+         |    FROM asg$r a JOIN ranked r USING (rn) GROUP BY a.c) m USING (c))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE profs AS MATERIALIZED (
+       |${tables.map { case (t, cols) => featProfileSql(t, cols) }
+           .mkString("\nUNION ALL\n")}
+       |),
+       |stats AS (SELECT $statCols FROM profs),
+       |scaled AS (SELECT id,
+       |  $scaledCols
+       |FROM profs, stats),
+       |ranked AS MATERIALIZED (
+       |  SELECT *, CAST(row_number() OVER (ORDER BY id) AS INT) AS rn
+       |  FROM scaled),
+       |cen1 AS (SELECT ${fs.mkString(", ")} FROM ranked WHERE rn = ${i0 + 1}),
+       |$seeds,
+       |cents0 AS (
+       |$cents0
+       |),
+       |$rounds,
+       |lab AS (SELECT r.id, a.c FROM asg$KmRounds a JOIN ranked r USING (rn)),
+       |firsts AS (SELECT c, MIN(id) AS mid FROM lab GROUP BY c),
+       |rel AS (SELECT c, CAST(DENSE_RANK() OVER (ORDER BY mid) - 1 AS INT)
+       |          AS cluster_id FROM firsts)
+       |SELECT rel.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_columns
+       |FROM lab JOIN rel USING (c)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "c1_kmeans_clusters" -> kmeansClustersSql,
     "mp1_multi_pipeline" -> multiPipelineSql,
     "m1_column_match" -> columnMatchSql,
     "m2_ks_wasserstein" -> ksWassersteinSql,
