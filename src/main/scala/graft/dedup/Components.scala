@@ -56,8 +56,15 @@ object Components {
     }
     require(done, s"connectedComponents did not converge in $maxRounds rounds")
     // At fixpoint the edge set is a star per component: u > v = root.
-    val labels = edges.select(col("u").as("id"), col("v").as("component_id"))
-      .union(edges.select(col("v").as("id"), col("v").as("component_id")))
+    // explode, not a self-union: one pass over the edges, and a
+    // union-of-aliases-of-the-same-attrs here leaves dangling internal
+    // refs in Catalyst's union constraint rewrite that crash the
+    // optimizer when THIS frame later enters another Union
+    // (incrementalComponents; NoSuchElementException key not found u#…)
+    val labels = edges.select(explode(array(
+        struct(col("u").as("id"), col("v").as("component_id")),
+        struct(col("v").as("id"), col("v").as("component_id")))).as("n"))
+      .select(col("n.id"), col("n.component_id"))
       .groupBy("id").agg(min("component_id").as("component_id"))
     (labels, rounds)
   }
@@ -98,6 +105,79 @@ object Components {
     withScore.join(best, componentCol)
       .withColumn("keep", col(s"`$idCol`") === col("__best_id"))
       .drop("__best_id")
+  }
+
+  /** Incremental component maintenance: merge a NEW batch's near-dup
+    * pairs into a STORED component labelling without recomputing the
+    * corpus closure — the component-level completion of the
+    * incremental story ([[graft.dedup.Dedup.crossCorpusNearDuplicates]]
+    * finds the new PAIRS; this folds them into the corpus's dup-group
+    * state). `stored` is a previous [[connectedComponents]] labelling
+    * ((id, component_id), component_id = min member id); `newPairs` is
+    * any new undirected pair list (batch↔batch and batch↔corpus).
+    *
+    * Returns the labelling of stored ∪ new ids, IDENTICAL to a full
+    * [[connectedComponents]] over (original corpus pairs ∪ newPairs):
+    * a stored component's star edges (member → root) preserve exactly
+    * its connectivity and minimum, so re-running the closure over
+    * {star edges of TOUCHED components} ∪ newPairs and passing every
+    * untouched label through unchanged reproduces the full recompute
+    * (IncrementalComponentsSpec pins the equivalence, including root
+    * takeover by a smaller new id and stored↔stored merges bridged by
+    * a new doc).
+    *
+    * Scale shape: one distinct over the new pair endpoints, an
+    * equi-join against `stored` to find touched roots (a typically
+    * tiny, broadcastable frame), a semi-join pulling ONLY touched
+    * members' star edges into the closure, and an anti-join passing
+    * the untouched corpus through — the closure runs on
+    * O(new pairs + touched members), never on the corpus graph. At
+    * 100 TB `stored` is a maintained table and the per-dump cost is
+    * linear in the dump's blast radius, not the corpus. */
+  def incrementalComponents(stored: DataFrame, newPairs: DataFrame,
+      aCol: String, bCol: String): DataFrame = {
+    val edges = newPairs
+      .select(col(aCol).as("u"), col(bCol).as("v"))
+      .filter(col("u") =!= col("v"))
+    // explode, not select(u)∪select(v): a union of two alias-projections
+    // over the SAME filtered frame trips the optimizer's union
+    // constraint rewrite (dangling sibling-attr refs, see the labels
+    // comment in connectedComponents) — and is two passes besides
+    val endpoints = edges
+      .select(explode(array(col("u"), col("v"))).as("id")).distinct()
+    // roots of stored components incident to any new pair. Checkpointed
+    // (tiny: one root per touched component, and consumed by TWO joins
+    // below) — also severs the cross-frame constraint lineage that
+    // Catalyst's union constraint rewrite mishandles (see labels).
+    import graft.ops.CheckpointRotation.Ops
+    val touched = endpoints.join(stored, "id")
+      .select(col("component_id").as("__root")).distinct()
+      .lockedCheckpoint()
+    val touchedMembers = stored.join(touched,
+      stored("component_id") === touched("__root"), "left_semi")
+    // closure input: new pairs + star edges of the touched components
+    // (root's own (root, root) row self-filters inside the closure).
+    // Constraint barrier (lazy, no job): this union mixes the stored
+    // frame's lineage with the new-pair lineage, which Catalyst's
+    // union constraint rewrite mishandles (dangling sibling refs →
+    // NoSuchElementException in the optimizer); the RDD round-trip
+    // yields a constraint-free LogicalRDD over a BLAST-RADIUS-sized
+    // frame, so the conversion cost is bounded by the dump, not the
+    // corpus.
+    val subRaw = edges.unionByName(
+      touchedMembers.select(col("id").as("u"), col("component_id").as("v")))
+    val sub = stored.sparkSession.createDataFrame(subRaw.rdd, subRaw.schema)
+    // The closure output is checkpointed before the union: Catalyst's
+    // Union constraint rewrite chokes on the union→aggregate→union
+    // constraint chains both sides would otherwise carry (dangling
+    // internal attr refs → NoSuchElementException during optimize);
+    // the checkpoint (tiny: blast-radius-sized, and the closure loop
+    // already materialized it) truncates them.
+    import graft.ops.CheckpointRotation.Ops
+    val relabeled = connectedComponents(sub, "u", "v")._1.lockedCheckpoint()
+    val untouched = stored.join(touched,
+      stored("component_id") === touched("__root"), "left_anti")
+    untouched.select("id", "component_id").unionByName(relabeled)
   }
 
   /** (count, xor-of-row-hashes) — an order-independent edge-set

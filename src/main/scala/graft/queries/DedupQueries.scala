@@ -587,6 +587,84 @@ object DedupQueries {
        |ORDER BY batch_id, corpus_id""".stripMargin
   }
 
+  // ---- d17: incremental component maintenance --------------------------
+
+  /** The component-level completion of d13: the even docs are the
+    * accumulated corpus with a STORED near-dup component map; the odd
+    * docs arrive as a dump. The new dump's pairs (within-batch via the
+    * d4 machinery, batch↔corpus via the d13 probe, identical MinHash
+    * parameters) are folded into the stored map with
+    * [[graft.dedup.Components.incrementalComponents]] — only touched
+    * components re-enter the closure; everything else passes through.
+    * The result is pinned identical to a full recompute over ALL
+    * docs' pairs, which is exactly what the oracle computes. */
+  def incrementalComponentsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val corpusPairs = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
+      .select("ida", "idb")
+    val stored = graft.dedup.Components
+      .connectedComponents(corpusPairs, "ida", "idb")._1
+    val batchPairs = Dedup.minhashNearDuplicates(batch, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
+      .select("ida", "idb")
+    val crossPairs = Dedup.crossCorpusNearDuplicates(corpus, batch,
+        "text", "doc_id", shingleSize = 3, numPerms = NumPerms,
+        rowsPerBand = 4, threshold = 0.5)
+      .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
+    graft.dedup.Components.incrementalComponents(stored,
+        batchPairs.unionByName(crossPairs), "ida", "idb")
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("is_canonical", col("doc_id") === col("component_id"))
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the FULL recompute the incremental path must equal.
+    * MinHash signatures and LSH buckets are per-document functions, so
+    * the union of (within-even, within-odd, even↔odd) candidate pairs
+    * is exactly the unrestricted candidate set over all docs — the
+    * mirror is d7's minhash closure at threshold 0.5, no parity split
+    * needed. */
+  val incrementalComponentsSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH RECURSIVE $GRAMS3,
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) >= 0.5),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+       |SELECT src AS doc_id, LEAST(src, MIN(dst)) AS component_id,
+       |  src = LEAST(src, MIN(dst)) AS is_canonical
+       |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
+  }
+
   // ---- d11: quality-ranked canonical selection -------------------------
 
   /** Keep-best canonicalization over the d4 minhash near-dup
@@ -865,6 +943,7 @@ object DedupQueries {
     "d13_incremental_dedup" -> (incrementalDedup _),
     "d14_line_dedup" -> (lineDedupRewrite _),
     "d15_containment" -> (containment _),
+    "d17_incremental_components" -> (incrementalComponentsQuery _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
@@ -884,5 +963,6 @@ object DedupQueries {
     "d13_incremental_dedup" -> incrementalDedupSql,
     "d14_line_dedup" -> lineDedupRewriteSql,
     "d15_containment" -> containmentSql,
+    "d17_incremental_components" -> incrementalComponentsSql,
     "s6_semantic_dedup" -> semanticDedupSql)
 }

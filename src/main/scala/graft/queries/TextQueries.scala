@@ -4,6 +4,7 @@ import graft.Tables
 import graft.text.{Sampling, TextAnalysis}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Correctness-gate queries for text analysis (language ID, quality
   * scoring, token stats, fingerprinting). */
@@ -1005,7 +1006,80 @@ object TextQueries {
        |ORDER BY c.doc_id""".stripMargin
   }
 
+  // ---- t27: distilled linear quality classifier ------------------------
+
+  /** Train [[graft.text.QualityDistill]] on the corpus with the
+    * engine's own composite heuristic as the seed label (8 full-batch
+    * GD rounds), then score every document with the trained linear
+    * model — the classifier-distillation stage of a curation pipeline,
+    * end to end in one query. The gate pins the ENTIRE training
+    * trajectory: one wrong gradient bit in any round shifts the final
+    * weights and every score_e6. */
+  def qualityDistillQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val w = graft.text.QualityDistill.train(docs, "text",
+      TextAnalysis.qualityE4("text"))
+    docs.select(col("doc_id"),
+        TextAnalysis.qualityE4("text").as("label_e4"),
+        floor(graft.text.QualityDistill.score("text", w) * 1000000d + 0.5d)
+          .cast(LongType).as("score_e6"))
+      .withColumn("pred", col("score_e6") >= 500000L)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB mirror: the 8 GD rounds unrolled as one-row chained CTEs
+    * (the c1/t18 device) — integer gradient sums over the same
+    * quantized census features, double weight updates in the same term
+    * order. */
+  val qualityDistillSql: String = {
+    val len = "CAST(LENGTH(text) AS DOUBLE)"
+    val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
+    val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
+    val punct = "CAST(LENGTH(regexp_replace(text, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+    val nTok = s"CAST(len($WS) AS DOUBLE)"
+    def q(x: String) = s"CAST(FLOOR(($x) * 10000.0 + 0.5) AS BIGINT)"
+    val fdefs = Seq(
+      "CAST(10000 AS BIGINT)",
+      q(s"CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END"),
+      q(s"CASE WHEN $len > 0 THEN $punct / $len ELSE 0.0 END"),
+      q(s"CASE WHEN $len > 0 THEN $digits / $len ELSE 0.0 END"),
+      q(s"LEAST($len, 20000.0) / 20000.0"),
+      q(s"CASE WHEN $nTok > 0 THEN LEAST($alpha / $nTok, 20.0) / 20.0 ELSE 0.0 END"))
+    val featCols = fdefs.zipWithIndex.map { case (d, j) => s"$d AS f$j" }
+      .mkString(",\n    ")
+    def p(w: String) = (0 until 6).map(j => s"f$j / 10000.0 * $w.w$j")
+      .mkString(" + ")
+    val rounds = (1 to 8).map { k =>
+      val gs = (0 until 6).map(j => s"CAST(SUM(f$j * r) AS BIGINT) AS g$j")
+        .mkString(", ")
+      val ws = (0 until 6).map(j =>
+        s"w.w$j + 0.5 * (CAST(g.g$j AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1.0e10)) AS w$j")
+        .mkString(",\n       ")
+      s"""g$k AS (
+         |  SELECT $gs, COUNT(*) AS n
+         |  FROM (SELECT f.*,
+         |          CAST(FLOOR((y / 10000.0 - (${p("w")})) * 1000000.0 + 0.5) AS BIGINT) AS r
+         |        FROM feats f, w${k - 1} w) t),
+         |w$k AS (
+         |  SELECT $ws
+         |  FROM w${k - 1} w, g$k g)""".stripMargin
+    }.mkString(",\n")
+    val w0 = (0 until 6).map(j => s"0.0 AS w$j").mkString(", ")
+    s"""WITH feats AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    $featCols,
+       |    CAST(FLOOR($rawQualitySql * 10000 + 0.5) AS BIGINT) AS y
+       |  FROM documents),
+       |w0 AS (SELECT $w0),
+       |$rounds
+       |SELECT doc_id, y AS label_e4,
+       |  CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+       |  CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) >= 500000 AS pred
+       |FROM feats f, w8 w ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t27_quality_distill" -> (qualityDistillQuery _),
     "t26_script_stats" -> (scriptStats _),
     "t24_dsir_hashed" -> (dsirHashedScores _),
     "t22_c4_clean" -> (c4Clean _),
@@ -1034,6 +1108,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t27_quality_distill" -> qualityDistillSql,
     "t26_script_stats" -> scriptStatsSql,
     "t24_dsir_hashed" -> dsirHashedScoresSql,
     "t22_c4_clean" -> c4CleanSql,
