@@ -173,7 +173,6 @@ object Components {
     // internal attr refs → NoSuchElementException during optimize);
     // the checkpoint (tiny: blast-radius-sized, and the closure loop
     // already materialized it) truncates them.
-    import graft.ops.CheckpointRotation.Ops
     val relabeled = connectedComponents(sub, "u", "v")._1.lockedCheckpoint()
     val untouched = stored.join(touched,
       stored("component_id") === touched("__root"), "left_anti")

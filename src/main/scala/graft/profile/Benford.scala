@@ -27,11 +27,17 @@ object Benford {
     val expectedCol = (1 to 9).foldLeft(lit(0.0)) { case (acc, d) =>
       when(col("digit") === d, expected(d)).otherwise(acc)
     }
-    df.select(fd.as("fd")).filter(col("fd") =!= "")
+    val counts = df.select(fd.as("fd")).filter(col("fd") =!= "")
       .groupBy(col("fd").cast("int").as("digit"))
       .agg(count(lit(1)).as("cnt"))
+    // broadcast one-row total, not sum().over(): the unpartitioned
+    // window is harmless here (≤9 rows post-agg) but spams WindowExec
+    // single-partition warnings; the broadcast join is the engine's
+    // standard share-of-total shape
+    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("__tot"))))
       .withColumn("share",
-        col("cnt").cast(DoubleType) / sum("cnt").over().cast(DoubleType))
+        col("cnt").cast(DoubleType) / col("__tot").cast(DoubleType))
+      .drop("__tot")
       .withColumn("expected", expectedCol)
   }
 

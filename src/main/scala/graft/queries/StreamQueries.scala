@@ -463,7 +463,7 @@ object StreamQueries {
 
   /** The stateless mid-chain (probe + gates) over already-cleaned
     * rows — shared by control-plane training and the live chain. */
-  private def w13Gated(cleaned: DataFrame, refBuckets: DataFrame,
+  private[graft] def w13Gated(cleaned: DataFrame, refBuckets: DataFrame,
       dense: Seq[Long]): DataFrame = {
     val withBands = cleaned.withColumn("__bb",
       graft.dedup.Dedup.lshBandArray(col("text"),

@@ -310,7 +310,17 @@ object TextAnalysis {
     * singletons — and dup = total − singletons). Bit-identical to the
     * grouped metric per document (StreamingSpec pins it); token-less
     * documents score 0.0, matching [[repetitionMetrics]]. */
-  def inlineDupTrigramFrac(c: String): Column = {
+  def inlineDupTrigramFrac(c: String): Column =
+    graft.functions.RepetitionStats(col(s"`$c`"))
+
+  /** The Column reference form of [[inlineDupTrigramFrac]] — kept as
+    * the spec-pinned specification of the native kernel
+    * (RepetitionStatsSpec asserts bit-equality). NOT the production
+    * path: the root of this expression is referenced three times and
+    * every node is a CodegenFallback HOF, so interpreted eval re-runs
+    * the whole tokenize→zip→sort→fold chain per reference (measured
+    * 15.9 s for 3.8 k docs at sf1 vs ~0.2 s fused). */
+  private[graft] def inlineDupTrigramFracReference(c: String): Column = {
     val ws = tokens(col(s"`$c`"))
     // trigrams by zipping three SHIFTED SLICES of the token array — an
     // element_at(ws, i+…) lambda would re-embed (and re-run) the whole
