@@ -1078,7 +1078,73 @@ object TextQueries {
        |FROM feats f, w8 w ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t28: LM perplexity filter (CCNet head/middle/tail) ---------------
+
+  /** Bigram-LM perplexity bucketing of the whole corpus against the
+    * English subset as the trusted reference
+    * ([[graft.text.LanguageModel.perplexityBuckets]]): every document
+    * scored by its add-one-smoothed bigram NLL in the integer-exact
+    * fixed-point log2 surrogate, then cut into head/middle/tail thirds
+    * by average NLL — the CCNet quality gate. */
+  def lmPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.text.LanguageModel.perplexityBuckets(
+        docs, docs.filter(col("lang") === "en"), "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_grams"), col("nll_fp"),
+        col("avg_nll_fp"), col("ppl_bucket"))
+      .orderBy("doc_id")
+  }
+
+  val lmPerplexitySql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    // the ⌊log2⌋ CASE ladders, interpolated from the SAME constants the
+    // Spark expression chains on (LanguageModel.ladder)
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    val unscorable = graft.text.LanguageModel.UnscorableKey
+    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+       |gg AS (
+       |  SELECT doc_id, lang, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2)),
+       |c2 AS (SELECT g, COUNT(*) AS c2 FROM gg WHERE lang = 'en' GROUP BY g),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM gg WHERE lang = 'en' GROUP BY w1),
+       |vv AS (SELECT COUNT(DISTINCT w) + 1 AS v
+       |       FROM (SELECT unnest(ws) AS w FROM t WHERE lang = 'en')),
+       |qq AS (
+       |  SELECT doc_id,
+       |    GREATEST(((coalesce(c2.c2, 0) + 1) * $pscale)
+       |      // (coalesce(c1.c1, 0) + vv.v), 1) AS q
+       |  FROM gg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), vv),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id),
+       |sc AS (
+       |  SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    CASE WHEN coalesce(n_grams, 0) > 0
+       |      THEN (coalesce(nll_fp, 0) * 1024) // n_grams
+       |      ELSE $unscorable END AS avg_nll_fp
+       |  FROM documents d LEFT JOIN per USING (doc_id)),
+       |rk AS (
+       |  SELECT *, ROW_NUMBER() OVER (ORDER BY avg_nll_fp, doc_id) AS rn,
+       |    COUNT(*) OVER () AS n FROM sc)
+       |SELECT doc_id, n_grams, nll_fp, avg_nll_fp,
+       |  (((rn - 1) * 3) // n + 1)::BIGINT AS ppl_bucket
+       |FROM rk ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t28_lm_perplexity" -> (lmPerplexity _),
     "t27_quality_distill" -> (qualityDistillQuery _),
     "t26_script_stats" -> (scriptStats _),
     "t24_dsir_hashed" -> (dsirHashedScores _),
@@ -1108,6 +1174,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t28_lm_perplexity" -> lmPerplexitySql,
     "t27_quality_distill" -> qualityDistillSql,
     "t26_script_stats" -> scriptStatsSql,
     "t24_dsir_hashed" -> dsirHashedScoresSql,

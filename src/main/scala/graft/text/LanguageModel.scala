@@ -1,0 +1,197 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+/** CCNet-style n-gram language-model perplexity filtering (Wenzek et
+  * al. 2020, "CCNet: Extracting High Quality Monolingual Datasets from
+  * Web Crawl Data"): train a smoothed bigram LM on a trusted reference
+  * corpus, score every candidate document by its per-token negative
+  * log-likelihood, and bucket the corpus into head/middle/tail thirds —
+  * the classic quality gate between dedup and sampling in an LLM data
+  * pipeline (reference gesture: the quality thresholds of
+  * `rule_generation_pipleline.py`, applied to corpus curation).
+  *
+  * INTEGER-EXACT log2, same discipline as [[Importance]]'s
+  * cross-multiplied DSIR form: a true log is transcendental (not
+  * portable bit-for-bit across engines), so the score uses the
+  * fixed-point LINEAR-INTERPOLATED log2 surrogate
+  *
+  *   lg2_fp(q) = e·2¹⁶ + ⌊q·2¹⁶ / 2ᵉ⌋ − 2¹⁶,  e = ⌊log2 q⌋
+  *
+  * — exact integer arithmetic only (`+ · div`, plus a 31-branch CASE
+  * for e), strictly monotone in q, continuous at the power-of-two
+  * boundaries, and within 0.086 bits of log2 everywhere. Every engine
+  * computing the same CASE ladder and Long ops produces the identical
+  * score, so the operator is hash-oracle-able.
+  *
+  * Model: add-one (Laplace) smoothing over bigrams,
+  *   p(w₂|w₁) = (c₂(w₁w₂) + 1) / (c₁(w₁) + V)
+  * with c₁ the reference count of bigrams PREFIXED by w₁, c₂ the
+  * reference count of the bigram, and V = |reference unigram vocab| + 1
+  * (the +1 carries the unseen-type mass). The probability is scaled to
+  *   Q = max(1, ⌊(c₂+1)·2³⁰ / (c₁+V)⌋) ∈ [1, 2³⁰]
+  * (c₂ ≤ c₁ always, so Q never exceeds 2³⁰; probabilities below 2⁻³⁰
+  * clamp — a floor every practical LM applies), and the per-occurrence
+  * cost is nll_fp = 30·2¹⁶ − lg2_fp(Q) ≥ 0.
+  *
+  * Scale shape (100 TB): training is two map-side-combinable gram
+  * counts plus one count-distinct over the reference; scoring is the
+  * raw corpus's bigram stream equi-joined against the (distinct-gram
+  * sized) count tables — linear, never pairwise, nothing driver-side.
+  * Bucketing ranks the PER-DOCUMENT frame with
+  * [[graft.ops.Scale.prefixSums]] (range partition + parallel windows +
+  * O(#partitions) offset broadcast) — no global single-task window.
+  *
+  * Overflow envelope (enforced): the cross-multiplied numerator
+  * (c₂+1)·2³⁰ stays inside Long while c₂ < 2³² — guarded through the
+  * broadcast totals row like [[Importance.guardedTotal]] (reference
+  * bigram total + V ≤ 2³² covers every per-gram count); beyond that,
+  * cast the products to DecimalType(38,0) — same plan, wider buffers.
+  */
+object LanguageModel {
+
+  /** Fraction scale of the fixed-point log2 (2¹⁶). */
+  val F: Long = 65536L
+
+  /** Probability scale (2³⁰): Q = ⌊p·2³⁰⌋ clamped to ≥ 1. */
+  val PScale: Long = 1073741824L
+
+  /** Largest (reference bigram total + V) for which (c₂+1)·2³⁰ is
+    * Long-exact (2³²). */
+  val SafeDenBound: Long = 4294967296L
+
+  /** The ⌊log2⌋ ladder: (threshold 2ᵉ, e·F, 2ᵉ) for e = 30 … 1; e = 0
+    * (q = 1) is the fall-through. Shared with the SQL mirrors so both
+    * engines compare against the same literals. */
+  val ladder: Seq[(Long, Long, Long)] =
+    (30 to 1 by -1).map(e => (1L << e, e.toLong * F, 1L << e))
+
+  /** Exact Long integer division (both operands non-negative here, so
+    * Spark's truncating `div` and DuckDB's flooring `//` agree). */
+  private def ldiv(a: Column, b: Column): Column =
+    GraftBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** e·F for q ∈ [1, 2³⁰] via the CASE ladder. */
+  private def eF(q: Column): Column =
+    ladder.foldLeft(Option.empty[Column]) {
+      case (None, (thr, ef, _)) => Some(when(q >= thr, ef))
+      case (Some(c), (thr, ef, _)) => Some(c.when(q >= thr, ef))
+    }.get.otherwise(lit(0L))
+
+  /** 2ᵉ for q ∈ [1, 2³⁰] via the CASE ladder. */
+  private def pow2(q: Column): Column =
+    ladder.foldLeft(Option.empty[Column]) {
+      case (None, (thr, _, p)) => Some(when(q >= thr, p))
+      case (Some(c), (thr, _, p)) => Some(c.when(q >= thr, p))
+    }.get.otherwise(lit(1L))
+
+  /** Per-occurrence negative log2 cost (×F) of scaled probability `q`:
+    * 30·F − lg2_fp(q) = (31·F − e·F) − ⌊q·F / 2ᵉ⌋. Zero at q = 2³⁰
+    * (p = 1), 30·F at q = 1 (the clamp floor). */
+  def nllFp(q: Column): Column =
+    lit(31L * F) - eF(q) - ldiv(q * lit(F), pow2(q))
+
+  /** One tokenizer definition for training and scoring (the engine
+    * standard `[a-zà-ÿ0-9]` lower-cased word runs), bigrams built by
+    * zipping two shifted slices — the CollapseProject-safe form
+    * ([[Importance.withGramArray]] documents the measured cliff the
+    * per-index element_at alternative hits). Emits one row per bigram
+    * OCCURRENCE: (id, g, w1). */
+  private def bigrams(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+      w => w =!= "")
+    val len = size(ws) - 1
+    val gs = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+    df.select(col(s"`$idCol`").as("id"),
+        when(size(ws) >= 2, gs).otherwise(array().cast("array<string>"))
+          .as("__gs"))
+      .select(col("id"), explode(col("__gs")).as("g"))
+      .withColumn("w1", substring_index(col("g"), " ", 1))
+  }
+
+  private def unigrams(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(filter(
+      split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+      w => w =!= "")).as("w"))
+
+  /** The trained model: bigram counts c₂(g), prefix counts c₁(w₁), and
+    * the broadcast 1-row (V, guarded envelope) frame. `ref` is the
+    * trusted corpus (same text column). */
+  final case class Model(c2: DataFrame, c1: DataFrame, v: DataFrame)
+
+  def train(ref: DataFrame, textCol: String,
+      maxSafeDen: Long = SafeDenBound): Model = {
+    val refG = graft.ops.StagePersists.track(bigrams(ref, textCol, textCol)
+      .select("g", "w1"))
+    val c2 = refG.groupBy("g").agg(count(lit(1)).as("__c2"))
+    val c1 = refG.groupBy("w1").agg(count(lit(1)).as("__c1"))
+    // V and the envelope guard ride ONE broadcast row: total reference
+    // bigrams + V bounds every per-gram denominator c₁+V, so checking
+    // it here (raise_error inside the projection — zero extra jobs)
+    // makes the documented envelope loud instead of a silent wrap
+    val v = broadcast(
+      unigrams(ref, textCol).agg((count_distinct(col("w")) + 1L).as("__v"))
+        .crossJoin(refG.agg(coalesce(count(lit(1)), lit(0L)).as("__nb")))
+        .select(when(col("__v") + col("__nb") <= maxSafeDen, col("__v"))
+          .otherwise(raise_error(concat(
+            lit("[graft] LM reference denominator bound "),
+            (col("__v") + col("__nb")).cast("string"),
+            lit(s" exceeds the Long-exact envelope ($maxSafeDen); " +
+              "recompute with DecimalType(38,0) probability columns")))
+            .cast("long")).as("__v")))
+  Model(c2, c1, v)
+  }
+
+  /** Per-document LM score against a trained model: (id, n_grams,
+    * nll_fp) — n_grams = bigram occurrences (0 for docs under two
+    * tokens), nll_fp = Σ per-occurrence fixed-point NLL (0 for empty).
+    * Pure equi-joins + one per-id sum: stream-legal as a stream-static
+    * join (the w-plane twin runs exactly this). */
+  def score(docs: DataFrame, model: Model, textCol: String,
+      idCol: String): DataFrame = {
+    val g = bigrams(docs, textCol, idCol)
+    val perDoc = g.join(model.c2, Seq("g"), "left_outer")
+      .join(model.c1, Seq("w1"), "left_outer")
+      .crossJoin(model.v)
+      .select(col("id"), nllFp(greatest(
+        ldiv((coalesce(col("__c2"), lit(0L)) + 1L) * lit(PScale),
+          coalesce(col("__c1"), lit(0L)) + col("__v")),
+        lit(1L))).as("__nll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("__nll").as("nll_fp"))
+    docs.select(col(s"`$idCol`").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("nll_fp"), lit(0L)).as("nll_fp"))
+  }
+
+  /** Order key for bucketing: average NLL per gram ×2¹⁰ (integer), with
+    * unscorable docs (no bigrams) keyed 2⁶² — they rank WORST (tail),
+    * the safe pipeline default for text the model cannot assess. */
+  val UnscorableKey: Long = 4611686018427387904L
+
+  def avgKey(nllFp: Column, nGrams: Column): Column =
+    when(nGrams > 0L, ldiv(nllFp * lit(1024L), nGrams))
+      .otherwise(lit(UnscorableKey))
+
+  /** CCNet head/middle/tail bucketing: rank every document by
+    * (avg_nll, id) with the distributed prefix-sum spine and cut into
+    * `buckets` thirds via the exact ntile identity
+    * bucket = ⌊(rank−1)·k / n⌋ + 1. Returns (id, n_grams, nll_fp,
+    * avg_nll_fp, ppl_bucket); bucket 1 = most-fluent (head). */
+  def perplexityBuckets(docs: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, buckets: Int = 3): DataFrame = {
+    val scored = score(docs, train(ref, textCol), textCol, idCol)
+      .withColumn("avg_nll_fp", avgKey(col("nll_fp"), col("n_grams")))
+      .withColumn("__ok", struct(col("avg_nll_fp"), col("id")))
+      .withColumn("__one", lit(1L))
+    val (cum, totals) = graft.ops.Scale.prefixSums(scored, "__ok", Seq("__one"))
+    val n = totals("__one")
+    cum.select(col("id"), col("n_grams"), col("nll_fp"), col("avg_nll_fp"),
+      (ldiv((col("__cum___one") - 1L) * buckets, lit(n)) + 1L)
+        .as("ppl_bucket"))
+  }
+}
