@@ -327,7 +327,58 @@ object SimQueries {
        |      FROM adc)
        |WHERE rk <= $K ORDER BY query_id, rk""".stripMargin
 
+  // ---- s11: cluster-balanced (diversity) sampling ------------------------
+
+  /** Diversity sampling — the semantic-cluster-balanced selection a
+    * curation pipeline runs after dedup (the SemDeDup/DoReMi-adjacent
+    * pass: equal per-cluster quotas instead of the corpus's natural
+    * skew): assign every embedding to its nearest fixed centroid (the
+    * s7 control-plane convention), then keep at most `SampleQuota` per
+    * cluster by the portable md5 rank ([[graft.text.Sampling.quotaSample]]
+    * — salted top-k, so one hot cluster never buffers in a task).
+    * Output sizes are cluster-uniform, not frequency-proportional. */
+  private val SampleQuota = 25
+
+  def clusterBalancedSample(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings")
+    val cents = emb.filter(col("vec_id") < MixK)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      .sortBy(_._1).toSeq
+    val assigned = graft.sim.DomainMix.assign(emb, cents, "vec_id", "embedding")
+    graft.text.Sampling.quotaSample(assigned.select("vec_id", "cluster_id"),
+        "cluster_id", "vec_id", SampleQuota)
+      .orderBy("cluster_id", "sample_rank")
+  }
+
+  val clusterBalancedSampleSql: String = {
+    val dot = "list_dot_product(e.embedding::DOUBLE[], c.cv)"
+    val enorm = "sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv,
+       |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS cnorm
+       |  FROM embeddings WHERE vec_id < $MixK),
+       |scored AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ROUND($dot / ($enorm * c.cnorm), 4) AS score
+       |  FROM embeddings e CROSS JOIN cents c),
+       |best AS (
+       |  SELECT vec_id, cid,
+       |    ROW_NUMBER() OVER (PARTITION BY vec_id
+       |      ORDER BY score DESC, cid ASC) AS rn
+       |  FROM scored),
+       |sel AS (
+       |  SELECT vec_id, cid AS cluster_id,
+       |    ROW_NUMBER() OVER (PARTITION BY cid
+       |      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+       |  FROM best WHERE rn = 1)
+       |SELECT vec_id, cluster_id, CAST(rk AS INT) AS sample_rank
+       |FROM sel WHERE rk <= $SampleQuota
+       |ORDER BY cluster_id, sample_rank""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s11_cluster_balanced" -> (clusterBalancedSample _),
     "s10_pq_incremental" -> (pqIncremental _),
     "s8_pq_topk" -> (pqTopK _),
     "s9_pq_rerank" -> (pqRerank _),
@@ -339,6 +390,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s11_cluster_balanced" -> clusterBalancedSampleSql,
     "s10_pq_incremental" -> pqIncrementalSql,
     "s8_pq_topk" -> pqTopKSql,
     "s9_pq_rerank" -> pqRerankSql,

@@ -681,7 +681,79 @@ object StreamQueries {
        |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
   }
 
+  // ---- w14: streaming LM-perplexity gate (batch twin) --------------------
+
+  /** The hashed-bucket LM quality gate in its STREAM form: counts
+    * trained batch-side on the trusted subset
+    * ([[graft.text.LanguageModel.hashedCounts]], O(b2+b1) rows by
+    * construction), collected to dense array literals, and every
+    * document scored by a pure per-row fold — no shuffle, no state,
+    * append-mode legal verbatim ([[graft.text.LanguageModel.nllColumns]];
+    * StreamingSpec pins the MemoryStream run to these exact rows). The
+    * gate keeps documents whose average NLL clears the threshold —
+    * cross-multiplied (nll·2¹⁰ ≤ thresh·n_grams), no division. */
+  private val LmB2 = 8192
+  private val LmB1 = 2048
+  /** 9.25 bits/gram (¼-bit steps are exact: 9.25 · 2¹⁰ · 2¹⁶): at the
+    * gate SF the en-trained hashed LM averages ~9.18 bits on en
+    * documents and ~9.3 on the rest, so this keeps most of the trusted
+    * language and rejects most of the others — a working gate, not a
+    * degenerate keep-all/none. */
+  private val LmThresh = 620756992L
+
+  def streamLmGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lm = graft.text.LanguageModel
+    val (c2, c1) = lm.hashedCounts(
+      docs.filter(col("lang") === "en"), "text", LmB2, LmB1)
+    val (d2, d1) = lm.denseCounts(c2, c1, LmB2, LmB1)
+    val (n, nll) = lm.nllColumns(d2, d1, LmB2, LmB1, "text")
+    docs.select(col("doc_id"), n.as("n_grams"), nll.as("nll_fp"))
+      .withColumn("kept", col("n_grams") > 0L &&
+        col("nll_fp") * 1024L <= col("n_grams") * lit(LmThresh))
+      .orderBy("doc_id")
+  }
+
+  val streamLmGateSql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    def bkt(e: String, m: Int) = s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+       |rb AS (
+       |  SELECT doc_id, lang, ${bkt("g", LmB2)} AS b2k,
+       |    ${bkt("split_part(g, ' ', 1)", LmB1)} AS b1k
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2)),
+       |cb2 AS (SELECT b2k, COUNT(*) AS c2 FROM rb WHERE lang = 'en' GROUP BY b2k),
+       |cb1 AS (SELECT b1k, COUNT(*) AS c1 FROM rb WHERE lang = 'en' GROUP BY b1k),
+       |qq AS (
+       |  SELECT doc_id, LEAST(GREATEST(
+       |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $LmB2),
+       |    1), $pscale) AS q
+       |  FROM rb LEFT JOIN cb2 USING (b2k) LEFT JOIN cb1 USING (b1k)),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |  coalesce(n_grams, 0) > 0 AND
+       |    coalesce(nll_fp, 0) * 1024 <= $LmThresh * coalesce(n_grams, 0) AS kept
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w14_stream_lm_gate" -> (streamLmGate _),
     "w13_stream_pipeline" -> (streamCorpusPipeline _),
     "w11_stream_line_filter" -> (streamLineFilter _),
     "w10_stream_profile" -> (streamProfileState _),
@@ -696,6 +768,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w14_stream_lm_gate" -> streamLmGateSql,
     "w13_stream_pipeline" -> streamCorpusPipelineSql,
     "w11_stream_line_filter" -> streamLineFilterSql,
     "w10_stream_profile" -> streamProfileStateSql,

@@ -168,6 +168,76 @@ object LanguageModel {
         coalesce(col("nll_fp"), lit(0L)).as("nll_fp"))
   }
 
+  /** md5-derived portable hash bucket (the t24 device). */
+  private def bucketOf(g: Column, buckets: Int): Column =
+    pmod(graft.dedup.Dedup.md5Long(g), lit(buckets.toLong))
+
+  /** HASHED-bucket LM counts — the deployment form (the
+    * [[Importance.hashedWeights]] pattern): bigrams hash into `b2`
+    * buckets and prefixes into `b1`, so the model is O(b2+b1) rows —
+    * broadcast-sized BY CONSTRUCTION — and scoring can run as a pure
+    * per-row fold anywhere, including append-mode streams (w14).
+    * Smoothing vocabulary for the bucketed event space is `b2`. */
+  def hashedCounts(ref: DataFrame, textCol: String, b2: Int,
+      b1: Int): (DataFrame, DataFrame) = {
+    val refG = graft.ops.StagePersists.track(
+      bigrams(ref, textCol, textCol).select("g", "w1"))
+    (refG.groupBy(bucketOf(col("g"), b2).as("bucket"))
+        .agg(count(lit(1)).as("__c2")),
+      refG.groupBy(bucketOf(col("w1"), b1).as("bucket"))
+        .agg(count(lit(1)).as("__c1")))
+  }
+
+  /** Collect hashed counts to the dense array-literal form the per-row
+    * fold consumes (element_at on an array ordinal is O(1); a map
+    * literal would linear-scan all buckets per gram — the measured t24
+    * cliff). The (c₂+1)·2³⁰ envelope is checked here, driver-side and
+    * free, with the trained magnitudes in hand. */
+  def denseCounts(c2: DataFrame, c1: DataFrame, b2: Int, b1: Int,
+      maxSafeDen: Long = SafeDenBound): (Seq[Long], Seq[Long]) = {
+    def dense(df: DataFrame, n: Int): Seq[Long] = {
+      val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (0 until n).map(b => m.getOrElse(b.toLong, 0L))
+    }
+    val (d2, d1) = (dense(c2, b2), dense(c1, b1))
+    val worst = math.max(d2.foldLeft(0L)(math.max) + 1L,
+      d1.foldLeft(0L)(math.max) + b2.toLong)
+    require(worst <= maxSafeDen,
+      s"[graft] hashed LM counts reach $worst, past the Long-exact " +
+        s"envelope ($maxSafeDen); retrain with more buckets or " +
+        "DecimalType(38,0) probability columns")
+    (d2, d1)
+  }
+
+  /** (n_grams, nll_fp) as PURE COLUMNS over a text column — no shuffle,
+    * no state, stream-legal verbatim (the w13 scoreColumns convention).
+    * Hash collisions can push a bucketed probability past 1, so q
+    * clamps to [1, 2³⁰] on BOTH ends here (the exact path proves
+    * q ≤ 2³⁰ and clamps only below). The fold applies the 31-branch
+    * ladder per gram through the interpreted HOF path — fine at
+    * gate scale; the native-kernel upgrade path is
+    * [[graft.functions.RepetitionStats]]'s pattern should a profile
+    * ever show it hot. */
+  def nllColumns(d2: Seq[Long], d1: Seq[Long], b2: Int, b1: Int,
+      textCol: String): (Column, Column) = {
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+      w => w =!= "")
+    val len = size(ws) - 1
+    val gs0 = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+      (a, b) => concat(a, lit(" "), b))
+    val gs = when(size(ws) >= 2, gs0).otherwise(array().cast("array<string>"))
+    def q(g: Column): Column = {
+      val cb2 = element_at(typedLit(d2), (bucketOf(g, b2) + 1L).cast("int"))
+      val cb1 = element_at(typedLit(d1),
+        (bucketOf(substring_index(g, " ", 1), b1) + 1L).cast("int"))
+      least(greatest(
+        ldiv((cb2 + 1L) * lit(PScale), cb1 + lit(b2.toLong)), lit(1L)),
+        lit(PScale))
+    }
+    (size(gs).cast("long"),
+      aggregate(gs, lit(0L), (acc, g) => acc + nllFp(q(g))))
+  }
+
   /** Order key for bucketing: average NLL per gram ×2¹⁰ (integer), with
     * unscorable docs (no bigrams) keyed 2⁶² — they rank WORST (tail),
     * the safe pipeline default for text the model cannot assess. */

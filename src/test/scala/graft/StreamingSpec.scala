@@ -674,6 +674,41 @@ class StreamingSpec extends SparkSpec {
     assert(hot > 0.5, s"expected heavy duplication, got $hot")
   }
 
+  test("hashed-LM scoring streams in append mode and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val lm = graft.text.LanguageModel
+    val ref = Seq((0L, "the quick brown fox jumps over the lazy dog " +
+      "the quick brown fox returns")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the quick brown fox"), (2L, "lazy dog jumps"),
+      (3L, "completely novel words here"), (4L, "solo"), (5L, ""),
+      (6L, "the quick the quick the quick"))
+    val (c2, c1) = lm.hashedCounts(ref, "text", b2 = 64, b1 = 32)
+    val (d2, d1) = lm.denseCounts(c2, c1, 64, 32)
+    val (n, nll) = lm.nllColumns(d2, d1, 64, 32, "text")
+    val batch = rows.toDF("doc_id", "text")
+      .select($"doc_id", n.as("n_grams"), nll.as("nll_fp"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(batch.exists(_._3 > 0L))
+    assert(batch.filter(r => r._1 == 4L || r._1 == 5L)
+      .forall(r => r._2 == 0L && r._3 == 0L))
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("doc_id", "text")
+      .select($"doc_id", n.as("n_grams"), nll.as("nll_fp"))
+      .writeStream.format("memory").queryName("w14_stream")
+      .outputMode("append").start() // pure per-row fold: stateless
+    try {
+      input.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w14_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -15,9 +15,17 @@ object QProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    if (args.length > 2) df.coalesce(1).write.mode("overwrite")
-      .parquet(s"${args(2)}/$name.parquet")
-    else df.show(20, truncate = false)
+    if (args.length > 2) {
+      df.coalesce(1).write.mode("overwrite").parquet(s"${args(2)}/$name.parquet")
+      // one-entry oracle_sql.json so tools/check_oracle.py works on the dir
+      graft.SparkEntry.oracleSql.get(name).foreach { sql =>
+        val q = sql.replace("\\", "\\\\").replace("\"", "\\\"")
+          .replace("\n", "\\n").replace("\t", "\\t")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"${args(2)}/oracle_sql.json"),
+          s"""{"$name": "$q", "$name.parquet": "$q"}""")
+      }
+    } else df.show(20, truncate = false)
     println(f"[$name] ${(System.nanoTime() - t0) / 1e9}%.1fs, rows=${df.count()}")
     spark.stop()
   }
