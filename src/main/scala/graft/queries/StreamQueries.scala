@@ -715,7 +715,7 @@ object StreamQueries {
   }
 
   val streamLmGateSql: String = {
-    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
     def bkt(e: String, m: Int) = s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
     val eCase = "CASE " + graft.text.LanguageModel.ladder
       .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }

@@ -1096,7 +1096,7 @@ object TextQueries {
   }
 
   val lmPerplexitySql: String = {
-    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
     // the ⌊log2⌋ CASE ladders, interpolated from the SAME constants the
     // Spark expression chains on (LanguageModel.ladder)
     val eCase = "CASE " + graft.text.LanguageModel.ladder

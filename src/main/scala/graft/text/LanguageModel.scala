@@ -93,15 +93,19 @@ object LanguageModel {
   def nllFp(q: Column): Column =
     lit(31L * F) - eF(q) - ldiv(q * lit(F), pow2(q))
 
-  /** One tokenizer definition for training and scoring (the engine
-    * standard `[a-zà-ÿ0-9]` lower-cased word runs), bigrams built by
-    * zipping two shifted slices — the CollapseProject-safe form
+  /** One tokenizer definition for training and scoring: `[a-z0-9]`
+    * lower-cased word runs — the DSIR/importance-family class, NOT the
+    * à-ÿ-extended one, deliberately: a split on `[^a-zà-ÿ0-9]+` loses
+    * the JVM regex ASCII fast path and measured 4× slower over the
+    * same corpus (26.6 s vs 6.9 s for the sf1 bigram explode), and the
+    * LM gate sits in the hot crawl path. Bigrams are built by zipping
+    * two shifted slices — the CollapseProject-safe form
     * ([[Importance.withGramArray]] documents the measured cliff the
     * per-index element_at alternative hits). Emits one row per bigram
     * OCCURRENCE: (id, g, w1). */
   private def bigrams(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
       w => w =!= "")
     val len = size(ws) - 1
     val gs = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
@@ -115,7 +119,7 @@ object LanguageModel {
 
   private def unigrams(df: DataFrame, textCol: String): DataFrame =
     df.select(explode(filter(
-      split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+      split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
       w => w =!= "")).as("w"))
 
   /** The trained model: bigram counts c₂(g), prefix counts c₁(w₁), and
@@ -211,16 +215,31 @@ object LanguageModel {
 
   /** (n_grams, nll_fp) as PURE COLUMNS over a text column — no shuffle,
     * no state, stream-legal verbatim (the w13 scoreColumns convention).
-    * Hash collisions can push a bucketed probability past 1, so q
-    * clamps to [1, 2³⁰] on BOTH ends here (the exact path proves
-    * q ≤ 2³⁰ and clamps only below). The fold applies the 31-branch
-    * ladder per gram through the interpreted HOF path — fine at
-    * gate scale; the native-kernel upgrade path is
-    * [[graft.functions.RepetitionStats]]'s pattern should a profile
-    * ever show it hot. */
+    * Fused into the native [[graft.functions.LmScore]] kernel: the
+    * Column form ([[nllColumnsReference]]) folds an aggregate HOF with
+    * two md5 expressions and two 31-branch ladders per gram, all
+    * interpreted — measured ~21 s for 50 k docs at sf1 vs ~0.3 s fused
+    * (LmScoreSpec pins bit-equality; the w14 oracle pins it
+    * cross-engine). */
   def nllColumns(d2: Seq[Long], d1: Seq[Long], b2: Int, b1: Int,
       textCol: String): (Column, Column) = {
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
+    require(d2.size == b2 && d1.size == b1,
+      s"dense count sizes (${d2.size}, ${d1.size}) must match ($b2, $b1)")
+    val stats = graft.functions.LmScore(col(s"`$textCol`"), d2, d1)
+    (element_at(stats, 1), element_at(stats, 2))
+  }
+
+  /** The Column reference form of [[nllColumns]] — kept as the
+    * spec-pinned specification of the native kernel (LmScoreSpec
+    * asserts bit-equality). NOT the production path: every node of the
+    * per-gram fold (md5 ×2, ladder CASE ×2, IntegralDivide) evaluates
+    * through the interpreted HOF path per occurrence. Hash collisions
+    * can push a bucketed probability past 1, so q clamps to [1, 2³⁰]
+    * on BOTH ends here (the exact path proves q ≤ 2³⁰ and clamps only
+    * below). */
+  private[graft] def nllColumnsReference(d2: Seq[Long], d1: Seq[Long],
+      b2: Int, b1: Int, textCol: String): (Column, Column) = {
+    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
       w => w =!= "")
     val len = size(ws) - 1
     val gs0 = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
