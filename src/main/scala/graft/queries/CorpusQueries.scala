@@ -626,7 +626,49 @@ object CorpusQueries {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  // ---- l6: release-to-release corpus diff --------------------------------
+
+  /** What the new release changed, by CONTENT: the previous release
+    * (everything but crawl source src3) diffed against the new one
+    * (every fifth document re-crawled away, src3 landed) — documents
+    * keyed by text hash, classified added/removed/retained, rolled up
+    * per language with document and token mass
+    * ([[graft.text.CorpusRelease.releaseDiff]]). The audit twin of the
+    * d13/d17/s10 incremental operators. */
+  def releaseDiffQuery(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val d = Tables.load(spark, dir, "documents")
+      .withColumn("n_toks", TextAnalysis.tokenCount("text"))
+    graft.text.CorpusRelease.releaseDiff(
+        d.filter(col("source") =!= "src3"),
+        d.filter(col("doc_id") % 5 =!= 0),
+        "text", "lang", "n_toks")
+      .orderBy("status", "lang")
+  }
+
+  val releaseDiffSql: String = {
+    val ws = TextQueries.WS
+    s"""WITH d AS (
+       |  SELECT doc_id, lang, source, md5(text) AS h,
+       |    len($ws)::BIGINT AS n_toks
+       |  FROM documents),
+       |o AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t
+       |      FROM d WHERE source <> 'src3' GROUP BY h),
+       |n AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t
+       |      FROM d WHERE doc_id % 5 <> 0 GROUP BY h)
+       |SELECT
+       |  CASE WHEN o.h IS NULL THEN 'added'
+       |       WHEN n.h IS NULL THEN 'removed'
+       |       ELSE 'retained' END AS status,
+       |  coalesce(n.lang, o.lang) AS lang,
+       |  COUNT(*)::BIGINT AS n_docs,
+       |  SUM(coalesce(n.t, o.t))::BIGINT AS n_tokens
+       |FROM o FULL JOIN n ON o.h = n.h
+       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l6_release_diff" -> (releaseDiffQuery _),
     "l1_corpus_pipeline" -> (corpusPipeline _),
     "l2_full_pipeline" -> (fullPipeline _),
     "l3_curated_pipeline" -> (curatedPipeline _),
@@ -634,6 +676,7 @@ object CorpusQueries {
     "l5_c4_pipeline" -> (c4Pipeline _))
 
   def oracleSql: Map[String, String] = Map(
+    "l6_release_diff" -> releaseDiffSql,
     "l1_corpus_pipeline" -> corpusPipelineSql,
     "l2_full_pipeline" -> fullPipelineSql,
     "l3_curated_pipeline" -> curatedPipelineSql,

@@ -60,6 +60,42 @@ object CorpusRelease {
     manifest(corpus.sparkSession, path, partitionCols, sumCols)
   }
 
+  /** Release-to-release diff — the audit step of the incremental-dump
+    * story (d13 probes new content against the corpus, d17 folds its
+    * components, s10 its PQ codes; this reports what a new RELEASE
+    * actually changed): documents keyed by CONTENT (md5 of the text, so
+    * re-crawled copies with new ids don't read as churn), classified
+    * added / removed / retained, rolled up per `dimCol` with document
+    * and token mass. One full-outer join of two distinct-hash frames +
+    * one small agg — linear, shuffle on the 16-byte hash key, no text
+    * ever joined.
+    *
+    * Within-release duplicate content collapses to one row per hash
+    * (releases are deduped by contract; the collapse makes the diff
+    * insensitive to residual copies), representative = min(dim) for
+    * determinism. `tokensCol` must be precomputed (any integer token
+    * count — the engine's [[TextAnalysis.tokenCount]] composes). */
+  def releaseDiff(old: DataFrame, nw: DataFrame, textCol: String,
+      dimCol: String, tokensCol: String): DataFrame = {
+    def byHash(df: DataFrame) =
+      df.groupBy(md5(col(s"`$textCol`")).as("__h"))
+        .agg(min(col(s"`$dimCol`")).as(dimCol),
+          min(col(s"`$tokensCol`")).as("__t"))
+    val o = byHash(old)
+    val n = byHash(nw)
+    o.withColumnRenamed(dimCol, "__do").withColumnRenamed("__t", "__to")
+      .join(n.withColumnRenamed(dimCol, "__dn").withColumnRenamed("__t", "__tn"),
+        Seq("__h"), "full_outer")
+      .select(
+        when(col("__do").isNull, "added")
+          .when(col("__dn").isNull, "removed")
+          .otherwise("retained").as("status"),
+        coalesce(col("__dn"), col("__do")).as(dimCol),
+        coalesce(col("__tn"), col("__to")).as("__t"))
+      .groupBy("status", dimCol)
+      .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
+  }
+
   /** Manifest of an existing release: per partition directory, the row
     * count and the sums of `sumCols` — read back from disk. */
   def manifest(spark: SparkSession, path: String,

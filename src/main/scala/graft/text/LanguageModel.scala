@@ -192,6 +192,21 @@ object LanguageModel {
         .agg(count(lit(1)).as("__c1")))
   }
 
+  /** Fold a new dump's hashed counts into stored ones — the d13/d17/s10
+    * incremental pattern applied to the LM: bucket counts are ADDITIVE
+    * and the smoothing vocabulary is the constant b2, so incremental
+    * maintenance of the deployed model is EXACT (spec-pinned:
+    * fold(train(old), train(new)) ≡ train(old ∪ new)) — a new crawl
+    * dump updates the quality gate by counting only its own grams,
+    * never re-scanning the corpus. One union + one bucket-count-sized
+    * sum. (The exact-gram [[Model]] is additive in c₂/c₁ too, but its
+    * V tracks the distinct vocabulary — incremental V needs the vocab
+    * table as state; the hashed form is the one that streams.) */
+  def foldHashedCounts(stored: DataFrame, batch: DataFrame,
+      cntCol: String): DataFrame =
+    stored.unionByName(batch).groupBy("bucket")
+      .agg(sum(col(s"`$cntCol`")).as(cntCol))
+
   /** Collect hashed counts to the dense array-literal form the per-row
     * fold consumes (element_at on an array ordinal is O(1); a map
     * literal would linear-scan all buckets per gram — the measured t24

@@ -64,6 +64,27 @@ class LmScoreSpec extends SparkSpec {
     assert(costs.length == 1)
   }
 
+  test("incremental hashed-LM maintenance is exact: fold of per-dump " +
+      "counts == training on the union") {
+    val df = adversarial.toDF("id", "text")
+    val oldDump = df.filter($"id" < 8)
+    val newDump = df.filter($"id" >= 8)
+    val (uc2, uc1) = LanguageModel.hashedCounts(df, "text", 32, 16)
+    val (oc2, oc1) = LanguageModel.hashedCounts(oldDump, "text", 32, 16)
+    val (nc2, nc1) = LanguageModel.hashedCounts(newDump, "text", 32, 16)
+    val f2 = LanguageModel.foldHashedCounts(oc2, nc2, "__c2")
+    val f1 = LanguageModel.foldHashedCounts(oc1, nc1, "__c1")
+    def m(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(f2) == m(uc2))
+    assert(m(f1) == m(uc1))
+    // and the deployed scorer built from the folded counts is the
+    // union-trained scorer, bit for bit
+    val (du2, du1) = LanguageModel.denseCounts(uc2, uc1, 32, 16)
+    val (df2, df1) = LanguageModel.denseCounts(f2, f1, 32, 16)
+    assert(du2 == df2 && du1 == df1)
+  }
+
   test("size contract: dense arrays must match the bucket counts") {
     intercept[IllegalArgumentException] {
       LanguageModel.nllColumns(Seq(0L), Seq(0L), 8, 4, "text")
