@@ -104,7 +104,7 @@ object Dedup {
   }
 
   private[dedup] def words(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-z0-9]+"), w => w =!= "")
+    graft.functions.TokenArray.asciiTokens(textCol)
 
   // ---- n-gram Jaccard near-duplicates ----------------------------------
 

@@ -27,9 +27,10 @@ import org.apache.spark.sql.functions._
   * Training stops early when no pair reaches `minFreq` (standard). */
 object BpeTrainer {
 
-  /** The engine's canonical word stream (the t3/t14 splitter). */
+  /** The engine's canonical word stream (the t3/t14 splitter contract,
+    * native one-pass form — TokenArraySpec pins ≡ the regex split). */
   private[graft] def words(textCol: Column): Column =
-    filter(split(lower(textCol), "[^a-zà-ÿ0-9]+"), w => w =!= "")
+    graft.functions.TokenArray(textCol)
 
   /** One greedy left-to-right application of merge (l, r): fold pieces,
     * replacing a trailing `l` by `lr` when `r` arrives. */
@@ -113,7 +114,7 @@ final case class BpeTokenCounter(merges: Seq[(String, String)]) extends TokenCou
     graft.functions.BpeMergeCounts(wordsArr, merges)
 
   def count(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
+    val toks = graft.functions.TokenArray(text)
     coalesce(aggregate(pieceCounts(toks), lit(0L), (acc, c) => acc + c),
       lit(0L))
   }

@@ -61,8 +61,7 @@ object Chunking {
   def pieceChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 16, step: Int = 12): DataFrame = {
     require(window >= 1 && step >= 1, s"window/step must be >= 1")
-    val toks = filter(split(lower(col(s"`$textCol`")), "[^a-zà-ÿ0-9]+"),
-      w => w =!= "")
+    val toks = graft.functions.TokenArray(col(s"`$textCol`"))
     // __wordof inverts the per-word piece counts into a piece → covering
     // word (1-based) index built ONCE per doc, so each exploded window
     // resolves its word span with two O(1) element_at lookups. The

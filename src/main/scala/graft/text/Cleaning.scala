@@ -26,7 +26,7 @@ import org.apache.spark.sql.types.DoubleType
 object Cleaning {
 
   private def lineWords(l: Column): Column =
-    size(filter(split(lower(l), "[^a-z0-9]+"), w => w =!= ""))
+    size(graft.functions.TokenArray.asciiTokens(l))
 
   private def terminal(l: Column): Column =
     substring(l, -1, 1).isin(".", "!", "?", "\"")

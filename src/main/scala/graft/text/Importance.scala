@@ -61,8 +61,7 @@ object Importance {
     * whose word array is referenced only n times per ROW. */
   private def withGramArray(df: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
-      w => w =!= "")
+    val ws = graft.functions.TokenArray.asciiTokens(col(s"`$textCol`"))
     val len = size(ws) - (n - 1)
     val gs = (1 until n).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
       zip_with(acc, slice(ws, lit(1 + j), len),
@@ -186,8 +185,7 @@ object Importance {
     * score without losing its other columns). */
   def scoreColumns(dense: Seq[Long], textCol: String, n: Int,
       buckets: Int): (Column, Column) = {
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
-      w => w =!= "")
+    val ws = graft.functions.TokenArray.asciiTokens(col(s"`$textCol`"))
     val len = size(ws) - (n - 1)
     val gs0 = (1 until n).foldLeft(slice(ws, lit(1), len)) { (acc, j) =>
       zip_with(acc, slice(ws, lit(1 + j), len),

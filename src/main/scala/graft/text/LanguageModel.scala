@@ -105,8 +105,7 @@ object LanguageModel {
     * OCCURRENCE: (id, g, w1). */
   private def bigrams(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val ws = filter(split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
-      w => w =!= "")
+    val ws = graft.functions.TokenArray.asciiTokens(col(s"`$textCol`"))
     val len = size(ws) - 1
     val gs = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
       (a, b) => concat(a, lit(" "), b))
@@ -118,9 +117,8 @@ object LanguageModel {
   }
 
   private def unigrams(df: DataFrame, textCol: String): DataFrame =
-    df.select(explode(filter(
-      split(lower(col(s"`$textCol`")), "[^a-z0-9]+"),
-      w => w =!= "")).as("w"))
+    df.select(explode(
+      graft.functions.TokenArray.asciiTokens(col(s"`$textCol`"))).as("w"))
 
   /** The trained model: bigram counts c₂(g), prefix counts c₁(w₁), and
     * the broadcast 1-row (V, guarded envelope) frame. `ref` is the

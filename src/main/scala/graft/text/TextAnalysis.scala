@@ -22,10 +22,18 @@ object TextAnalysis {
     "es" -> Seq("el", "los", "las", "es", "una", "para", "con", "del", "por", "como"),
     "it" -> Seq("il", "di", "che", "della", "per", "con", "sono", "una", "anche", "dei"))
 
-  // DSL lambdas (functions.filter/split), not interpolated expr()
-  // strings: column names stay names, and the expressions are the same
-  // codegen'd higher-order functions either way
+  // Native one-pass tokenizer (the measured 4× regex cliff: a split on
+  // the à-ÿ-extended class loses the JVM ASCII fast path; tokenization
+  // is every text operator's inner loop). Bit-identical to the Column
+  // form below — TokenArraySpec pins it; every consumer's oracle pins
+  // it cross-engine.
   private def tokens(textCol: Column): Column =
+    graft.functions.TokenArray(textCol)
+
+  /** The Column reference form of [[tokens]] (the spec-pinned contract
+    * of the native kernel — and the body the reference expressions
+    * that must stay fully-Column keep using). */
+  private[text] def tokensColumnForm(textCol: Column): Column =
     filter(split(lower(textCol), "[^a-zà-ÿ0-9]+"), w => w =!= "")
 
   /** Heuristic language ID: the language with the most marker-word
@@ -321,7 +329,7 @@ object TextAnalysis {
     * the whole tokenize→zip→sort→fold chain per reference (measured
     * 15.9 s for 3.8 k docs at sf1 vs ~0.2 s fused). */
   private[graft] def inlineDupTrigramFracReference(c: String): Column = {
-    val ws = tokens(col(s"`$c`"))
+    val ws = tokensColumnForm(col(s"`$c`"))
     // trigrams by zipping three SHIFTED SLICES of the token array — an
     // element_at(ws, i+…) lambda would re-embed (and re-run) the whole
     // tokenize chain per trigram index (the Importance.withGramArray

@@ -22,8 +22,7 @@ trait TokenCounter extends Serializable {
   * identical to [[TextAnalysis.tokenCount]] (the t3 contract). */
 object WhitespaceTokenCounter extends TokenCounter {
   def count(text: Column): Column =
-    size(filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= ""))
-      .cast("long")
+    size(graft.functions.TokenArray(text)).cast("long")
 }
 
 /** Deterministic subword proxy for a BPE/WordPiece tokenizer: greedy
@@ -74,7 +73,7 @@ object VocabTokenCounter extends TokenCounter {
       acc => acc.getField("cnt"))
 
   def count(text: Column): Column = {
-    val toks = filter(split(lower(text), "[^a-zà-ÿ0-9]+"), w => w =!= "")
+    val toks = graft.functions.TokenArray(text)
     // the walk itself runs in the native PieceCounts expression (byte
     // loop, codegen) — the interpreted HOF walk costs ~10µs/word; the
     // Column form [[piecesOf]] stays as the semantic reference

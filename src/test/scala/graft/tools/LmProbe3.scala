@@ -27,6 +27,16 @@ object LmProbe3 {
         .select(col("id"), explode(col("__gs")).as("g"))
       if (withW1) base.withColumn("w1", substring_index(col("g"), " ", 1)) else base
     }
+    def buildNative(ascii: Boolean): DataFrame = {
+      val ws = if (ascii) graft.functions.TokenArray.asciiTokens(col("text"))
+        else graft.functions.TokenArray(col("text"))
+      val len = size(ws) - 1
+      val gs = zip_with(slice(ws, lit(1), len), slice(ws, lit(2), len),
+        (a, b) => concat(a, lit(" "), b))
+      docs.select(col("doc_id").as("id"),
+          when(size(ws) >= 2, gs).otherwise(array().cast("array<string>")).as("__gs"))
+        .select(col("id"), explode(col("__gs")).as("g"))
+    }
     // warm
     build("[^a-z0-9]+", withW1 = false).queryExecution.toRdd.count()
     t("t23-form (a-z0-9, no w1)") {
@@ -37,6 +47,8 @@ object LmProbe3 {
       build("[^a-z0-9]+", withW1 = true).queryExecution.toRdd.count() }
     t("accented + w1") {
       build("[^a-zà-ÿ0-9]+", withW1 = true).queryExecution.toRdd.count() }
+    t("native ascii kernel") { buildNative(true).queryExecution.toRdd.count() }
+    t("native accented kernel") { buildNative(false).queryExecution.toRdd.count() }
     spark.stop()
   }
 }
