@@ -76,9 +76,16 @@ object LmScore {
   private val PScale = 1073741824L
   private val HEX = "0123456789abcdef".toCharArray
 
+  private val mdPool = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   def scoreOf(m: Model, s: UTF8String): Array[Long] = {
     val low = s.toLowerCase.getBytes
-    val md = java.security.MessageDigest.getInstance("MD5")
+    // per-thread digest: getInstance per ROW pays a JCA provider lookup
+    // + allocation on the declared hot path; reset() happens per bucket
+    val md = mdPool.get()
     var nGrams = 0L
     var nll = 0L
     var prev: String = null
@@ -103,7 +110,18 @@ object LmScore {
         }
         prev = w
         i = j
-      } else i += 1
+      } else if (i >= n) {
+        i += 1 // loop exit (the i == n iteration exists only for `tok`)
+      } else {
+        // separator advance by declared sequence length — the family
+        // walker's step rule (TokenArray/QualityStats), so the ASCII
+        // token stream equals TokenArray.asciiTokens on every input
+        val b = low(i) & 0xff
+        if (b >= 0xf0) i += 4
+        else if (b >= 0xe0) i += 3
+        else if (b >= 0x80) i += 2
+        else i += 1
+      }
     }
     Array(nGrams, nll)
   }

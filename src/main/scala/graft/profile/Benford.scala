@@ -30,14 +30,18 @@ object Benford {
     val counts = df.select(fd.as("fd")).filter(col("fd") =!= "")
       .groupBy(col("fd").cast("int").as("digit"))
       .agg(count(lit(1)).as("cnt"))
-    // broadcast one-row total, not sum().over(): the unpartitioned
-    // window is harmless here (≤9 rows post-agg) but spams WindowExec
-    // single-partition warnings; the broadcast join is the engine's
-    // standard share-of-total shape
-    counts.crossJoin(broadcast(counts.agg(sum("cnt").as("__tot"))))
+    // constant-key window on the POST-AGG frame (≤9 rows): ONE lineage,
+    // so the input scan+agg runs once — a crossJoin(broadcast(agg))
+    // would put the aggregate subtree on two plan branches and can
+    // rescan the column when exchange reuse doesn't kick in (the
+    // DomainMix.tokenShares lesson) — and the literal partition key
+    // avoids the empty-partition-spec WindowExec warning the old
+    // sum().over() form spammed
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      .rowsBetween(Long.MinValue, Long.MaxValue)
+    counts
       .withColumn("share",
-        col("cnt").cast(DoubleType) / col("__tot").cast(DoubleType))
-      .drop("__tot")
+        col("cnt").cast(DoubleType) / sum("cnt").over(w).cast(DoubleType))
       .withColumn("expected", expectedCol)
   }
 

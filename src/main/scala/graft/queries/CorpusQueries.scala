@@ -660,9 +660,9 @@ object CorpusQueries {
        |  CASE WHEN o.h IS NULL THEN 'added'
        |       WHEN n.h IS NULL THEN 'removed'
        |       ELSE 'retained' END AS status,
-       |  coalesce(n.lang, o.lang) AS lang,
+       |  CASE WHEN n.h IS NOT NULL THEN n.lang ELSE o.lang END AS lang,
        |  COUNT(*)::BIGINT AS n_docs,
-       |  SUM(coalesce(n.t, o.t))::BIGINT AS n_tokens
+       |  SUM(CASE WHEN n.h IS NOT NULL THEN n.t ELSE o.t END)::BIGINT AS n_tokens
        |FROM o FULL JOIN n ON o.h = n.h
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }

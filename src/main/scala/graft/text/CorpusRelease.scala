@@ -81,17 +81,21 @@ object CorpusRelease {
       df.groupBy(md5(col(s"`$textCol`")).as("__h"))
         .agg(min(col(s"`$dimCol`")).as(dimCol),
           min(col(s"`$tokensCol`")).as("__t"))
-    val o = byHash(old)
-    val n = byHash(nw)
+    // presence flags, NOT dim-column nullity: a hash whose dim value is
+    // itself NULL must still classify by which side it appears on
+    val o = byHash(old).withColumn("__po", lit(true))
+    val n = byHash(nw).withColumn("__pn", lit(true))
     o.withColumnRenamed(dimCol, "__do").withColumnRenamed("__t", "__to")
       .join(n.withColumnRenamed(dimCol, "__dn").withColumnRenamed("__t", "__tn"),
         Seq("__h"), "full_outer")
       .select(
-        when(col("__do").isNull, "added")
-          .when(col("__dn").isNull, "removed")
+        when(col("__po").isNull, "added")
+          .when(col("__pn").isNull, "removed")
           .otherwise("retained").as("status"),
-        coalesce(col("__dn"), col("__do")).as(dimCol),
-        coalesce(col("__tn"), col("__to")).as("__t"))
+        when(col("__pn").isNotNull, col("__dn")).otherwise(col("__do"))
+          .as(dimCol),
+        when(col("__pn").isNotNull, col("__tn")).otherwise(col("__to"))
+          .as("__t"))
       .groupBy("status", dimCol)
       .agg(count(lit(1)).as("n_docs"), sum("__t").as("n_tokens"))
   }

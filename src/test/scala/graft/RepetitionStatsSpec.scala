@@ -42,8 +42,7 @@ class RepetitionStatsSpec extends SparkSpec {
   }
 
   test("native ≡ Column reference ≡ grouped t13 metric on the gate corpus") {
-    val docs = spark.read
-      .parquet("/root/testdata/sf0.001/documents.parquet")
+    val docs = Tables.load(spark, sf, "documents")
       .select(col("doc_id"), col("text"))
     val inline = docs.select(col("doc_id"),
       TextAnalysis.inlineDupTrigramFrac("text").as("native"),
