@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
   * plan's logic end to end. */
 object StreamQueries {
 
+  // Hashed-LM gate constants (w13/w14). Declared FIRST: the big
+  // streamCorpusPipelineSql val interpolates them, and a Scala object
+  // initializes vals in declaration order — a forward reference reads
+  // the uninitialized 0 (this bit: the SQL trained "% 0" buckets and a
+  // 0 threshold while the Spark side, a def, read the real values).
+  private val LmB2 = 8192
+  private val LmB1 = 2048
+  /** w14's cutoff: 9.25 bits/gram (¼-bit steps are exact:
+    * 9.25 · 2¹⁰ · 2¹⁶): at the gate SF the en-trained hashed LM
+    * averages ~9.18 bits on en documents and ~9.3 on the rest, so this
+    * keeps most of the trusted language and rejects most of the others
+    * — a working gate, not a degenerate keep-all/none. */
+  private val LmThresh = 620756992L
+  /** w13's fluency cutoff: 10.75 bits/gram (¼-bit steps exact:
+    * 10.75 · 2¹⁰ · 2¹⁶) — the planted w13 corpus is clipped/
+    * concatenated text and its en training slice is small, so scores
+    * sit ~1.5 bits above w14's raw-document gate; probed at the gate SF
+    * (W13LmProbe: en p90 10.73 vs de/es/fr/zh p50 ≈ 10.9), this keeps
+    * ~90% of the trusted language and rejects most of the rest. */
+  private val Lm13Thresh = 721420288L
+
   def windowedStats(spark: SparkSession, dir: String): DataFrame =
     StreamingQuality.windowedStats(Tables.loadEvents(spark, dir),
         "ts", "event_type", "value", windowLen = "1 hour")
@@ -390,11 +411,13 @@ object StreamQueries {
   /** The l2/l3 chain composed as a SINGLE stream — every stage is one
     * of the certified twins (w7 source gate, t22 C4 line filter, the
     * d13-shape LSH corpus probe, t2 quality / t13 repetition / w12
-    * DSIR gates, w5 sampling, w6 stateful packing), wired so the whole
-    * chain is legal in ONE append-mode streaming query:
+    * DSIR / w14 LM-fluency gates, w5 sampling, w6 stateful packing),
+    * wired so the whole chain is legal in ONE append-mode streaming
+    * query:
     *
     *  - the control plane (blocklist, corpus buckets, DSIR weights,
-    *    sampling thresholds) is batch-trained on the ingested-corpus
+    *    hashed-LM counts, sampling thresholds) is batch-trained on the
+    *    ingested-corpus
     *    state — broadcast/static tables, the generate-on-history /
     *    enforce-on-stream loop of w7/w8/w11/w12;
     *  - every data-plane stage up to packing is STATELESS per row: the
@@ -429,7 +452,7 @@ object StreamQueries {
     * sampling thresholds are trained on the gate survivors the chain
     * itself produces — history standing in for the stream. */
   private[graft] def w13Control(spark: SparkSession, dir: String)
-      : (DataFrame, DataFrame, Seq[Long], DataFrame) = {
+      : (DataFrame, DataFrame, Seq[Long], (Seq[Long], Seq[Long]), DataFrame) = {
     val planted = w13Planted(Tables.load(spark, dir, "documents"))
     val blocked = graft.rules.CorpusRules.sourceStats(planted, "source", "text",
         minAvgQuality = 0.895, maxShortFrac = 0.45)
@@ -451,20 +474,26 @@ object StreamQueries {
       graft.text.Importance.hashedWeights(cleaned,
         cleaned.filter(col("lang") === "en"), "text", "doc_id",
         n = 2, buckets = 4096), buckets = 4096)
-    val gated = w13Gated(cleaned, refBuckets, dense)
+    // the CCNet-style fluency gate: hashed bigram LM trained on the
+    // cleaned corpus's trusted subset (the w14 deployment form — dense
+    // O(b2+b1) arrays, per-row native scoring on the stream)
+    val (lmC2, lmC1) = graft.text.LanguageModel.hashedCounts(
+      cleaned.filter(col("lang") === "en"), "text", LmB2, LmB1)
+    val lm = graft.text.LanguageModel.denseCounts(lmC2, lmC1, LmB2, LmB1)
+    val gated = w13Gated(cleaned, refBuckets, dense, lm)
     val counts = gated.groupBy("lang").agg(count(lit(1)).as("__n"))
     val nMin = counts.agg(min("__n").as("__nmin"))
     val probs = counts.crossJoin(broadcast(nMin))
       .select(col("lang"),
         sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
       .localCheckpoint(true)
-    (blocked, refBuckets, dense, probs)
+    (blocked, refBuckets, dense, lm, probs)
   }
 
   /** The stateless mid-chain (probe + gates) over already-cleaned
     * rows — shared by control-plane training and the live chain. */
   private[graft] def w13Gated(cleaned: DataFrame, refBuckets: DataFrame,
-      dense: Seq[Long]): DataFrame = {
+      dense: Seq[Long], lm: (Seq[Long], Seq[Long])): DataFrame = {
     val withBands = cleaned.withColumn("__bb",
       graft.dedup.Dedup.lshBandArray(col("text"),
         shingleSize = 3, numPerms = 16, rowsPerBand = 4))
@@ -480,24 +509,31 @@ object StreamQueries {
       .select(col("doc_id"), col("lang"), col("text"))
     val (_, score) = graft.text.Importance.scoreColumns(
       dense, "text", n = 2, buckets = 4096)
+    // fluency gate: per-row native LM scoring (w14's kernel), threshold
+    // cross-multiplied so the comparison stays integer
+    val (lmN, lmNll) = graft.text.LanguageModel.nllColumns(
+      lm._1, lm._2, LmB2, LmB1, "text")
     survivors.filter(
       TextQueries.round4(graft.text.TextAnalysis.qualityScore("text")) >= 0.9 &&
         TextQueries.round4(
           graft.text.TextAnalysis.inlineDupTrigramFrac("text")) < 0.3 &&
-        score >= 0L)
+        score >= 0L &&
+        lmN > 0L && lmNll * 1024L <= lmN * lit(Lm13Thresh))
   }
+
 
   /** The full data-plane chain over a (possibly streaming) planted
     * frame, given the trained control plane. */
   private[graft] def w13Chain(planted: DataFrame, blocked: DataFrame,
-      refBuckets: DataFrame, dense: Seq[Long], probs: DataFrame): DataFrame = {
+      refBuckets: DataFrame, dense: Seq[Long], lm: (Seq[Long], Seq[Long]),
+      probs: DataFrame): DataFrame = {
     val gatedSrc = planted.join(broadcast(blocked), Seq("source"), "left_anti")
     val cleaned = graft.text.Cleaning.c4Clean(gatedSrc, "text", "doc_id",
         keep = Seq("lang"))
       .filter(col("kept"))
       .select(col("id").as("doc_id"), col("lang"),
         col("clean_text").as("text"))
-    val kept = w13Gated(cleaned, refBuckets, dense)
+    val kept = w13Gated(cleaned, refBuckets, dense, lm)
     val sampled = graft.text.Sampling.weightedSample(kept, "lang", "doc_id", probs)
     val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text",
       window = 32, step = 24, keep = Seq("lang"))
@@ -506,9 +542,9 @@ object StreamQueries {
   }
 
   def streamCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val (blocked, refBuckets, dense, probs) = w13Control(spark, dir)
+    val (blocked, refBuckets, dense, lm, probs) = w13Control(spark, dir)
     w13Chain(w13Planted(Tables.load(spark, dir, "documents")),
-        blocked, refBuckets, dense, probs)
+        blocked, refBuckets, dense, lm, probs)
       .orderBy("lang", "bin_id", "seq")
   }
 
@@ -543,6 +579,18 @@ object StreamQueries {
       s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${graft.dedup.Dedup.P}) AS min_hash FROM chashes GROUP BY doc_id"
     }.mkString("\nUNION ALL\n")
     val bkt = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 4096)::BIGINT"
+    // the LM gate's bucket hashes and fixed-point log2 ladders (the w14
+    // mirror, trained on the cleaned corpus's en subset)
+    def lmBkt(e: String, m: Int) =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val lmECase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val lmPCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val lmPs = graft.text.LanguageModel.PScale
+    val lmTopF = 31L * graft.text.LanguageModel.F
     s"""WITH planted AS (
        |  SELECT doc_id, lang, source,
        |    substr(text, 1, 120) || '.' || chr(10) ||
@@ -632,14 +680,36 @@ object StreamQueries {
        |          i -> $wsq[i] || ' ' || $wsq[i+1] || ' ' || $wsq[i+2]))
        |      ELSE [] END AS g3
        |    FROM survivors)),
+       |lmcr AS (SELECT ${lmBkt("g", LmB2)} AS b2k, COUNT(*) AS c2
+       |         FROM rg JOIN clean USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |lmc1 AS (SELECT ${lmBkt("split_part(g, ' ', 1)", LmB1)} AS b1k, COUNT(*) AS c1
+       |         FROM rg JOIN clean USING (doc_id) WHERE lang = 'en' GROUP BY 1),
+       |lmq AS (
+       |  SELECT doc_id, LEAST(GREATEST(
+       |    ((coalesce(c2, 0) + 1) * $lmPs) // (coalesce(c1, 0) + $LmB2),
+       |    1), $lmPs) AS q
+       |  FROM (SELECT doc_id, ${lmBkt("g", LmB2)} AS b2k,
+       |          ${lmBkt("split_part(g, ' ', 1)", LmB1)} AS b1k
+       |        FROM (SELECT doc_id,
+       |                unnest(list_transform(range(1, len($ws3)),
+       |                  i -> $ws3[i] || ' ' || $ws3[i + 1])) AS g
+       |              FROM survivors WHERE len($ws3) >= 2))
+       |  LEFT JOIN lmcr USING (b2k) LEFT JOIN lmc1 USING (b1k)),
+       |lmnll AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS lm_n,
+       |    SUM($lmTopF - ($lmECase) - ((q * 65536) // ($lmPCase)))::BIGINT AS lm_nll
+       |  FROM lmq GROUP BY doc_id),
        |kept AS (
        |  SELECT s.doc_id, s.lang, s.text
        |  FROM survivors s
        |  JOIN rep USING (doc_id)
        |  LEFT JOIN dscore USING (doc_id)
+       |  LEFT JOIN lmnll USING (doc_id)
        |  WHERE FLOOR($qual * 10000 + 0.5) / 10000.0 >= 0.9
        |    AND FLOOR(rep.frac * 10000 + 0.5) / 10000.0 < 0.3
-       |    AND coalesce(dscore.score, 0) >= 0),
+       |    AND coalesce(dscore.score, 0) >= 0
+       |    AND coalesce(lm_n, 0) > 0
+       |    AND coalesce(lm_nll, 0) * 1024 <= $Lm13Thresh * coalesce(lm_n, 0)),
        |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
        |mn AS (SELECT MIN(n) AS n_min FROM counts),
        |probs AS (
@@ -692,14 +762,6 @@ object StreamQueries {
     * StreamingSpec pins the MemoryStream run to these exact rows). The
     * gate keeps documents whose average NLL clears the threshold —
     * cross-multiplied (nll·2¹⁰ ≤ thresh·n_grams), no division. */
-  private val LmB2 = 8192
-  private val LmB1 = 2048
-  /** 9.25 bits/gram (¼-bit steps are exact: 9.25 · 2¹⁰ · 2¹⁶): at the
-    * gate SF the en-trained hashed LM averages ~9.18 bits on en
-    * documents and ~9.3 on the rest, so this keeps most of the trusted
-    * language and rejects most of the others — a working gate, not a
-    * degenerate keep-all/none. */
-  private val LmThresh = 620756992L
 
   def streamLmGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")

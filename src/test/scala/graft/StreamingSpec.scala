@@ -613,13 +613,13 @@ class StreamingSpec extends SparkSpec {
     val dir = sf // sf0.001 keeps the spec fast; w13's gate run is sf0.01
     val docsStatic = graft.Tables.load(spark, dir, "documents")
     // control plane batch-trained once (static tables + literal weights)
-    val (blocked, refBuckets, dense, probs) =
+    val (blocked, refBuckets, dense, lm, probs) =
       graft.queries.StreamQueries.w13Control(spark, dir)
     val planted = graft.queries.StreamQueries.w13Planted(docsStatic)
     val outCols = Seq("lang", "bin_id", "seq", "doc_id", "token_start",
       "token_len")
     val batch = graft.queries.StreamQueries
-      .w13Chain(planted, blocked, refBuckets, dense, probs)
+      .w13Chain(planted, blocked, refBuckets, dense, lm, probs)
       .select(outCols.head, outCols.tail: _*)
       .as[(String, Long, Long, Long, Long, Long)].collect().toSet
     assert(batch.nonEmpty)
@@ -634,7 +634,7 @@ class StreamingSpec extends SparkSpec {
     val input = MemoryStream[(Long, String, String, String)]
     val stream = input.toDF().toDF("doc_id", "lang", "source", "text")
     val q = graft.queries.StreamQueries
-      .w13Chain(stream, blocked, refBuckets, dense, probs)
+      .w13Chain(stream, blocked, refBuckets, dense, lm, probs)
       .writeStream.format("memory").queryName("w13_out")
       .outputMode("append").start()
     try {

@@ -17,7 +17,7 @@ object W13Probe {
     }
     val q = graft.queries.StreamQueries
     val planted = q.w13Planted(graft.Tables.load(spark, dir, "documents"))
-    val (blocked, refBuckets, dense, probs) = t("control") { q.w13Control(spark, dir) }
+    val (blocked, refBuckets, dense, lm, probs) = t("control") { q.w13Control(spark, dir) }
     val cleaned = graft.text.Cleaning.c4Clean(
         planted.join(broadcast(blocked), Seq("source"), "left_anti"),
         "text", "doc_id", keep = Seq("lang"))
