@@ -48,6 +48,13 @@ import org.apache.spark.sql.functions._
   * broadcast totals row like [[Importance.guardedTotal]] (reference
   * bigram total + V ≤ 2³² covers every per-gram count); beyond that,
   * cast the products to DecimalType(38,0) — same plan, wider buffers.
+  *
+  * Language scope: the [a-z0-9] tokenizer means non-Latin documents
+  * yield zero bigrams → UNSCORABLE, which ranks them tail in
+  * [[perplexityBuckets]] and drops them at gates that require
+  * n_grams > 0 — matching CCNet's practice of one LM per language
+  * (train per-language models on [[graft.text.ScriptText]]-segmented
+  * corpora and route by its script vote to cover the rest).
   */
 object LanguageModel {
 
