@@ -500,6 +500,36 @@ object Dedup {
             col("n_windows").cast("double")).as("dup_frac"))
   }
 
+  /** Corpus-frequent shingles — the boilerplate phrase TABLE (the
+    * grams [[passageDupStats]] only counts per document): every
+    * k-word shingle whose document frequency reaches `minDf`, with
+    * its exact df. The input to site-template stripping and
+    * stop-shingle curation at crawl scale.
+    *
+    * Two-pass bucket-pruned heavy hitters, so the distinct-gram space
+    * NEVER shuffles: pass 1 counts md5 buckets of the shingle stream —
+    * a `buckets`-bounded, map-side-combinable aggregation — and keeps
+    * buckets whose count clears `minDf` (a gram with df ≥ minDf
+    * necessarily lives in one: its bucket's count is a sum over the
+    * gram's own df); pass 2 exact-counts ONLY shingles in surviving
+    * buckets (the candidate bucket ids are a ≤`buckets`-row
+    * control-plane frame, broadcast, so the filter is map-side) and
+    * the final df ≥ minDf check removes bucket-collision passengers.
+    * Output is exact — the bucket pass is a superset guarantee, not an
+    * approximation (FrequentShinglesSpec pins ≡ the naive
+    * groupBy-HAVING even at buckets = 4). */
+  def frequentShingles(df: DataFrame, textCol: String, idCol: String,
+      k: Int, minDf: Long, buckets: Int = 1 << 16): DataFrame = {
+    val sh = graft.ops.StagePersists.track(
+      wordShingles(df, textCol, idCol, k).select("shingle"))
+    val b = pmod(md5Long(col("shingle")), lit(buckets.toLong))
+    val cand = sh.groupBy(b.as("__b")).agg(count(lit(1)).as("__bc"))
+      .filter(col("__bc") >= minDf).select("__b")
+    sh.join(broadcast(cand), b === col("__b"))
+      .groupBy("shingle").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+  }
+
   /** Exact-substring dedup REWRITE (Lee et al. 2022 §4 at k-token
     * window grain): every k-token window whose text already occurred
     * at an earlier global position — (doc, pos) lexicographic, first

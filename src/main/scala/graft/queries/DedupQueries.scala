@@ -761,6 +761,29 @@ object DedupQueries {
        |FROM grams JOIN eval_grams USING (g)
        |GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // ---- d18: corpus-frequent shingles (boilerplate phrase table) ---------
+
+  /** The boilerplate phrase table: every 5-word shingle appearing in
+    * at least 3 documents, with its exact document frequency —
+    * [[graft.dedup.Dedup.frequentShingles]]' two-pass bucket-pruned
+    * heavy hitters (the distinct-gram space never shuffles; the bucket
+    * pass is a superset guarantee, so the output is exact). */
+  def frequentShingles(spark: SparkSession, dir: String): DataFrame =
+    graft.dedup.Dedup.frequentShingles(
+        Tables.load(spark, dir, "documents"), "text", "doc_id",
+        k = 5, minDf = 3L)
+      .orderBy("shingle")
+
+  val frequentShinglesSql: String =
+    s"""WITH g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 3, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2] || ' ' || $WS[i+3] || ' ' || $WS[i+4])) AS g
+       |  FROM documents WHERE len($WS) >= 5),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0)
+       |SELECT g AS shingle, COUNT(*)::BIGINT AS df
+       |FROM grams GROUP BY g HAVING COUNT(*) >= 3
+       |ORDER BY shingle""".stripMargin
+
   // ---- d14: line-frequency dedup ---------------------------------------
 
   private val NavLine = "repeated boilerplate navigation line planted on every fourth page"
@@ -936,6 +959,7 @@ object DedupQueries {
     "d6_embedding_dups" -> (embeddingDups _),
     "d7_dup_components" -> (dupComponents _),
     "d8_contamination" -> (contamination _),
+    "d18_frequent_shingles" -> (frequentShingles _),
     "d9_dup_passages" -> (dupPassages _),
     "d10_substring_dedup" -> (substringDedup _),
     "d11_keep_best" -> (keepBestCanonical _),
@@ -956,6 +980,7 @@ object DedupQueries {
     "d6_embedding_dups" -> embeddingDupsSql,
     "d7_dup_components" -> dupComponentsSql,
     "d8_contamination" -> contaminationSql,
+    "d18_frequent_shingles" -> frequentShinglesSql,
     "d9_dup_passages" -> dupPassagesSql,
     "d10_substring_dedup" -> substringDedupSql,
     "d11_keep_best" -> keepBestCanonicalSql,
