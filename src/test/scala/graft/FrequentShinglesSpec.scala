@@ -42,6 +42,16 @@ class FrequentShinglesSpec extends SparkSpec {
     assert(got == naive(5, 3L))
   }
 
+  test("plan shape: the candidate prune reaches the exact pass as a " +
+      "broadcast join (the distinct-gram space must not shuffle whole)") {
+    val plan = Dedup.frequentShingles(docs, "text", "doc_id",
+        k = 5, minDf = 3L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected a broadcast candidate filter in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("no candidate bucket clears the threshold -> empty, not an error") {
     val out = Dedup.frequentShingles(docs, "text", "doc_id",
       k = 5, minDf = 1000L)

@@ -85,6 +85,34 @@ class LmScoreSpec extends SparkSpec {
     assert(du2 == df2 && du1 == df1)
   }
 
+  test("native kernel == Column reference on a 300-string random corpus " +
+      "(ScalaCheck, every classification boundary)") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val atom: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerChar.map(_.toString), Gen.alphaUpperChar.map(_.toString),
+      Gen.numChar.map(_.toString),
+      Gen.oneOf(' ', '\t', '\n', ',', '.', '-').map(_.toString),
+      Gen.choose(0xdf.toChar, 0x101.toChar).map(_.toString),
+      Gen.oneOf("İ", "K", "Ÿ", "̇", "一", "テ", "😀"))
+    val genText = Gen.chooseNum(0, 40).flatMap(n =>
+      Gen.listOfN(n, atom).map(_.mkString))
+    val texts = Gen.listOfN(300, genText)
+      .apply(Gen.Parameters.default, Seed(97L)).getOrElse(Nil)
+    assert(texts.nonEmpty)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val (c2, c1) = LanguageModel.hashedCounts(
+      df.filter($"id" % 3 === 0), "text", b2 = 16, b1 = 8)
+    val (d2, d1) = LanguageModel.denseCounts(c2, c1, 16, 8)
+    val (nN, nS) = LanguageModel.nllColumns(d2, d1, 16, 8, "text")
+    val (rN, rS) = LanguageModel.nllColumnsReference(d2, d1, 16, 8, "text")
+    val bad = df.select($"id", nN.as("nn"), nS.as("ns"),
+        rN.as("rn"), rS.as("rs"))
+      .filter($"nn" =!= $"rn" || $"ns" =!= $"rs").collect()
+    assert(bad.isEmpty, bad.take(3).mkString("; "))
+  }
+
   test("size contract: dense arrays must match the bucket counts") {
     intercept[IllegalArgumentException] {
       LanguageModel.nllColumns(Seq(0L), Seq(0L), 8, 4, "text")
