@@ -91,17 +91,13 @@ object LmScore {
     var prev: String = null
     var i = 0
     val n = low.length
-    while (i <= n) {
-      val tok = i < n && {
-        val b = low(i) & 0xff
-        (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      }
-      if (tok) {
+    // [[TokenWalk]] classification (single-sourced family rule), so
+    // the ASCII token stream equals TokenArray.asciiTokens on every
+    // input, well-formed or not
+    while (i < n) {
+      if (TokenWalk.tokenLen(low, i, n, ascii = true) > 0) {
         var j = i + 1
-        while (j < n && {
-          val b = low(j) & 0xff
-          (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-        }) j += 1
+        while (j < n && TokenWalk.tokenLen(low, j, n, ascii = true) > 0) j += 1
         val w = new String(low, i, j - i,
           java.nio.charset.StandardCharsets.UTF_8)
         if (prev != null) {
@@ -110,17 +106,8 @@ object LmScore {
         }
         prev = w
         i = j
-      } else if (i >= n) {
-        i += 1 // loop exit (the i == n iteration exists only for `tok`)
       } else {
-        // separator advance by declared sequence length — the family
-        // walker's step rule (TokenArray/QualityStats), so the ASCII
-        // token stream equals TokenArray.asciiTokens on every input
-        val b = low(i) & 0xff
-        if (b >= 0xf0) i += 4
-        else if (b >= 0xe0) i += 3
-        else if (b >= 0x80) i += 2
-        else i += 1
+        i += TokenWalk.sepStep(low(i) & 0xff)
       }
     }
     Array(nGrams, nll)

@@ -58,33 +58,22 @@ object RepetitionStats {
     val low = s.toLowerCase.getBytes
     val toks = new java.util.ArrayList[String]()
     val m = low.length
+    // [[TokenWalk]] classification (single-sourced family rule)
     var j = 0
-    var runStart = -1
-    def endRun(endExcl: Int): Unit = if (runStart >= 0) {
-      toks.add(new String(low, runStart, endExcl - runStart,
-        java.nio.charset.StandardCharsets.UTF_8))
-      runStart = -1
-    }
     while (j < m) {
-      val b = low(j) & 0xff
-      var tok = false
-      var step = 1
-      if (b < 0x80) {
-        tok = (b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')
-      } else if (b < 0xe0) {
-        // dangling lead byte (malformed UTF-8) is a token break
-        tok = j + 1 < m && {
-          val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
-          cp >= 0xe0 && cp <= 0xff
+      val tl = TokenWalk.tokenLen(low, j, m, ascii = false)
+      if (tl > 0) {
+        var e = j + tl
+        var nl = if (e < m) TokenWalk.tokenLen(low, e, m, ascii = false) else 0
+        while (nl > 0) {
+          e += nl
+          nl = if (e < m) TokenWalk.tokenLen(low, e, m, ascii = false) else 0
         }
-        step = 2
-      } else if (b < 0xf0) step = 3
-      else step = 4
-      if (tok) { if (runStart < 0) runStart = j }
-      else endRun(j)
-      j += step
+        toks.add(new String(low, j, e - j,
+          java.nio.charset.StandardCharsets.UTF_8))
+        j = e
+      } else j += TokenWalk.sepStep(low(j) & 0xff)
     }
-    endRun(m)
     val n = toks.size
     if (n < 3) return 0.0
     val total = n - 2

@@ -65,34 +65,21 @@ object TokenArray {
     val out = new java.util.ArrayList[Any](8)
     var i = 0
     while (i < n) {
-      // advance to the next token byte. Byte classification follows
-      // the QualityStats/MarkerLangId/RepetitionStats family walker
-      // exactly (0x80–0xDF attempts a 2-byte decode and steps by 2 even
-      // when malformed), so size(TokenArray(c)) == the QualityStats
-      // token count and trigrams over these tokens == RepetitionStats
-      // on EVERY input, well-formed or not.
+      // advance to the next token byte ([[TokenWalk]] — the family
+      // classification rule, single-sourced), so size(TokenArray(c))
+      // == the QualityStats token count and trigrams over these tokens
+      // == RepetitionStats on EVERY input, well-formed or not
       var start = -1
       while (i < n && start < 0) {
-        val b = low(i) & 0xff
-        if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) start = i
-        else if (!ascii && b >= 0x80 && b < 0xe0 && i + 1 < n && {
-            val cp = ((b & 0x1f) << 6) | (low(i + 1) & 0x3f)
-            cp >= 0xe0 && cp <= 0xff }) start = i
-        else if (b >= 0xf0) i += 4
-        else if (b >= 0xe0) i += 3
-        else if (b >= 0x80) i += 2
-        else i += 1
+        if (TokenWalk.tokenLen(low, i, n, ascii) > 0) start = i
+        else i += TokenWalk.sepStep(low(i) & 0xff)
       }
       if (start >= 0) {
         var j = start
-        var done = false
-        while (j < n && !done) {
-          val b = low(j) & 0xff
-          if ((b >= 'a' && b <= 'z') || (b >= '0' && b <= '9')) j += 1
-          else if (!ascii && b >= 0x80 && b < 0xe0 && j + 1 < n && {
-              val cp = ((b & 0x1f) << 6) | (low(j + 1) & 0x3f)
-              cp >= 0xe0 && cp <= 0xff }) j += 2
-          else done = true
+        var tl = TokenWalk.tokenLen(low, j, n, ascii)
+        while (tl > 0) {
+          j += tl
+          tl = if (j < n) TokenWalk.tokenLen(low, j, n, ascii) else 0
         }
         out.add(UTF8String.fromBytes(low, start, j - start))
         i = j

@@ -652,17 +652,17 @@ object CorpusQueries {
        |  SELECT doc_id, lang, source, md5(text) AS h,
        |    len($ws)::BIGINT AS n_toks
        |  FROM documents),
-       |o AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t
+       |o AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t, TRUE AS po
        |      FROM d WHERE source <> 'src3' GROUP BY h),
-       |n AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t
+       |n AS (SELECT h, MIN(lang) AS lang, MIN(n_toks) AS t, TRUE AS pn
        |      FROM d WHERE doc_id % 5 <> 0 GROUP BY h)
        |SELECT
-       |  CASE WHEN o.h IS NULL THEN 'added'
-       |       WHEN n.h IS NULL THEN 'removed'
+       |  CASE WHEN po IS NULL THEN 'added'
+       |       WHEN pn IS NULL THEN 'removed'
        |       ELSE 'retained' END AS status,
-       |  CASE WHEN n.h IS NOT NULL THEN n.lang ELSE o.lang END AS lang,
+       |  CASE WHEN pn IS NOT NULL THEN n.lang ELSE o.lang END AS lang,
        |  COUNT(*)::BIGINT AS n_docs,
-       |  SUM(CASE WHEN n.h IS NOT NULL THEN n.t ELSE o.t END)::BIGINT AS n_tokens
+       |  SUM(CASE WHEN pn IS NOT NULL THEN n.t ELSE o.t END)::BIGINT AS n_tokens
        |FROM o FULL JOIN n ON o.h = n.h
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }

@@ -16,8 +16,8 @@ object StreamQueries {
   // initializes vals in declaration order — a forward reference reads
   // the uninitialized 0 (this bit: the SQL trained "% 0" buckets and a
   // 0 threshold while the Spark side, a def, read the real values).
-  private val LmB2 = 8192
-  private val LmB1 = 2048
+  private[graft] val LmB2 = 8192
+  private[graft] val LmB1 = 2048
   /** w14's cutoff: 9.25 bits/gram (¼-bit steps are exact:
     * 9.25 · 2¹⁰ · 2¹⁶): at the gate SF the en-trained hashed LM
     * averages ~9.18 bits on en documents and ~9.3 on the rest, so this

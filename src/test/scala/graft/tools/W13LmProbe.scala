@@ -22,7 +22,8 @@ object W13LmProbe {
       .filter(col("kept"))
       .select(col("id").as("doc_id"), col("lang"), col("clean_text").as("text"))
     val (n, nll) = graft.text.LanguageModel.nllColumns(
-      lm._1, lm._2, 8192, 2048, "text")
+      lm._1, lm._2, graft.queries.StreamQueries.LmB2,
+      graft.queries.StreamQueries.LmB1, "text")
     cleaned.select(col("lang"), n.as("n"), nll.as("s"))
       .filter(col("n") > 0)
       .withColumn("bits", col("s").cast("double") / col("n") / 65536.0)
