@@ -97,12 +97,17 @@ object Bench {
     // the driver keeps only a ~2000-char stdout TAIL, which a 127-query
     // samples map outgrows — persist the full line to a repo file too
     // (committed with the round) so cross-round diffing has the data
+    // default next to the working directory (the repo root when run via
+    // tools/run.sh), not a hardcoded absolute path — on another checkout
+    // the artifact must land in THAT checkout; failures warn, not vanish
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
+      new java.io.File("BENCH_SAMPLES.json").getAbsolutePath)
     try {
-      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
-        "/root/repo/BENCH_SAMPLES.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (samplesLine + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] WARNING: could not write samples to $out: $t")
+    }
     println(samplesLine)
     println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"failures":$failJson,"sf":"$sfDir"}""")

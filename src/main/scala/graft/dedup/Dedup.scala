@@ -307,7 +307,9 @@ object Dedup {
     * corpus-bucket table via per-band join keys instead of an
     * explode-and-reaggregate (which would force an append-illegal
     * aggregation mid-stream). Fewer-than-`shingleSize`-word docs yield
-    * an empty array. */
+    * an EMPTY array — band-probing consumers must index it with
+    * `try_element_at` (or guard on `size`): a bare `element_at(bb, k)`
+    * throws under ANSI mode the moment a short document arrives. */
   def lshBandArray(textCol: Column, shingleSize: Int, numPerms: Int,
       rowsPerBand: Int): Column = {
     require(numPerms % rowsPerBand == 0,

@@ -32,6 +32,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *              (d1[bucket(w₁, b1)] + b2), [1, 2³⁰]);
   *  - nll += 31·2¹⁶ − e·2¹⁶ − (q·2¹⁶)/2ᵉ with e = ⌊log2 q⌋
   *    (Long division of non-negative operands = the SQL `div`).
+  *
+  * Equality with the regex tokenizer holds for well-formed UTF-8;
+  * malformed bytes follow the [[TokenWalk]] family rule (documented
+  * there), which may diverge from the regex contract.
   */
 case class LmScore(child: Expression, model: LmScore.Model)
     extends UnaryExpression {
@@ -70,6 +74,17 @@ object LmScore {
       extends Serializable {
     val b2: Int = d2.length
     val b1: Int = d1.length
+    // value equality over the counts: without it two structurally
+    // identical LmScore expressions never compare equal, so Catalyst
+    // canonicalization / common-subexpression elimination treats
+    // independently constructed score columns as distinct work
+    override def equals(o: Any): Boolean = o match {
+      case m: Model => java.util.Arrays.equals(d2, m.d2) &&
+        java.util.Arrays.equals(d1, m.d1)
+      case _ => false
+    }
+    override def hashCode: Int =
+      31 * java.util.Arrays.hashCode(d2) + java.util.Arrays.hashCode(d1)
   }
 
   private val F = 65536L

@@ -26,7 +26,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * cross-engine): dup = Σ count(g) over trigrams with count > 1,
   * total = tokens − 2, frac = dup/total as an IEEE double division,
   * 0.0 for documents with fewer than 3 tokens. A multiset count equals
-  * the sorted-run-length fold exactly, so no sort is needed. */
+  * the sorted-run-length fold exactly, so no sort is needed. Equality
+  * holds for well-formed UTF-8; malformed bytes follow the
+  * [[TokenWalk]] family rule, which may diverge from the regex
+  * (documented there — do not assume regex equality on raw bytes). */
 case class RepetitionStats(child: Expression) extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =

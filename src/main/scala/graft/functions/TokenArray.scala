@@ -31,6 +31,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * byte walk classifies exactly); every other code point (3/4-byte
   * sequences included, all bytes ≥ 0x80 but with lead bytes ≥ 0xE0)
   * is a separator.
+  *
+  * On MALFORMED UTF-8 the kernels follow the [[TokenWalk]] family rule
+  * (a bare continuation byte advances 2, which can skip a following
+  * token byte) and may diverge from the regex — equality is pinned for
+  * well-formed strings plus kernel-internal consistency only
+  * (TokenArrayPropertySpec guards the family rule). Do NOT assume
+  * regex equality on arbitrary bytes in a new kernel.
   */
 case class TokenArray(child: Expression, ascii: Boolean)
     extends UnaryExpression {

@@ -497,11 +497,17 @@ object StreamQueries {
     val withBands = cleaned.withColumn("__bb",
       graft.dedup.Dedup.lshBandArray(col("text"),
         shingleSize = 3, numPerms = 16, rowsPerBand = 4))
+    // try_element_at: __bb is EMPTY for docs under shingleSize words
+    // (c4Clean's >=2-lines-of->=5-words gate happens to exclude them
+    // here, but the probe pattern must not depend on that — a plain
+    // element_at throws under ANSI on the first short doc). NULL band
+    // keys never equi-match, so empty-band docs pass the probe — the
+    // same no-bands-no-collision semantics as the aggregated path.
     val probed = (0 until 4).foldLeft(withBands) { (df, k) =>
       val ref = refBuckets.filter(col("band") === k)
         .select(col("bucket").as(s"__r$k"))
       df.join(broadcast(ref),
-          element_at(col("__bb"), k + 1).getField("bucket") === col(s"__r$k"),
+          try_element_at(col("__bb"), lit(k + 1)).getField("bucket") === col(s"__r$k"),
           "left_outer")
     }
     val survivors = probed
