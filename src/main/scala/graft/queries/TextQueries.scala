@@ -443,16 +443,18 @@ object TextQueries {
 
   /** The canonical tokenizer-training job: learn the 12 most frequent
     * adjacent-piece merges from the documents corpus
-    * ([[graft.text.BpeTrainer.trainMerges]] — weighted distinct-word
-    * formulation, deterministic lexicographic ties). Oracled since the
-    * merge count is a FIXED parameter: the oracle unrolls the 12
+    * ([[graft.text.BpeTrainer.trainMergesLocal]] — ONE distributed
+    * weighted word-count aggregation, then the driver-local heap merge
+    * loop; BpeLocalSpec pins it ≡ the distributed round-per-merge
+    * formulation, whose semantics this oracle replays). Oracled since
+    * the merge count is a FIXED parameter: the oracle unrolls the 12
     * data-dependent rounds as chained CTEs (argmax → greedy merge
     * application via run-parity islands → next round's pair counts),
     * replaying the training loop exactly. */
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     graft.text.BpeTrainer
-      .trainMerges(Tables.load(spark, dir, "documents"), "text", numMerges = 12)
+      .trainMergesLocal(Tables.load(spark, dir, "documents"), "text", numMerges = 12)
       .toDF("rank", "piece_left", "piece_right", "freq")
       .orderBy("rank")
   }
@@ -548,7 +550,7 @@ object TextQueries {
   def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
     val merges = graft.text.BpeTrainer
-      .trainMerges(docs, "text", numMerges = 12)
+      .trainMergesLocal(docs, "text", numMerges = 12)
       .map(m => (m._2, m._3))
     val counter = graft.text.BpeTokenCounter(merges)
     docs.select(col("doc_id"),
