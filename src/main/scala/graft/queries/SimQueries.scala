@@ -123,21 +123,112 @@ object SimQueries {
        |FROM centroids ORDER BY label""".stripMargin
   }
 
-  // ---- s5: IVF approximate top-k (scale path; deterministic Lloyd
-  // quantizer but no SQL equivalent → rows-only) -------------------------
+  // ---- s5: IVF approximate top-k (scale path) --------------------------
+
+  private val IvfNlist = 8
+  private val IvfK = 10
+  private val IvfNprobe = 7
+  private val IvfIters = 10
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").lockedCheckpoint()
     // corpus = all vectors; the query_id predicate pushes into the
     // probe branch, so only NQueries vectors fan out to their lists.
-    // nprobe = 6 of 8: the synthetic embeddings cluster weakly, so
-    // true neighbors spread across lists — 6 probes is where
-    // recall@10 vs brute force clears 0.9 (IvfSpec pins that bound;
-    // measured 0.65/0.80/0.86/0.97 at nprobe 3/4/5/6 on sf0.001)
+    // nprobe = 7 of 8: the synthetic embeddings cluster weakly, so
+    // true neighbors spread across lists — 7 probes is where
+    // recall@10 vs brute force clears 0.9 under the portable sample
+    // order (IvfSpec pins that bound; measured 0.80/0.87/0.95 at
+    // nprobe 5/6/7 on sf0.001, 0.99 at sf0.01)
     Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 6)
+        k = IvfK, nlist = IvfNlist, nprobe = IvfNprobe)
       .filter(col("query_id") < NQueries)
       .orderBy("query_id", "rk")
+  }
+
+  /** s5 hash-oracled via the c1 unroll device: the coarse quantizer is
+    * a SEEDED, bounded Lloyd fit over a portably-ordered sample
+    * ([[Similarity.trainCoarseCentroids]]: init = the sample's first
+    * `nlist` points, exactly `IvfIters` rounds, means accumulated in
+    * sample order, first-minimum argmin), so the whole fit replays as
+    * chained CTEs — sample order from the 60-bit md5 key, per-round
+    * assignment via ROW_NUMBER (d, c), per-dimension ordered SUMs
+    * mirroring the driver's fold, empty clusters carried by
+    * COALESCE. The probe/scoring tail is the s1 cosine mirror over an
+    * equi-join on the assigned list. Every arithmetic step is the
+    * identical IEEE sequence (explicit left-to-right 64-term sums =
+    * the aggregate-HOF fold; float→double widening exact on both
+    * engines). */
+  val ivfTopKSql: String = {
+    // d2 between a sample/corpus row alias (list column e) and a
+    // centroid alias (f1..f64): explicit left-to-right chain — the
+    // fold starts at 0.0, and 0.0 + t1 = t1 exactly for squares
+    def d2(row: String, cen: String): String =
+      (1 to Dim).map(j => s"($row.e[$j] - $cen.f$j) * ($row.e[$j] - $cen.f$j)")
+        .mkString(" + ")
+    val initCols = (1 to Dim).map(j => s"e[$j] AS f$j").mkString(", ")
+    val rounds = (1 to IvfIters).map { r =>
+      val prev = s"cents${r - 1}"
+      val meanCols = (1 to Dim)
+        .map(j => s"SUM(s.e[$j] ORDER BY s.rn) / COUNT(*) AS f$j")
+        .mkString(", ")
+      val keepCols = (1 to Dim).map(j => s"COALESCE(m.f$j, p.f$j) AS f$j")
+        .mkString(", ")
+      s"""asg$r AS MATERIALIZED (
+         |  SELECT rn, c FROM (
+         |    SELECT s.rn, k.c,
+         |      row_number() OVER (PARTITION BY s.rn ORDER BY ${d2("s", "k")}, k.c) AS a
+         |    FROM samp s, $prev k)
+         |  WHERE a = 1),
+         |cents$r AS MATERIALIZED (
+         |  SELECT p.c, $keepCols
+         |  FROM $prev p LEFT JOIN (
+         |    SELECT a.c, $meanCols
+         |    FROM asg$r a JOIN samp s USING (rn) GROUP BY a.c) m USING (c))"""
+        .stripMargin
+    }.mkString(",\n")
+    val fin = s"cents$IvfIters"
+    s"""WITH samp AS MATERIALIZED (
+       |  SELECT * FROM (
+       |    SELECT embedding::DOUBLE[] AS e, vec_id,
+       |      row_number() OVER (ORDER BY
+       |        ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT,
+       |        vec_id) AS rn
+       |    FROM embeddings)
+       |  WHERE rn <= 10000),
+       |cents0 AS (SELECT rn - 1 AS c, $initCols FROM samp WHERE rn <= $IvfNlist),
+       |$rounds,
+       |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id AS id, c AS list_id FROM (
+       |    SELECT v.vec_id, k.c,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${d2("v", "k")}, k.c) AS a
+       |    FROM corpus v, $fin k)
+       |  WHERE a = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, c AS list_id FROM (
+       |    SELECT v.vec_id, k.c,
+       |      row_number() OVER (PARTITION BY v.vec_id ORDER BY ${d2("v", "k")}, k.c) AS a
+       |    FROM corpus v, $fin k
+       |    WHERE v.vec_id < $NQueries)
+       |  WHERE a <= $IvfNprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.id AS neighbor_id,
+       |    ROUND(list_dot_product(q.e, v.e)
+       |      / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(v.e, v.e))),
+       |      4) AS score
+       |  FROM probes p
+       |  JOIN assigned a USING (list_id)
+       |  JOIN corpus q ON q.vec_id = p.query_id
+       |  JOIN corpus v ON v.vec_id = a.id
+       |  WHERE p.query_id <> a.id)
+       |SELECT query_id, neighbor_id, score, rk
+       |FROM (
+       |  SELECT query_id, neighbor_id, score,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY score DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |WHERE rk <= $IvfK
+       |ORDER BY query_id, rk""".stripMargin
   }
 
   // ---- s7: domain-mixing token shares ----------------------------------
@@ -390,6 +481,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s5_ivf_topk" -> ivfTopKSql,
     "s11_cluster_balanced" -> clusterBalancedSampleSql,
     "s10_pq_incremental" -> pqIncrementalSql,
     "s8_pq_topk" -> pqTopKSql,

@@ -192,8 +192,15 @@ object Similarity {
     // sort shuffle — and unlike limit() it is not first-k-rows biased.
     // The id is a secondary sort key so hash ties at the maxSample
     // boundary cut deterministically regardless of partition order.
+    // PORTABLE hash (60-bit md5 prefix of the decimal id — the engine's
+    // sampling-key convention), not xxhash64: the sample ORDER seeds the
+    // Lloyd fit (init = first nlist points, means accumulate in sample
+    // order), and with a portable key the s5 oracle replays the whole
+    // quantizer as chained CTEs (the c1 unroll device).
     val sample = corpus
-      .select(col(vecCol), xxhash64(col(idCol)).as("__h"), col(idCol).as("__id"))
+      .select(col(vecCol),
+        graft.dedup.Dedup.md5Long(col(idCol).cast("string")).as("__h"),
+        col(idCol).as("__id"))
       .orderBy(col("__h"), col("__id")).limit(maxSample).collect()
       .map(_.getSeq[Float](0).map(_.toDouble).toArray).toSeq
     val centroids = trainCoarseCentroids(sample, nlist).map(_.toSeq)

@@ -109,13 +109,13 @@ class IvfSpec extends SparkSpec {
   test("s5 gate configuration holds recall@10 >= 0.9 vs brute force") {
     // The s5 gate query is rows-only (ANN has no SQL oracle); this is
     // its quality bound: at the gate parameters (k=10, nlist=8,
-    // nprobe=6) the IVF result must recover >= 90% of the exact
+    // nprobe=7) the IVF result must recover >= 90% of the exact
     // brute-force top-10 pairs for the gate's query vectors.
     val emb = Tables.load(spark, sf, "embeddings").localCheckpoint()
     val qs = emb.filter(col("vec_id") < 10)
     val exact = topkSet(Similarity.cosineTopK(emb, qs, "vec_id", "embedding", k = 10))
     val ivf = topkSet(Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
-        k = 10, nlist = 8, nprobe = 6)
+        k = 10, nlist = 8, nprobe = 7)
       .filter(col("query_id") < 10))
     val recall = (ivf & exact).size.toDouble / exact.size
     assert(recall >= 0.9, s"gate-config recall@10 = $recall")
