@@ -129,6 +129,9 @@ object SimQueries {
   private val IvfK = 10
   private val IvfNprobe = 7
   private val IvfIters = 10
+  // shared with the oracle's `samp` CTE bound: the replay is
+  // bit-identical only when both engines train on the same sample
+  private val IvfMaxSample = 10000
 
   def ivfTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables.load(spark, dir, "embeddings").lockedCheckpoint()
@@ -140,7 +143,8 @@ object SimQueries {
     // order (IvfSpec pins that bound; measured 0.80/0.87/0.95 at
     // nprobe 5/6/7 on sf0.001, 0.99 at sf0.01)
     Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
-        k = IvfK, nlist = IvfNlist, nprobe = IvfNprobe)
+        k = IvfK, nlist = IvfNlist, nprobe = IvfNprobe,
+        maxSample = IvfMaxSample)
       .filter(col("query_id") < NQueries)
       .orderBy("query_id", "rk")
   }
@@ -194,7 +198,7 @@ object SimQueries {
        |        ('0x' || substr(md5(vec_id::VARCHAR), 1, 15))::UBIGINT::BIGINT,
        |        vec_id) AS rn
        |    FROM embeddings)
-       |  WHERE rn <= 10000),
+       |  WHERE rn <= $IvfMaxSample),
        |cents0 AS (SELECT rn - 1 AS c, $initCols FROM samp WHERE rn <= $IvfNlist),
        |$rounds,
        |corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

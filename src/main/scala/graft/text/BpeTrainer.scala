@@ -70,11 +70,17 @@ object BpeTrainer {
   def trainMergesLocal(df: DataFrame, textCol: String, numMerges: Int,
       minFreq: Long = 2L, maxVocab: Int = 10000000): Seq[(Int, String, String, Long)] = {
     require(numMerges >= 1, "need at least one merge")
+    // the guard must fire BEFORE the driver materializes the vocab —
+    // an over-budget corpus would OOM the collect the require is meant
+    // to prevent — so the collect itself is bounded to maxVocab + 1
+    // rows (limit pushes into the aggregation; one sentinel row is
+    // enough to prove the overflow without fetching it all)
     val vocab = df.select(explode(words(col(s"`$textCol`"))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("n"))
+      .limit(maxVocab + 1)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     require(vocab.size <= maxVocab,
-      s"[graft] trainMergesLocal: ${vocab.size} distinct words exceed " +
+      s"[graft] trainMergesLocal: distinct words exceed " +
         s"maxVocab ($maxVocab); use the distributed trainMerges rounds " +
         "for above-driver-memory vocabularies")
     mergeLoop(vocab, numMerges, minFreq)

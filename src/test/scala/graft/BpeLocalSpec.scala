@@ -73,7 +73,9 @@ class BpeLocalSpec extends SparkSpec {
       val w = (0 until len).map(_ => alphabet(rng.nextInt(alphabet.length)))
         .mkString
       (w, 1L + rng.nextInt(50).toLong)
-    }.distinct
+    }.distinctBy(_._1) // a true vocabulary: one count per WORD (plain
+    // .distinct on the tuples would keep birthday-collision words twice
+    // with different counts)
     val t0 = System.nanoTime()
     val merges = BpeTrainer.mergeLoop(vocab, numMerges = 5000, minFreq = 2L)
     val secs = (System.nanoTime() - t0) / 1e9
