@@ -907,6 +907,31 @@ object TextQueries {
 
     def censusSql(e: String, clazz: String): String =
       s"CAST(length(regexp_replace($e, '[^$clazz]', '', 'g')) AS BIGINT)"
+
+    /** The dominant-script vote over census columns c_ar/c_cjk/c_cyr/
+      * c_gr/c_lat — the Scala fold (name order, strict >, ties keep the
+      * earlier name) in CASE form. Shared by the t26/t29/l7 mirrors. */
+    val scriptExactSql: String =
+      """CASE WHEN greatest(c_ar, c_cjk, c_cyr, c_gr, c_lat) = 0 THEN 'none'
+        |  ELSE (CASE WHEN c_lat > greatest(c_ar, c_cjk, c_cyr, c_gr) THEN 'latin'
+        |             WHEN c_gr > greatest(c_ar, c_cjk, c_cyr) THEN 'greek'
+        |             WHEN c_cyr > greatest(c_ar, c_cjk) THEN 'cyrillic'
+        |             WHEN c_cjk > c_ar THEN 'cjk'
+        |             ELSE 'arabic' END)
+        |END""".stripMargin
+
+    /** `scr(doc_id, script)` over a CTE `$src(doc_id, $textExpr)`:
+      * census + [[scriptExactSql]]. */
+    def scriptCteSql(src: String, textExpr: String): String =
+      s"""scen AS (
+         |  SELECT doc_id,
+         |    ${censusSql(textExpr, "\\p{Arabic}")} AS c_ar,
+         |    ${censusSql(textExpr, "\\p{Han}\\p{Hiragana}\\p{Katakana}")} AS c_cjk,
+         |    ${censusSql(textExpr, "\\p{Cyrillic}")} AS c_cyr,
+         |    ${censusSql(textExpr, "\\p{Greek}")} AS c_gr,
+         |    ${censusSql(textExpr, "\\p{Latin}")} AS c_lat
+         |  FROM $src),
+         |scr AS (SELECT doc_id, $scriptExactSql AS script FROM scen)""".stripMargin
   }
 
   /** The multilingual plane end to end on the derived corpus
@@ -940,16 +965,9 @@ object TextQueries {
     val nAr = censusSql(t, "\\p{Arabic}")
     val nGr = censusSql(t, "\\p{Greek}")
     val nLet = censusSql(t, "\\pL")
-    // dominant script: the Scala fold (name order, strict >, ties keep
-    // the earlier name) expanded over the census CTE's columns
-    val scriptExact =
-      """CASE WHEN greatest(c_ar, c_cjk, c_cyr, c_gr, c_lat) = 0 THEN 'none'
-        |  ELSE (CASE WHEN c_lat > greatest(c_ar, c_cjk, c_cyr, c_gr) THEN 'latin'
-        |             WHEN c_gr > greatest(c_ar, c_cjk, c_cyr) THEN 'greek'
-        |             WHEN c_cyr > greatest(c_ar, c_cjk) THEN 'cyrillic'
-        |             WHEN c_cjk > c_ar THEN 'cjk'
-        |             ELSE 'arabic' END)
-        |END""".stripMargin
+    // dominant script: the shared name-ordered strict-> fold over the
+    // census CTE's columns
+    val scriptExact = scriptExactSql
     // marker vote (t1 semantics) over the derived column, for the
     // Latin fallback branch
     val wsLat = s"list_filter(string_split_regex(lower($t), '[^a-zà-ÿ0-9]+'), w -> w <> '')"
@@ -1145,7 +1163,122 @@ object TextQueries {
        |FROM rk ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t29: per-script hashed LM gate ------------------------------------
+
+  private[graft] val SLmB2 = 4096
+  private[graft] val SLmB1 = 1024
+  /** Keep the most-fluent 7/10 of every script (shared with w15). */
+  private[graft] val SLmKeepNum = 7
+  private[graft] val SLmKeepDen = 10
+
+  /** Digits/punctuation-only filler planted on every 41st document so
+    * the unscorable route is exercised: no letters → script 'none'. */
+  private[queries] val NoScriptFiller = "0123 4567 89 ... ---- !!!"
+
+  /** The per-script LM gate ([[graft.text.ScriptLm]]) end to end on
+    * the derived multilingual corpus (every 41st document replaced by
+    * letterless filler — the unscorable population): per-script hashed
+    * bigram models trained on the trusted subset (doc_id % 3 = 0 —
+    * each script's model sees only its own population), every document
+    * scored against its OWN script's counts, and gated by the
+    * per-script PERCENTILE cut (keep the most-fluent 70% of each
+    * script — bites in every routed population by construction) with
+    * the EXPLICIT unscorable policy: `lm_scorable = false` documents
+    * (script 'none', or zero script bigrams) are tagged and KEPT —
+    * never the silent language filter the single-model n>0 conjunct
+    * used to be. */
+  def scriptLmGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.ScriptLm
+    val d2 = Scripts.derived(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0, lit(NoScriptFiller))
+          .otherwise(col("text2")).as("text2"))
+    val ref = d2.filter(col("doc_id") % 3 === 0)
+    val (c2, c1) = ScriptLm.hashedCounts(ref, "text2", SLmB2, SLmB1)
+    val scored = graft.ops.StagePersists.track(
+      ScriptLm.score(d2, c2, c1, SLmB2, SLmB1, "text2", "doc_id"))
+    val cuts = ScriptLm.percentileCuts(scored, SLmKeepNum, SLmKeepDen)
+    scored.join(broadcast(cuts), Seq("script"), "left_outer")
+      .select(col("id").as("doc_id"), col("script"), col("n_grams"),
+        col("nll_fp"), col("lm_scorable"),
+        when(!col("lm_scorable"), lit(true))
+          .otherwise(graft.text.LanguageModel.avgKey(
+            col("nll_fp"), col("n_grams")) <= col("cut")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: derivation CTE + script census/vote + script-aware bigram
+    * stream bucket-joined against the reference's per-(script, bucket)
+    * counts — the w14 hashed-LM mirror with the routing key in every
+    * join. */
+  val scriptLmGateSql: String = {
+    import Scripts._
+    val toks = toksSql("text2")
+    def bkt(e: String, m: Int) =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    s"""WITH $derivedSql,
+       |docs3 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN '$NoScriptFiller'
+       |                      ELSE text2 END AS text2
+       |  FROM docs2),
+       |${scriptCteSql("docs3", "text2")},
+       |t AS (SELECT doc_id, $toks AS ws FROM docs3),
+       |gg AS (
+       |  SELECT g0.doc_id, scr.script, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2) g0
+       |  JOIN scr ON g0.doc_id = scr.doc_id),
+       |cb2 AS (SELECT script, ${bkt("g", SLmB2)} AS b2k, COUNT(*) AS c2
+       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |cb1 AS (SELECT script, ${bkt("w1", SLmB1)} AS b1k, COUNT(*) AS c1
+       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |qq AS (
+       |  SELECT doc_id, LEAST(GREATEST(
+       |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $SLmB2),
+       |    1), $pscale) AS q
+       |  FROM (SELECT doc_id, script, ${bkt("g", SLmB2)} AS b2k,
+       |          ${bkt("w1", SLmB1)} AS b1k FROM gg
+       |        WHERE script <> 'none')
+       |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id),
+       |sc0 AS (
+       |  SELECT s.doc_id, s.script,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (s.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM scr s LEFT JOIN per USING (doc_id)),
+       |scnt AS (
+       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
+       |  FROM sc0 WHERE lm_scorable GROUP BY 1, 2),
+       |cuts AS (
+       |  SELECT script, MIN(avg) AS cut FROM (
+       |    SELECT script, avg,
+       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
+       |      SUM(c) OVER (PARTITION BY script) AS n
+       |    FROM scnt)
+       |  WHERE cum * $SLmKeepDen >= n * $SLmKeepNum GROUP BY script)
+       |SELECT s.doc_id, s.script, s.n_grams, s.nll_fp, s.lm_scorable,
+       |  (CASE WHEN NOT s.lm_scorable THEN TRUE
+       |        ELSE (s.nll_fp * 1024) // s.n_grams <= c.cut END) AS kept
+       |FROM sc0 s LEFT JOIN cuts c USING (script)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t29_script_lm_gate" -> (scriptLmGate _),
     "t28_lm_perplexity" -> (lmPerplexity _),
     "t27_quality_distill" -> (qualityDistillQuery _),
     "t26_script_stats" -> (scriptStats _),
@@ -1176,6 +1309,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t29_script_lm_gate" -> scriptLmGateSql,
     "t28_lm_perplexity" -> lmPerplexitySql,
     "t27_quality_distill" -> qualityDistillSql,
     "t26_script_stats" -> scriptStatsSql,

@@ -75,8 +75,9 @@ object LanguageModel {
     (30 to 1 by -1).map(e => (1L << e, e.toLong * F, 1L << e))
 
   /** Exact Long integer division (both operands non-negative here, so
-    * Spark's truncating `div` and DuckDB's flooring `//` agree). */
-  private def ldiv(a: Column, b: Column): Column =
+    * Spark's truncating `div` and DuckDB's flooring `//` agree).
+    * Shared with [[ScriptLm]]. */
+  private[text] def ldiv(a: Column, b: Column): Column =
     GraftBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
