@@ -156,10 +156,13 @@ object CorpusQueries {
   }
 
   /** t7 chunking + t10 packing over CTE `src(doc_id, text)` — the final
-    * CTEs plus the segment SELECT both mirrors end with. */
-  private def chunkPackTailSql(src: String): String =
+    * CTEs plus the segment SELECT both mirrors end with. `tokExpr`
+    * overrides the whitespace token array (the l7 mirror chunks at the
+    * script-aware grain). */
+  private def chunkPackTailSql(src: String,
+      tokExpr: String = "regexp_extract_all(text, '\\S+')"): String =
     s"""toks AS (
-       |  SELECT doc_id, regexp_extract_all(text, '\\S+') AS t FROM $src),
+       |  SELECT doc_id, $tokExpr AS t FROM $src),
        |starts AS (
        |  SELECT doc_id, t, unnest(range(0, len(t), 24)) AS token_start
        |  FROM toks WHERE len(t) > 0),
@@ -626,6 +629,254 @@ object CorpusQueries {
        |FROM fin ORDER BY doc_id""".stripMargin
   }
 
+  // ---- l7: the MULTILINGUAL curated pipeline -----------------------------
+
+  // declared above the SQL val that interpolates them (object-init
+  // order: a val reading a val below it silently sees 0)
+  private val L7ShingleN = 5
+  private val L7MaxDocFreq = 400L
+  private val L7Jaccard = 0.5
+  /** Script-aware quality gate thresholds (×10⁴): CJK scores center
+    * ~0.846 because char tokens take the word-length 0.5 branch, every
+    * other script ~0.945 — one global cut would delete or pass a
+    * script wholesale, so the gate is per-script config (the same
+    * policy shape as the LM percentile cuts). Both literals sit inside
+    * their population's distribution, so the gate keeps AND drops
+    * documents in every script. */
+  private val L7QCjk = 8440L
+  private val L7QOther = 9400L
+
+  /** The curated pipeline composed SCRIPT-AWARE end to end — the l3
+    * chain for a mixed-script crawl, where every stage must bite for
+    * BOTH a Latin and a CJK population (plus Cyrillic/Arabic riding
+    * along). Input is the t26 derived multilingual corpus with planted
+    * exact duplicates (id+10⁶ copies, every script) and planted
+    * near-duplicates (80%-prefix copies at id+2·10⁶ for every 7th
+    * document, every script):
+    *
+    *   1. exact dedup (content hash — script-blind by construction)
+    *   2. near-dup pairs over SCRIPT-AWARE shingles
+    *      ([[graft.text.ScriptText.shingles]]: word 5-grams for
+    *      worded scripts, char 5-grams for CJK) through the UNCHANGED
+    *      inverted-index jaccard machinery → connected components →
+    *      keep the highest-QUALITY member per component (d11 policy,
+    *      script-aware quality)
+    *   3. per-script quality gate ([[graft.text.ScriptText.qualityE4]]
+    *      ≥ per-script config cut — a Chinese document scores on its
+    *      merits instead of ≈ 0 under the Latin plane)
+    *   4. per-script LM fluency gate ([[graft.text.ScriptLm]]): models
+    *      trained on the gate survivors' trusted subset, percentile
+    *      cuts per script, unscorable documents tagged and KEPT (the
+    *      explicit policy — w13's Latin-plane gate silently dropped
+    *      them)
+    *   5. temperature sampling by SCRIPT (α = 0.5 — rebalances the
+    *      script mix exactly as the l2 language mix)
+    *   6. chunking + 512-token packing at the SCRIPT-AWARE token grain
+    *      (a spaceless-script document chunks at char-token grain, not
+    *      as a handful of giant non-space runs)
+    *
+    * Scale shape: identical family to l3 stage for stage — content-hash
+    * groupBy, df-capped inverted-index join, large-star CC, broadcast
+    * count tables, map-side gates, prefix-sum packing. The only new
+    * cost is the script census (a fixed set of regex counts, map-side,
+    * codegen'd). */
+  def multilingualPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{ScriptLm, ScriptText}
+    val base = TextQueries.Scripts
+      .derived(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text2"))
+    val doubled = base
+      .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
+        col("text2")))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          substring(col("text2"), lit(1),
+            floor(length(col("text2")) * 0.8).cast("int")).as("text2")))
+    // stage 1: exact dedup (min-id survivor)
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text2", "doc_id"))
+    // stage 2: script-aware near-dups -> components -> keep best quality
+    val pairs = Dedup.jaccardPairs(
+        ScriptText.shingles(exact, "text2", "doc_id", L7ShingleN),
+        threshold = L7Jaccard, maxDocFreq = L7MaxDocFreq)
+      .select(col("ida"), col("idb"))
+    val labels = Components.connectedComponents(pairs, "ida", "idb")._1
+    val scored = exact.select(col("doc_id").as("id"),
+      ScriptText.qualityE4("text2").as("q"))
+    val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")
+      .filter(!col("keep")).select(col("id").as("doc_id"))
+    val canon = exact.join(nonBest, Seq("doc_id"), "left_anti")
+    // stage 3: per-script quality gate
+    val withScript = canon.withColumn("script",
+      ScriptText.dominantScript(col("text2")))
+    val qual = stage(withScript.filter(ScriptText.qualityE4("text2") >=
+      when(col("script") === "cjk", L7QCjk).otherwise(L7QOther)))
+    // stage 4: per-script LM percentile gate (unscorable kept, tagged)
+    val ref = qual.filter(col("doc_id") % 3 === 0).select("doc_id", "text2")
+    val (c2, c1) = ScriptLm.hashedCounts(ref, "text2",
+      TextQueries.SLmB2, TextQueries.SLmB1)
+    val lmScored = stage(ScriptLm.score(qual.select("doc_id", "text2"),
+      c2, c1, TextQueries.SLmB2, TextQueries.SLmB1, "text2", "doc_id"))
+    val cuts = ScriptLm.percentileCuts(lmScored,
+      TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
+    val lmKept = lmScored.join(broadcast(cuts), Seq("script"), "left_outer")
+      .filter(when(!col("lm_scorable"), lit(true))
+        .otherwise(graft.text.LanguageModel.avgKey(
+          col("nll_fp"), col("n_grams")) <= col("cut")))
+      .select(col("id").as("doc_id"), col("script"))
+    val kept = stage(qual.select("doc_id", "text2").join(lmKept, Seq("doc_id")))
+    // stage 5: temperature-rebalanced sampling by script
+    val sampled = Sampling.temperatureSample(kept, "script", "doc_id")
+    // stages 6-7: chunk and pack at the script-aware token grain
+    Packing.binSegments(
+        Chunking.tokenChunks(sampled, "doc_id", "text2", window = 32,
+          step = 24, keep = Nil, tokenizer = ScriptText.tokens),
+        "doc_id", "token_start", "n_tokens", seqLen = 512)
+      .orderBy("bin_id", "seq")
+  }
+
+  /** Mirror of [[multilingualPipeline]]: the t26 derivation + planted
+    * copies, the d16 script-shingle jaccard fragments, the l1 closure,
+    * the d11 quality argmax (script-aware quality), the t29 per-script
+    * LM CTEs, the l2 threshold sample (keyed by script), and the
+    * chunk/pack tail at the script token grain. */
+  val multilingualPipelineSql: String = {
+    import TextQueries.Scripts
+    val toks = Scripts.toksSql("text2")
+    val qe4 = Scripts.qualityE4Sql("text2")
+    def bkt(e: String, m: Int) =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    val b2 = TextQueries.SLmB2
+    val b1 = TextQueries.SLmB1
+    s"""WITH RECURSIVE ${Scripts.derivedSql},
+       |base AS (SELECT doc_id, text2 FROM docs2),
+       |tripled AS (
+       |  SELECT doc_id, text2 FROM base
+       |  UNION ALL SELECT doc_id + 1000000, text2 FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 2000000,
+       |    substr(text2, 1, CAST(FLOOR(length(text2) * 0.8) AS INT))
+       |  FROM base WHERE doc_id % 7 = 0),
+       |exact AS (
+       |  SELECT t.doc_id, t.text2 FROM tripled t
+       |  JOIN (SELECT text2, MIN(doc_id) AS keep FROM tripled GROUP BY text2) w
+       |    ON t.text2 = w.text2 AND t.doc_id = w.keep),
+       |etoks AS (SELECT doc_id, $toks AS ws FROM exact),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(ws) - ${L7ShingleN - 2}, 1)),
+       |    i -> list_aggregate(ws[i:i+${L7ShingleN - 1}], 'string_agg', ' ')))
+       |    AS g
+       |  FROM etoks WHERE len(ws) >= $L7ShingleN),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |keepg AS (SELECT g FROM grams GROUP BY g HAVING COUNT(*) <= $L7MaxDocFreq),
+       |fg AS (SELECT doc_id, g FROM grams JOIN keepg USING (g)),
+       |jp AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM fg a JOIN fg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jp
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+       |          >= $L7Jaccard),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+       |  FROM reach GROUP BY src),
+       |eq AS (SELECT doc_id, $qe4 AS qe4 FROM exact),
+       |lq AS (
+       |  SELECT e.doc_id, l.comp, q.qe4
+       |  FROM exact e JOIN labels l USING (doc_id) JOIN eq q USING (doc_id)),
+       |nonbest AS (
+       |  SELECT doc_id FROM (
+       |    SELECT doc_id, ROW_NUMBER() OVER (PARTITION BY comp
+       |      ORDER BY qe4 DESC, doc_id) AS rn
+       |    FROM lq)
+       |  WHERE rn > 1),
+       |canon AS (
+       |  SELECT doc_id, text2 FROM exact
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM nonbest)),
+       |${Scripts.scriptCteSql("canon", "text2")},
+       |qual AS (
+       |  SELECT c.doc_id, c.text2, s.script
+       |  FROM canon c JOIN scr s USING (doc_id) JOIN eq q USING (doc_id)
+       |  WHERE q.qe4 >= CASE WHEN s.script = 'cjk' THEN $L7QCjk
+       |                      ELSE $L7QOther END),
+       |qtoks AS (SELECT doc_id, script, $toks AS ws FROM qual),
+       |gg AS (
+       |  SELECT doc_id, script, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id, script,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM qtoks WHERE len(ws) >= 2)),
+       |cb2 AS (SELECT script, ${bkt("g", b2)} AS b2k, COUNT(*) AS c2
+       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |cb1 AS (SELECT script, ${bkt("w1", b1)} AS b1k, COUNT(*) AS c1
+       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
+       |qq AS (
+       |  SELECT doc_id, LEAST(GREATEST(
+       |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $b2),
+       |    1), $pscale) AS q
+       |  FROM (SELECT doc_id, script, ${bkt("g", b2)} AS b2k,
+       |          ${bkt("w1", b1)} AS b1k FROM gg
+       |        WHERE script <> 'none')
+       |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id),
+       |sc0 AS (
+       |  SELECT u.doc_id, u.script, u.text2,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (u.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM qual u LEFT JOIN per USING (doc_id)),
+       |scnt AS (
+       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
+       |  FROM sc0 WHERE lm_scorable GROUP BY 1, 2),
+       |cuts AS (
+       |  SELECT script, MIN(avg) AS cut FROM (
+       |    SELECT script, avg,
+       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
+       |      SUM(c) OVER (PARTITION BY script) AS n
+       |    FROM scnt)
+       |  WHERE cum * ${TextQueries.SLmKeepDen} >= n * ${TextQueries.SLmKeepNum}
+       |  GROUP BY script),
+       |kept AS (
+       |  SELECT s.doc_id, s.script, s.text2
+       |  FROM sc0 s LEFT JOIN cuts c USING (script)
+       |  WHERE CASE WHEN NOT s.lm_scorable THEN TRUE
+       |             ELSE (s.nll_fp * 1024) // s.n_grams <= c.cut END),
+       |counts AS (SELECT script, COUNT(*) AS n FROM kept GROUP BY script),
+       |mn AS (SELECT MIN(n) AS n_min FROM counts),
+       |probs AS (
+       |  SELECT script,
+       |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n AS DOUBLE)), 1.0)
+       |      * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts, mn),
+       |sampled AS (
+       |  SELECT k.doc_id, k.text2 AS text FROM kept k
+       |  JOIN probs p ON k.script = p.script
+       |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+       |          < p.thr),
+       |${chunkPackTailSql("sampled", Scripts.toksSql("text"))}""".stripMargin
+  }
+
   // ---- l6: release-to-release corpus diff --------------------------------
 
   /** What the new release changed, by CONTENT: the previous release
@@ -668,6 +919,7 @@ object CorpusQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l7_multilingual_pipeline" -> (multilingualPipeline _),
     "l6_release_diff" -> (releaseDiffQuery _),
     "l1_corpus_pipeline" -> (corpusPipeline _),
     "l2_full_pipeline" -> (fullPipeline _),
@@ -676,6 +928,7 @@ object CorpusQueries {
     "l5_c4_pipeline" -> (c4Pipeline _))
 
   def oracleSql: Map[String, String] = Map(
+    "l7_multilingual_pipeline" -> multilingualPipelineSql,
     "l6_release_diff" -> releaseDiffSql,
     "l1_corpus_pipeline" -> corpusPipelineSql,
     "l2_full_pipeline" -> fullPipelineSql,

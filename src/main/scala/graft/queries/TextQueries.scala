@@ -920,6 +920,30 @@ object TextQueries {
         |             ELSE 'arabic' END)
         |END""".stripMargin
 
+    /** Script-aware quality ×10⁴ over a SQL text expression — the
+      * [[graft.text.ScriptText.qualityE4]] mirror (t2 formula with
+      * all-letter alpha and script-aware tokens). Shared by the
+      * t26/l7 mirrors. */
+    def qualityE4Sql(t: String): String = {
+      val len = s"CAST(LENGTH($t) AS DOUBLE)"
+      val alpha = s"CAST(${censusSql(t, "\\pL")} AS DOUBLE)"
+      val digits = s"CAST(length(regexp_replace($t, '[^0-9]', '', 'g')) AS DOUBLE)"
+      val punct = s"CAST(length(regexp_replace($t, '[^[:punct:]]', '', 'g')) AS DOUBLE)"
+      val nTok = s"CAST(len(${toksSql(t)}) AS DOUBLE)"
+      s"""CAST(FLOOR((
+         |  (CASE WHEN $len >= 200 AND $len <= 20000 THEN 1.0
+         |        WHEN $len < 200 THEN $len / 200.0
+         |        ELSE 20000.0 / $len END) * 0.3
+         |  + (CASE WHEN $len > 0 THEN $alpha / $len ELSE 0.0 END) * 0.3
+         |  + (CASE WHEN $nTok > 0 THEN
+         |       CASE WHEN $alpha / $nTok >= 3 AND $alpha / $nTok <= 10
+         |            THEN 1.0 ELSE 0.5 END
+         |     ELSE 0.0 END) * 0.2
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $punct / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
+         |) * 10000 + 0.5) AS BIGINT)""".stripMargin
+    }
+
     /** `scr(doc_id, script)` over a CTE `$src(doc_id, $textExpr)`:
       * census + [[scriptExactSql]]. */
     def scriptCteSql(src: String, textExpr: String): String =

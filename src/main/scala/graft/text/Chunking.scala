@@ -23,9 +23,14 @@ object Chunking {
     * documents produce no chunks. */
   def tokenChunks(df: DataFrame, idCol: String, textCol: String,
       window: Int = 64, step: Int = 48,
-      keep: Seq[String] = Nil): DataFrame = {
+      keep: Seq[String] = Nil,
+      tokenizer: Column => Column = tokens): DataFrame = {
     require(window >= 1 && step >= 1, s"window/step must be >= 1")
-    val toks = tokens(col(s"`$textCol`"))
+    // pluggable tokenizer: the default whitespace grain, or a
+    // script-aware one ([[ScriptText.tokens]]) so a spaceless-script
+    // document chunks at its real token grain instead of arriving as
+    // a handful of giant non-space runs (the l7 pipeline)
+    val toks = tokenizer(col(s"`$textCol`"))
     // `keep` columns ride along unchanged — a composed STREAM cannot
     // join chunks back to their source frame (stream-stream joins),
     // so shard keys like `lang` must flow through the explode
