@@ -695,6 +695,11 @@ object CorpusQueries {
     // stage 1: exact dedup (min-id survivor)
     val exact = stage(Dedup.dropExactDuplicates(doubled, "text2", "doc_id"))
     // stage 2: script-aware near-dups -> components -> keep best quality
+    // NO persist on the shingle frame: with the native tokenizer the
+    // three pair-machinery consumers each recompute it from the
+    // persisted `exact` cheaply, while caching the EXPLODED gram-grain
+    // frame (larger than the corpus) costs more than it saves —
+    // measured a wash at sf0.1, and strictly worse at scale
     val pairs = Dedup.jaccardPairs(
         ScriptText.shingles(exact, "text2", "doc_id", L7ShingleN),
         threshold = L7Jaccard, maxDocFreq = L7MaxDocFreq)

@@ -44,28 +44,45 @@ object ScriptText {
 
   /** Script-aware tokens: lowercased letter/digit runs over ALL
     * scripts, with CJK characters as single-character tokens. The
-    * multilingual extension of the `[^a-zà-ÿ0-9]+` contract. */
-  def tokens(c: Column): Column =
+    * multilingual extension of the `[^a-zà-ÿ0-9]+` contract. Native
+    * one-pass kernel ([[graft.functions.ScriptTokens]]); the regex
+    * formulation it is pinned identical to (ScriptTextSpec) stays
+    * below as [[tokensRegex]]. */
+  def tokens(c: Column): Column = graft.functions.ScriptTokens(c)
+
+  /** The builtin-regex formulation of [[tokens]] — two slow-path regex
+    * passes per call, so spec-only: the ground truth the native kernel
+    * is property-pinned against. */
+  private[graft] def tokensRegex(c: Column): Column =
     filter(split(lower(spaced(c)), "[^\\p{L}\\p{N}]+"), w => w =!= "")
 
   def tokenCount(c: String): Column =
     size(tokens(col(s"`$c`"))).cast(LongType)
 
   /** Code-point census of a script class (regex-definable, so the
-    * DuckDB oracle replays it verbatim). */
-  private def census(c: Column, clazz: String): Column =
+    * DuckDB oracle replays it verbatim). Spec-only ground truth for
+    * the [[graft.functions.ScriptStats]] kernel. */
+  private[graft] def census(c: Column, clazz: String): Column =
     length(regexp_replace(c, s"[^$clazz]", "")).cast(LongType)
+
+  /** The fused one-pass census ([[graft.functions.ScriptStats]]) every
+    * script-plane operator reads from; Catalyst canonicalization plus
+    * whole-stage subexpression elimination collapse the repeated
+    * element_at reads to ONE kernel evaluation per row. */
+  private def stats(c: Column): Column = graft.functions.ScriptStats(c)
+  private def stat(c: Column, idx: Int): Column =
+    element_at(stats(c), idx)
 
   // script classes, not letter intersections: RE2 (the oracle engine)
   // has no character-class intersection syntax, and Script=Latin is
   // letters + a handful of letter-marks anyway — identical under both
   // engines' Unicode tables on real text
-  def nLatin(c: Column): Column = census(c, "\\p{IsLatin}")
-  def nCjk(c: Column): Column = census(c, CjkClassJava)
-  def nCyrillic(c: Column): Column = census(c, "\\p{IsCyrillic}")
-  def nArabic(c: Column): Column = census(c, "\\p{IsArabic}")
-  def nGreek(c: Column): Column = census(c, "\\p{IsGreek}")
-  def nLetters(c: Column): Column = census(c, "\\p{L}")
+  def nLatin(c: Column): Column = stat(c, graft.functions.ScriptStats.Latin)
+  def nCjk(c: Column): Column = stat(c, graft.functions.ScriptStats.Cjk)
+  def nCyrillic(c: Column): Column = stat(c, graft.functions.ScriptStats.Cyrillic)
+  def nArabic(c: Column): Column = stat(c, graft.functions.ScriptStats.Arabic)
+  def nGreek(c: Column): Column = stat(c, graft.functions.ScriptStats.Greek)
+  def nLetters(c: Column): Column = stat(c, graft.functions.ScriptStats.Letters)
 
   /** Dominant-script vote: the script with the most letter code
     * points; 'none' when the text has no letters. Deterministic
@@ -115,12 +132,13 @@ object ScriptText {
     * Cross-engine: same construction as the t2 oracle with the two
     * substituted inputs. */
   def qualityScore(c: String): Column = {
+    import graft.functions.ScriptStats
     val t = col(s"`$c`")
-    val len = length(t).cast("double")
-    val alpha = nLetters(t).cast("double")
-    val digits = census(t, "0-9").cast("double")
-    val punct = census(t, "\\p{Punct}").cast("double")
-    val nTok = tokenCount(c).cast("double")
+    val len = stat(t, ScriptStats.Len).cast("double")
+    val alpha = stat(t, ScriptStats.Letters).cast("double")
+    val digits = stat(t, ScriptStats.Digits).cast("double")
+    val punct = stat(t, ScriptStats.Punct).cast("double")
+    val nTok = stat(t, ScriptStats.NTokens).cast("double")
     val lenScore = when(len >= 200 && len <= 20000, 1.0)
       .when(len < 200, len / 200.0)
       .otherwise(lit(20000.0) / len)
