@@ -182,6 +182,16 @@ object ScriptStats {
   val Len = 1; val Letters = 2; val Digits = 3; val Punct = 4
   val NTokens = 5; val Arabic = 6; val Cjk = 7; val Cyrillic = 8
   val Greek = 9; val Latin = 10
+  /** Dominant-script segment index: position in
+    * [[graft.text.ScriptLm.Scripts]] name order (0=arabic … 4=latin),
+    * −1 when no tracked-script code points — the argmax with
+    * strict-> / earlier-name ties that
+    * [[graft.text.ScriptText.dominantScript]]'s Column fold computes.
+    * Computed IN the kernel so consumers read one element instead of
+    * inlining a 10-element_at when-ladder per use site (the fused w15
+    * gate stage blew past the JVM's 64 KB method limit that way —
+    * whole-stage codegen fell back to interpreted). */
+  val ScriptIdx = 11
 
   def statsOf(s: UTF8String): Array[Long] = {
     val str = s.toString
@@ -215,7 +225,17 @@ object ScriptStats {
       i += Character.charCount(cp)
     }
     val ntok = ScriptWalk.tokenize(s, null)
-    Array(len, letters, digits, punct, ntok, ar, cjk, cyr, gr, lat)
+    // argmax in name order (arabic, cjk, cyrillic, greek, latin) with
+    // strict > — ties keep the earlier name, none when all zero
+    val counts = Array(ar, cjk, cyr, gr, lat)
+    var best = 0
+    var i2 = 1
+    while (i2 < counts.length) {
+      if (counts(i2) > counts(best)) best = i2
+      i2 += 1
+    }
+    val idx = if (counts(best) == 0L) -1L else best.toLong
+    Array(len, letters, digits, punct, ntok, ar, cjk, cyr, gr, lat, idx)
   }
 
   def apply(c: Column): Column =

@@ -643,8 +643,8 @@ object CorpusQueries {
     * policy shape as the LM percentile cuts). Both literals sit inside
     * their population's distribution, so the gate keeps AND drops
     * documents in every script. */
-  private val L7QCjk = 8440L
-  private val L7QOther = 9400L
+  private[queries] val L7QCjk = 8440L
+  private[queries] val L7QOther = 9400L
 
   /** The curated pipeline composed SCRIPT-AWARE end to end — the l3
     * chain for a mixed-script crawl, where every stage must bite for

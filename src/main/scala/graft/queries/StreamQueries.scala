@@ -31,6 +31,10 @@ object StreamQueries {
     * (W13LmProbe: en p90 10.73 vs de/es/fr/zh p50 ≈ 10.9), this keeps
     * ~90% of the trusted language and rejects most of the rest. */
   private val Lm13Thresh = 721420288L
+  /** w15's script-aware LSH shingle size (word 5-grams for worded
+    * scripts, char 5-grams for CJK — the l7/d16 grain). Declared up
+    * top with the LM constants: the w15 mirror val interpolates it. */
+  private val W15ShingleN = 5
 
   def windowedStats(spark: SparkSession, dir: String): DataFrame =
     StreamingQuality.windowedStats(Tables.loadEvents(spark, dir),
@@ -757,6 +761,350 @@ object StreamQueries {
        |FROM segs ORDER BY lang, bin_id, seq""".stripMargin
   }
 
+  // ---- w15: the MULTILINGUAL crawl→corpus pipeline as ONE stream ---------
+
+  /** The l7 multilingual chain in STREAM form — every stage the
+    * script-aware twin of a w13 stage, wired so the whole chain is
+    * legal in ONE append-mode streaming query:
+    *
+    *  - control plane batch-trained on the prior corpus state (the
+    *    generate-on-history / enforce-on-stream loop): corpus content
+    *    hashes, script-aware LSH corpus buckets, per-script hashed LM
+    *    dense arrays + percentile cut literals, per-script sampling
+    *    thresholds;
+    *  - data plane stateless per row until packing: exact-dup probe is
+    *    a stream-static anti-join on the content hash (the d13
+    *    batch-vs-corpus form at exact grain), near-dup probe keeps its
+    *    4 band buckets as COLUMNS over SCRIPT-AWARE tokens
+    *    ([[graft.functions.LshBands]] ∘ [[graft.text.ScriptText.tokens]];
+    *    CJK documents carry char-5-gram bands) with `try_element_at`
+    *    band joins, the quality gate is the per-script
+    *    [[graft.text.ScriptText.qualityE4]] cut, and the LM gate is
+    *    the native per-row [[graft.functions.ScriptLmScore]] kernel
+    *    against cut LITERALS with the EXPLICIT unscorable policy —
+    *    `lm_scorable = false` documents are KEPT, never the silent
+    *    language filter w13's `n_grams > 0` conjunct is;
+    *  - per-script threshold sampling, script-grain chunking, and the
+    *    per-shard stateful packer (shard = script) last.
+    *
+    * Batch mode runs the identical code path (the DuckDB oracle);
+    * StreamingSpec feeds the same corpus through MemoryStream
+    * micro-batches and pins stream ≡ batch. */
+  private[graft] def w15Base(docs: DataFrame): DataFrame =
+    TextQueries.Scripts.derived(docs)
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0,
+          concat(lit(TextQueries.NoScriptFiller + " "),
+            col("doc_id").cast("string")))
+          .otherwise(col("text2")).as("text2"))
+
+  /** The planted multilingual crawl: the t26 derivation with
+    * per-doc-unique letterless filler on every 41st id (the unscorable
+    * population) plus an 80%-prefix near-dup copy of every 7k+3rd
+    * document at id+10⁶ — ids ≡ 3 (mod 21) have their base in the
+    * corpus, so the band probe provably bites in every script.
+    *
+    * `base` must be a MATERIALIZED frame (the [[w15Base]] output
+    * behind a localCheckpoint): the gate filters are deterministic, so
+    * Catalyst pushes them below the planted projections and
+    * SUBSTITUTES the whole derivation CASE into every
+    * script_stats/script_tokens reference — the fused gate stage's
+    * generated code reached ~62k lines and blew the 64 KB JVM method
+    * limit (whole-stage codegen fell back to interpreted, ~5× slower).
+    * The barrier makes text2 a leaf attribute. The STREAM never has
+    * the problem: its rows arrive already planted. */
+  private[graft] def w15PlantedFrom(base: DataFrame): DataFrame =
+    base.unionByName(base.filter(col("doc_id") % 7 === 3)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        substring(col("text2"), lit(1),
+          floor(length(col("text2")) * 0.8).cast("int")).as("text2")))
+
+  private[graft] def w15Planted(docs: DataFrame): DataFrame =
+    w15PlantedFrom(w15Base(docs).localCheckpoint(true))
+
+  /** Batch-trained control plane: (corpus content hashes, script LSH
+    * corpus buckets, per-script dense LM arrays, per-script LM cut
+    * literals, per-script sampling thresholds). The corpus state is
+    * the prior dump (doc_id % 3 == 0); sampling thresholds are trained
+    * on the gate survivors the chain itself produces — history
+    * standing in for the stream. */
+  private[graft] def w15Control(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame, (Seq[Long], Seq[Long]), Seq[(String, Long)],
+         DataFrame) = {
+    import graft.text.ScriptLm
+    val docs = Tables.load(spark, dir, "documents")
+    // materialized once: a pushdown barrier (see w15PlantedFrom) AND
+    // the shared input of every control table below
+    val base = w15Base(docs).localCheckpoint(true)
+    val corpus = base.filter(col("doc_id") % 3 === 0)
+    val hashes = corpus.select(md5(col("text2")).as("__h")).distinct()
+      .localCheckpoint(true)
+    val refBuckets = corpus
+      .select(explode(graft.functions.LshBands(
+        graft.text.ScriptText.tokens(col("text2")),
+        W15ShingleN, 16, 4)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .distinct()
+      .localCheckpoint(true)
+    val (c2, c1) = ScriptLm.hashedCounts(corpus, "text2",
+      TextQueries.SLmB2, TextQueries.SLmB1)
+    val lm = ScriptLm.denseCounts(c2, c1, TextQueries.SLmB2, TextQueries.SLmB1)
+    val cuts = ScriptLm.percentileCuts(
+        ScriptLm.score(corpus, c2, c1, TextQueries.SLmB2, TextQueries.SLmB1,
+          "text2", "doc_id"),
+        TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val gated = w15Gated(w15PlantedFrom(base), hashes, refBuckets, lm, cuts)
+    val counts = gated.groupBy("script").agg(count(lit(1)).as("__n"))
+    val probs = counts.crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
+      .select(col("script"),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+      .localCheckpoint(true)
+    (hashes, refBuckets, lm, cuts, probs)
+  }
+
+  /** The stateless gate chain (probes + per-script gates) — shared by
+    * control-plane training and the live stream. */
+  private[graft] def w15Gated(planted: DataFrame, hashes: DataFrame,
+      refBuckets: DataFrame, lm: (Seq[Long], Seq[Long]),
+      cuts: Seq[(String, Long)]): DataFrame = {
+    import graft.text.{ScriptLm, ScriptText}
+    val fresh = planted.withColumn("__h", md5(col("text2")))
+      .join(broadcast(hashes), Seq("__h"), "left_anti")
+      .drop("__h")
+    val withBands = fresh.withColumn("__bb",
+      graft.functions.LshBands(ScriptText.tokens(col("text2")),
+        W15ShingleN, 16, 4))
+    val probed = (0 until 4).foldLeft(withBands) { (df, k) =>
+      val ref = refBuckets.filter(col("band") === k)
+        .select(col("bucket").as(s"__r$k"))
+      df.join(broadcast(ref),
+        try_element_at(col("__bb"), lit(k + 1)).getField("bucket") === col(s"__r$k"),
+        "left_outer")
+    }
+    val survivors = probed
+      .filter((0 until 4).map(k => col(s"__r$k").isNull).reduce(_ && _))
+      .select(col("doc_id"), col("text2"))
+    val scripted = survivors
+      .withColumn("script", ScriptText.dominantScript(col("text2")))
+      .filter(ScriptText.qualityE4("text2") >=
+        when(col("script") === "cjk", CorpusQueries.L7QCjk)
+          .otherwise(CorpusQueries.L7QOther))
+    val stats = graft.functions.ScriptLmScore(
+      ScriptText.tokens(col("text2")), ScriptLm.scriptIndex(col("script")),
+      lm._1, lm._2, TextQueries.SLmB2, TextQueries.SLmB1)
+    scripted.withColumn("__st", stats)
+      .filter(ScriptLm.gateKept(col("script"), element_at(col("__st"), 1),
+        element_at(col("__st"), 2), cuts))
+      .select("doc_id", "script", "text2")
+  }
+
+  /** The full data-plane chain over a (possibly streaming) planted
+    * frame, given the trained control plane. */
+  private[graft] def w15Chain(planted: DataFrame, hashes: DataFrame,
+      refBuckets: DataFrame, lm: (Seq[Long], Seq[Long]),
+      cuts: Seq[(String, Long)], probs: DataFrame): DataFrame = {
+    val kept = w15Gated(planted, hashes, refBuckets, lm, cuts)
+    val sampled = graft.text.Sampling.weightedSample(kept, "script", "doc_id",
+      probs)
+    val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text2",
+      window = 32, step = 24, keep = Seq("script"),
+      tokenizer = graft.text.ScriptText.tokens)
+    graft.text.Packing.streamingBinSegments(chunks, "script", "doc_id",
+      "token_start", "n_tokens", seqLen = 512)
+  }
+
+  def streamMultilingual(spark: SparkSession, dir: String): DataFrame = {
+    val (hashes, refBuckets, lm, cuts, probs) = w15Control(spark, dir)
+    w15Chain(w15Planted(Tables.load(spark, dir, "documents")),
+        hashes, refBuckets, lm, cuts, probs)
+      .orderBy("script", "bin_id", "seq")
+  }
+
+  /** Mirror of [[streamMultilingual]]: derivation + filler + planted
+    * copies, the corpus hash anti-probe, TWO script-LSH band chains
+    * (corpus refs, stream probes — the w13 minhash fragments over
+    * script tokens), per-script quality, the t29 per-script LM CTEs
+    * trained on the corpus and cut at its percentiles, per-script
+    * threshold sampling, and the per-shard pack tail at the script
+    * token grain. */
+  val streamMultilingualSql: String = {
+    import TextQueries.Scripts
+    def toks(e: String) = Scripts.toksSql(e)
+    val sn = W15ShingleN
+    def gramsCte(src: String, pre: String) =
+      s"""${pre}g0 AS (
+         |  SELECT doc_id, unnest(list_transform(
+         |    range(1, greatest(len(ws) - ${sn - 2}, 1)),
+         |    i -> list_aggregate(ws[i:i+${sn - 1}], 'string_agg', ' '))) AS g
+         |  FROM $src WHERE len(ws) >= $sn),
+         |${pre}grams AS (SELECT DISTINCT doc_id, g FROM ${pre}g0),
+         |${pre}h AS (SELECT doc_id,
+         |  (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT AS h
+         |  FROM ${pre}grams),
+         |${pre}sig AS (${(0 until 16).map { p =>
+             val a = 2 * (p + 1) + 1
+             val b = (7919L * (p + 1)) % graft.dedup.Dedup.P
+             s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % " +
+               s"${graft.dedup.Dedup.P}) AS min_hash FROM ${pre}h GROUP BY doc_id"
+           }.mkString("\nUNION ALL\n")}),
+         |${pre}bands AS (
+         |  SELECT id, perm_id // 4 AS band,
+         |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+         |  FROM ${pre}sig GROUP BY id, perm_id // 4)""".stripMargin
+    def bkt(e: String, m: Int) =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    val b2 = TextQueries.SLmB2
+    val b1 = TextQueries.SLmB1
+    def bigramCte(srcToks: String, name: String, scriptSrc: String) =
+      s"""$name AS (
+         |  SELECT t.doc_id, c.script, g, split_part(g, ' ', 1) AS w1
+         |  FROM (SELECT doc_id,
+         |          unnest(list_transform(range(1, len(ws)),
+         |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+         |        FROM $srcToks WHERE len(ws) >= 2) t
+         |  JOIN $scriptSrc c ON t.doc_id = c.doc_id)""".stripMargin
+    def scoreCtes(gg: String, pre: String) =
+      s"""${pre}qq AS (
+         |  SELECT doc_id, LEAST(GREATEST(
+         |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $b2),
+         |    1), $pscale) AS q
+         |  FROM (SELECT doc_id, script, ${bkt("g", b2)} AS b2k,
+         |          ${bkt("w1", b1)} AS b1k FROM $gg
+         |        WHERE script <> 'none')
+         |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
+         |${pre}per AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+         |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+         |  FROM ${pre}qq GROUP BY doc_id)""".stripMargin
+    s"""WITH ${Scripts.derivedSql},
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 41 = 0
+       |         THEN '${TextQueries.NoScriptFiller} ' || doc_id::VARCHAR
+       |         ELSE text2 END AS text2
+       |  FROM docs2),
+       |planted AS (
+       |  SELECT doc_id, text2 FROM base
+       |  UNION ALL
+       |  SELECT doc_id + 1000000,
+       |    substr(text2, 1, CAST(FLOOR(length(text2) * 0.8) AS INT))
+       |  FROM base WHERE doc_id % 7 = 3),
+       |corpus AS (SELECT doc_id, text2 FROM base WHERE doc_id % 3 = 0),
+       |chash AS (SELECT DISTINCT md5(text2) AS hh FROM corpus),
+       |fresh AS (
+       |  SELECT doc_id, text2 FROM planted
+       |  WHERE md5(text2) NOT IN (SELECT hh FROM chash)),
+       |ctoks AS (SELECT doc_id, ${toks("text2")} AS ws FROM corpus),
+       |${gramsCte("ctoks", "c")},
+       |refb AS (SELECT DISTINCT band, bucket FROM cbands),
+       |ftoks AS (SELECT doc_id, ${toks("text2")} AS ws FROM fresh),
+       |${gramsCte("ftoks", "f")},
+       |collide AS (
+       |  SELECT DISTINCT b.id AS doc_id
+       |  FROM fbands b JOIN refb r USING (band, bucket)),
+       |surv AS (
+       |  SELECT doc_id, text2 FROM fresh
+       |  WHERE doc_id NOT IN (SELECT doc_id FROM collide)),
+       |${Scripts.scriptCteSql("surv", "text2")},
+       |sq AS (SELECT doc_id, ${Scripts.qualityE4Sql("text2")} AS qe4 FROM surv),
+       |qual AS (
+       |  SELECT s.doc_id, s.text2, c.script
+       |  FROM surv s JOIN scr c USING (doc_id) JOIN sq USING (doc_id)
+       |  WHERE sq.qe4 >= CASE WHEN c.script = 'cjk'
+       |                       THEN ${CorpusQueries.L7QCjk}
+       |                       ELSE ${CorpusQueries.L7QOther} END),
+       |${Scripts.scriptCteSql("corpus", "text2", "cscr")},
+       |${bigramCte("ctoks", "cgg", "cscr")},
+       |cb2 AS (SELECT script, ${bkt("g", b2)} AS b2k, COUNT(*) AS c2
+       |        FROM cgg GROUP BY 1, 2),
+       |cb1 AS (SELECT script, ${bkt("w1", b1)} AS b1k, COUNT(*) AS c1
+       |        FROM cgg GROUP BY 1, 2),
+       |${scoreCtes("cgg", "c")},
+       |csc AS (
+       |  SELECT c.doc_id, c.script,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (c.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM cscr c LEFT JOIN cper USING (doc_id)),
+       |scnt AS (
+       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
+       |  FROM csc WHERE lm_scorable GROUP BY 1, 2),
+       |cuts AS (
+       |  SELECT script, MIN(avg) AS cut FROM (
+       |    SELECT script, avg,
+       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
+       |      SUM(c) OVER (PARTITION BY script) AS n
+       |    FROM scnt)
+       |  WHERE cum * ${TextQueries.SLmKeepDen} >= n * ${TextQueries.SLmKeepNum}
+       |  GROUP BY script),
+       |qtoks AS (SELECT doc_id, ${toks("text2")} AS ws FROM qual),
+       |${bigramCte("qtoks", "sgg", "qual")},
+       |${scoreCtes("sgg", "s")},
+       |ssc AS (
+       |  SELECT q.doc_id, q.script, q.text2,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (q.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM qual q LEFT JOIN sper USING (doc_id)),
+       |kept AS (
+       |  SELECT s.doc_id, s.script, s.text2
+       |  FROM ssc s LEFT JOIN cuts c USING (script)
+       |  WHERE CASE WHEN NOT s.lm_scorable THEN TRUE
+       |             ELSE (s.nll_fp * 1024) // s.n_grams
+       |                    <= coalesce(c.cut, ${Long.MaxValue}) END),
+       |counts AS (SELECT script, COUNT(*) AS n2 FROM kept GROUP BY script),
+       |mn AS (SELECT MIN(n2) AS n_min FROM counts),
+       |probs AS (
+       |  SELECT script,
+       |    CAST(FLOOR(LEAST(SQRT(CAST(n_min AS DOUBLE) / CAST(n2 AS DOUBLE)), 1.0)
+       |      * 1152921504606846976.0) AS BIGINT) AS thr
+       |  FROM counts, mn),
+       |sampled AS (
+       |  SELECT k.doc_id, k.script, k.text2 AS text FROM kept k
+       |  JOIN probs p ON k.script = p.script
+       |  WHERE ('0x' || substr(md5(k.doc_id::VARCHAR), 1, 15))::UBIGINT::BIGINT
+       |          < p.thr),
+       |toksf AS (SELECT doc_id, script, ${toks("text")} AS t FROM sampled),
+       |starts AS (
+       |  SELECT doc_id, script, t, unnest(range(0, len(t), 24)) AS token_start
+       |  FROM toksf WHERE len(t) > 0),
+       |chunks AS (
+       |  SELECT doc_id, script, CAST(token_start AS BIGINT) AS token_start,
+       |    CAST(len(t[token_start + 1 : token_start + 32]) AS BIGINT) AS n_tokens
+       |  FROM starts),
+       |cc2 AS (
+       |  SELECT doc_id, script, token_start, n_tokens,
+       |    CAST(SUM(n_tokens) OVER (PARTITION BY script
+       |      ORDER BY doc_id, token_start
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS before
+       |  FROM chunks WHERE n_tokens > 0),
+       |segs AS (
+       |  SELECT script, doc_id, token_start, n_tokens, before,
+       |    unnest(generate_series(
+       |      CAST((before - before % 512) / 512 AS BIGINT),
+       |      CAST(((before + n_tokens - 1) - (before + n_tokens - 1) % 512) / 512 AS BIGINT)))
+       |      AS bin_id
+       |  FROM cc2)
+       |SELECT script, bin_id,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY script, bin_id
+       |    ORDER BY GREATEST(before, bin_id * 512)) AS BIGINT) AS seq,
+       |  doc_id,
+       |  token_start + GREATEST(before, bin_id * 512) - before AS token_start,
+       |  LEAST(before + n_tokens, (bin_id + 1) * 512)
+       |    - GREATEST(before, bin_id * 512) AS token_len
+       |FROM segs ORDER BY script, bin_id, seq""".stripMargin
+  }
+
   // ---- w14: streaming LM-perplexity gate (batch twin) --------------------
 
   /** The hashed-bucket LM quality gate in its STREAM form: counts
@@ -821,6 +1169,7 @@ object StreamQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w15_stream_multilingual" -> (streamMultilingual _),
     "w14_stream_lm_gate" -> (streamLmGate _),
     "w13_stream_pipeline" -> (streamCorpusPipeline _),
     "w11_stream_line_filter" -> (streamLineFilter _),
@@ -836,6 +1185,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w15_stream_multilingual" -> streamMultilingualSql,
     "w14_stream_lm_gate" -> streamLmGateSql,
     "w13_stream_pipeline" -> streamCorpusPipelineSql,
     "w11_stream_line_filter" -> streamLineFilterSql,

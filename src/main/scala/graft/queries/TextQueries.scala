@@ -946,8 +946,9 @@ object TextQueries {
 
     /** `scr(doc_id, script)` over a CTE `$src(doc_id, $textExpr)`:
       * census + [[scriptExactSql]]. */
-    def scriptCteSql(src: String, textExpr: String): String =
-      s"""scen AS (
+    def scriptCteSql(src: String, textExpr: String,
+        name: String = "scr"): String =
+      s"""${name}en AS (
          |  SELECT doc_id,
          |    ${censusSql(textExpr, "\\p{Arabic}")} AS c_ar,
          |    ${censusSql(textExpr, "\\p{Han}\\p{Hiragana}\\p{Katakana}")} AS c_cjk,
@@ -955,7 +956,7 @@ object TextQueries {
          |    ${censusSql(textExpr, "\\p{Greek}")} AS c_gr,
          |    ${censusSql(textExpr, "\\p{Latin}")} AS c_lat
          |  FROM $src),
-         |scr AS (SELECT doc_id, $scriptExactSql AS script FROM scen)""".stripMargin
+         |$name AS (SELECT doc_id, $scriptExactSql AS script FROM ${name}en)""".stripMargin
   }
 
   /** The multilingual plane end to end on the derived corpus

@@ -86,14 +86,29 @@ object ScriptText {
 
   /** Dominant-script vote: the script with the most letter code
     * points; 'none' when the text has no letters. Deterministic
-    * tie-break by script name (the t1 langId convention). */
+    * tie-break by script name (the t1 langId convention). The argmax
+    * runs INSIDE the [[graft.functions.ScriptStats]] kernel (index
+    * element) — the Column-fold form (nested whens over 10 censuses)
+    * inlines at every use site after projection collapse, and the
+    * fused w15 gate stage blew past the 64 KB codegen method limit
+    * that way. Here the decode is one element_at + 5 literal
+    * branches. */
   def dominantScript(c: Column): Column = {
-    // fold in name order carrying (name, count); strict > keeps the
-    // alphabetically-first name on ties
+    val idx = stat(c, graft.functions.ScriptStats.ScriptIdx)
+    ScriptLm.Scripts.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (None, (s, i)) => Some(when(idx === i.toLong, lit(s)))
+      case (Some(e), (s, i)) => Some(e.when(idx === i.toLong, lit(s)))
+    }.get.otherwise(lit("none"))
+  }
+
+  /** The Column-fold formulation of [[dominantScript]] over the
+    * regex censuses — spec-only ground truth for the kernel argmax. */
+  private[graft] def dominantScriptRegex(c: Column): Column = {
     val counts = Seq(
-      ("arabic", nArabic(c)), ("cjk", nCjk(c)),
-      ("cyrillic", nCyrillic(c)), ("greek", nGreek(c)),
-      ("latin", nLatin(c)))
+      ("arabic", census(c, "\\p{IsArabic}")), ("cjk", census(c, CjkClassJava)),
+      ("cyrillic", census(c, "\\p{IsCyrillic}")),
+      ("greek", census(c, "\\p{IsGreek}")),
+      ("latin", census(c, "\\p{IsLatin}")))
     var name: Column = lit(counts.head._1)
     var cnt: Column = counts.head._2
     counts.tail.foreach { case (n2, c2) =>

@@ -68,6 +68,11 @@ class ScriptKernelPropertySpec extends SparkSpec {
       (element_at(s, ScriptStats.Cyrillic), re("\\p{IsCyrillic}")),
       (element_at(s, ScriptStats.Greek), re("\\p{IsGreek}")),
       (element_at(s, ScriptStats.Latin), re("\\p{IsLatin}")))
+    val badIdx = df.select($"text",
+        ScriptText.dominantScript($"text").as("n"),
+        ScriptText.dominantScriptRegex($"text").as("r"))
+      .filter($"n" =!= $"r").collect()
+    assert(badIdx.isEmpty, badIdx.take(3).mkString("; "))
     val cond = checks.map { case (n, r) => n =!= r }.reduce(_ || _)
     val bad = df.select($"text" +: checks.zipWithIndex.flatMap {
         case ((n, r), i) => Seq(n.as(s"n$i"), r.as(s"r$i")) }: _*)

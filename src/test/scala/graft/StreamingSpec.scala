@@ -650,6 +650,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w15: the multilingual crawl→corpus chain runs as ONE append-mode stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val docsStatic = graft.Tables.load(spark, sf, "documents")
+    val (hashes, refBuckets, lm, cuts, probs) =
+      graft.queries.StreamQueries.w15Control(spark, sf)
+    val planted = graft.queries.StreamQueries.w15Planted(docsStatic)
+    val outCols = Seq("script", "bin_id", "seq", "doc_id", "token_start",
+      "token_len")
+    val batch = graft.queries.StreamQueries
+      .w15Chain(planted, hashes, refBuckets, lm, cuts, probs)
+      .select(outCols.head, outCols.tail: _*)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+    assert(batch.nonEmpty)
+    // same chain, same control plane, on a MemoryStream: content-hash
+    // anti-probe, script-LSH band probe, per-script quality + LM gates
+    // (unscorable kept), threshold sampling, script-grain chunking, and
+    // the per-shard stateful packer — ONE append-mode query.
+    val rows = planted.orderBy("doc_id").as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val stream = input.toDF().toDF("doc_id", "text2")
+    val q = graft.queries.StreamQueries
+      .w15Chain(stream, hashes, refBuckets, lm, cuts, probs)
+      .writeStream.format("memory").queryName("w15_out")
+      .outputMode("append").start()
+    try {
+      val third = (rows.length + 2) / 3
+      rows.grouped(third).foreach { g =>
+        input.addData(g.toSeq: _*)
+        q.processAllAvailable()
+      }
+      val streamed = spark.table("w15_out")
+        .select(outCols.head, outCols.tail: _*)
+        .as[(String, Long, Long, Long, Long, Long)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("inline dup-trigram fraction equals the grouped repetition metric") {
     import spark.implicits._
     val docs = graft.Tables.load(spark, sf, "documents")
