@@ -560,7 +560,178 @@ object RuleQueries {
        |   OR CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) > CAST(0.45 AS DOUBLE)) AS blocked
        |FROM agg ORDER BY source""".stripMargin
 
+  // ---- r15: host-grain curation ------------------------------------------
+
+  // quota/threshold constants, declared before the SQL val that
+  // interpolates them (object-init order)
+  private val R15Quota = 10
+  private val R15MinAvgQ = 0.91
+  private val R15MaxShort = 0.45
+  private val R15MaxUrlDup = 0.12
+
+  /** Deterministic URL derivation over the documents table — the
+    * synthetic crawl addresses for the host-curation rehearsal. Every
+    * doc id ending in 7 is a TRACKING TWIN: its URL replays the decade
+    * anchor's address (same scheme/host/port/path/semantic params)
+    * plus a click id, so URL canonicalization provably collapses it;
+    * anchors ending in 0 concentrate in the src0/src10 hosts, which
+    * therefore cross the URL-duplication blocklist threshold. Case,
+    * default-port, tracking-param, param-order, and fragment
+    * normalization are each exercised on a deterministic id slice. */
+  private def withUrls(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val a = when(d % 10 === 7, d - 7).otherwise(d)
+    val scheme = when(a % 9 === 0, "HTTP://").otherwise("https://")
+    val hostRaw = concat(
+      when(a % 3 === 0, "www.").when(a % 3 === 1, "M.").otherwise(""),
+      lit("src"), (a % 20).cast("string"),
+      when(a % 5 === 0, ".co.uk").otherwise(".com"))
+    val host = when(a % 9 === 0, upper(hostRaw)).otherwise(hostRaw)
+    val port = when(a % 11 === 0, ":443").otherwise("")
+    val query = when(a % 4 === 0, concat(lit("?utm_source=feed&id="), a))
+      .when(a % 6 === 0, concat(lit("?id="), a, lit("&b=2&ref=tw")))
+      .otherwise("?v=1")
+    val url = concat(scheme, host, port, lit("/p/"), a.cast("string"), query,
+      when(d % 10 === 7, concat(lit("&fbclid="), d.cast("string")))
+        .otherwise(""),
+      when(d % 7 === 0, "#top").otherwise(""))
+    docs.select(d, col("text"), url.as("url"))
+  }
+
+  /** Host-grain curation end to end ([[graft.rules.HostCuration]]):
+    * per-host rollups (quality, short fraction, URL-duplication
+    * fraction over canonical URLs) with the blocklist decision, then
+    * the curation pass itself — canonical-URL dedup, blocked-host
+    * anti-join, per-host quota ([[graft.text.Sampling.quotaSample]]) —
+    * reported back as each host's post-curation kept count. */
+  def hostCuration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rules.HostCuration
+    val docs = withUrls(Tables.load(spark, dir, "documents"))
+    val stats = HostCuration.hostStats(docs, "url", "text",
+      minAvgQuality = R15MinAvgQ, maxShortFrac = R15MaxShort,
+      maxUrlDupFrac = R15MaxUrlDup)
+    val blockedHosts = stats.filter(col("blocked")).select("host")
+    val deduped = HostCuration.dropUrlDuplicates(docs, "url", "doc_id")
+      .withColumn("host", HostCuration.canonicalHost(col("url")))
+      .join(broadcast(blockedHosts), Seq("host"), "left_anti")
+    val kept = graft.text.Sampling
+      .quotaSample(deduped, "host", "doc_id", quota = R15Quota)
+      .groupBy("host").agg(count(lit(1)).as("n_kept"))
+    stats.join(kept, Seq("host"), "left_outer")
+      .withColumn("n_kept", coalesce(col("n_kept"), lit(0L)))
+      .orderBy("host")
+  }
+
+  val hostCurationSql: String = {
+    val trackRe = "^(?:utm_[a-z]+|ref|fbclid|gclid|sessionid)="
+    // the canonical pieces over a url column (RE2 forms)
+    val auth =
+      """CASE WHEN regexp_extract(lower(url),
+        |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1) <> ''
+        |  THEN regexp_extract(lower(url),
+        |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)
+        |  ELSE regexp_extract(lower(url), '^(?:[^/?#@]*@)?([^/?#]+)', 1)
+        |END""".stripMargin
+    val domain =
+      """CASE
+        |  WHEN regexp_extract(host,
+        |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1) <> ''
+        |  THEN regexp_extract(host,
+        |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1)
+        |  WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+        |  THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+        |  ELSE host
+        |END""".stripMargin
+    val hostFromA2 =
+      """regexp_replace(regexp_replace(regexp_replace(a2,
+        |  ':[0-9]+$', ''), '\.$', ''), '^(?:www[0-9]*|m|amp)\.', '')"""
+        .stripMargin
+    s"""WITH u AS (
+       |  SELECT doc_id, text,
+       |    (CASE WHEN a % 9 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+       |    (CASE WHEN a % 9 = 0 THEN upper(hostraw) ELSE hostraw END) ||
+       |    (CASE WHEN a % 11 = 0 THEN ':443' ELSE '' END) ||
+       |    '/p/' || a::VARCHAR ||
+       |    (CASE WHEN a % 4 = 0 THEN '?utm_source=feed&id=' || a::VARCHAR
+       |          WHEN a % 6 = 0 THEN '?id=' || a::VARCHAR || '&b=2&ref=tw'
+       |          ELSE '?v=1' END) ||
+       |    (CASE WHEN doc_id % 10 = 7 THEN '&fbclid=' || doc_id::VARCHAR
+       |          ELSE '' END) ||
+       |    (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+       |  FROM (
+       |    SELECT doc_id, text, a,
+       |      (CASE WHEN a % 3 = 0 THEN 'www.'
+       |            WHEN a % 3 = 1 THEN 'M.' ELSE '' END) ||
+       |      'src' || (a % 20)::VARCHAR ||
+       |      (CASE WHEN a % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS hostraw
+       |    FROM (SELECT doc_id, text,
+       |            CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+       |                 ELSE doc_id END AS a
+       |          FROM documents))),
+       |k0 AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+       |    $auth AS a2,
+       |    regexp_extract(url,
+       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS upath,
+       |    array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$trackRe'))), '&')
+       |      AS params
+       |  FROM u),
+       |k AS (
+       |  SELECT doc_id, $hostFromA2 AS host,
+       |    scheme || '://' ||
+       |    (CASE WHEN (scheme = 'http' AND a2 LIKE '%:80')
+       |            OR (scheme = 'https' AND a2 LIKE '%:443')
+       |          THEN regexp_replace(a2, ':[0-9]+$$', '') ELSE a2 END)
+       |    || upath ||
+       |    (CASE WHEN params <> '' THEN '?' || params ELSE '' END) AS cu,
+       |    CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT) AS e4,
+       |    LENGTH(text) AS len
+       |  FROM k0),
+       |agg AS (
+       |  SELECT host, COUNT(*) AS n_docs, COUNT(DISTINCT cu) AS n_urls,
+       |    CAST(SUM(e4) AS BIGINT) AS sum_quality_e4,
+       |    CAST(SUM(CASE WHEN len < 200 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_short
+       |  FROM k GROUP BY host),
+       |stats AS (
+       |  SELECT host, n_docs, n_urls, sum_quality_e4, n_short,
+       |    $domain AS domain,
+       |    CAST(sum_quality_e4 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)
+       |      AS avg_quality,
+       |    CAST(n_docs - n_urls AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |      AS url_dup_frac,
+       |    CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE) AS short_frac,
+       |    (CAST(sum_quality_e4 AS DOUBLE) / (CAST(n_docs AS DOUBLE) * 10000.0)
+       |       < CAST($R15MinAvgQ AS DOUBLE)
+       |     OR CAST(n_short AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |       > CAST($R15MaxShort AS DOUBLE)
+       |     OR CAST(n_docs - n_urls AS DOUBLE) / CAST(n_docs AS DOUBLE)
+       |       > CAST($R15MaxUrlDup AS DOUBLE)) AS blocked
+       |  FROM agg),
+       |dedup AS (
+       |  SELECT k.doc_id, k.host FROM k
+       |  JOIN (SELECT cu, MIN(doc_id) AS doc_id FROM k GROUP BY cu) w
+       |    ON k.cu = w.cu AND k.doc_id = w.doc_id
+       |  WHERE k.host NOT IN (SELECT host FROM stats WHERE blocked)),
+       |quota AS (
+       |  SELECT host, COUNT(*) AS n_kept FROM (
+       |    SELECT host,
+       |      ROW_NUMBER() OVER (PARTITION BY host
+       |        ORDER BY md5(doc_id::VARCHAR), doc_id) AS rn
+       |    FROM dedup)
+       |  WHERE rn <= $R15Quota GROUP BY host)
+       |SELECT s.host, s.domain, s.n_docs, s.n_urls, s.sum_quality_e4,
+       |  s.n_short, s.avg_quality, s.url_dup_frac, s.short_frac, s.blocked,
+       |  coalesce(q.n_kept, 0)::BIGINT AS n_kept
+       |FROM stats s LEFT JOIN quota q USING (host)
+       |ORDER BY s.host""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r15_host_curation" -> (hostCuration _),
     "r14_source_rules" -> (sourceRules _),
     "r10_fd_discovery" -> (fdDiscovery _),
     "r11_ind_discovery" -> (indDiscovery _),
@@ -581,6 +752,7 @@ object RuleQueries {
     "o3_grouped_sigma" -> (groupedSigma _))
 
   def oracleSql: Map[String, String] = Map(
+    "r15_host_curation" -> hostCurationSql,
     "r10_fd_discovery" -> fdDiscoverySql,
     "r11_ind_discovery" -> indDiscoverySql,
     "r12_cfd_discovery" -> cfdDiscoverySql,
