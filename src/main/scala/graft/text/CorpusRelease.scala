@@ -60,6 +60,72 @@ object CorpusRelease {
     manifest(corpus.sparkSession, path, partitionCols, sumCols)
   }
 
+  /** APPEND a new dump to an existing release layout — the incremental
+    * form of [[write]], closing the d13/d17/s10 incremental loop at
+    * the release sink: only the dump's own (split, lang) partitions
+    * are touched (new shard files appended into their directories;
+    * every other partition's files are left byte-identical on disk —
+    * at 100 TB an incremental dump must never rewrite the corpus), and
+    * the returned manifest delta is computed from DISK for exactly the
+    * touched partitions via a partition-PRUNED read (the scan never
+    * visits an untouched directory). Fold the delta into the stored
+    * release manifest with [[foldManifest]]; l6's [[releaseDiff]] is
+    * the content-grain audit of the same append.
+    *
+    * Same determinism contract as [[write]]: range layout on
+    * (dims, pack order), sorted shards, size-bounded files — so within
+    * the new shards the pack-order contiguity holds exactly as in a
+    * full release (SinksSpec pins incremental ≡ full re-release on the
+    * row multiset and the folded manifest). */
+  def appendDump(dump: DataFrame, path: String,
+      partitionCols: Seq[String] = Seq("split", "lang"),
+      sortCols: Seq[String] = Seq("bin_id"),
+      sumCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 1000000L): DataFrame = {
+    require(partitionCols.nonEmpty, "a release needs partition dimensions")
+    val orderCols = (partitionCols ++ sortCols).map(c => col(s"`$c`"))
+    dump
+      .repartitionByRange(
+        dump.sparkSession.sessionState.conf.numShufflePartitions,
+        orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+      .write.mode("append")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+    // fresh per-partition totals for ONLY the touched partitions:
+    // touched-dimension tuples are control-plane sized by construction
+    // (distinct partition values, not documents), and the disjunction
+    // of equality conjuncts prunes the read down to their directories
+    val touched = dump.select(partitionCols.map(c => col(s"`$c`")): _*)
+      .distinct().collect()
+    val pred = touched.map { row =>
+      partitionCols.zipWithIndex.map { case (c, i) =>
+        if (row.isNullAt(i)) col(s"`$c`").isNull
+        else col(s"`$c`") === lit(row.get(i))
+      }.reduce(_ && _)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val spark = dump.sparkSession
+    val aggs = count(lit(1)).as("n_rows") +:
+      sumCols.map(c => sum(col(s"`$c`")).as(s"sum_$c"))
+    spark.read.parquet(path)
+      .filter(pred)
+      .groupBy(partitionCols.map(c => col(s"`$c`")): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .orderBy(partitionCols.map(c => col(s"`$c`")): _*)
+  }
+
+  /** Fold an [[appendDump]] manifest delta into the stored release
+    * manifest: touched partitions take their fresh on-disk totals,
+    * untouched rows carry over — exact incremental maintenance
+    * (control-plane frames, one anti-join + union). */
+  def foldManifest(stored: DataFrame, delta: DataFrame,
+      partitionCols: Seq[String] = Seq("split", "lang")): DataFrame =
+    stored.join(delta.select(partitionCols.map(c => col(s"`$c`")): _*),
+        partitionCols, "left_anti")
+      .unionByName(delta)
+      .orderBy(partitionCols.map(c => col(s"`$c`")): _*)
+
   /** Release-to-release diff — the audit step of the incremental-dump
     * story (d13 probes new content against the corpus, d17 folds its
     * components, s10 its PQ codes; this reports what a new RELEASE

@@ -52,6 +52,65 @@ class SinksSpec extends SparkSpec {
     }
   }
 
+  test("incremental release: append touches only the dump's partitions; " +
+      "folded manifest and rows equal a full re-release") {
+    import spark.implicits._
+    def mk(ids: Range, split: Int => String, lang: Int => String) =
+      ids.map(i => (i.toLong, split(i), lang(i), (i % 40).toLong,
+        i.toLong * 3)).toDF("doc_id", "split", "lang", "bin_id", "n_tokens")
+    // old release: train/val × en; the dump touches (train, en) and
+    // brings a brand-new (train, de) partition — (val, en) is untouched
+    val old = mk(1 to 300, i => if (i % 3 == 0) "val" else "train", _ => "en")
+    val dump = mk(301 to 500, _ => "train",
+      i => if (i % 2 == 0) "en" else "de")
+    val dirInc = java.nio.file.Files.createTempDirectory("graft_inc").toFile
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_full").toFile
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm); f.delete()
+    }
+    try {
+      val stored = graft.text.CorpusRelease.write(old, dirInc.getAbsolutePath,
+        sumCols = Seq("n_tokens"), maxRecordsPerFile = 50L)
+        .collect().toSeq // freeze: the fold must use the STORED manifest
+      val untouchedDir = new java.io.File(dirInc, "split=val/lang=en")
+      val before = untouchedDir.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      val delta = graft.text.CorpusRelease.appendDump(dump,
+        dirInc.getAbsolutePath, sumCols = Seq("n_tokens"),
+        maxRecordsPerFile = 50L)
+      // untouched partition: exactly the same files, byte-for-byte ages
+      val after = untouchedDir.listFiles().map(f =>
+        f.getName -> f.lastModified()).toMap
+      assert(after == before, "append must not touch (val, en)")
+      // the delta covers exactly the dump's partitions, with on-disk
+      // totals (old + new rows for the shared (train, en) partition)
+      val deltaMap = delta.collect().map(r =>
+        (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+      assert(deltaMap.keySet == Set(("train", "en"), ("train", "de")))
+      // folded manifest == the manifest of a full re-release
+      val folded = graft.text.CorpusRelease.foldManifest(
+          spark.createDataFrame(spark.sparkContext.parallelize(stored),
+            delta.schema), delta)
+        .collect().map(r =>
+          (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      graft.text.CorpusRelease.write(old.unionByName(dump),
+        dirFull.getAbsolutePath, sumCols = Seq("n_tokens"),
+        maxRecordsPerFile = 50L)
+      val full = graft.text.CorpusRelease.manifest(spark,
+          dirFull.getAbsolutePath, Seq("split", "lang"), Seq("n_tokens"))
+        .collect().map(r =>
+          (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(folded == full)
+      // row multiset equal between incremental layout and full re-release
+      def rows(p: String) = spark.read.parquet(p)
+        .select("doc_id", "split", "lang", "bin_id", "n_tokens")
+        .as[(Long, String, String, Long, Long)].collect().sorted.toSeq
+      assert(rows(dirInc.getAbsolutePath) == rows(dirFull.getAbsolutePath))
+    } finally { rm(dirInc); rm(dirFull) }
+  }
+
   test("S5: typed profiles round-trip through parquet") {
     val profiles = Profiler.profileTyped(
       Tables.load(spark, sf, "customer"), "customer")
