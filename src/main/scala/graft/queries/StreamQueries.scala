@@ -523,12 +523,20 @@ object StreamQueries {
     // cross-multiplied so the comparison stays integer
     val (lmN, lmNll) = graft.text.LanguageModel.nllColumns(
       lm._1, lm._2, LmB2, LmB1, "text")
+    // the LM conjunct is the EXPLICIT unscorable policy (the w15/t29
+    // contract): a document with zero [a-z0-9] bigrams cannot be
+    // SCORED, which is not evidence it is bad — `lmN > 0 && pass` was
+    // silently a language filter (it deleted every pure-CJK/Cyrillic
+    // document with no trace). Zero-gram docs are KEPT here (the
+    // upstream C4 line gate already guarantees substantial text); a
+    // mixed-script deployment routes them to their script's model
+    // instead (w15). Cross-multiplied, so n = 0 never divides.
     survivors.filter(
       TextQueries.round4(graft.text.TextAnalysis.qualityScore("text")) >= 0.9 &&
         TextQueries.round4(
           graft.text.TextAnalysis.inlineDupTrigramFrac("text")) < 0.3 &&
         score >= 0L &&
-        lmN > 0L && lmNll * 1024L <= lmN * lit(Lm13Thresh))
+        (lmN === 0L || lmNll * 1024L <= lmN * lit(Lm13Thresh)))
   }
 
 
@@ -718,8 +726,8 @@ object StreamQueries {
        |  WHERE FLOOR($qual * 10000 + 0.5) / 10000.0 >= 0.9
        |    AND FLOOR(rep.frac * 10000 + 0.5) / 10000.0 < 0.3
        |    AND coalesce(dscore.score, 0) >= 0
-       |    AND coalesce(lm_n, 0) > 0
-       |    AND coalesce(lm_nll, 0) * 1024 <= $Lm13Thresh * coalesce(lm_n, 0)),
+       |    AND (coalesce(lm_n, 0) = 0
+       |         OR coalesce(lm_nll, 0) * 1024 <= $Lm13Thresh * coalesce(lm_n, 0))),
        |counts AS (SELECT lang, COUNT(*) AS n FROM kept GROUP BY lang),
        |mn AS (SELECT MIN(n) AS n_min FROM counts),
        |probs AS (
