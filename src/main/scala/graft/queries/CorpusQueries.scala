@@ -682,9 +682,17 @@ object CorpusQueries {
     * codegen'd). */
   def multilingualPipeline(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.{ScriptLm, ScriptText}
+    // every 41st document translated into an UNTRACKED letter script
+    // (Devanagari): full quality but dominantScript = 'none' — the
+    // population that carries the LM gate's unscorable-KEPT policy
+    // end to end (stage 4); a letterless filler would die at the
+    // quality cut before the policy could bite
     val base = TextQueries.Scripts
       .derived(Tables.load(spark, dir, "documents"))
-      .select(col("doc_id"), col("text2"))
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0,
+          TextQueries.Scripts.toUntracked(col("text2")))
+          .otherwise(col("text2")).as("text2"))
     val doubled = base
       .unionByName(base.select((col("doc_id") + 1000000L).as("doc_id"),
         col("text2")))
@@ -748,20 +756,15 @@ object CorpusQueries {
     import TextQueries.Scripts
     val toks = Scripts.toksSql("text2")
     val qe4 = Scripts.qualityE4Sql("text2")
-    def bkt(e: String, m: Int) =
-      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
-    val eCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
-      .mkString(" ") + " ELSE 0 END"
-    val pCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
-      .mkString(" ") + " ELSE 1 END"
-    val pscale = graft.text.LanguageModel.PScale
-    val topF = 31L * graft.text.LanguageModel.F
     val b2 = TextQueries.SLmB2
     val b1 = TextQueries.SLmB1
     s"""WITH RECURSIVE ${Scripts.derivedSql},
-       |base AS (SELECT doc_id, text2 FROM docs2),
+       |base AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 41 = 0
+       |         THEN ${TextQueries.Scripts.toUntrackedSql("text2")}
+       |         ELSE text2 END AS text2
+       |  FROM docs2),
        |tripled AS (
        |  SELECT doc_id, text2 FROM base
        |  UNION ALL SELECT doc_id + 1000000, text2 FROM base
@@ -829,39 +832,15 @@ object CorpusQueries {
        |          unnest(list_transform(range(1, len(ws)),
        |            i -> ws[i] || ' ' || ws[i + 1])) AS g
        |        FROM qtoks WHERE len(ws) >= 2)),
-       |cb2 AS (SELECT script, ${bkt("g", b2)} AS b2k, COUNT(*) AS c2
-       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-       |cb1 AS (SELECT script, ${bkt("w1", b1)} AS b1k, COUNT(*) AS c1
-       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-       |qq AS (
-       |  SELECT doc_id, LEAST(GREATEST(
-       |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $b2),
-       |    1), $pscale) AS q
-       |  FROM (SELECT doc_id, script, ${bkt("g", b2)} AS b2k,
-       |          ${bkt("w1", b1)} AS b1k FROM gg
-       |        WHERE script <> 'none')
-       |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
-       |per AS (
-       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
-       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
-       |  FROM qq GROUP BY doc_id),
+       |${Scripts.lmCountsSql("gg", b2, b1, where = "WHERE doc_id % 3 = 0 ")},
+       |${Scripts.lmScoreSql("gg", b2, b1)},
        |sc0 AS (
        |  SELECT u.doc_id, u.script, u.text2,
        |    coalesce(n_grams, 0)::BIGINT AS n_grams,
        |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
        |    (u.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
        |  FROM qual u LEFT JOIN per USING (doc_id)),
-       |scnt AS (
-       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
-       |  FROM sc0 WHERE lm_scorable GROUP BY 1, 2),
-       |cuts AS (
-       |  SELECT script, MIN(avg) AS cut FROM (
-       |    SELECT script, avg,
-       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
-       |      SUM(c) OVER (PARTITION BY script) AS n
-       |    FROM scnt)
-       |  WHERE cum * ${TextQueries.SLmKeepDen} >= n * ${TextQueries.SLmKeepNum}
-       |  GROUP BY script),
+       |${Scripts.lmCutsSql("sc0", TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)},
        |kept AS (
        |  SELECT s.doc_id, s.script, s.text2
        |  FROM sc0 s LEFT JOIN cuts c USING (script)

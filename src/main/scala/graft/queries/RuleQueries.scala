@@ -673,7 +673,8 @@ object RuleQueries {
        |    regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
        |    $auth AS a2,
        |    regexp_extract(url,
-       |      '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS upath,
+       |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]*([^?#]*)', 1)
+       |      AS upath,
        |    array_to_string(list_sort(list_filter(
        |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
        |      p -> p <> '' AND NOT regexp_matches(p, '$trackRe'))), '&')
@@ -681,7 +682,7 @@ object RuleQueries {
        |  FROM u),
        |k AS (
        |  SELECT doc_id, $hostFromA2 AS host,
-       |    scheme || '://' ||
+       |    (CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END) ||
        |    (CASE WHEN (scheme = 'http' AND a2 LIKE '%:80')
        |            OR (scheme = 'https' AND a2 LIKE '%:443')
        |          THEN regexp_replace(a2, ':[0-9]+$$', '') ELSE a2 END)

@@ -801,9 +801,13 @@ object StreamQueries {
   private[graft] def w15Base(docs: DataFrame): DataFrame =
     TextQueries.Scripts.derived(docs)
       .select(col("doc_id"),
+        // every 41st document translated into an UNTRACKED letter
+        // script (Devanagari): full quality, script vote 'none' — the
+        // population that must survive the quality gate to prove the
+        // LM gate's unscorable-kept policy end to end (a letterless
+        // digit filler dies at the quality cut first)
         when(col("doc_id") % 41 === 0,
-          concat(lit(TextQueries.NoScriptFiller + " "),
-            col("doc_id").cast("string")))
+          TextQueries.Scripts.toUntracked(col("text2")))
           .otherwise(col("text2")).as("text2"))
 
   /** The planted multilingual crawl: the t26 derivation with
@@ -961,16 +965,6 @@ object StreamQueries {
          |  SELECT id, perm_id // 4 AS band,
          |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
          |  FROM ${pre}sig GROUP BY id, perm_id // 4)""".stripMargin
-    def bkt(e: String, m: Int) =
-      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
-    val eCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
-      .mkString(" ") + " ELSE 0 END"
-    val pCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
-      .mkString(" ") + " ELSE 1 END"
-    val pscale = graft.text.LanguageModel.PScale
-    val topF = 31L * graft.text.LanguageModel.F
     val b2 = TextQueries.SLmB2
     val b1 = TextQueries.SLmB1
     def bigramCte(srcToks: String, name: String, scriptSrc: String) =
@@ -981,24 +975,11 @@ object StreamQueries {
          |            i -> ws[i] || ' ' || ws[i + 1])) AS g
          |        FROM $srcToks WHERE len(ws) >= 2) t
          |  JOIN $scriptSrc c ON t.doc_id = c.doc_id)""".stripMargin
-    def scoreCtes(gg: String, pre: String) =
-      s"""${pre}qq AS (
-         |  SELECT doc_id, LEAST(GREATEST(
-         |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $b2),
-         |    1), $pscale) AS q
-         |  FROM (SELECT doc_id, script, ${bkt("g", b2)} AS b2k,
-         |          ${bkt("w1", b1)} AS b1k FROM $gg
-         |        WHERE script <> 'none')
-         |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
-         |${pre}per AS (
-         |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
-         |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
-         |  FROM ${pre}qq GROUP BY doc_id)""".stripMargin
     s"""WITH ${Scripts.derivedSql},
        |base AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % 41 = 0
-       |         THEN '${TextQueries.NoScriptFiller} ' || doc_id::VARCHAR
+       |         THEN ${TextQueries.Scripts.toUntrackedSql("text2")}
        |         ELSE text2 END AS text2
        |  FROM docs2),
        |planted AS (
@@ -1033,31 +1014,18 @@ object StreamQueries {
        |                       ELSE ${CorpusQueries.L7QOther} END),
        |${Scripts.scriptCteSql("corpus", "text2", "cscr")},
        |${bigramCte("ctoks", "cgg", "cscr")},
-       |cb2 AS (SELECT script, ${bkt("g", b2)} AS b2k, COUNT(*) AS c2
-       |        FROM cgg GROUP BY 1, 2),
-       |cb1 AS (SELECT script, ${bkt("w1", b1)} AS b1k, COUNT(*) AS c1
-       |        FROM cgg GROUP BY 1, 2),
-       |${scoreCtes("cgg", "c")},
+       |${Scripts.lmCountsSql("cgg", b2, b1)},
+       |${Scripts.lmScoreSql("cgg", b2, b1, pre = "c")},
        |csc AS (
        |  SELECT c.doc_id, c.script,
        |    coalesce(n_grams, 0)::BIGINT AS n_grams,
        |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
        |    (c.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
        |  FROM cscr c LEFT JOIN cper USING (doc_id)),
-       |scnt AS (
-       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
-       |  FROM csc WHERE lm_scorable GROUP BY 1, 2),
-       |cuts AS (
-       |  SELECT script, MIN(avg) AS cut FROM (
-       |    SELECT script, avg,
-       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
-       |      SUM(c) OVER (PARTITION BY script) AS n
-       |    FROM scnt)
-       |  WHERE cum * ${TextQueries.SLmKeepDen} >= n * ${TextQueries.SLmKeepNum}
-       |  GROUP BY script),
+       |${Scripts.lmCutsSql("csc", TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)},
        |qtoks AS (SELECT doc_id, ${toks("text2")} AS ws FROM qual),
        |${bigramCte("qtoks", "sgg", "qual")},
-       |${scoreCtes("sgg", "s")},
+       |${Scripts.lmScoreSql("sgg", b2, b1, pre = "s")},
        |ssc AS (
        |  SELECT q.doc_id, q.script, q.text2,
        |    coalesce(n_grams, 0)::BIGINT AS n_grams,

@@ -880,6 +880,23 @@ object TextQueries {
     val cjk26 = "一二三四五六七八九十百千万上下左右中大小明月日水火木"
     val cyr26 = "абвгдежзийклмнопрстуфхцчшщ"
     val ar26 = "ابتثجحخدذرزسشصضطظعغفقكلمنه"
+    /** Devanagari — a real LETTER script the engine does NOT track, so
+      * a translated document keeps full quality (letters, word shapes)
+      * while `dominantScript` votes 'none': the planted UNSCORABLE
+      * population for the l7/w15 LM-gate policy (digit filler would be
+      * killed by the quality gate before the policy could bite). */
+    val dev26 = "कखगघङचछजझञटठडढणतथदधनपफबभमय"
+
+    /** Translate every tracked-script letter into Devanagari (applied
+      * after `lower`); digits/punct/spaces pass through. */
+    def toUntracked(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      translate(lower(c), latin26 + cjk26 + cyr26 + ar26,
+        dev26 + dev26 + dev26 + dev26)
+
+    /** [[toUntracked]] as a DuckDB expression. */
+    def toUntrackedSql(e: String): String =
+      s"translate(lower($e), '$latin26$cjk26$cyr26$ar26', " +
+        s"'$dev26$dev26$dev26$dev26')"
 
     def derived(docs: DataFrame): DataFrame =
       docs.select(col("doc_id"), col("lang"),
@@ -943,6 +960,64 @@ object TextQueries {
          |  + (1.0 - LEAST((CASE WHEN $len > 0 THEN $digits / $len ELSE 1.0 END) * 5, 1.0)) * 0.1
          |) * 10000 + 0.5) AS BIGINT)""".stripMargin
     }
+
+    // ---- shared per-script hashed-LM fragments (t29 / l7 / w15) --------
+    // The fixed-point smoothing and log2-ladder text lives ONCE so the
+    // three mirrors cannot drift (they were three hand-synced copies).
+
+    def lmBucketSql(e: String, m: Int): String =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+
+    /** `<pre>cb2`/`<pre>cb1`: per-(script, bucket) bigram and prefix
+      * counts over a bigram CTE `$gg(doc_id, script, g, w1)`; `where`
+      * restricts the training population (e.g. "WHERE doc_id % 3 = 0 "). */
+    def lmCountsSql(gg: String, b2: Int, b1: Int, where: String = "",
+        pre: String = "c"): String =
+      s"""${pre}b2 AS (SELECT script, ${lmBucketSql("g", b2)} AS b2k,
+         |  COUNT(*) AS c2 FROM $gg ${where}GROUP BY 1, 2),
+         |${pre}b1 AS (SELECT script, ${lmBucketSql("w1", b1)} AS b1k,
+         |  COUNT(*) AS c1 FROM $gg ${where}GROUP BY 1, 2)""".stripMargin
+
+    /** `<pre>qq`/`<pre>per`: smoothed bucket probability + fixed-point
+      * NLL per document over `$gg`, against `<cntPre>b2`/`<cntPre>b1`. */
+    def lmScoreSql(gg: String, b2: Int, b1: Int, pre: String = "",
+        cntPre: String = "c"): String = {
+      val eCase = "CASE " + graft.text.LanguageModel.ladder
+        .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+        .mkString(" ") + " ELSE 0 END"
+      val pCase = "CASE " + graft.text.LanguageModel.ladder
+        .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+        .mkString(" ") + " ELSE 1 END"
+      val pscale = graft.text.LanguageModel.PScale
+      val topF = 31L * graft.text.LanguageModel.F
+      s"""${pre}qq AS (
+         |  SELECT doc_id, LEAST(GREATEST(
+         |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $b2),
+         |    1), $pscale) AS q
+         |  FROM (SELECT doc_id, script, ${lmBucketSql("g", b2)} AS b2k,
+         |          ${lmBucketSql("w1", b1)} AS b1k FROM $gg
+         |        WHERE script <> 'none')
+         |  LEFT JOIN ${cntPre}b2 USING (script, b2k)
+         |  LEFT JOIN ${cntPre}b1 USING (script, b1k)),
+         |${pre}per AS (
+         |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+         |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+         |  FROM ${pre}qq GROUP BY doc_id)""".stripMargin
+    }
+
+    /** `scnt`/`cuts`: the per-script keep-fraction percentile cut over
+      * a scored frame `$sc(…, script, n_grams, nll_fp, lm_scorable)`. */
+    def lmCutsSql(sc: String, keepNum: Int, keepDen: Int): String =
+      s"""scnt AS (
+         |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
+         |  FROM $sc WHERE lm_scorable GROUP BY 1, 2),
+         |cuts AS (
+         |  SELECT script, MIN(avg) AS cut FROM (
+         |    SELECT script, avg,
+         |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
+         |      SUM(c) OVER (PARTITION BY script) AS n
+         |    FROM scnt)
+         |  WHERE cum * $keepDen >= n * $keepNum GROUP BY script)""".stripMargin
 
     /** `scr(doc_id, script)` over a CTE `$src(doc_id, $textExpr)`:
       * census + [[scriptExactSql]]. */
@@ -1238,24 +1313,13 @@ object TextQueries {
     * join. */
   val scriptLmGateSql: String = {
     import Scripts._
-    val toks = toksSql("text2")
-    def bkt(e: String, m: Int) =
-      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
-    val eCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
-      .mkString(" ") + " ELSE 0 END"
-    val pCase = "CASE " + graft.text.LanguageModel.ladder
-      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
-      .mkString(" ") + " ELSE 1 END"
-    val pscale = graft.text.LanguageModel.PScale
-    val topF = 31L * graft.text.LanguageModel.F
     s"""WITH $derivedSql,
        |docs3 AS (
        |  SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN '$NoScriptFiller'
        |                      ELSE text2 END AS text2
        |  FROM docs2),
        |${scriptCteSql("docs3", "text2")},
-       |t AS (SELECT doc_id, $toks AS ws FROM docs3),
+       |t AS (SELECT doc_id, ${toksSql("text2")} AS ws FROM docs3),
        |gg AS (
        |  SELECT g0.doc_id, scr.script, g, split_part(g, ' ', 1) AS w1
        |  FROM (SELECT doc_id,
@@ -1263,38 +1327,15 @@ object TextQueries {
        |            i -> ws[i] || ' ' || ws[i + 1])) AS g
        |        FROM t WHERE len(ws) >= 2) g0
        |  JOIN scr ON g0.doc_id = scr.doc_id),
-       |cb2 AS (SELECT script, ${bkt("g", SLmB2)} AS b2k, COUNT(*) AS c2
-       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-       |cb1 AS (SELECT script, ${bkt("w1", SLmB1)} AS b1k, COUNT(*) AS c1
-       |        FROM gg WHERE doc_id % 3 = 0 GROUP BY 1, 2),
-       |qq AS (
-       |  SELECT doc_id, LEAST(GREATEST(
-       |    ((coalesce(c2, 0) + 1) * $pscale) // (coalesce(c1, 0) + $SLmB2),
-       |    1), $pscale) AS q
-       |  FROM (SELECT doc_id, script, ${bkt("g", SLmB2)} AS b2k,
-       |          ${bkt("w1", SLmB1)} AS b1k FROM gg
-       |        WHERE script <> 'none')
-       |  LEFT JOIN cb2 USING (script, b2k) LEFT JOIN cb1 USING (script, b1k)),
-       |per AS (
-       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
-       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
-       |  FROM qq GROUP BY doc_id),
+       |${lmCountsSql("gg", SLmB2, SLmB1, where = "WHERE doc_id % 3 = 0 ")},
+       |${lmScoreSql("gg", SLmB2, SLmB1)},
        |sc0 AS (
        |  SELECT s.doc_id, s.script,
        |    coalesce(n_grams, 0)::BIGINT AS n_grams,
        |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
        |    (s.script <> 'none' AND coalesce(n_grams, 0) > 0) AS lm_scorable
        |  FROM scr s LEFT JOIN per USING (doc_id)),
-       |scnt AS (
-       |  SELECT script, (nll_fp * 1024) // n_grams AS avg, COUNT(*) AS c
-       |  FROM sc0 WHERE lm_scorable GROUP BY 1, 2),
-       |cuts AS (
-       |  SELECT script, MIN(avg) AS cut FROM (
-       |    SELECT script, avg,
-       |      SUM(c) OVER (PARTITION BY script ORDER BY avg) AS cum,
-       |      SUM(c) OVER (PARTITION BY script) AS n
-       |    FROM scnt)
-       |  WHERE cum * $SLmKeepDen >= n * $SLmKeepNum GROUP BY script)
+       |${lmCutsSql("sc0", SLmKeepNum, SLmKeepDen)}
        |SELECT s.doc_id, s.script, s.n_grams, s.nll_fp, s.lm_scorable,
        |  (CASE WHEN NOT s.lm_scorable THEN TRUE
        |        ELSE (s.nll_fp * 1024) // s.n_grams <= c.cut END) AS kept

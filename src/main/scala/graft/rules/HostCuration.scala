@@ -83,12 +83,19 @@ object HostCuration {
       (scheme === "http" && auth.endsWith(":80")) ||
         (scheme === "https" && auth.endsWith(":443")),
       regexp_replace(auth, ":[0-9]+$", "")).otherwise(auth)
-    val path = regexp_extract(url, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    // scheme part optional: a scheme-less URL (in-contract — authority
+    // handles it) must keep its PATH, else every page of the host
+    // canonicalizes to one URL and url_dup_frac reads a clean host as
+    // a duplicate farm
+    val path = regexp_extract(url,
+      "^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]*([^?#]*)", 1)
     val query = regexp_extract(url, "\\?([^#]*)", 1)
     val params = array_join(
       sort_array(filter(split(query, "&"),
         p => p =!= "" && !regexp_like(p, lit(trackingRe)))), "&")
-    concat(scheme, lit("://"), host, path,
+    concat(
+      when(scheme =!= "", concat(scheme, lit("://"))).otherwise(lit("")),
+      host, path,
       when(params =!= "", concat(lit("?"), params)).otherwise(lit("")))
   }
 

@@ -118,13 +118,21 @@ object CorpusRelease {
   /** Fold an [[appendDump]] manifest delta into the stored release
     * manifest: touched partitions take their fresh on-disk totals,
     * untouched rows carry over — exact incremental maintenance
-    * (control-plane frames, one anti-join + union). */
+    * (control-plane frames, one anti-join + union). Null-SAFE keys:
+    * [[appendDump]] supports null partition values (its touched
+    * predicate does), so the anti-join must too — a plain column
+    * equality would leave the stale (dim, null) row beside the fresh
+    * one. */
   def foldManifest(stored: DataFrame, delta: DataFrame,
-      partitionCols: Seq[String] = Seq("split", "lang")): DataFrame =
-    stored.join(delta.select(partitionCols.map(c => col(s"`$c`")): _*),
-        partitionCols, "left_anti")
+      partitionCols: Seq[String] = Seq("split", "lang")): DataFrame = {
+    val keys = delta.select(partitionCols.map(c => col(s"`$c`")): _*)
+    val cond = partitionCols
+      .map(c => stored(c) <=> keys(c))
+      .reduce(_ && _)
+    stored.join(keys, cond, "left_anti")
       .unionByName(delta)
       .orderBy(partitionCols.map(c => col(s"`$c`")): _*)
+  }
 
   /** Release-to-release diff — the audit step of the incremental-dump
     * story (d13 probes new content against the corpus, d17 folds its

@@ -51,7 +51,12 @@ class HostCurationSpec extends SparkSpec {
       // http on 443 is NOT the default port — kept
       ("http://example.com:443/p", "http://example.com:443/p"),
       ("https://example.com/p?fbclid=abc&gclid=x&ref=tw", "https://example.com/p"),
-      ("https://user@example.com/P/Q?z=1&y=2", "https://example.com/P/Q?y=2&z=1"))
+      ("https://user@example.com/P/Q?z=1&y=2", "https://example.com/P/Q?y=2&z=1"),
+      // scheme-less: the PATH must survive (else every page of the
+      // host collapses to one canonical URL and url_dup_frac reads a
+      // clean host as a duplicate farm)
+      ("Example.com/a?utm_source=x&b=1#f", "example.com/a?b=1"),
+      ("example.com/b", "example.com/b"))
     cases.foreach { case (url, want) =>
       val got = one(Seq(url).toDF("u").select(HostCuration.canonicalUrl($"u")))
       assert(got == want, s"$url -> $got, want $want")

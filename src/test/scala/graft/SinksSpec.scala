@@ -111,6 +111,20 @@ class SinksSpec extends SparkSpec {
     } finally { rm(dirInc); rm(dirFull) }
   }
 
+  test("foldManifest replaces touched rows null-safely") {
+    import spark.implicits._
+    val stored = Seq(("train", "en", 10L, 30L), ("train", null, 5L, 15L),
+      ("val", "en", 4L, 12L)).toDF("split", "lang", "n_rows", "sum_n_tokens")
+    val delta = Seq(("train", null, 9L, 27L))
+      .toDF("split", "lang", "n_rows", "sum_n_tokens")
+    val folded = graft.text.CorpusRelease.foldManifest(stored, delta)
+      .collect().map(r => (r.getString(0), Option(r.getString(1)),
+        r.getLong(2))).toSet
+    // the stale (train, null) row must be REPLACED, not duplicated
+    assert(folded == Set(("train", Some("en"), 10L),
+      ("train", None, 9L), ("val", Some("en"), 4L)))
+  }
+
   test("S5: typed profiles round-trip through parquet") {
     val profiles = Profiler.profileTyped(
       Tables.load(spark, sf, "customer"), "customer")

@@ -55,7 +55,8 @@ object L7Probe {
     val withScript = canon.withColumn("script",
       ScriptText.dominantScript(col("text2")))
     val qual = withScript.filter(ScriptText.qualityE4("text2") >=
-      when(col("script") === "cjk", 8440L).otherwise(9400L)).persist()
+      when(col("script") === "cjk", CorpusQueries.L7QCjk)
+        .otherwise(CorpusQueries.L7QOther)).persist()
     t("quality_gate")(qual.count())
 
     val ref = qual.filter(col("doc_id") % 3 === 0).select("doc_id", "text2")
