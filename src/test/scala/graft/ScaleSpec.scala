@@ -392,4 +392,24 @@ class ScaleSpec extends SparkSpec {
       rm(dir)
     }
   }
+  test("the multilingual pipelines stay equi-join shaped (l7 batch, w15 gate chain)") {
+    // l7: script-shingle jaccard + CC + per-script gates — nothing may
+    // plan as a cartesian/BNLJ; the LM cut join must broadcast
+    val l7 = graft.queries.CorpusQueries.multilingualPipeline(spark, sf)
+    val p1 = l7.queryExecution.executedPlan.toString
+    assert(!p1.contains("CartesianProduct") &&
+      !p1.contains("BroadcastNestedLoopJoin"),
+      s"l7 must stay equi-join shaped:\n$p1")
+    graft.ops.StagePersists.release(spark)
+    // w15: the 4 band probes and the exact-hash anti-probe are
+    // broadcast hash joins on expression keys (stream-static shape)
+    val w15 = graft.queries.StreamQueries.streamMultilingual(spark, sf)
+    val p2 = w15.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"w15 must stay equi-join shaped:\n$p2")
+    assert(p2.contains("BroadcastHashJoin"),
+      s"w15 probes should broadcast:\n$p2")
+    graft.ops.StagePersists.release(spark)
+  }
 }
