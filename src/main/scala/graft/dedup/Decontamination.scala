@@ -36,6 +36,35 @@ object Decontamination {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Script-aware twin of [[contaminatedDocs]]: shingles via
+    * [[graft.text.ScriptText.shingles]] (word n-grams for worded
+    * scripts, CHAR n-grams for CJK), so a non-Latin benchmark is
+    * actually visible to the probe — under the Latin plane a
+    * CJK/Cyrillic/Arabic eval set yields ZERO grams and its answers
+    * leak into training silently. Same scale shape: the eval gram
+    * frame is benchmark-sized (broadcast), the corpus side is one
+    * explode + equi-join + partial-agg. */
+  def contaminatedDocsScript(corpus: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int = 8,
+      minOverlap: Long = 1): DataFrame = {
+    val corpusGrams = graft.text.ScriptText.shingles(corpus, textCol, idCol, n)
+    val evalGrams = graft.text.ScriptText.shingles(evalSet, textCol, idCol, n)
+      .select(col("shingle")).distinct()
+    corpusGrams.join(evalGrams, "shingle")
+      .groupBy("id").agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
+  /** Stream-safe evidence form at the script grain (the w4 pattern:
+    * [[graft.text.ScriptText.shingles]] is a per-row distinct +
+    * explode — stateless, append-mode legal against a broadcast eval
+    * gram table). */
+  def contaminationEvidenceScript(corpus: DataFrame, evalGrams: DataFrame,
+      textCol: String, idCol: String, n: Int = 8): DataFrame =
+    graft.text.ScriptText.shingles(corpus, textCol, idCol, n)
+      .join(evalGrams, "shingle")
+      .select(col("id"), col("shingle"))
+
   /** The decontaminated corpus: drop every flagged document. */
   def decontaminate(corpus: DataFrame, evalSet: DataFrame, textCol: String,
       idCol: String, n: Int = 8, minOverlap: Long = 1): DataFrame =

@@ -761,6 +761,39 @@ object DedupQueries {
        |FROM grams JOIN eval_grams USING (g)
        |GROUP BY doc_id ORDER BY id""".stripMargin
 
+  // ---- d19: SCRIPT-AWARE decontamination --------------------------------
+
+  /** The d8 probe on the derived multilingual corpus at the SCRIPT
+    * grain ([[graft.dedup.Decontamination.contaminatedDocsScript]]):
+    * eval set = every 10th document, probed with script-aware 5-gram
+    * shingles (char 5-grams for CJK) — the Latin-plane probe sees ZERO
+    * grams for the zh/de/es-derived documents (≈60% of this corpus),
+    * so their benchmark leakage is invisible to d8's machinery;
+    * DedupSpec pins that blindness, this query pins the cure. */
+  def scriptDecontamination(spark: SparkSession, dir: String): DataFrame = {
+    val d2 = TextQueries.Scripts.derived(Tables.load(spark, dir, "documents"))
+      .select(col("doc_id"), col("text2"))
+    graft.dedup.Decontamination.contaminatedDocsScript(
+        d2, d2.filter(col("doc_id") % 10 === 0), "text2", "doc_id", n = 5)
+      .orderBy("id")
+  }
+
+  val scriptDecontaminationSql: String = {
+    import TextQueries.Scripts
+    s"""WITH ${Scripts.derivedSql},
+       |t AS (SELECT doc_id, ${Scripts.toksSql("text2")} AS ws FROM docs2),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(
+       |    range(1, greatest(len(ws) - 3, 1)),
+       |    i -> list_aggregate(ws[i:i+4], 'string_agg', ' '))) AS g
+       |  FROM t WHERE len(ws) >= 5),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |eval_grams AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0)
+       |SELECT doc_id AS id, COUNT(*) AS n_overlap
+       |FROM grams JOIN eval_grams USING (g)
+       |GROUP BY doc_id ORDER BY id""".stripMargin
+  }
+
   // ---- d18: corpus-frequent shingles (boilerplate phrase table) ---------
 
   /** The boilerplate phrase table: every 5-word shingle appearing in
@@ -959,6 +992,7 @@ object DedupQueries {
     "d6_embedding_dups" -> (embeddingDups _),
     "d7_dup_components" -> (dupComponents _),
     "d8_contamination" -> (contamination _),
+    "d19_script_decontamination" -> (scriptDecontamination _),
     "d18_frequent_shingles" -> (frequentShingles _),
     "d9_dup_passages" -> (dupPassages _),
     "d10_substring_dedup" -> (substringDedup _),
@@ -980,6 +1014,7 @@ object DedupQueries {
     "d6_embedding_dups" -> embeddingDupsSql,
     "d7_dup_components" -> dupComponentsSql,
     "d8_contamination" -> contaminationSql,
+    "d19_script_decontamination" -> scriptDecontaminationSql,
     "d18_frequent_shingles" -> frequentShinglesSql,
     "d9_dup_passages" -> dupPassagesSql,
     "d10_substring_dedup" -> substringDedupSql,

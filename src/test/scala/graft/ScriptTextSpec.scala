@@ -78,6 +78,31 @@ class ScriptTextSpec extends SparkSpec {
     assert(pairs.head.getLong(0) == 1L && pairs.head.getLong(1) == 2L)
   }
 
+  test("decontamination: the Latin probe is blind to non-Latin leakage; " +
+      "the script probe sees every script") {
+    import graft.dedup.Decontamination
+    // one contaminated doc per script: the doc IS (a superset of) the
+    // eval text, so every gram of the eval doc leaks
+    val zh = "一二三四五六七八九十百千万上下左右中大小明月日水火木" * 3
+    val ru = "привет это мир и все хорошо сегодня здесь опять снова " * 3
+    val en = "the quick brown fox jumps over the lazy dog again today " * 3
+    val corpus = Seq((1L, en + "tail"), (2L, zh + "。"), (3L, ru + "да"),
+      (4L, "clean unrelated words nothing shared here at all nine ten"))
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, en), (101L, zh), (102L, ru)).toDF("doc_id", "text")
+    val latin = Decontamination.contaminatedDocs(
+      corpus, eval_, "text", "doc_id", n = 5).select("id")
+      .as[Long].collect().toSet
+    val script = Decontamination.contaminatedDocsScript(
+      corpus, eval_, "text", "doc_id", n = 5).select("id")
+      .as[Long].collect().toSet
+    // Latin plane: the zh doc yields ZERO grams (invisible); the ru doc
+    // also (cyrillic outside [a-z0-9]) — only the en leak is caught
+    assert(latin == Set(1L), s"latin probe saw: $latin")
+    // script plane: every leaked doc flagged, the clean one not
+    assert(script == Set(1L, 2L, 3L), s"script probe saw: $script")
+  }
+
   test("Latin-only text: script plane agrees with the Latin plane's counts") {
     val docs = Tables.load(spark, sf, "documents").filter(col("lang") === "en")
     // testdata text is pure ASCII: the script tokenizer must reproduce

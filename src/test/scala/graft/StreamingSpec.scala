@@ -211,6 +211,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("SCRIPT contamination evidence streams in append mode (CJK leak visible)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val zh = "一二三四五六七八九十百千万上下左右中大小"
+    val rows = Seq(
+      (1L, zh + "明月日"),                                  // CJK leak
+      (2L, "the quick brown fox jumps over the lazy dog"),  // latin leak
+      (3L, "完全无关的另一段文字在这里没有重叠可言三四"))     // clean CJK
+    val eval_ = Seq((99L, zh), (98L, "the quick brown fox jumps over"))
+      .toDF("doc_id", "text")
+    val evalGrams = graft.text.ScriptText.shingles(eval_, "text", "doc_id", 5)
+      .select(col("shingle")).distinct().localCheckpoint(true)
+    val batch = graft.dedup.Decontamination.contaminationEvidenceScript(
+        rows.toDF("doc_id", "text"), evalGrams, "text", "doc_id", n = 5)
+      .as[(Long, String)].collect().toSet
+    assert(batch.map(_._1) === Set(1L, 2L),
+      "both the CJK and the Latin leak must be visible")
+    val input = MemoryStream[(Long, String)]
+    val q = graft.dedup.Decontamination.contaminationEvidenceScript(
+        input.toDF().toDF("doc_id", "text"), evalGrams, "text", "doc_id", n = 5)
+      .writeStream.format("memory").queryName("w4s_stream")
+      .outputMode("append").start() // stateless: per-row distinct + explode
+    try {
+      input.addData(rows.take(1): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(1): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w4s_stream").as[(Long, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("profile state maintains live on a stream and matches the batch state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
