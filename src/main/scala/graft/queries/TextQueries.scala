@@ -19,21 +19,9 @@ object TextQueries {
       .select(col("doc_id"), TextAnalysis.langId("text").as("lang_pred"))
       .orderBy("doc_id")
 
-  val langIdSql: String = {
-    val hits = TextAnalysis.markers.keys.toSeq.sorted.map { lang =>
-      val set = TextAnalysis.markers(lang).map(w => s"'$w'").mkString("[", ",", "]")
-      s"SELECT doc_id, '$lang' AS lang, len(list_filter($WS, w -> list_contains($set, w))) AS n FROM documents"
-    }.mkString("\nUNION ALL\n")
-    s"""WITH hits AS (
-       |$hits
-       |), ranked AS (
-       |  SELECT doc_id, lang, n,
-       |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk,
-       |    MAX(n) OVER (PARTITION BY doc_id) AS mx
-       |  FROM hits)
-       |SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'unknown' END AS lang_pred
-       |FROM ranked WHERE rk = 1 ORDER BY doc_id""".stripMargin
-  }
+  val langIdSql: String =
+    s"""WITH ${Scripts.langIdCteSql("documents")}
+       |SELECT doc_id, script AS lang_pred FROM lid ORDER BY doc_id""".stripMargin
 
   // ---- t2: quality scores ----------------------------------------------
 
@@ -979,9 +967,11 @@ object TextQueries {
          |  COUNT(*) AS c1 FROM $gg ${where}GROUP BY 1, 2)""".stripMargin
 
     /** `<pre>qq`/`<pre>per`: smoothed bucket probability + fixed-point
-      * NLL per document over `$gg`, against `<cntPre>b2`/`<cntPre>b1`. */
+      * NLL per document over `$gg`, against `<cntPre>b2`/`<cntPre>b1`.
+      * `noneKey` is the unroutable route value excluded from scoring
+      * ('none' for the script vote, 'unknown' for langId routing). */
     def lmScoreSql(gg: String, b2: Int, b1: Int, pre: String = "",
-        cntPre: String = "c"): String = {
+        cntPre: String = "c", noneKey: String = "none"): String = {
       val eCase = "CASE " + graft.text.LanguageModel.ladder
         .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
         .mkString(" ") + " ELSE 0 END"
@@ -996,7 +986,7 @@ object TextQueries {
          |    1), $pscale) AS q
          |  FROM (SELECT doc_id, script, ${lmBucketSql("g", b2)} AS b2k,
          |          ${lmBucketSql("w1", b1)} AS b1k FROM $gg
-         |        WHERE script <> 'none')
+         |        WHERE script <> '$noneKey')
          |  LEFT JOIN ${cntPre}b2 USING (script, b2k)
          |  LEFT JOIN ${cntPre}b1 USING (script, b1k)),
          |${pre}per AS (
@@ -1018,6 +1008,32 @@ object TextQueries {
          |      SUM(c) OVER (PARTITION BY script) AS n
          |    FROM scnt)
          |  WHERE cum * $keepDen >= n * $keepNum GROUP BY script)""".stripMargin
+
+    /** `$name(doc_id, script)` over a CTE `$src(doc_id, text)`: the t1
+      * marker language vote (max hits, ties to the earlier language
+      * name, 'unknown' when no marker hits) — the routing CTE for
+      * per-LANGUAGE LM mirrors; the t1 mirror itself is this helper
+      * plus a rename. The routing key is named `script` so the shared
+      * [[lmCountsSql]]/[[lmScoreSql]]/[[lmCutsSql]] fragments apply
+      * verbatim. */
+    def langIdCteSql(src: String, name: String = "lid"): String = {
+      val hits = graft.text.TextAnalysis.markers.keys.toSeq.sorted.map { lang =>
+        val set = graft.text.TextAnalysis.markers(lang)
+          .map(w => s"'$w'").mkString("[", ",", "]")
+        s"SELECT doc_id, '$lang' AS lang, len(list_filter($WS, " +
+          s"w -> list_contains($set, w))) AS n FROM $src"
+      }.mkString("\nUNION ALL\n")
+      s"""${name}h AS (
+         |$hits
+         |), ${name}r AS (
+         |  SELECT doc_id, lang, n,
+         |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, lang) AS rk,
+         |    MAX(n) OVER (PARTITION BY doc_id) AS mx
+         |  FROM ${name}h),
+         |$name AS (
+         |  SELECT doc_id, CASE WHEN mx > 0 THEN lang ELSE 'unknown' END AS script
+         |  FROM ${name}r WHERE rk = 1)""".stripMargin
+    }
 
     /** `scr(doc_id, script)` over a CTE `$src(doc_id, $textExpr)`:
       * census + [[scriptExactSql]]. */
@@ -1343,7 +1359,94 @@ object TextQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---- t30: per-LANGUAGE hashed LM gate ----------------------------------
+
+  /** The hashed-LM machinery routed by LANGUAGE
+    * ([[graft.text.TextAnalysis.langId]]) — the full CCNet granularity:
+    * every Latin-script language gets its OWN bigram model instead of
+    * sharing the 'latin' script model (fluency statistics differ per
+    * language within a script; t29 closed the cross-SCRIPT gap, this
+    * closes the within-script one). Same plumbing end to end
+    * ([[graft.text.ScriptLm]] generalized over the routing key):
+    * models trained on the trusted subset routed by the documents' own
+    * language vote, per-language percentile cuts, and the explicit
+    * unscorable policy — 'unknown'-language documents (the planted
+    * letterless filler) tagged `lm_scorable = false` and KEPT. */
+  /** Marker prefix per language — the corpus derivation that gives the
+    * router real populations (the raw synthetic text carries no
+    * de/es/fr markers, so the vote would route everything en/unknown;
+    * planting each document's own language markers makes langId route
+    * by CONTENT, the deployed shape). Declared before the SQL val that
+    * interpolates it. */
+  private[queries] def langMarkerPrefix(lang: String): String =
+    graft.text.TextAnalysis.markers.get(lang)
+      .map(_.mkString("", " ", " ")).getOrElse("")
+
+  def langLmGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.ScriptLm
+    val marked = graft.text.TextAnalysis.markers.keys.toSeq.sorted
+      .foldLeft(lit("")) { (acc, l) =>
+        when(col("lang") === l, lit(langMarkerPrefix(l))).otherwise(acc)
+      }
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0, lit(NoScriptFiller))
+          .otherwise(concat(marked, col("text"))).as("text"))
+    val route = TextAnalysis.langId("text")
+    val ref = docs.filter(col("doc_id") % 3 === 0)
+    val (c2, c1) = ScriptLm.hashedCountsBy(ref, "text", route, SLmB2, SLmB1)
+    val scored = graft.ops.StagePersists.track(
+      ScriptLm.scoreBy(docs, c2, c1, SLmB2, SLmB1, "text", "doc_id",
+        route, noneKey = "unknown"))
+    val cuts = ScriptLm.percentileCuts(scored, SLmKeepNum, SLmKeepDen)
+    scored.join(broadcast(cuts), Seq("script"), "left_outer")
+      .select(col("id").as("doc_id"), col("script").as("lang"),
+        col("n_grams"), col("nll_fp"), col("lm_scorable"),
+        when(!col("lm_scorable"), lit(true))
+          .otherwise(graft.text.LanguageModel.avgKey(
+            col("nll_fp"), col("n_grams")) <= col("cut")).as("kept"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the t1 marker-vote routing CTE + the shared per-route LM
+    * fragments with 'unknown' as the unroutable key. */
+  val langLmGateSql: String = {
+    import Scripts._
+    val prefixCase = "CASE lang " + graft.text.TextAnalysis.markers.keys
+      .toSeq.sorted
+      .map(l => s"WHEN '$l' THEN '${langMarkerPrefix(l)}'")
+      .mkString(" ") + " ELSE '' END"
+    s"""WITH docs3 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 41 = 0 THEN '$NoScriptFiller'
+       |                      ELSE ($prefixCase) || text END AS text
+       |  FROM documents),
+       |${langIdCteSql("docs3")},
+       |t AS (SELECT doc_id, ${toksSql("text")} AS ws FROM docs3),
+       |gg AS (
+       |  SELECT g0.doc_id, lid.script, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2) g0
+       |  JOIN lid ON g0.doc_id = lid.doc_id),
+       |${lmCountsSql("gg", SLmB2, SLmB1, where = "WHERE doc_id % 3 = 0 ")},
+       |${lmScoreSql("gg", SLmB2, SLmB1, noneKey = "unknown")},
+       |sc0 AS (
+       |  SELECT s.doc_id, s.script,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (s.script <> 'unknown' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM lid s LEFT JOIN per USING (doc_id)),
+       |${lmCutsSql("sc0", SLmKeepNum, SLmKeepDen)}
+       |SELECT s.doc_id, s.script AS lang, s.n_grams, s.nll_fp, s.lm_scorable,
+       |  (CASE WHEN NOT s.lm_scorable THEN TRUE
+       |        ELSE (s.nll_fp * 1024) // s.n_grams <= c.cut END) AS kept
+       |FROM sc0 s LEFT JOIN cuts c USING (script)
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t30_lang_lm_gate" -> (langLmGate _),
     "t29_script_lm_gate" -> (scriptLmGate _),
     "t28_lm_perplexity" -> (lmPerplexity _),
     "t27_quality_distill" -> (qualityDistillQuery _),
@@ -1375,6 +1478,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t30_lang_lm_gate" -> langLmGateSql,
     "t29_script_lm_gate" -> scriptLmGateSql,
     "t28_lm_perplexity" -> lmPerplexitySql,
     "t27_quality_distill" -> qualityDistillSql,

@@ -63,14 +63,24 @@ object ScriptLm {
     * (the [[LanguageModel]] zip-of-shifted-slices device); the script
     * vote rides the same projection. */
   private def bigrams(df: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String): DataFrame =
+    bigramsBy(df, textCol, idCol,
+      ScriptText.dominantScript(col(s"`$textCol`")))
+
+  /** The routing-key-generic form ([[bigrams]] with any deterministic
+    * route expression — e.g. [[TextAnalysis.langId]] for one model per
+    * LANGUAGE, the full CCNet granularity; the routing key rides the
+    * projection under the column name `script` so every downstream
+    * stage — counts, scoring, percentile cuts — is shared verbatim). */
+  private def bigramsBy(df: DataFrame, textCol: String,
+      idCol: String, route: Column): DataFrame = {
     val t = col(s"`$textCol`")
     val ws = ScriptText.tokens(t)
     val len = size(col("__ws")) - 1
     val gs = zip_with(slice(col("__ws"), lit(1), len),
       slice(col("__ws"), lit(2), len), (a, b) => concat(a, lit(" "), b))
     df.select(col(s"`$idCol`").as("id"),
-        ScriptText.dominantScript(t).as("script"), ws.as("__ws"))
+        route.as("script"), ws.as("__ws"))
       .select(col("id"), col("script"),
         when(size(col("__ws")) >= 2, gs)
           .otherwise(array().cast("array<string>")).as("__gs"))
@@ -86,9 +96,16 @@ object ScriptLm {
     * documents route by their OWN dominant script, so each script's
     * model sees only its population. */
   def hashedCounts(ref: DataFrame, textCol: String, b2: Int,
-      b1: Int): (DataFrame, DataFrame) = {
+      b1: Int): (DataFrame, DataFrame) =
+    hashedCountsBy(ref, textCol,
+      ScriptText.dominantScript(col(s"`$textCol`")), b2, b1)
+
+  /** [[hashedCounts]] with an arbitrary routing expression (per-LANGUAGE
+    * models: pass [[TextAnalysis.langId]]). */
+  def hashedCountsBy(ref: DataFrame, textCol: String, route: Column,
+      b2: Int, b1: Int): (DataFrame, DataFrame) = {
     val refG = graft.ops.StagePersists.track(
-      bigrams(ref, textCol, textCol).select("script", "g", "w1"))
+      bigramsBy(ref, textCol, textCol, route).select("script", "g", "w1"))
     (refG.groupBy(col("script"), bucketOf(col("g"), b2).as("bucket"))
         .agg(count(lit(1)).as("__c2")),
       refG.groupBy(col("script"), bucketOf(col("w1"), b1).as("bucket"))
@@ -112,12 +129,22 @@ object ScriptLm {
     * sum: the [[LanguageModel.score]] shape with the routing key in
     * the join. */
   def score(docs: DataFrame, c2: DataFrame, c1: DataFrame, b2: Int,
-      b1: Int, textCol: String, idCol: String): DataFrame = {
-    // unroutable documents (script 'none' — e.g. digits-only text,
-    // which still HAS \p{N} bigrams) never enter the score stream: the
-    // model defines scores only for routed scripts, so their stats are
-    // 0/0 + the lm_scorable=false tag (kernel-identical semantics)
-    val g = bigrams(docs, textCol, idCol).filter(col("script") =!= "none")
+      b1: Int, textCol: String, idCol: String): DataFrame =
+    scoreBy(docs, c2, c1, b2, b1, textCol, idCol,
+      ScriptText.dominantScript(col(s"`$textCol`")), noneKey = "none")
+
+  /** [[score]] with an arbitrary routing expression; `noneKey` is the
+    * route value meaning "unroutable" ('none' for the script vote,
+    * 'unknown' for [[TextAnalysis.langId]]). */
+  def scoreBy(docs: DataFrame, c2: DataFrame, c1: DataFrame, b2: Int,
+      b1: Int, textCol: String, idCol: String, route: Column,
+      noneKey: String): DataFrame = {
+    // unroutable documents (e.g. digits-only text, which still HAS
+    // \p{N} bigrams) never enter the score stream: the model defines
+    // scores only for routed keys, so their stats are 0/0 + the
+    // lm_scorable=false tag (kernel-identical semantics)
+    val g = bigramsBy(docs, textCol, idCol, route)
+      .filter(col("script") =!= noneKey)
     val q = least(greatest(
       LanguageModel.ldiv(
         (coalesce(col("__c2"), lit(0L)) + 1L) * lit(LanguageModel.PScale),
@@ -132,13 +159,12 @@ object ScriptLm {
       .select(col("id"), LanguageModel.nllFp(q).as("__nll"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_grams"), sum("__nll").as("nll_fp"))
-    docs.select(col(s"`$idCol`").as("id"),
-        ScriptText.dominantScript(col(s"`$textCol`")).as("script"))
+    docs.select(col(s"`$idCol`").as("id"), route.as("script"))
       .join(perDoc, Seq("id"), "left")
       .select(col("id"), col("script"),
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("nll_fp"), lit(0L)).as("nll_fp"),
-        (col("script") =!= "none" && coalesce(col("n_grams"), lit(0L)) > 0L)
+        (col("script") =!= noneKey && coalesce(col("n_grams"), lit(0L)) > 0L)
           .as("lm_scorable"))
   }
 
