@@ -982,7 +982,80 @@ object DedupQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- d20: Bloom-filter cross-dump exact dedup --------------------------
+
+  /** Filter geometry for the gate corpus: 2¹⁶ bits / 5 probes over the
+    * ~500-hash sf0.01 corpus keeps the expected false-positive rate
+    * ≈ (k·n/m)⁵ ≈ 10⁻⁷ — the flag column is dominated by TRUE dups, and
+    * any FP that does occur replays deterministically in the oracle
+    * (positions are md5-derived). BloomSpec exercises the FP path
+    * explicitly with a deliberately undersized filter. */
+  private val BloomM = 1 << 16
+  private val BloomK = 5
+
+  /** The between-dumps Bloom dedup pass ([[graft.dedup.BloomDedup]]):
+    * the accumulated corpus (all documents) is summarized once into an
+    * m-bit filter; the incoming dump — every fifth document an exact
+    * revisit of the corpus, the rest fresh (a distinct planted tail) —
+    * probes k bits per document, map-side against the collected
+    * bitmap. Reported per dump document: the filter's verdict, the
+    * exact truth (the confirm-join a production pass would run on the
+    * hit slice only), and the derived false-positive flag. */
+  def bloomDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.dedup.BloomDedup
+    val docs = Tables.load(spark, dir, "documents")
+    val corpus = docs.select(col("doc_id"), col("text"))
+    val dump = docs.select((col("doc_id") + 1000000L).as("doc_id"),
+      when(col("doc_id") % 5 === 0, col("text"))
+        .otherwise(concat(col("text"), lit(" fresh-tail-"),
+          col("doc_id").cast("string"))).as("text"))
+    val bm = BloomDedup.bitmap(
+      BloomDedup.setBits(corpus, "text", BloomM, BloomK), BloomM)
+    val truth = corpus.select(md5(col("text")).as("__h")).distinct()
+      .withColumn("__dup", lit(true))
+    dump.select(col("doc_id"),
+        BloomDedup.probeColumn(col("text"), bm, BloomM, BloomK).as("bloom_hit"),
+        md5(col("text")).as("__h"))
+      .join(broadcast(truth), Seq("__h"), "left_outer")
+      .select(col("doc_id"), col("bloom_hit"),
+        coalesce(col("__dup"), lit(false)).as("true_dup"),
+        (col("bloom_hit") && !coalesce(col("__dup"), lit(false)))
+          .as("false_positive"))
+      .orderBy("doc_id")
+  }
+
+  /** Replay of the filter in the JOIN form: set bits as a distinct-CTE,
+    * the probe as a position left-join counting hits — all positions
+    * from the same md5 re-hash, so Spark's collected-bitmap probe and
+    * this replay agree bit for bit, false positives included. */
+  val bloomDedupSql: String = {
+    def pos(e: String) =
+      s"(('0x' || substr(md5(j::VARCHAR || ':' || $e), 1, 15))::UBIGINT % $BloomM)::BIGINT"
+    s"""WITH dump AS (
+       |  SELECT d.doc_id + 1000000 AS doc_id,
+       |    CASE WHEN d.doc_id % 5 = 0 THEN d.text
+       |         ELSE d.text || ' fresh-tail-' || d.doc_id::VARCHAR END AS text
+       |  FROM documents d),
+       |bits AS (
+       |  SELECT DISTINCT ${pos("md5(text)")} AS pos
+       |  FROM documents, range(0, $BloomK) t(j)),
+       |probe AS (
+       |  SELECT doc_id, md5(text) AS h, ${pos("md5(text)")} AS pos
+       |  FROM dump, range(0, $BloomK) t(j)),
+       |hits AS (
+       |  SELECT doc_id, h, COUNT(b.pos) AS nhit
+       |  FROM probe p LEFT JOIN bits b USING (pos)
+       |  GROUP BY doc_id, h),
+       |truth AS (SELECT DISTINCT md5(text) AS h FROM documents)
+       |SELECT doc_id, nhit = $BloomK AS bloom_hit,
+       |  (t.h IS NOT NULL) AS true_dup,
+       |  (nhit = $BloomK AND t.h IS NULL) AS false_positive
+       |FROM hits LEFT JOIN truth t USING (h)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d20_bloom_dedup" -> (bloomDedup _),
     "d16_cjk_neardups" -> (cjkNearDups _),
     "d1_exact_dup_groups" -> (exactDupGroups _),
     "d2_jaccard_pairs" -> (jaccardPairs _),
@@ -1005,6 +1078,7 @@ object DedupQueries {
     "s6_semantic_dedup" -> (semanticDedup _))
 
   def oracleSql: Map[String, String] = Map(
+    "d20_bloom_dedup" -> bloomDedupSql,
     "d16_cjk_neardups" -> cjkNearDupsSql,
     "d1_exact_dup_groups" -> exactDupGroupsSql,
     "d2_jaccard_pairs" -> jaccardPairsSql,

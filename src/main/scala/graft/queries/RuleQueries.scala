@@ -622,52 +622,88 @@ object RuleQueries {
       .orderBy("host")
   }
 
+  // the canonical URL pieces over a url column (RE2 forms) — shared by
+  // the r15 and r16 mirrors so the two canonicalizations cannot drift
+  private val UrlTrackRe = "^(?:utm_[a-z]+|ref|fbclid|gclid|sessionid)="
+  private val UrlAuthSql =
+    """CASE WHEN regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1) <> ''
+      |  THEN regexp_extract(lower(url),
+      |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)
+      |  ELSE regexp_extract(lower(url), '^(?:[^/?#@]*@)?([^/?#]+)', 1)
+      |END""".stripMargin
+  private val UrlDomainSql =
+    """CASE
+      |  WHEN regexp_extract(host,
+      |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1) <> ''
+      |  THEN regexp_extract(host,
+      |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1)
+      |  WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
+      |  THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+      |  ELSE host
+      |END""".stripMargin
+  private val UrlHostFromA2Sql =
+    """regexp_replace(regexp_replace(regexp_replace(a2,
+      |  ':[0-9]+$', ''), '\.$', ''), '^(?:www[0-9]*|m|amp)\.', '')"""
+      .stripMargin
+  /** The k0-CTE body: raw canonical pieces (scheme, a2, upath, params)
+    * of `url`, given extra pass-through columns. */
+  private def urlPiecesSql(extraCols: String): String =
+    s"""  SELECT doc_id,$extraCols
+       |    regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
+       |    $UrlAuthSql AS a2,
+       |    regexp_extract(url,
+       |      '^(?:[a-zA-Z][a-zA-Z0-9+.-]*://)?(?:[^/?#@]*@)?[^/?#]*([^?#]*)', 1)
+       |      AS upath,
+       |    array_to_string(list_sort(list_filter(
+       |      string_split(regexp_extract(url, '\\?([^#]*)', 1), '&'),
+       |      p -> p <> '' AND NOT regexp_matches(p, '$UrlTrackRe'))), '&')
+       |      AS params""".stripMargin
+  /** The assembled canonical URL over the [[urlPiecesSql]] columns.
+    * No continuation line may start with `|` — this fragment is
+    * interpolated into outer `.stripMargin` strings, which would strip
+    * a leading `||` operator down to `|`. */
+  private val UrlCanonSql =
+    """(CASE WHEN scheme <> '' THEN scheme || '://' ELSE '' END) ||
+      |    (CASE WHEN (scheme = 'http' AND a2 LIKE '%:80')
+      |            OR (scheme = 'https' AND a2 LIKE '%:443')
+      |          THEN regexp_replace(a2, ':[0-9]+$', '') ELSE a2 END) ||
+      |    upath ||
+      |    (CASE WHEN params <> '' THEN '?' || params ELSE '' END)"""
+      .stripMargin
+
+  /** The deterministic `u(doc_id, text, url)` derivation CTE body —
+    * the [[withUrls]] mirror, shared by the r15 and r16 mirrors. */
+  private val UrlDeriveCteSql =
+    """u AS (
+      |  SELECT doc_id, text,
+      |    (CASE WHEN a % 9 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
+      |    (CASE WHEN a % 9 = 0 THEN upper(hostraw) ELSE hostraw END) ||
+      |    (CASE WHEN a % 11 = 0 THEN ':443' ELSE '' END) ||
+      |    '/p/' || a::VARCHAR ||
+      |    (CASE WHEN a % 4 = 0 THEN '?utm_source=feed&id=' || a::VARCHAR
+      |          WHEN a % 6 = 0 THEN '?id=' || a::VARCHAR || '&b=2&ref=tw'
+      |          ELSE '?v=1' END) ||
+      |    (CASE WHEN doc_id % 10 = 7 THEN '&fbclid=' || doc_id::VARCHAR
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
+      |  FROM (
+      |    SELECT doc_id, text, a,
+      |      (CASE WHEN a % 3 = 0 THEN 'www.'
+      |            WHEN a % 3 = 1 THEN 'M.' ELSE '' END) ||
+      |      'src' || (a % 20)::VARCHAR ||
+      |      (CASE WHEN a % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS hostraw
+      |    FROM (SELECT doc_id, text,
+      |            CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
+      |                 ELSE doc_id END AS a
+      |          FROM documents)))""".stripMargin
+
   val hostCurationSql: String = {
-    val trackRe = "^(?:utm_[a-z]+|ref|fbclid|gclid|sessionid)="
-    // the canonical pieces over a url column (RE2 forms)
-    val auth =
-      """CASE WHEN regexp_extract(lower(url),
-        |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1) <> ''
-        |  THEN regexp_extract(lower(url),
-        |    '^[a-z][a-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]+)', 1)
-        |  ELSE regexp_extract(lower(url), '^(?:[^/?#@]*@)?([^/?#]+)', 1)
-        |END""".stripMargin
-    val domain =
-      """CASE
-        |  WHEN regexp_extract(host,
-        |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1) <> ''
-        |  THEN regexp_extract(host,
-        |    '([^.]+\.(?:co|com|net|org|gov|edu|ac)\.[a-z][a-z])$', 1)
-        |  WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1) <> ''
-        |  THEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
-        |  ELSE host
-        |END""".stripMargin
-    val hostFromA2 =
-      """regexp_replace(regexp_replace(regexp_replace(a2,
-        |  ':[0-9]+$', ''), '\.$', ''), '^(?:www[0-9]*|m|amp)\.', '')"""
-        .stripMargin
-    s"""WITH u AS (
-       |  SELECT doc_id, text,
-       |    (CASE WHEN a % 9 = 0 THEN 'HTTP://' ELSE 'https://' END) ||
-       |    (CASE WHEN a % 9 = 0 THEN upper(hostraw) ELSE hostraw END) ||
-       |    (CASE WHEN a % 11 = 0 THEN ':443' ELSE '' END) ||
-       |    '/p/' || a::VARCHAR ||
-       |    (CASE WHEN a % 4 = 0 THEN '?utm_source=feed&id=' || a::VARCHAR
-       |          WHEN a % 6 = 0 THEN '?id=' || a::VARCHAR || '&b=2&ref=tw'
-       |          ELSE '?v=1' END) ||
-       |    (CASE WHEN doc_id % 10 = 7 THEN '&fbclid=' || doc_id::VARCHAR
-       |          ELSE '' END) ||
-       |    (CASE WHEN doc_id % 7 = 0 THEN '#top' ELSE '' END) AS url
-       |  FROM (
-       |    SELECT doc_id, text, a,
-       |      (CASE WHEN a % 3 = 0 THEN 'www.'
-       |            WHEN a % 3 = 1 THEN 'M.' ELSE '' END) ||
-       |      'src' || (a % 20)::VARCHAR ||
-       |      (CASE WHEN a % 5 = 0 THEN '.co.uk' ELSE '.com' END) AS hostraw
-       |    FROM (SELECT doc_id, text,
-       |            CASE WHEN doc_id % 10 = 7 THEN doc_id - 7
-       |                 ELSE doc_id END AS a
-       |          FROM documents))),
+    val trackRe = UrlTrackRe
+    val auth = UrlAuthSql
+    val domain = UrlDomainSql
+    val hostFromA2 = UrlHostFromA2Sql
+    s"""WITH $UrlDeriveCteSql,
        |k0 AS (
        |  SELECT doc_id, text,
        |    regexp_extract(lower(url), '^([a-z][a-z0-9+.-]*)://', 1) AS scheme,
@@ -731,7 +767,54 @@ object RuleQueries {
        |ORDER BY s.host""".stripMargin
   }
 
+  // ---- r16: URL-grain keep-newest revisit dedup ---------------------------
+
+  /** Cross-dump revisit policy over the r15 URL plane
+    * ([[graft.rules.HostCuration.keepNewestRevisit]]): the crawler
+    * re-fetches living pages every dump, so each canonical URL keeps
+    * its NEWEST fetch (deterministic fetch stamp derived per doc;
+    * tracking twins share their anchor's canonical URL and therefore
+    * compete with it). Reported per canonical URL: the surviving doc,
+    * its stamp, and the revisit count — ordered by the surviving id. */
+  def urlRevisits(spark: SparkSession, dir: String): DataFrame = {
+    import graft.rules.HostCuration
+    val docs = withUrls(Tables.load(spark, dir, "documents"))
+      .withColumn("fetch_ts", (col("doc_id") * 37) % 1000)
+    val counts = docs
+      .groupBy(HostCuration.canonicalUrl(col("url")).as("canonical_url"))
+      .agg(count(lit(1)).as("n_revisits"))
+    HostCuration.keepNewestRevisit(docs, "url", "doc_id", "fetch_ts")
+      .select(HostCuration.canonicalUrl(col("url")).as("canonical_url"),
+        col("doc_id").as("kept_id"), col("fetch_ts").as("last_ts"))
+      .join(counts, Seq("canonical_url"))
+      .orderBy("kept_id")
+  }
+
+  /** Mirror: the shared URL derivation + canonicalization CTEs, the
+    * argmax encoded as MAX(ts·2⁴⁰ + id) per canonical URL (ids are far
+    * below 2⁴⁰ at every test SF, so the encoded max IS the
+    * lexicographic (ts, id) struct max the Spark side takes). */
+  val urlRevisitsSql: String = {
+    val enc = 1099511627776L // 2^40
+    s"""WITH $UrlDeriveCteSql,
+       |k0 AS (
+       |${urlPiecesSql(" (doc_id * 37) % 1000 AS fetch_ts,")}
+       |  FROM u),
+       |k AS (
+       |  SELECT doc_id, fetch_ts, $UrlCanonSql AS cu
+       |  FROM k0),
+       |won AS (
+       |  SELECT cu AS canonical_url,
+       |    MAX(fetch_ts * $enc + doc_id) % $enc AS kept_id,
+       |    MAX(fetch_ts * $enc + doc_id) // $enc AS last_ts,
+       |    COUNT(*) AS n_revisits
+       |  FROM k GROUP BY cu)
+       |SELECT canonical_url, kept_id, last_ts, n_revisits
+       |FROM won ORDER BY kept_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r16_url_revisits" -> (urlRevisits _),
     "r15_host_curation" -> (hostCuration _),
     "r14_source_rules" -> (sourceRules _),
     "r10_fd_discovery" -> (fdDiscovery _),
@@ -753,6 +836,7 @@ object RuleQueries {
     "o3_grouped_sigma" -> (groupedSigma _))
 
   def oracleSql: Map[String, String] = Map(
+    "r16_url_revisits" -> urlRevisitsSql,
     "r15_host_curation" -> hostCurationSql,
     "r10_fd_discovery" -> fdDiscoverySql,
     "r11_ind_discovery" -> indDiscoverySql,

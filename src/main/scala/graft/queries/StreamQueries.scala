@@ -1144,7 +1144,100 @@ object StreamQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- w16: streaming per-LANGUAGE LM gate (batch twin) ------------------
+
+  /** The t30 per-language models in their DEPLOYED stream form — the
+    * w14↔t28 relationship at CCNet granularity (Wenzek et al. 2020,
+    * one LM per language): hashed bigram counts per language trained
+    * on the accumulated HISTORY (even doc ids), collected into
+    * language-segmented dense arrays, per-language percentile cuts
+    * trained on the history's own score distribution, and the incoming
+    * dump (odd doc ids) scored per row by the native
+    * [[graft.functions.ScriptLmScore]] kernel routed by the t1
+    * language vote and gated against its OWN language's literal cut.
+    * The deployed stage is pure columns — no shuffle, no state,
+    * append-mode legal (StreamingSpec pins the MemoryStream run);
+    * 'unknown'-routed documents are tagged lm_scorable = false and
+    * KEPT, the explicit unscorable policy. */
+  def streamLangLmGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.{ScriptLm, TextAnalysis}
+    val keys = TextAnalysis.markers.keys.toSeq.sorted
+    val marked = keys.foldLeft(lit("")) { (acc, l) =>
+      when(col("lang") === l, lit(TextQueries.langMarkerPrefix(l)))
+        .otherwise(acc)
+    }
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        when(col("doc_id") % 41 === 0, lit(TextQueries.NoScriptFiller))
+          .otherwise(concat(marked, col("text"))).as("text"))
+    val route = TextAnalysis.langId("text")
+    val hist = docs.filter(col("doc_id") % 2 === 0)
+    val (c2, c1) = ScriptLm.hashedCountsBy(hist, "text", route,
+      TextQueries.SLmB2, TextQueries.SLmB1)
+    val (d2, d1) = ScriptLm.denseCounts(c2, c1, TextQueries.SLmB2,
+      TextQueries.SLmB1, keys = keys)
+    val cuts = ScriptLm.percentileCuts(
+        ScriptLm.scoreBy(hist, c2, c1, TextQueries.SLmB2, TextQueries.SLmB1,
+          "text", "doc_id", route, noneKey = "unknown"),
+        TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val (lang, n, nll, scorable) = ScriptLm.nllColumnsBy(d2, d1,
+      TextQueries.SLmB2, TextQueries.SLmB1, "text", route, keys,
+      noneKey = "unknown")
+    docs.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), lang.as("lang"), n.as("n_grams"),
+        nll.as("nll_fp"), scorable.as("lm_scorable"))
+      .withColumn("kept", graft.text.ScriptLm.gateKept(col("lang"),
+        col("n_grams"), col("nll_fp"), cuts, noneKey = "unknown"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the t30 CTE chain with the training and cut populations
+    * restricted to the even-id history and the output to the odd-id
+    * dump; a stream language with no trained cut keeps everything
+    * (the coalesce mirrors gateKept's MaxValue fallback). */
+  val streamLangLmGateSql: String = {
+    import TextQueries.Scripts._
+    import TextQueries.{SLmB2, SLmB1, SLmKeepNum, SLmKeepDen}
+    val prefixCase = "CASE lang " + graft.text.TextAnalysis.markers.keys
+      .toSeq.sorted
+      .map(l => s"WHEN '$l' THEN '${TextQueries.langMarkerPrefix(l)}'")
+      .mkString(" ") + " ELSE '' END"
+    s"""WITH docs3 AS (
+       |  SELECT doc_id, CASE WHEN doc_id % 41 = 0
+       |                      THEN '${TextQueries.NoScriptFiller}'
+       |                      ELSE ($prefixCase) || text END AS text
+       |  FROM documents),
+       |${langIdCteSql("docs3")},
+       |t AS (SELECT doc_id, ${toksSql("text")} AS ws FROM docs3),
+       |gg AS (
+       |  SELECT g0.doc_id, lid.script, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2) g0
+       |  JOIN lid ON g0.doc_id = lid.doc_id),
+       |${lmCountsSql("gg", SLmB2, SLmB1, where = "WHERE doc_id % 2 = 0 ")},
+       |${lmScoreSql("gg", SLmB2, SLmB1, noneKey = "unknown")},
+       |sc0 AS (
+       |  SELECT s.doc_id, s.script,
+       |    coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |    coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |    (s.script <> 'unknown' AND coalesce(n_grams, 0) > 0) AS lm_scorable
+       |  FROM lid s LEFT JOIN per USING (doc_id)),
+       |hist_sc AS (SELECT * FROM sc0 WHERE doc_id % 2 = 0),
+       |${lmCutsSql("hist_sc", SLmKeepNum, SLmKeepDen)}
+       |SELECT s.doc_id, s.script AS lang, s.n_grams, s.nll_fp, s.lm_scorable,
+       |  (CASE WHEN NOT s.lm_scorable THEN TRUE
+       |        ELSE (s.nll_fp * 1024) // s.n_grams
+       |          <= coalesce(c.cut, ${Long.MaxValue}) END) AS kept
+       |FROM sc0 s LEFT JOIN cuts c USING (script)
+       |WHERE s.doc_id % 2 = 1
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w16_stream_lang_lm" -> (streamLangLmGate _),
     "w15_stream_multilingual" -> (streamMultilingual _),
     "w14_stream_lm_gate" -> (streamLmGate _),
     "w13_stream_pipeline" -> (streamCorpusPipeline _),
@@ -1161,6 +1254,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w16_stream_lang_lm" -> streamLangLmGateSql,
     "w15_stream_multilingual" -> streamMultilingualSql,
     "w14_stream_lm_gate" -> streamLmGateSql,
     "w13_stream_pipeline" -> streamCorpusPipelineSql,

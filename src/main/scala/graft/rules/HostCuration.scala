@@ -113,6 +113,25 @@ object HostCuration {
       .drop("__cu")
   }
 
+  /** One row per distinct [[canonicalUrl]], keeping the NEWEST fetch
+    * (ties to the largest doc id) — the cross-dump revisit policy: a
+    * crawler re-fetches living pages every dump, and the corpus should
+    * carry each page's latest version, not its first. The complement
+    * of [[dropUrlDuplicates]] (which keeps the min-id survivor for
+    * append-only dedup); same one-groupBy shape, with the winner
+    * picked by a struct argmax on (fetch ts, id) — lexicographic
+    * struct ordering, no window, no per-key sort. */
+  def keepNewestRevisit(docs: DataFrame, urlCol: String, idCol: String,
+      tsCol: String): DataFrame = {
+    val keyed = docs.withColumn("__cu", canonicalUrl(col(s"`$urlCol`")))
+    keyed.join(
+        keyed.groupBy("__cu")
+          .agg(max(struct(col(s"`$tsCol`"), col(s"`$idCol`"))).as("__w"))
+          .select(col("__cu"), col(s"__w.$idCol").as(idCol)),
+        Seq("__cu", idCol))
+      .drop("__cu")
+  }
+
   /** Per-host rollup with a blocklist decision — [[CorpusRules
     * .sourceStats]] at host grain plus the URL-duplication fraction:
     * (host, domain, n_docs, n_urls, sum_quality_e4, n_short,

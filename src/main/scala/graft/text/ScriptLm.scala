@@ -52,10 +52,15 @@ object ScriptLm {
 
   /** Script name → dense segment index; 'none' (and any unknown) → −1,
     * the unscorable route. */
-  def scriptIndex(script: Column): Column =
-    Scripts.zipWithIndex.foldLeft(Option.empty[Column]) {
-      case (None, (s, i)) => Some(when(script === s, i))
-      case (Some(c), (s, i)) => Some(c.when(script === s, i))
+  def scriptIndex(script: Column): Column = keyIndex(script, Scripts)
+
+  /** Routing key → dense segment index over an arbitrary key set (per
+    * LANGUAGE: the sorted [[TextAnalysis.markers]] codes); any value
+    * outside `keys` → −1, the unscorable route. */
+  def keyIndex(route: Column, keys: Seq[String]): Column =
+    keys.zipWithIndex.foldLeft(Option.empty[Column]) {
+      case (None, (s, i)) => Some(when(route === s, i))
+      case (Some(c), (s, i)) => Some(c.when(route === s, i))
     }.get.otherwise(lit(-1)).cast("int")
 
   /** Script-aware bigram OCCURRENCES with their routing key:
@@ -176,11 +181,12 @@ object ScriptLm {
     * default. Overflow envelope checked driver-side like
     * [[LanguageModel.denseCounts]]. */
   def denseCounts(c2: DataFrame, c1: DataFrame, b2: Int, b1: Int,
-      maxSafeDen: Long = LanguageModel.SafeDenBound): (Seq[Long], Seq[Long]) = {
+      maxSafeDen: Long = LanguageModel.SafeDenBound,
+      keys: Seq[String] = Scripts): (Seq[Long], Seq[Long]) = {
     def dense(df: DataFrame, n: Int): Seq[Long] = {
       val m = df.collect()
         .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-      Scripts.flatMap(s => (0 until n).map(b => m.getOrElse((s, b.toLong), 0L)))
+      keys.flatMap(s => (0 until n).map(b => m.getOrElse((s, b.toLong), 0L)))
     }
     val (d2, d1) = (dense(c2, b2), dense(c1, b1))
     val worst = math.max(d2.foldLeft(0L)(math.max) + 1L,
@@ -232,13 +238,13 @@ object ScriptLm {
     * table (the deployed literal form); scripts without a cut (absent
     * from the reference) keep everything — the conservative route. */
   def gateKept(script: Column, nGrams: Column, nllFp: Column,
-      cuts: Seq[(String, Long)]): Column = {
+      cuts: Seq[(String, Long)], noneKey: String = "none"): Column = {
     val thr = cuts.foldLeft(Option.empty[Column]) {
       case (None, (s, t)) => Some(when(script === s, t))
       case (Some(c), (s, t)) => Some(c.when(script === s, t))
     }.map(_.otherwise(lit(Long.MaxValue)))
       .getOrElse(lit(Long.MaxValue))
-    val scorable = script =!= "none" && nGrams > 0L
+    val scorable = script =!= noneKey && nGrams > 0L
     // conditional, not a bare disjunction: evaluation must never reach
     // the avg-key division with n = 0
     when(!scorable, lit(true))
@@ -262,15 +268,25 @@ object ScriptLm {
     * and two 31-branch ladders per gram — the measured w14 cliff).
     * ScriptLmSpec pins kernel ≡ the [[score]] join form per row. */
   def nllColumns(d2: Seq[Long], d1: Seq[Long], b2: Int, b1: Int,
-      textCol: String): (Column, Column, Column, Column) = {
-    require(d2.size == Scripts.size * b2 && d1.size == Scripts.size * b1,
+      textCol: String): (Column, Column, Column, Column) =
+    nllColumnsBy(d2, d1, b2, b1, textCol,
+      ScriptText.dominantScript(col(s"`$textCol`")), Scripts, noneKey = "none")
+
+  /** [[nllColumns]] over an arbitrary routing expression and key set —
+    * the deployed form of [[scoreBy]] (per-LANGUAGE models: route by
+    * [[TextAnalysis.langId]], keys = the sorted marker codes, noneKey
+    * 'unknown'). Segment order in the dense arrays must match `keys`
+    * ([[denseCounts]] with the same `keys` builds them). */
+  def nllColumnsBy(d2: Seq[Long], d1: Seq[Long], b2: Int, b1: Int,
+      textCol: String, route: Column, keys: Seq[String],
+      noneKey: String): (Column, Column, Column, Column) = {
+    require(d2.size == keys.size * b2 && d1.size == keys.size * b1,
       s"dense count sizes (${d2.size}, ${d1.size}) must be " +
-        s"(${Scripts.size}·$b2, ${Scripts.size}·$b1)")
+        s"(${keys.size}·$b2, ${keys.size}·$b1)")
     val t = col(s"`$textCol`")
-    val script = ScriptText.dominantScript(t)
     val stats = graft.functions.ScriptLmScore(
-      ScriptText.tokens(t), scriptIndex(script), d2, d1, b2, b1)
+      ScriptText.tokens(t), keyIndex(route, keys), d2, d1, b2, b1)
     val n = element_at(stats, 1)
-    (script, n, element_at(stats, 2), script =!= "none" && n > 0L)
+    (route, n, element_at(stats, 2), route =!= noneKey && n > 0L)
   }
 }

@@ -74,6 +74,20 @@ class HostCurationSpec extends SparkSpec {
     assert(kept == Set(1L, 3L))
   }
 
+  test("keep-newest revisit keeps the max-(ts, id) doc per canonical URL") {
+    val docs = Seq(
+      (1L, "https://example.com/a?utm_source=x", 100L),
+      (2L, "https://EXAMPLE.com/a#top", 300L),  // same canonical as 1, newer
+      (3L, "https://example.com/a", 200L),      // same canonical, middle
+      (4L, "https://example.com/b", 50L),
+      (5L, "https://example.com/c", 70L),
+      (6L, "https://example.com/c", 70L))       // ts tie -> larger id wins
+      .toDF("doc_id", "url", "fetch_ts")
+    val kept = HostCuration.keepNewestRevisit(docs, "url", "doc_id", "fetch_ts")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 4L, 6L))
+  }
+
   test("host stats: URL-dup fraction bites where source grain is blind; " +
       "host blocklist rules scan unchanged") {
     val good = "The quick brown fox jumps over the lazy dog and keeps " +

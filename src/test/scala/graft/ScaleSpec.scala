@@ -412,4 +412,31 @@ class ScaleSpec extends SparkSpec {
       s"w15 probes should broadcast:\n$p2")
     graft.ops.StagePersists.release(spark)
   }
+
+  test("bloom probe is a pure map; revisit dedup stays equi-join shaped") {
+    import spark.implicits._
+    val docs = (1 to 40).map(i => (i.toLong, s"document body number $i"))
+      .toDF("doc_id", "text")
+    // d20 deployed probe: per-row columns against the collected bitmap —
+    // NO exchange anywhere (the stream-legal stage)
+    val m = 1 << 12
+    val bm = graft.dedup.BloomDedup.bitmap(
+      graft.dedup.BloomDedup.setBits(docs, "text", m, 5), m)
+    val probe = docs.select(col("doc_id"),
+      graft.dedup.BloomDedup.probeColumn(col("text"), bm, m, 5).as("hit"))
+    val p1 = probe.queryExecution.executedPlan.toString
+    assert(!p1.contains("Exchange"),
+      s"bloom probe must be a pure map-side pass:\n$p1")
+    // r16 keep-newest: one keyed aggregation + one equi-join back
+    val urls = docs.select($"doc_id",
+      concat(lit("https://h"), ($"doc_id" % 7).cast("string"),
+        lit(".com/p/"), ($"doc_id" % 11).cast("string")).as("url"),
+      ($"doc_id" * 37 % 100).as("fetch_ts"))
+    val r16 = graft.rules.HostCuration.keepNewestRevisit(
+      urls, "url", "doc_id", "fetch_ts")
+    val p2 = r16.queryExecution.executedPlan.toString
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"),
+      s"keep-newest revisit must stay equi-join shaped:\n$p2")
+  }
 }

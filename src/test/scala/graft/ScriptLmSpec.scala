@@ -122,4 +122,33 @@ class ScriptLmSpec extends SparkSpec {
         s"cut must keep >= 70% but not all of $s: $k/$n")
     }
   }
+
+  test("language-routed generic path: nllColumnsBy == scoreBy, row for row") {
+    import graft.text.TextAnalysis
+    val keys = TextAnalysis.markers.keys.toSeq.sorted
+    // marker-led documents for three languages, one unroutable
+    val docs = Seq(
+      (0L, "the quick fox and the dog of the fen"),
+      (1L, "der hund und die katze ist nicht da"),
+      (2L, "le chat est dans la maison et le jardin"),
+      (3L, "the cat and the hat was in the box"),
+      (4L, "zzz qqq vvv"), // no marker hits → 'unknown'
+      (5L, "")).toDF("id", "text")
+    val route = TextAnalysis.langId("text")
+    val ref = docs.filter($"id" =!= 3L)
+    val (c2, c1) = ScriptLm.hashedCountsBy(ref, "text", route, B2, B1)
+    val joined = ScriptLm.scoreBy(docs, c2, c1, B2, B1, "text", "id",
+      route, noneKey = "unknown")
+    val (d2, d1) = ScriptLm.denseCounts(c2, c1, B2, B1, keys = keys)
+    val (lang, n, nll, scorable) = ScriptLm.nllColumnsBy(d2, d1, B2, B1,
+      "text", route, keys, noneKey = "unknown")
+    val kernel = docs.select($"id", lang.as("script"), n.as("n_grams"),
+      nll.as("nll_fp"), scorable.as("lm_scorable"))
+    val a = joined.orderBy("id").collect().toSeq
+    val b = kernel.orderBy("id").collect().toSeq
+    assert(a == b, s"join form:\n${a.mkString("\n")}\nkernel:\n${b.mkString("\n")}")
+    // the unroutable doc is tagged, not dropped
+    val m = b.map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(m(4L) == false && m(5L) == false && m(0L))
+  }
 }

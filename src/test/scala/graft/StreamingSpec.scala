@@ -779,6 +779,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("per-language LM gate streams in append mode and matches the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import graft.text.{ScriptLm, TextAnalysis}
+    val keys = TextAnalysis.markers.keys.toSeq.sorted
+    val hist = Seq(
+      (0L, "the quick fox and the dog of the fen is that for with was"),
+      (2L, "der hund und die katze ist nicht das ein mit auf sich"),
+      (4L, "le chat est dans la maison et les que pour pas"),
+      (6L, "the cat and the hat was in the box for the fox"))
+      .toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the fox and the dog was in the fen"),
+      (3L, "der hund ist nicht die katze"),
+      (5L, "zzz qqq vvv"), // unroutable → tagged, kept
+      (7L, ""))
+    val route = TextAnalysis.langId("text")
+    val (c2, c1) = ScriptLm.hashedCountsBy(hist, "text", route, 64, 32)
+    val (d2, d1) = ScriptLm.denseCounts(c2, c1, 64, 32, keys = keys)
+    val cuts = ScriptLm.percentileCuts(
+        ScriptLm.scoreBy(hist, c2, c1, 64, 32, "text", "doc_id", route,
+          noneKey = "unknown"), 7, 10)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    val (lang, n, nll, scorable) = ScriptLm.nllColumnsBy(d2, d1, 64, 32,
+      "text", route, keys, noneKey = "unknown")
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", lang.as("lang"), n.as("n_grams"),
+          nll.as("nll_fp"), scorable.as("lm_scorable"))
+        .withColumn("kept", ScriptLm.gateKept($"lang", $"n_grams",
+          $"nll_fp", cuts, noneKey = "unknown"))
+    val batch = stage(rows.toDF("doc_id", "text"))
+      .as[(Long, String, Long, Long, Boolean, Boolean)].collect().toSet
+    // the unscorable policy carries through: unroutable docs kept+tagged
+    assert(batch.exists(r => r._1 == 5L && !r._5 && r._6))
+    assert(batch.exists(r => r._1 == 7L && !r._5 && r._6))
+    val input = MemoryStream[(Long, String)]
+    val q = stage(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("w16_stream")
+      .outputMode("append").start() // pure per-row kernel + literal cuts
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w16_stream")
+        .as[(Long, String, Long, Long, Boolean, Boolean)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("running stats accumulate across batches via mapGroupsWithState") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
