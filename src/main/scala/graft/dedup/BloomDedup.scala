@@ -86,6 +86,18 @@ object BloomDedup {
       .reduce(_ && _)
   }
 
+  /** Expected false-positive probability of an (m, k) filter holding n
+    * distinct keys — the standard (1 − e^(−kn/m))^k estimate (Bloom
+    * 1970), the sizing certificate of the [[graft.profile
+    * .SketchBounds]] family: size m/k so this stays below the
+    * pipeline's tolerance for wrongly-flagged documents (at 100 TB,
+    * n = 10¹⁰ hashes into m = 2³⁶ bits with k = 5 gives ~2·10⁻³ —
+    * the hit slice a confirm-join then settles exactly). BloomSpec
+    * pins the measured deterministic FP rate to this estimate's
+    * decade. */
+  def expectedFpRate(n: Long, m: Int, k: Int): Double =
+    math.pow(1.0 - math.exp(-k.toDouble * n / m), k)
+
   /** The no-broadcast probe: explode the batch's k positions and count
     * matches against the set-bits frame — `bloom_hit` iff all k hit.
     * Same semantics as [[probeColumn]] (BloomSpec pins them equal);

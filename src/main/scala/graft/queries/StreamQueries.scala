@@ -1176,17 +1176,24 @@ object StreamQueries {
       TextQueries.SLmB2, TextQueries.SLmB1)
     val (d2, d1) = ScriptLm.denseCounts(c2, c1, TextQueries.SLmB2,
       TextQueries.SLmB1, keys = keys)
-    val cuts = ScriptLm.percentileCuts(
-        ScriptLm.scoreBy(hist, c2, c1, TextQueries.SLmB2, TextQueries.SLmB1,
-          "text", "doc_id", route, noneKey = "unknown"),
-        TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    // ONE kernel-scored per-row stage serves both populations — the
+    // history pass that trains the cuts runs the exact same deployed
+    // columns the stream gate runs (kernel ≡ join form, ScriptLmSpec);
+    // the join-form scoreBy here cost ~2× the whole query at the ×100
+    // rehearsal
     val (lang, n, nll, scorable) = ScriptLm.nllColumnsBy(d2, d1,
       TextQueries.SLmB2, TextQueries.SLmB1, "text", route, keys,
       noneKey = "unknown")
-    docs.filter(col("doc_id") % 2 === 1)
-      .select(col("doc_id"), lang.as("lang"), n.as("n_grams"),
-        nll.as("nll_fp"), scorable.as("lm_scorable"))
+    val scoredAll = graft.ops.StagePersists.track(
+      docs.select(col("doc_id"), lang.as("script"), n.as("n_grams"),
+        nll.as("nll_fp"), scorable.as("lm_scorable")))
+    val cuts = ScriptLm.percentileCuts(
+        scoredAll.filter(col("doc_id") % 2 === 0),
+        TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._1)
+    scoredAll.filter(col("doc_id") % 2 === 1)
+      .select(col("doc_id"), col("script").as("lang"), col("n_grams"),
+        col("nll_fp"), col("lm_scorable"))
       .withColumn("kept", graft.text.ScriptLm.gateKept(col("lang"),
         col("n_grams"), col("nll_fp"), cuts, noneKey = "unknown"))
       .orderBy("doc_id")

@@ -565,6 +565,62 @@ object TextQueries {
        |FROM documents d LEFT JOIN perdoc USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- t31: per-language tokenizer fertility --------------------------
+
+  /** Tokenizer EVALUATION at language grain — the standard vocab-
+    * allocation diagnostic (a tokenizer trained on a mixed corpus is
+    * dominated by its majority language; fertility — pieces per word —
+    * degrades on the underrepresented ones, directly inflating their
+    * effective sequence cost). Trains the t18 merge table on the full
+    * corpus, encodes every document with it ([[graft.text
+    * .BpeTokenCounter]], map-side), and rolls up per language: doc /
+    * word / char / piece sums (exact integers) plus fertility and
+    * chars-per-piece ratios. One groupBy(lang) — output is
+    * language-cardinality sized. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val merges = graft.text.BpeTrainer
+      .trainMergesLocal(docs, "text", numMerges = 12)
+      .map(m => (m._2, m._3))
+    val counter = graft.text.BpeTokenCounter(merges)
+    val ws = graft.text.BpeTrainer.words(col("text"))
+    docs.select(col("lang"), size(ws).cast("long").as("__w"),
+        aggregate(transform(ws, w => length(w).cast("long")),
+          lit(0L), (a, b) => a + b).as("__c"),
+        counter.count(col("text")).as("__p"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("__w").as("n_words"),
+        sum("__c").as("n_chars"), sum("__p").as("n_pieces"))
+      .withColumn("fertility", round(
+        col("n_pieces").cast("double") / col("n_words").cast("double"), 6))
+      .withColumn("chars_per_piece", round(
+        col("n_chars").cast("double") / col("n_pieces").cast("double"), 6))
+      .orderBy("lang")
+  }
+
+  /** Replays the shared t18 chain, reads per-word piece counts off the
+    * final state, and rolls the encode up per language. */
+  val tokenizerFertilitySql: String =
+    s"""WITH ${bpeChainSql(12)},
+       |docw AS (SELECT doc_id, unnest($WS) AS w FROM documents),
+       |plen AS (SELECT w, CAST(len(p) AS BIGINT) AS np FROM s12),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_w,
+       |    CAST(SUM(length(w)) AS BIGINT) AS n_c,
+       |    CAST(SUM(np) AS BIGINT) AS n_p
+       |  FROM docw JOIN plen USING (w) GROUP BY doc_id)
+       |SELECT d.lang, COUNT(*) AS n_docs,
+       |  CAST(SUM(coalesce(n_w, 0)) AS BIGINT) AS n_words,
+       |  CAST(SUM(coalesce(n_c, 0)) AS BIGINT) AS n_chars,
+       |  CAST(SUM(coalesce(n_p, 0)) AS BIGINT) AS n_pieces,
+       |  ROUND(CAST(SUM(coalesce(n_p, 0)) AS DOUBLE)
+       |    / CAST(SUM(coalesce(n_w, 0)) AS DOUBLE), 6) AS fertility,
+       |  ROUND(CAST(SUM(coalesce(n_c, 0)) AS DOUBLE)
+       |    / CAST(SUM(coalesce(n_p, 0)) AS DOUBLE), 6) AS chars_per_piece
+       |FROM documents d LEFT JOIN perdoc USING (doc_id)
+       |GROUP BY d.lang
+       |ORDER BY d.lang""".stripMargin
+
   val pieceChunksSql: String =
     s"""WITH RECURSIVE rtoks AS (
        |  SELECT doc_id, $WS AS ts FROM documents WHERE len($WS) > 0),
@@ -1445,7 +1501,94 @@ object TextQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---- t32: Kneser–Ney hashed LM perplexity ------------------------------
+
+  // declared immediately above the SQL val that interpolates them
+  // (object-init order)
+  private val KnB2 = 4096
+  private val KnB1 = 512
+
+  /** The KENSER–NEY estimator upgrade of the t28/w14 fluency plane
+    * ([[graft.text.LanguageModel.knHashedCounts]]/[[graft.text
+    * .LanguageModel.knScore]]): absolute discounting (d = 3/4) with
+    * continuation probabilities — the KenLM-style smoothing CCNet's
+    * gates actually deploy, where add-one systematically over-penalizes
+    * frequent-prefix/unseen-continuation grams. Trained on the en
+    * slice, scored over every document; 'unknown'-tokenizable docs
+    * (zero ASCII bigrams) carry the unscorable avg key and rank tail,
+    * the t28 convention. */
+  def knPerplexity(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lm = graft.text.LanguageModel
+    val (c2, c1, cont, totals) = lm.knHashedCounts(
+      docs.filter(col("lang") === "en"), "text", KnB2, KnB1)
+    lm.knScore(docs, c2, c1, cont, totals, KnB2, KnB1, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("avg_nll_fp",
+        lm.avgKey(col("nll_fp"), col("n_grams")))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the w14 CTE scaffold with the KN type statistics (distinct
+    * (prefix, continuation) bucket pairs) and the two-floor discounted
+    * probability — term for term the [[graft.text.LanguageModel
+    * .knScore]] spec, nested floors included. */
+  val knPerplexitySql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    def bkt(e: String, m: Int) =
+      s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
+    val eCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + graft.text.LanguageModel.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val pscale = graft.text.LanguageModel.PScale
+    val topF = 31L * graft.text.LanguageModel.F
+    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+       |rb AS (
+       |  SELECT doc_id, lang, ${bkt("g", KnB2)} AS b,
+       |    ${bkt("split_part(g, ' ', 1)", KnB1)} AS j,
+       |    ${bkt("split_part(g, ' ', 2)", KnB1)} AS u
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2)),
+       |cb2 AS (SELECT b, COUNT(*) AS c2 FROM rb WHERE lang = 'en' GROUP BY b),
+       |cb1 AS (SELECT j, COUNT(*) AS c1 FROM rb WHERE lang = 'en' GROUP BY j),
+       |types AS (SELECT DISTINCT j, u FROM rb WHERE lang = 'en'),
+       |n1s AS (SELECT j, COUNT(*) AS n1 FROM types GROUP BY j),
+       |conts AS (SELECT u, COUNT(*) AS cont FROM types GROUP BY u),
+       |tt AS (SELECT COUNT(*)::BIGINT AS tn FROM types),
+       |qq AS (
+       |  SELECT doc_id,
+       |    CASE WHEN coalesce(c1, 0) > 0 THEN
+       |      LEAST(GREATEST(
+       |        (GREATEST(coalesce(c2, 0) * 4 - 3, 0) * $pscale)
+       |          // (coalesce(c1, 0) * 4)
+       |        + (((coalesce(n1, 0) * 3 * $pscale) // (coalesce(c1, 0) * 4))
+       |            * coalesce(cont, 0)) // tn,
+       |        1), $pscale)
+       |    ELSE LEAST(GREATEST((coalesce(cont, 0) * $pscale) // tn, 1),
+       |           $pscale) END AS q
+       |  FROM rb LEFT JOIN cb2 USING (b) LEFT JOIN cb1 USING (j)
+       |  LEFT JOIN n1s USING (j) LEFT JOIN conts USING (u) CROSS JOIN tt),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |  CASE WHEN coalesce(n_grams, 0) > 0
+       |       THEN (nll_fp * 1024) // n_grams
+       |       ELSE ${graft.text.LanguageModel.UnscorableKey} END AS avg_nll_fp
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t32_kneser_ney" -> (knPerplexity _),
+    "t31_tokenizer_fertility" -> (tokenizerFertility _),
     "t30_lang_lm_gate" -> (langLmGate _),
     "t29_script_lm_gate" -> (scriptLmGate _),
     "t28_lm_perplexity" -> (lmPerplexity _),
@@ -1478,6 +1621,8 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t32_kneser_ney" -> knPerplexitySql,
+    "t31_tokenizer_fertility" -> tokenizerFertilitySql,
     "t30_lang_lm_gate" -> langLmGateSql,
     "t29_script_lm_gate" -> scriptLmGateSql,
     "t28_lm_perplexity" -> lmPerplexitySql,

@@ -213,6 +213,97 @@ object LanguageModel {
     stored.unionByName(batch).groupBy("bucket")
       .agg(sum(col(s"`$cntCol`")).as(cntCol))
 
+  // ---- Kneser–Ney (absolute discounting d = 3/4) -----------------------
+
+  /** Hashed KNESER–NEY counts — the estimator KenLM-style CCNet gates
+    * actually use (Kneser & Ney 1995; absolute discounting with
+    * continuation probabilities), at the hashed-bucket grain of
+    * [[hashedCounts]]. Beyond (c2, c1) it needs the TYPE statistics:
+    * the distinct (prefix-bucket j, continuation-bucket u) pairs of
+    * the reference —
+    *   n1(j)  = |{u : (j, u) seen}|  (how many distinct continuations
+    *            the prefix has — its smoothing mass),
+    *   cont(u) = |{j : (j, u) seen}| (how many distinct prefixes the
+    *            word follows — its continuation probability), and
+    *   T = |{(j, u)}| (total type count).
+    * One distinct over the bigram stream + three bucket-sized
+    * aggregates; all outputs O(b1) rows except T (one broadcast row,
+    * carrying the [[SafeDenBound]]-style envelope guard: 4·(c2+1)·2³⁰
+    * is Long-exact while the bigram total stays below 2³¹).
+    * Returns (c2 keyed bucket, c1/n1 keyed bucket, cont keyed bucket,
+    * totals(T)). */
+  def knHashedCounts(ref: DataFrame, textCol: String, b2: Int,
+      b1: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val refG = graft.ops.StagePersists.track(
+      bigrams(ref, textCol, textCol)
+        .select(bucketOf(col("g"), b2).as("b"),
+          bucketOf(col("w1"), b1).as("j"),
+          bucketOf(substring_index(col("g"), " ", -1), b1).as("u")))
+    val types = graft.ops.StagePersists.track(
+      refG.select("j", "u").distinct())
+    val c2 = refG.groupBy(col("b").as("bucket")).agg(count(lit(1)).as("__c2"))
+    val c1 = refG.groupBy(col("j").as("bucket")).agg(count(lit(1)).as("__c1"))
+      .join(types.groupBy(col("j").as("bucket")).agg(count(lit(1)).as("__n1")),
+        Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("__c1"), coalesce(col("__n1"), lit(0L)).as("__n1"))
+    val cont = types.groupBy(col("u").as("bucket")).agg(count(lit(1)).as("__cont"))
+    val totals = broadcast(types.agg(count(lit(1)).as("__t"))
+      .crossJoin(refG.agg(count(lit(1)).as("__nb")))
+      .select(when(col("__t") > 0L && col("__nb") <= 2147483648L, col("__t"))
+        .otherwise(raise_error(concat(
+          lit("[graft] KN reference out of envelope: types="),
+          col("__t").cast("string"), lit(" bigrams="),
+          col("__nb").cast("string"),
+          lit(" (need types > 0 and bigrams <= 2^31)"))).cast("long"))
+        .as("__t")))
+    (c2, c1, cont, totals)
+  }
+
+  /** Per-document KNESER–NEY score: (id, n_grams, nll_fp). Per gram,
+    * with c2/c1/n1/cont/T the (coalesced-to-0) bucket counts:
+    *
+    *   seen prefix (c1 > 0):
+    *     q = clamp(⌊max(4·c2 − 3, 0)·2³⁰ / (4·c1)⌋
+    *             + ⌊⌊3·n1·2³⁰ / (4·c1)⌋·cont / T⌋, 1, 2³⁰)
+    *   unseen prefix: q = clamp(⌊cont·2³⁰ / T⌋, 1, 2³⁰)
+    *
+    * — absolute discount d = 3/4 multiplied through by 4 so every term
+    * is a Long; the TWO nested floors in the backoff term are the
+    * spec (not ⌊the real-valued sum⌋ — floors don't distribute), the
+    * deterministic form both engines replay verbatim. Same join shape
+    * as [[score]]: bucket equi-joins + one per-id sum, stream-legal as
+    * stream-static joins. */
+  def knScore(docs: DataFrame, c2: DataFrame, c1: DataFrame,
+      cont: DataFrame, totals: DataFrame, b2: Int, b1: Int,
+      textCol: String, idCol: String): DataFrame = {
+    val g = bigrams(docs, textCol, idCol)
+    val kc2 = coalesce(col("__c2"), lit(0L))
+    val kc1 = coalesce(col("__c1"), lit(0L))
+    val kn1 = coalesce(col("__n1"), lit(0L))
+    val kco = coalesce(col("__cont"), lit(0L))
+    val t1 = ldiv(greatest(kc2 * 4L - 3L, lit(0L)) * lit(PScale), kc1 * 4L)
+    val t2 = ldiv(ldiv(kn1 * 3L * lit(PScale), kc1 * 4L) * kco, col("__t"))
+    val q = when(kc1 > 0L,
+        least(greatest(t1 + t2, lit(1L)), lit(PScale)))
+      .otherwise(
+        least(greatest(ldiv(kco * lit(PScale), col("__t")), lit(1L)),
+          lit(PScale)))
+    val perDoc = g
+      .withColumn("bucket", bucketOf(col("g"), b2))
+      .join(c2, Seq("bucket"), "left_outer").drop("bucket")
+      .withColumn("bucket", bucketOf(col("w1"), b1))
+      .join(c1, Seq("bucket"), "left_outer").drop("bucket")
+      .withColumn("bucket", bucketOf(substring_index(col("g"), " ", -1), b1))
+      .join(cont, Seq("bucket"), "left_outer").drop("bucket")
+      .crossJoin(totals)
+      .select(col("id"), nllFp(q).as("__nll"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum("__nll").as("nll_fp"))
+    docs.select(col(s"`$idCol`").as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("nll_fp"), lit(0L)).as("nll_fp"))
+  }
+
   /** Collect hashed counts to the dense array-literal form the per-row
     * fold consumes (element_at on an array ordinal is O(1); a map
     * literal would linear-scan all buckets per gram — the measured t24

@@ -58,6 +58,25 @@ class BloomSpec extends SparkSpec {
     assert(once === again, "false positives must replay deterministically")
   }
 
+  test("the FP-rate certificate predicts the measured rate's decade") {
+    val n = 200; val m = 4096; val k = 3
+    val corpus = (0L until n.toLong).map(i => (i, s"member document $i"))
+      .toDF("doc_id", "text")
+    val bm = BloomDedup.bitmap(BloomDedup.setBits(corpus, "text", m, k), m)
+    val probes = 5000
+    val fresh = (0L until probes.toLong).map(i => (i, s"non-member probe $i"))
+      .toDF("doc_id", "text")
+    val hits = fresh
+      .select(BloomDedup.probeColumn($"text", bm, m, k).as("hit"))
+      .filter($"hit").count()
+    val bound = BloomDedup.expectedFpRate(n.toLong, m, k)
+    val measured = hits.toDouble / probes
+    // deterministic md5 positions: the measured rate is a fixed number;
+    // the certificate must place it within its decade
+    assert(measured <= bound * 3 && measured >= bound / 5,
+      s"measured FP rate $measured vs certificate $bound")
+  }
+
   test("foldBits(old, new) ≡ a full rebuild over the concatenated corpus") {
     val old = corpusRows.toDF("doc_id", "text")
     val fresh = batchRows.toDF("doc_id", "text")
