@@ -1144,6 +1144,52 @@ object StreamQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- w17: streaming Kneser–Ney fluency gate (batch twin) ---------------
+
+  /** w14's cutoff discipline for the KN estimator: 4.8125 bits/gram
+    * (1/16-bit steps are exact: 4.8125 · 2¹⁰ · 2¹⁶). Probed at the
+    * gate SF on the t32 scores: keeps 91% of the trusted language
+    * (en) and rejects 45–63% of the rest — a working gate, not
+    * degenerate (KN's absolute discounting compresses the scale, so
+    * w14's 9.25-bit add-one cutoff would keep everything). */
+  private val W17Thresh = 322961408L
+
+  /** The t32 Kneser–Ney scorer in its DEPLOYED stream form: the dense
+    * KN statistics (bigram counts + prefix/continuation type counts +
+    * the type total) collected driver-side and every document scored
+    * by the native [[graft.functions.KnScore]] kernel — ONE per-row
+    * fold instead of the join form's four bucket equi-joins per gram
+    * (which ran linear at the ×100 rehearsal); no shuffle, no state,
+    * append-mode legal (StreamingSpec pins the MemoryStream run).
+    * Gate keeps documents whose average NLL clears the threshold,
+    * cross-multiplied — no division. */
+  def streamKnGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val lm = graft.text.LanguageModel
+    val (c2, c1, cont, totals) = lm.knHashedCounts(
+      docs.filter(col("lang") === "en"), "text",
+      TextQueries.KnB2, TextQueries.KnB1)
+    val (d2, dc1, dn1, dco, t) = lm.knDenseCounts(c2, c1, cont, totals,
+      TextQueries.KnB2, TextQueries.KnB1)
+    val (n, nll) = lm.knNllColumns(d2, dc1, dn1, dco, t,
+      TextQueries.KnB2, TextQueries.KnB1, "text")
+    docs.select(col("doc_id"), n.as("n_grams"), nll.as("nll_fp"))
+      .withColumn("kept", col("n_grams") > 0L &&
+        col("nll_fp") * 1024L <= col("n_grams") * lit(W17Thresh))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the shared t32 KN chain with the threshold gate. */
+  val streamKnGateSql: String =
+    s"""WITH ${TextQueries.KnChainSql}
+       |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
+       |  coalesce(nll_fp, 0)::BIGINT AS nll_fp,
+       |  coalesce(n_grams, 0) > 0 AND
+       |    coalesce(nll_fp, 0) * 1024 <= $W17Thresh * coalesce(n_grams, 0)
+       |    AS kept
+       |FROM documents d LEFT JOIN per USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- w16: streaming per-LANGUAGE LM gate (batch twin) ------------------
 
   /** The t30 per-language models in their DEPLOYED stream form — the
@@ -1244,6 +1290,7 @@ object StreamQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w17_stream_kn_gate" -> (streamKnGate _),
     "w16_stream_lang_lm" -> (streamLangLmGate _),
     "w15_stream_multilingual" -> (streamMultilingual _),
     "w14_stream_lm_gate" -> (streamLmGate _),
@@ -1261,6 +1308,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w17_stream_kn_gate" -> streamKnGateSql,
     "w16_stream_lang_lm" -> streamLangLmGateSql,
     "w15_stream_multilingual" -> streamMultilingualSql,
     "w14_stream_lm_gate" -> streamLmGateSql,

@@ -1504,9 +1504,9 @@ object TextQueries {
   // ---- t32: Kneser–Ney hashed LM perplexity ------------------------------
 
   // declared immediately above the SQL val that interpolates them
-  // (object-init order)
-  private val KnB2 = 4096
-  private val KnB1 = 512
+  // (object-init order); shared with the w17 deployed twin
+  private[queries] val KnB2 = 4096
+  private[queries] val KnB1 = 512
 
   /** The KENSER–NEY estimator upgrade of the t28/w14 fluency plane
     * ([[graft.text.LanguageModel.knHashedCounts]]/[[graft.text
@@ -1529,11 +1529,12 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
-  /** Mirror: the w14 CTE scaffold with the KN type statistics (distinct
-    * (prefix, continuation) bucket pairs) and the two-floor discounted
-    * probability — term for term the [[graft.text.LanguageModel
-    * .knScore]] spec, nested floors included. */
-  val knPerplexitySql: String = {
+  /** The shared KN mirror chain (t AS … per AS): the w14 CTE scaffold
+    * with the KN type statistics (distinct (prefix, continuation)
+    * bucket pairs) and the two-floor discounted probability — term for
+    * term the [[graft.text.LanguageModel.knScore]] spec, nested floors
+    * included. Shared by the t32 and w17 mirrors. */
+  private[queries] val KnChainSql: String = {
     val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
     def bkt(e: String, m: Int) =
       s"(('0x' || substr(md5($e), 1, 15))::UBIGINT % $m)::BIGINT"
@@ -1545,7 +1546,7 @@ object TextQueries {
       .mkString(" ") + " ELSE 1 END"
     val pscale = graft.text.LanguageModel.PScale
     val topF = 31L * graft.text.LanguageModel.F
-    s"""WITH t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
+    s"""t AS (SELECT doc_id, lang, $ws4 AS ws FROM documents),
        |rb AS (
        |  SELECT doc_id, lang, ${bkt("g", KnB2)} AS b,
        |    ${bkt("split_part(g, ' ', 1)", KnB1)} AS j,
@@ -1576,7 +1577,11 @@ object TextQueries {
        |per AS (
        |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
        |    SUM($topF - ($eCase) - ((q * 65536) // ($pCase)))::BIGINT AS nll_fp
-       |  FROM qq GROUP BY doc_id)
+       |  FROM qq GROUP BY doc_id)""".stripMargin
+  }
+
+  val knPerplexitySql: String =
+    s"""WITH $KnChainSql
        |SELECT d.doc_id, coalesce(n_grams, 0)::BIGINT AS n_grams,
        |  coalesce(nll_fp, 0)::BIGINT AS nll_fp,
        |  CASE WHEN coalesce(n_grams, 0) > 0
@@ -1584,7 +1589,6 @@ object TextQueries {
        |       ELSE ${graft.text.LanguageModel.UnscorableKey} END AS avg_nll_fp
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t32_kneser_ney" -> (knPerplexity _),

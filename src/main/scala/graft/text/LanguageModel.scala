@@ -304,6 +304,46 @@ object LanguageModel {
         coalesce(col("nll_fp"), lit(0L)).as("nll_fp"))
   }
 
+  /** Collect the KN statistics into the dense form
+    * [[graft.functions.KnScore]] consumes: (d2, c1, n1, cont, T).
+    * Envelope checked here, driver-side and free: max c₂ ≤ 2³¹ − 1
+    * keeps the discounted numerator 4·c₂·2³⁰ Long-exact (n1 ≤ c1 and
+    * cont ≤ b1 bound the backoff terms by construction). */
+  def knDenseCounts(c2: DataFrame, c1: DataFrame, cont: DataFrame,
+      totals: DataFrame, b2: Int, b1: Int)
+      : (Seq[Long], Seq[Long], Seq[Long], Seq[Long], Long) = {
+    def dense(rows: Array[(Long, Long)], n: Int): Seq[Long] = {
+      val m = rows.toMap
+      (0 until n).map(b => m.getOrElse(b.toLong, 0L))
+    }
+    val d2 = dense(c2.collect().map(r => r.getLong(0) -> r.getLong(1)), b2)
+    val c1rows = c1.collect()
+    val dc1 = dense(c1rows.map(r => r.getLong(0) -> r.getLong(1)), b1)
+    val dn1 = dense(c1rows.map(r => r.getLong(0) -> r.getLong(2)), b1)
+    val dco = dense(cont.collect().map(r => r.getLong(0) -> r.getLong(1)), b1)
+    val t = totals.collect()(0).getLong(0)
+    require(d2.foldLeft(0L)(math.max) <= 2147483647L,
+      "[graft] KN bigram bucket count exceeds 2^31: the 4*c2*2^30 " +
+        "numerator would leave the Long-exact envelope; retrain with " +
+        "more buckets")
+    (d2, dc1, dn1, dco, t)
+  }
+
+  /** (n_grams, nll_fp) for the KN estimator as PURE COLUMNS — the
+    * deployed per-row form ([[graft.functions.KnScore]] kernel; no
+    * shuffle, no state, append-mode legal — the w17 gate).
+    * KneserNeySpec pins kernel ≡ [[knScore]] per row. */
+  def knNllColumns(d2: Seq[Long], c1: Seq[Long], n1: Seq[Long],
+      cont: Seq[Long], t: Long, b2: Int, b1: Int,
+      textCol: String): (Column, Column) = {
+    require(d2.size == b2 && c1.size == b1 && n1.size == b1 &&
+      cont.size == b1, s"dense KN sizes (${d2.size}, ${c1.size}, " +
+      s"${n1.size}, ${cont.size}) must match ($b2, $b1)")
+    val stats = graft.functions.KnScore(col(s"`$textCol`"), d2, c1, n1,
+      cont, t)
+    (element_at(stats, 1), element_at(stats, 2))
+  }
+
   /** Collect hashed counts to the dense array-literal form the per-row
     * fold consumes (element_at on an array ordinal is O(1); a map
     * literal would linear-scan all buckets per gram — the measured t24

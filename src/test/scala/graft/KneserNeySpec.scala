@@ -82,6 +82,43 @@ class KneserNeySpec extends SparkSpec {
     graft.ops.StagePersists.release(spark)
   }
 
+  test("native KnScore kernel == join-form knScore, row for row; streams append-mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val lm = LanguageModel
+    val ref = Seq(
+      (0L, "the cat sat on the mat the cat ran off"),
+      (2L, "a dog sat on a log and the dog ran home")).toDF("doc_id", "text")
+    val rows = Seq(
+      (1L, "the cat ran"), (3L, "zz qq vv totally unseen words"),
+      (4L, "solo"), (5L, ""), (6L, "the cat sat on the mat"))
+    val (c2, c1, cont, totals) = lm.knHashedCounts(ref, "text", B2, B1)
+    val joined = lm.knScore(rows.toDF("doc_id", "text"), c2, c1, cont,
+        totals, B2, B1, "text", "doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    val (d2, dc1, dn1, dco, t) = lm.knDenseCounts(c2, c1, cont, totals, B2, B1)
+    val (n, nll) = lm.knNllColumns(d2, dc1, dn1, dco, t, B2, B1, "text")
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", n.as("n_grams"), nll.as("nll_fp"))
+    val kernel = stage(rows.toDF("doc_id", "text"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(kernel === joined)
+    val input = MemoryStream[(Long, String)]
+    val q = stage(input.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("w17_stream")
+      .outputMode("append").start() // pure per-row kernel: stateless
+    try {
+      input.addData(rows.take(2): _*)
+      q.processAllAvailable()
+      input.addData(rows.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w17_stream")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed === kernel)
+    } finally q.stop()
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("KN discounts less than add-one on frequent seen bigrams") {
     // "the cat" occurs twice in a tiny reference: the KN estimate keeps
     // most of its raw mass (discount 3/4 of one count), while add-one
