@@ -472,7 +472,90 @@ object SimQueries {
        |ORDER BY cluster_id, sample_rank""".stripMargin
   }
 
+  // ---- s12: BM25 lexical retrieval top-k ---------------------------------
+
+  // declared immediately above the SQL val that interpolates them
+  // (object-init order — the w13 gotcha)
+  private[queries] val BmK = 10
+  private[queries] val BmQLen = 6
+  private[queries] val BmProbeMod = 50L
+  private[queries] val BmProbeRem = 7L
+
+  /** Lexical retrieval over the documents table ([[graft.text.Bm25]]):
+    * the probe set is every document with doc_id ≡ 7 (mod 50) that has
+    * at least [[BmQLen]] ASCII tokens, its query being the distinct
+    * terms of its first [[BmQLen]] tokens — the "eval prompts retrieve
+    * their nearest training documents" decontamination shape. Top-10
+    * per query by the integer BM25 score, self-pair excluded. */
+  def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val ws = graft.functions.TokenArray.asciiTokens(col("text"))
+    val probes = docs
+      .filter(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem &&
+        size(ws) >= BmQLen)
+      .select(col("doc_id").as("query_id"),
+        explode(slice(ws, 1, BmQLen)).as("term"))
+      .distinct()
+    graft.text.Bm25.topK(docs, probes, "text", "doc_id", BmK)
+      .orderBy("query_id", "rk")
+  }
+
+  val bm25TopKSql: String = {
+    val lm = graft.text.LanguageModel
+    val eCase = "CASE " + lm.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + lm.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val sS = graft.text.Bm25.S
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      w -> w <> '') AS ws
+       |  FROM documents),
+       |tf AS (
+       |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term
+       |        FROM t)
+       |  GROUP BY 1, 2, 3),
+       |tot AS (
+       |  SELECT COUNT(*)::BIGINT AS n,
+       |    GREATEST(COALESCE(SUM(len(ws)), 0)::BIGINT
+       |      // GREATEST(COUNT(*)::BIGINT, 1), 1) AS avgdl
+       |  FROM t),
+       |qt AS (
+       |  SELECT DISTINCT doc_id AS query_id, term
+       |  FROM (SELECT doc_id, unnest(ws[1:$BmQLen]) AS term FROM t
+       |        WHERE doc_id % $BmProbeMod = $BmProbeRem
+       |          AND len(ws) >= $BmQLen)),
+       |cand AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+       |dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM cand GROUP BY term),
+       |idf AS (
+       |  SELECT term, (($eCase) + (q * ${lm.F}) // ($pCase) - ${lm.F}) AS idf_fp
+       |  FROM (SELECT term,
+       |          LEAST(GREATEST(((n * 2 + 2) * ${lm.F}) // (df * 2 + 1), 1),
+       |            ${lm.PScale}) AS q
+       |        FROM dfs CROSS JOIN tot)),
+       |sc AS (
+       |  SELECT q.query_id, c.doc_id,
+       |    SUM(i.idf_fp * ((c.tf * ${44L * sS * sS})
+       |      // (c.tf * ${20L * sS} + ${6L * sS}
+       |          + ((c.dl * $sS) // t2.avgdl) * 18)))::BIGINT AS score_fp
+       |  FROM cand c JOIN qt q USING (term) JOIN idf i USING (term)
+       |  CROSS JOIN tot t2
+       |  WHERE c.doc_id <> q.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, doc_id, score_fp, rk FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id) AS rk
+       |  FROM sc)
+       |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s12_bm25_topk" -> (bm25TopK _),
     "s11_cluster_balanced" -> (clusterBalancedSample _),
     "s10_pq_incremental" -> (pqIncremental _),
     "s8_pq_topk" -> (pqTopK _),
@@ -485,6 +568,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s12_bm25_topk" -> bm25TopKSql,
     "s5_ivf_topk" -> ivfTopKSql,
     "s11_cluster_balanced" -> clusterBalancedSampleSql,
     "s10_pq_incremental" -> pqIncrementalSql,

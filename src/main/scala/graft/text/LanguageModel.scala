@@ -81,15 +81,15 @@ object LanguageModel {
     GraftBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
-  /** e·F for q ∈ [1, 2³⁰] via the CASE ladder. */
-  private def eF(q: Column): Column =
+  /** e·F for q ∈ [1, 2³⁰] via the CASE ladder. Shared with [[Bm25]]. */
+  private[text] def eF(q: Column): Column =
     ladder.foldLeft(Option.empty[Column]) {
       case (None, (thr, ef, _)) => Some(when(q >= thr, ef))
       case (Some(c), (thr, ef, _)) => Some(c.when(q >= thr, ef))
     }.get.otherwise(lit(0L))
 
-  /** 2ᵉ for q ∈ [1, 2³⁰] via the CASE ladder. */
-  private def pow2(q: Column): Column =
+  /** 2ᵉ for q ∈ [1, 2³⁰] via the CASE ladder. Shared with [[Bm25]]. */
+  private[text] def pow2(q: Column): Column =
     ladder.foldLeft(Option.empty[Column]) {
       case (None, (thr, _, p)) => Some(when(q >= thr, p))
       case (Some(c), (thr, _, p)) => Some(c.when(q >= thr, p))
