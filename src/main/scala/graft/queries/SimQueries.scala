@@ -3,7 +3,7 @@ package graft.queries
 import graft.ops.CheckpointRotation.Ops
 import graft.Tables
 import graft.sim.Similarity
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Correctness-gate queries for similarity search over the embeddings
@@ -481,26 +481,65 @@ object SimQueries {
   private[queries] val BmProbeMod = 50L
   private[queries] val BmProbeRem = 7L
 
-  /** Lexical retrieval over the documents table ([[graft.text.Bm25]]):
-    * the probe set is every document with doc_id ≡ 7 (mod 50) that has
-    * at least [[BmQLen]] ASCII tokens, its query being the distinct
-    * terms of its first [[BmQLen]] tokens — the "eval prompts retrieve
-    * their nearest training documents" decontamination shape. Top-10
-    * per query by the integer BM25 score, self-pair excluded. */
+  /** The retrieval corpus: the documents table with PLANTED
+    * contamination (the t30 marker device — the synthetic corpus has a
+    * ~31-term template vocabulary, so every natural term is a
+    * near-stopword and idf alone cannot separate anything). Every
+    * probe document (doc_id ≡ 7 mod 50) carries its own marker token
+    * `mk<id>` twice; its CONTAMINATED TWIN (doc_id ≡ 8 mod 50) carries
+    * the probe's marker — an eval prompt leaked into one training
+    * document. df(marker) = 2, so the marker is the distinctive term
+    * retrieval must key on. */
+  private[queries] def bm25Docs(docs: DataFrame): DataFrame = {
+    def mk(idc: Column) = concat(col("text"), lit(" mk"),
+      idc.cast("string"), lit(" mk"), idc.cast("string"))
+    docs.select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem,
+          mk(col("doc_id")))
+        .when(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem + 1L,
+          mk(col("doc_id") - 1L))
+        .otherwise(col("text")).as("text"))
+  }
+
+  /** Query construction: each probe document's [[BmQLen]] RAREST
+    * distinct corpus terms, ranked (df asc, term asc) — "the
+    * distinctive terms of the eval prompt". The full-vocabulary df agg
+    * is one linear map-side-combinable pass; the ranking window runs
+    * only over probe-document terms (eval-set sized) through the
+    * salted top-k. Returns the distinct (query_id, term) frame. */
+  private[queries] def bm25Probes(docs2: DataFrame): DataFrame = {
+    val post = graft.text.Bm25.postings(docs2, "text", "doc_id")
+    val fullDf = post.groupBy("term").agg(count(lit(1)).as("__cdf"))
+    val probeTerms = post
+      .filter(pmod(col("id"), lit(BmProbeMod)) === BmProbeRem)
+      .select(col("id").as("query_id"), col("term"))
+    graft.ops.Scale.saltedTopK(
+        fullDf.join(broadcast(probeTerms), Seq("term")),
+        Seq(col("query_id")), Seq(col("__cdf"), col("term")),
+        BmQLen, col("term"), "__qrk")
+      .select("query_id", "term")
+  }
+
+  /** Lexical retrieval over the planted corpus ([[graft.text.Bm25]]):
+    * eval prompts (the probe documents) retrieve their nearest
+    * training documents by their distinctive terms. Top-10 per query
+    * by the integer BM25 score, self-pair excluded — rank 1 is the
+    * contaminated twin (the planted leak), the background orders by
+    * template-term overlap. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables.load(spark, dir, "documents")
-    val ws = graft.functions.TokenArray.asciiTokens(col("text"))
-    val probes = docs
-      .filter(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem &&
-        size(ws) >= BmQLen)
-      .select(col("doc_id").as("query_id"),
-        explode(slice(ws, 1, BmQLen)).as("term"))
-      .distinct()
-    graft.text.Bm25.topK(docs, probes, "text", "doc_id", BmK)
+    val docs2 = bm25Docs(Tables.load(spark, dir, "documents"))
+    graft.text.Bm25.topK(docs2, bm25Probes(docs2), "text", "doc_id", BmK)
       .orderBy("query_id", "rk")
   }
 
-  val bm25TopKSql: String = {
+  /** The shared BM25 mirror chain (t AS … idf AS): tokenization, the
+    * (doc, term) tf/dl grain, corpus totals, the probe query-term set,
+    * the query-term-restricted candidates and df, and the
+    * clamped-ladder idf — term for term the [[graft.text.Bm25]] spec.
+    * Shared by the s12 and w18 mirrors (each appends its own scoring
+    * tail: s12 excludes the self pair and ranks per query, w18 keeps
+    * the self pair and argmaxes per document). */
+  private[queries] val Bm25ChainSql: String = {
     val lm = graft.text.LanguageModel
     val eCase = "CASE " + lm.ladder
       .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
@@ -508,12 +547,21 @@ object SimQueries {
     val pCase = "CASE " + lm.ladder
       .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
       .mkString(" ") + " ELSE 1 END"
-    val sS = graft.text.Bm25.S
-    s"""WITH t AS (
+    s"""docs2 AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % $BmProbeMod = $BmProbeRem THEN text ||
+       |      ' mk' || CAST(doc_id AS VARCHAR) ||
+       |      ' mk' || CAST(doc_id AS VARCHAR)
+       |    WHEN doc_id % $BmProbeMod = ${BmProbeRem + 1L} THEN text ||
+       |      ' mk' || CAST(doc_id - 1 AS VARCHAR) ||
+       |      ' mk' || CAST(doc_id - 1 AS VARCHAR)
+       |    ELSE text END AS text
+       |  FROM documents),
+       |t AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
        |      w -> w <> '') AS ws
-       |  FROM documents),
+       |  FROM docs2),
        |tf AS (
        |  SELECT doc_id, dl, term, COUNT(*)::BIGINT AS tf
        |  FROM (SELECT doc_id, len(ws)::BIGINT AS dl, unnest(ws) AS term
@@ -524,35 +572,49 @@ object SimQueries {
        |    GREATEST(COALESCE(SUM(len(ws)), 0)::BIGINT
        |      // GREATEST(COUNT(*)::BIGINT, 1), 1) AS avgdl
        |  FROM t),
+       |fdf AS (SELECT term, COUNT(*)::BIGINT AS cdf FROM tf GROUP BY term),
        |qt AS (
-       |  SELECT DISTINCT doc_id AS query_id, term
-       |  FROM (SELECT doc_id, unnest(ws[1:$BmQLen]) AS term FROM t
-       |        WHERE doc_id % $BmProbeMod = $BmProbeRem
-       |          AND len(ws) >= $BmQLen)),
+       |  SELECT query_id, term FROM (
+       |    SELECT f.doc_id AS query_id, f.term,
+       |      ROW_NUMBER() OVER (PARTITION BY f.doc_id
+       |        ORDER BY cdf, f.term) AS qrk
+       |    FROM tf f JOIN fdf USING (term)
+       |    WHERE f.doc_id % $BmProbeMod = $BmProbeRem)
+       |  WHERE qrk <= $BmQLen),
        |cand AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
        |dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM cand GROUP BY term),
        |idf AS (
-       |  SELECT term, (($eCase) + (q * ${lm.F}) // ($pCase) - ${lm.F}) AS idf_fp
+       |  SELECT term, (($eCase) + (q * ${lm.F}) // ($pCase) - ${17L * lm.F}) AS idf_fp
        |  FROM (SELECT term,
        |          LEAST(GREATEST(((n * 2 + 2) * ${lm.F}) // (df * 2 + 1), 1),
        |            ${lm.PScale}) AS q
-       |        FROM dfs CROSS JOIN tot)),
-       |sc AS (
+       |        FROM dfs CROSS JOIN tot))""".stripMargin
+  }
+
+  /** The per-(query, doc) BM25 contribution sum — the scoring tail
+    * shared verbatim by both mirrors up to their pair filter. */
+  private[queries] def bm25ScoreSql(where: String): String = {
+    val sS = graft.text.Bm25.S
+    s"""sc AS (
        |  SELECT q.query_id, c.doc_id,
        |    SUM(i.idf_fp * ((c.tf * ${44L * sS * sS})
        |      // (c.tf * ${20L * sS} + ${6L * sS}
        |          + ((c.dl * $sS) // t2.avgdl) * 18)))::BIGINT AS score_fp
        |  FROM cand c JOIN qt q USING (term) JOIN idf i USING (term)
        |  CROSS JOIN tot t2
-       |  WHERE c.doc_id <> q.query_id
-       |  GROUP BY 1, 2)
+       |  $where
+       |  GROUP BY 1, 2)""".stripMargin
+  }
+
+  val bm25TopKSql: String =
+    s"""WITH $Bm25ChainSql,
+       |${bm25ScoreSql("WHERE c.doc_id <> q.query_id")}
        |SELECT query_id, doc_id, score_fp, rk FROM (
        |  SELECT query_id, doc_id, score_fp,
        |    ROW_NUMBER() OVER (PARTITION BY query_id
        |      ORDER BY score_fp DESC, doc_id) AS rk
        |  FROM sc)
        |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s12_bm25_topk" -> (bm25TopK _),

@@ -1190,6 +1190,64 @@ object StreamQueries {
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- w18: streaming BM25 retrieval gate (batch twin) -------------------
+
+  /** Retrieval-gate threshold, measured on the best-score
+    * distributions at sf0.001/0.01/0.1: the contaminated population
+    * (probes retrieving themselves, twins retrieving their probe —
+    * the marker's df=2 idf dominates) bottoms at 6.75·10⁸ across SFs
+    * while the background's template-term overlap tops at 5.40·10⁸;
+    * 6.0·10⁸ splits the gap with ≥11% margin on both sides, and every
+    * contaminated document and no background document flags at every
+    * SF. */
+  private val W18Thresh = 600000000L
+
+  /** The s12 BM25 retrieval in its DEPLOYED stream form — the
+    * decontamination-by-retrieval gate ("does this incoming crawl
+    * document retrieve against any eval prompt?"): query-term idf/CSR
+    * statistics trained on the corpus and collected driver-side
+    * ([[graft.text.Bm25.denseModel]] — eval-set sized by
+    * construction), every document scored by the native
+    * [[graft.functions.Bm25Score]] kernel — ONE shuffle-free per-row
+    * pass (the join form shuffles per (doc, term)); no state,
+    * append-mode legal (StreamingSpec pins the MemoryStream run).
+    * Unlike s12 the self pair is KEPT: a probe document streaming
+    * back IS a retrieval hit. Ties go to the smallest query id;
+    * documents matching no query term carry best_query_id = −1. */
+  def streamBm25Gate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = SimQueries.bm25Docs(Tables.load(spark, dir, "documents"))
+    val probes = SimQueries.bm25Probes(docs)
+    val model = graft.text.Bm25.denseModel(docs, probes, "text", "doc_id")
+    val stats = graft.functions.Bm25Score(col("text"), model)
+    docs.select(col("doc_id"),
+        element_at(stats, 1).as("best_query_id"),
+        element_at(stats, 2).as("best_score_fp"),
+        element_at(stats, 3).as("n_tokens"))
+      .withColumn("flagged", col("best_score_fp") >= W18Thresh)
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the shared s12 chain, self pair kept, per-document argmax
+    * restricted to positive scores (the kernel reports −1 when every
+    * matched term carries zero idf), ties to the smallest query id. */
+  val streamBm25GateSql: String =
+    s"""WITH ${SimQueries.Bm25ChainSql},
+       |${SimQueries.bm25ScoreSql("")},
+       |best AS (
+       |  SELECT doc_id, query_id, score_fp FROM (
+       |    SELECT doc_id, query_id, score_fp,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id
+       |        ORDER BY score_fp DESC, query_id) AS rn
+       |    FROM sc WHERE score_fp > 0)
+       |  WHERE rn = 1)
+       |SELECT d.doc_id,
+       |  coalesce(b.query_id, -1)::BIGINT AS best_query_id,
+       |  coalesce(b.score_fp, 0)::BIGINT AS best_score_fp,
+       |  len(t.ws)::BIGINT AS n_tokens,
+       |  coalesce(b.score_fp, 0) >= $W18Thresh AS flagged
+       |FROM documents d JOIN t USING (doc_id) LEFT JOIN best b USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- w16: streaming per-LANGUAGE LM gate (batch twin) ------------------
 
   /** The t30 per-language models in their DEPLOYED stream form — the
@@ -1290,6 +1348,7 @@ object StreamQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w18_stream_bm25_gate" -> (streamBm25Gate _),
     "w17_stream_kn_gate" -> (streamKnGate _),
     "w16_stream_lang_lm" -> (streamLangLmGate _),
     "w15_stream_multilingual" -> (streamMultilingual _),
@@ -1308,6 +1367,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w18_stream_bm25_gate" -> streamBm25GateSql,
     "w17_stream_kn_gate" -> streamKnGateSql,
     "w16_stream_lang_lm" -> streamLangLmGateSql,
     "w15_stream_multilingual" -> streamMultilingualSql,

@@ -16,7 +16,8 @@ import org.apache.spark.sql.functions._
   * exact rationals), carried out ENTIRELY in Long arithmetic so the
   * result hash-oracles cross-engine (the [[LanguageModel]] discipline):
   *
-  *   idf_fp(t)  = lg2_fp(Q_idf),  Q_idf = clamp(⌊(2N+2)·2¹⁶ / (2·df+1)⌋,
+  *   idf_fp(t)  = lg2_fp(Q_idf) − 16·F,
+  *                Q_idf = clamp(⌊(2N+2)·2¹⁶ / (2·df+1)⌋,
   *                1, 2³⁰) — the Robertson idf (N−df+½)/(df+½)+1 =
   *                (N+1)/(df+½) doubled through to integers, at the
   *                2¹⁶ probability scale of the shared lg2 ladder, minus
@@ -112,9 +113,55 @@ object Bm25 {
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(tot)
       .select(col("query_id"), col("id").as("doc_id"),
-        (lg2Fp(qidf) * sat).as("__contrib"))
+        ((lg2Fp(qidf) - lit(16L * F)) * sat).as("__contrib"))
       .groupBy("query_id", "doc_id")
       .agg(sum("__contrib").as("score_fp"))
+  }
+
+  /** Collect the query-term statistics into the dense CSR form
+    * [[graft.functions.Bm25Score]] consumes — the DEPLOYED model:
+    * idf per term from the TRAINING corpus (same clamped-ladder form
+    * as [[score]]), term → query memberships, avgdl. Everything
+    * collected is eval-set sized (query terms × queries) — a
+    * control-plane frame; the corpus contributes only its df counts
+    * for the query terms (computed behind the same broadcast
+    * semi-join) and the one totals row. */
+  def denseModel(docs: DataFrame, queries: DataFrame, textCol: String,
+      idCol: String): graft.functions.Bm25Score.Model = {
+    val qrows = queries.select(col("query_id").cast("long"), col("term"))
+      .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
+    val qids = qrows.map(_._1).distinct.sorted
+    val qpos = qids.zipWithIndex.toMap
+    val terms = qrows.map(_._2).distinct.sorted
+    val tpos = terms.zipWithIndex.toMap
+    val qdist = queries.select("term").distinct()
+    val dfm = postings(docs, textCol, idCol)
+      .join(broadcast(qdist), Seq("term"))
+      .groupBy("term").agg(count(lit(1)).as("__df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val tot = totals(docs, textCol).collect()(0)
+    val (n, avgdl) = (tot.getLong(0), tot.getLong(1))
+    val idf = terms.map { t =>
+      val df = dfm.getOrElse(t, 0L)
+      // absent terms keep idf 0 — they never match a token anyway
+      if (df == 0L) 0L
+      else {
+        val q = math.min(math.max((2L * n + 2L) * F / (2L * df + 1L), 1L),
+          PScale)
+        val e = 63 - java.lang.Long.numberOfLeadingZeros(q)
+        e * F + (q * F) / (1L << e) - 17L * F
+      }
+    }
+    val byTerm = qrows.groupBy(_._2)
+    val off = new Array[Int](terms.length + 1)
+    val qidx = scala.collection.mutable.ArrayBuffer[Int]()
+    terms.zipWithIndex.foreach { case (t, i) =>
+      off(i) = qidx.length
+      byTerm(t).map(r => qpos(r._1)).sorted.foreach(qidx += _)
+    }
+    off(terms.length) = qidx.length
+    new graft.functions.Bm25Score.Model(terms.toArray, idf.toArray,
+      off, qidx.toArray, qids.toArray, avgdl)
   }
 
   /** Top-k retrieval per query: (query_id, doc_id, score_fp, rk),

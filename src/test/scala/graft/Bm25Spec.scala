@@ -43,7 +43,8 @@ class Bm25Spec extends SparkSpec {
         else {
           val q = math.min(math.max((2L * n + 2L) * F / (2L * dfm(t) + 1L),
             1L), P)
-          lg2(q) * (c * 44L * S * S / (c * 20L * S + 6L * S + 18L * rel))
+          (lg2(q) - 16L * F) *
+            (c * 44L * S * S / (c * 20L * S + 6L * S + 18L * rel))
         }
       }.sum
       if (terms.distinct.exists(t => ws.contains(t))) Some(id -> score)
