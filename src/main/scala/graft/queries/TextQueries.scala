@@ -1590,7 +1590,125 @@ object TextQueries {
        |FROM documents d LEFT JOIN per USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- t33: unigram-LM (SentencePiece-style) tokenizer encode -----------
+
+  // declared immediately above the SQL val that interpolates them
+  // (object-init order — the w13 gotcha)
+  private[queries] val UTopM = 48
+
+  /** The OTHER tokenizer family next to t18/t25 BPE
+    * ([[graft.text.UnigramLm]]): seed vocabulary = the corpus's top
+    * [[UTopM]] substrings plus all characters, piece costs = their
+    * substring-occurrence NLL through the shared fixed-point ladder,
+    * and every document encoded by the tie-proof Viterbi DP in the
+    * native [[graft.functions.UnigramEncode]] kernel — one
+    * shuffle-free per-row pass, append-mode stream legal. Output:
+    * per-document (n_words, n_pieces, cost_fp). */
+  def unigramEncode(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val model = graft.text.UnigramLm.denseModel(docs, "text", UTopM)
+    val (nW, nP, cost) = graft.text.UnigramLm.encodeColumns(model, "text")
+    docs.select(col("doc_id"), nW.as("n_words"), nP.as("n_pieces"),
+        cost.as("cost_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the vocabulary/cost training replayed as plain aggregates
+    * and the Viterbi DP as an UNROLLED min-plus chain (the c1/s5
+    * Lloyd-unroll device) — one CTE per word position up to
+    * [[graft.text.UnigramLm.MaxWordLen]], each taking the MIN over the
+    * ≤ MaxPieceLen incoming steps of the combined cost·2²⁰+pieces key;
+    * longer words use the character-fallback closed form. */
+  val unigramEncodeSql: String = {
+    val ug = graft.text.UnigramLm
+    val lm = graft.text.LanguageModel
+    val eCase = "CASE " + lm.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + lm.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val asciiToks =
+      "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val pieceVals = (1 to ug.MaxPieceLen).map(l => s"($l)").mkString(",")
+    val dpCtes = (1 to ug.MaxWordLen).map { i =>
+      val prev = (math.max(0, i - ug.MaxPieceLen) until i)
+        .map(j => s"SELECT w, key, $j AS pos FROM dp$j")
+        .mkString(" UNION ALL ")
+      s"""dp$i AS MATERIALIZED (
+         |  SELECT s.w, MIN(d.key + s.scost * ${ug.CntScale} + 1)::BIGINT AS key
+         |  FROM stp s
+         |  JOIN ($prev) d ON d.w = s.w AND d.pos = s.i - s.l
+         |  WHERE s.i = $i
+         |  GROUP BY s.w)""".stripMargin
+    }.mkString(",\n")
+    val dall = (1 to ug.MaxWordLen)
+      .map(i => s"SELECT w, key, $i AS pos FROM dp$i")
+      .mkString(" UNION ALL ")
+    s"""WITH t AS (SELECT doc_id, $asciiToks AS ws FROM documents),
+       |tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM t),
+       |wc AS MATERIALIZED (SELECT w, COUNT(*)::BIGINT AS freq FROM tok GROUP BY w),
+       |sub0 AS (
+       |  SELECT w, freq, l, unnest(range(1, len(w) - l + 2)) AS i
+       |  FROM wc, (VALUES $pieceVals) ls(l) WHERE l <= len(w)),
+       |subs AS (
+       |  SELECT substr(w, i::INT, l) AS piece, SUM(freq)::BIGINT AS cnt
+       |  FROM sub0 GROUP BY 1),
+       |multi AS (
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt,
+       |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+       |    FROM subs WHERE len(piece) >= 2)
+       |  WHERE rn <= $UTopM),
+       |vocab AS (SELECT piece, cnt FROM multi UNION ALL
+       |          SELECT piece, cnt FROM subs WHERE len(piece) = 1),
+       |vtot AS (SELECT SUM(cnt)::BIGINT AS tot FROM vocab),
+       |vcost AS MATERIALIZED (
+       |  SELECT piece,
+       |    (${31L * lm.F} - ($eCase) - ((q * ${lm.F}) // ($pCase)))::BIGINT
+       |      AS cost
+       |  FROM (SELECT piece,
+       |          LEAST(GREATEST((cnt * ${lm.PScale}) // tot, 1),
+       |            ${lm.PScale}) AS q
+       |        FROM vocab CROSS JOIN vtot)),
+       |stp AS MATERIALIZED (
+       |  SELECT p.w, p.i, p.l,
+       |    (CASE WHEN p.l = 1 THEN coalesce(c.cost, ${ug.UnkCost})
+       |          ELSE c.cost END) AS scost
+       |  FROM (SELECT w, l, unnest(range(l, len(w) + 1)) AS i
+       |        FROM wc, (VALUES $pieceVals) ls(l)
+       |        WHERE l <= len(w) AND len(w) <= ${ug.MaxWordLen}) p
+       |  LEFT JOIN vcost c ON c.piece = substr(p.w, (p.i - p.l + 1)::INT, p.l)
+       |  WHERE p.l = 1 OR c.cost IS NOT NULL),
+       |dp0 AS MATERIALIZED (SELECT w, 0::BIGINT AS key FROM wc
+       |        WHERE len(w) <= ${ug.MaxWordLen}),
+       |$dpCtes,
+       |dall AS ($dall),
+       |wkey AS (SELECT d.w, d.key FROM dall d
+       |         JOIN wc ON wc.w = d.w AND len(wc.w) = d.pos),
+       |wlong AS (
+       |  SELECT p.w,
+       |    SUM(coalesce(c.cost, ${ug.UnkCost}) * ${ug.CntScale} + 1)::BIGINT
+       |      AS key
+       |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc
+       |        WHERE len(w) > ${ug.MaxWordLen}) p
+       |  LEFT JOIN vcost c ON c.piece = substr(p.w, p.i::INT, 1)
+       |  GROUP BY p.w),
+       |wall AS (SELECT * FROM wkey UNION ALL SELECT * FROM wlong),
+       |ds AS (
+       |  SELECT tok.doc_id, COUNT(*)::BIGINT AS n_words,
+       |    SUM(key % ${ug.CntScale})::BIGINT AS n_pieces,
+       |    SUM(key // ${ug.CntScale})::BIGINT AS cost_fp
+       |  FROM tok JOIN wall ON wall.w = tok.w GROUP BY 1)
+       |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+       |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
+       |  coalesce(cost_fp, 0)::BIGINT AS cost_fp
+       |FROM documents d LEFT JOIN ds USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t33_unigram_encode" -> (unigramEncode _),
     "t32_kneser_ney" -> (knPerplexity _),
     "t31_tokenizer_fertility" -> (tokenizerFertility _),
     "t30_lang_lm_gate" -> (langLmGate _),
@@ -1625,6 +1743,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t33_unigram_encode" -> unigramEncodeSql,
     "t32_kneser_ney" -> knPerplexitySql,
     "t31_tokenizer_fertility" -> tokenizerFertilitySql,
     "t30_lang_lm_gate" -> langLmGateSql,
