@@ -29,6 +29,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *    precomputed on the driver from the TRAINING corpus statistics;
   *  - best = max score, ties to the smaller query id (query ids are
   *    sorted ascending in the model, so first-wins = smallest).
+  *
+  * The kernel is the EXACT dense form — it scores every (doc, query)
+  * pair the document's terms touch; the batch join form truncates
+  * posting lists to [[graft.text.Bm25.Champions]], so kernel ≡ join
+  * equality (and the w18 oracle) holds whenever posting lists fit the
+  * cap — always at the oracle SF.
   */
 case class Bm25Score(child: Expression, model: Bm25Score.Model)
     extends UnaryExpression {
@@ -98,14 +104,36 @@ object Bm25Score {
         java.util.Arrays.hashCode(idf)) + avgdl.toInt
   }
 
+  /** Per-thread scratch: the tf/score accumulators are eval-set sized
+    * (terms × queries can reach tens of thousands), so allocating them
+    * per ROW would dominate the pass — they are zeroed lazily via
+    * touched-lists instead (the arrays stay clean between rows by the
+    * reset loops below). Keyed by sizes so two models of different
+    * shapes in one thread don't share. */
+  private final class Scratch(nt: Int, nq: Int) {
+    val tf = new Array[Long](nt)
+    val touched = new Array[Int](nt)
+    val qscore = new Array[Long](nq)
+    val qtouched = new Array[Int](nq)
+  }
+  private val scratchPool = new ThreadLocal[Scratch]()
+
+  private def scratchFor(nt: Int, nq: Int): Scratch = {
+    val s = scratchPool.get()
+    if (s == null || s.tf.length < nt || s.qscore.length < nq) {
+      val ns = new Scratch(nt, nq)
+      scratchPool.set(ns)
+      ns
+    } else s
+  }
+
   def scoreOf(m: Model, s: UTF8String): Array[Long] = {
     val low = s.toLowerCase.getBytes
     val n = low.length
     val nt = m.terms.length
-    // per-row tf scratch: term count is eval-set sized (hundreds), so
-    // a fresh array beats a hash map rebuild; touched-list resets it
-    val tf = new Array[Long](nt)
-    val touched = new Array[Int](nt)
+    val scr = scratchFor(nt, m.queryIds.length)
+    val tf = scr.tf
+    val touched = scr.touched
     var nTouched = 0
     var dl = 0L
     var i = 0
@@ -129,26 +157,47 @@ object Bm25Score {
     }
     if (nTouched == 0) return Array(-1L, 0L, dl)
     val rel = dl * S / m.avgdl
-    val scores = new Array[Long](m.queryIds.length)
+    val scores = scr.qscore
+    val qtouched = scr.qtouched
+    var nQTouched = 0
     var k = 0
     while (k < nTouched) {
       val t = touched(k)
       val c = tf(t)
+      tf(t) = 0L // reset the scratch behind us
       val sat = c * (44L * S * S) / (c * (20L * S) + 6L * S + 18L * rel)
       val contrib = m.idf(t) * sat
-      var p = m.off(t)
-      while (p < m.off(t + 1)) {
-        scores(m.queryIdx(p)) += contrib
-        p += 1
+      // zero contributions (clamped-idf stop terms) are skipped: they
+      // cannot change any score, and marking on the 0→nonzero
+      // transition keeps the touched list duplicate-free (contributions
+      // are non-negative, so a score never returns to zero)
+      if (contrib != 0L) {
+        var p = m.off(t)
+        while (p < m.off(t + 1)) {
+          val q = m.queryIdx(p)
+          if (scores(q) == 0L) { qtouched(nQTouched) = q; nQTouched += 1 }
+          scores(q) += contrib
+          p += 1
+        }
       }
       k += 1
     }
+    // argmax over TOUCHED queries only (ties to the smaller query id:
+    // explicit compare — touched order is insertion order, not id
+    // order); zero-score entries never beat bestScore = 0, matching
+    // the dense scan. Scratch resets behind the scan.
     var best = -1
     var bestScore = 0L
-    var q = 0
-    while (q < scores.length) {
-      if (scores(q) > bestScore) { best = q; bestScore = scores(q) }
-      q += 1
+    var k2 = 0
+    while (k2 < nQTouched) {
+      val q = qtouched(k2)
+      val sc = scores(q)
+      scores(q) = 0L
+      if (sc > bestScore || (sc == bestScore && sc > 0L && best >= 0 &&
+          q < best)) {
+        best = q; bestScore = sc
+      }
+      k2 += 1
     }
     if (best < 0) Array(-1L, 0L, dl)
     else Array(m.queryIds(best), bestScore, dl)

@@ -486,49 +486,76 @@ object SimQueries {
     * ~31-term template vocabulary, so every natural term is a
     * near-stopword and idf alone cannot separate anything). Every
     * probe document (doc_id ≡ 7 mod 50) carries its own marker token
-    * `mk<id>` twice; its CONTAMINATED TWIN (doc_id ≡ 8 mod 50) carries
-    * the probe's marker — an eval prompt leaked into one training
-    * document. df(marker) = 2, so the marker is the distinctive term
-    * retrieval must key on. */
+    * `mk<id>` twice; the probe's marker LEAKS into three other
+    * documents of its block — the strong twin (≡ 8, marker twice) and
+    * two weak leaks (≡ 9 and ≡ 23, once each) — so each eval prompt
+    * has a RANKED contaminated set, not a single hit. df(marker) = 4:
+    * distinctive, and the weak leaks exercise the tf saturation and
+    * length normalization in the ranking. */
   private[queries] def bm25Docs(docs: DataFrame): DataFrame = {
-    def mk(idc: Column) = concat(col("text"), lit(" mk"),
-      idc.cast("string"), lit(" mk"), idc.cast("string"))
+    def mk(idc: Column, times: Int) = concat(col("text") +:
+      (1 to times).flatMap(_ =>
+        Seq(lit(" mk"), idc.cast("string"))): _*)
+    val r = pmod(col("doc_id"), lit(BmProbeMod))
     docs.select(col("doc_id"),
-      when(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem,
-          mk(col("doc_id")))
-        .when(pmod(col("doc_id"), lit(BmProbeMod)) === BmProbeRem + 1L,
-          mk(col("doc_id") - 1L))
+      when(r === BmProbeRem, mk(col("doc_id"), 2))
+        .when(r === BmProbeRem + 1L, mk(col("doc_id") - 1L, 2))
+        .when(r === BmProbeRem + 2L, mk(col("doc_id") - 2L, 1))
+        .when(r === BmProbeRem + 16L, mk(col("doc_id") - 16L, 1))
         .otherwise(col("text")).as("text"))
   }
 
   /** Query construction: each probe document's [[BmQLen]] RAREST
-    * distinct corpus terms, ranked (df asc, term asc) — "the
-    * distinctive terms of the eval prompt". The full-vocabulary df agg
-    * is one linear map-side-combinable pass; the ranking window runs
-    * only over probe-document terms (eval-set sized) through the
-    * salted top-k. Returns the distinct (query_id, term) frame. */
-  private[queries] def bm25Probes(docs2: DataFrame): DataFrame = {
-    val post = graft.text.Bm25.postings(docs2, "text", "doc_id")
-    val fullDf = post.groupBy("term").agg(count(lit(1)).as("__cdf"))
+    * distinct corpus terms, ranked (df asc, term asc), KEEPING only
+    * terms under the stop-term cap df ≤ N/4 — "the distinctive terms
+    * of the eval prompt", with query-side stop-term removal (the d2
+    * stop-shingle df cap's retrieval twin; production BM25 does both
+    * this and the [[graft.text.Bm25.Champions]] posting truncation —
+    * without the cap, a stop term pairs every query against most of
+    * the corpus: the untruncated form ground past 6 min on the ×100
+    * rehearsal). The full-vocabulary df agg is one linear
+    * map-side-combinable pass; the ranking window runs only over
+    * probe-document terms (eval-set sized) through the salted top-k.
+    * Returns the distinct (query_id, term) frame. */
+  /** The shared postings frame — ONE corpus explode serving query
+    * construction, candidate scoring, and the w18 dense model
+    * (tracked: the explode + (doc, term) agg is the operator's
+    * dominant corpus pass). */
+  private[queries] def bm25Postings(docs2: DataFrame): DataFrame =
+    graft.ops.StagePersists.track(
+      graft.text.Bm25.postings(docs2, "text", "doc_id"))
+
+  private[queries] def bm25Probes(docs2: DataFrame,
+      post: DataFrame): DataFrame = {
+    val fullDf = graft.ops.StagePersists.track(
+      post.groupBy("term").agg(count(lit(1)).as("__cdf")))
+    val nDocs = broadcast(docs2.agg(count(lit(1)).as("__nd")))
     val probeTerms = post
       .filter(pmod(col("id"), lit(BmProbeMod)) === BmProbeRem)
       .select(col("id").as("query_id"), col("term"))
-    graft.ops.Scale.saltedTopK(
-        fullDf.join(broadcast(probeTerms), Seq("term")),
+    // tracked: every broadcast of the query frame (candidate semi-join,
+    // pair join, df join, the w18 dense model) would otherwise re-run
+    // the full-vocabulary df aggregation
+    graft.ops.StagePersists.track(graft.ops.Scale.saltedTopK(
+        fullDf.join(broadcast(probeTerms), Seq("term"))
+          .crossJoin(nDocs).filter(col("__cdf") * 4L <= col("__nd")),
         Seq(col("query_id")), Seq(col("__cdf"), col("term")),
         BmQLen, col("term"), "__qrk")
-      .select("query_id", "term")
+      .select("query_id", "term"))
   }
 
   /** Lexical retrieval over the planted corpus ([[graft.text.Bm25]]):
     * eval prompts (the probe documents) retrieve their nearest
-    * training documents by their distinctive terms. Top-10 per query
-    * by the integer BM25 score, self-pair excluded — rank 1 is the
-    * contaminated twin (the planted leak), the background orders by
-    * template-term overlap. */
+    * training documents by their distinctive (stop-filtered) terms.
+    * Top-10 per query by the integer BM25 score, self-pair excluded —
+    * the result is the probe's ranked contaminated set: the strong
+    * twin (marker tf = 2) and the two weak leaks, ordered by the tf
+    * saturation and length normalization. */
   def bm25TopK(spark: SparkSession, dir: String): DataFrame = {
     val docs2 = bm25Docs(Tables.load(spark, dir, "documents"))
-    graft.text.Bm25.topK(docs2, bm25Probes(docs2), "text", "doc_id", BmK)
+    val post = bm25Postings(docs2)
+    graft.text.Bm25.topK(docs2, bm25Probes(docs2, post), "text", "doc_id",
+        BmK, Some(post))
       .orderBy("query_id", "rk")
   }
 
@@ -547,6 +574,7 @@ object SimQueries {
     val pCase = "CASE " + lm.ladder
       .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
       .mkString(" ") + " ELSE 1 END"
+    val sS = graft.text.Bm25.S
     s"""docs2 AS (
        |  SELECT doc_id,
        |    CASE WHEN doc_id % $BmProbeMod = $BmProbeRem THEN text ||
@@ -555,6 +583,10 @@ object SimQueries {
        |    WHEN doc_id % $BmProbeMod = ${BmProbeRem + 1L} THEN text ||
        |      ' mk' || CAST(doc_id - 1 AS VARCHAR) ||
        |      ' mk' || CAST(doc_id - 1 AS VARCHAR)
+       |    WHEN doc_id % $BmProbeMod = ${BmProbeRem + 2L} THEN text ||
+       |      ' mk' || CAST(doc_id - 2 AS VARCHAR)
+       |    WHEN doc_id % $BmProbeMod = ${BmProbeRem + 16L} THEN text ||
+       |      ' mk' || CAST(doc_id - 16 AS VARCHAR)
        |    ELSE text END AS text
        |  FROM documents),
        |t AS (
@@ -578,11 +610,25 @@ object SimQueries {
        |    SELECT f.doc_id AS query_id, f.term,
        |      ROW_NUMBER() OVER (PARTITION BY f.doc_id
        |        ORDER BY cdf, f.term) AS qrk
-       |    FROM tf f JOIN fdf USING (term)
-       |    WHERE f.doc_id % $BmProbeMod = $BmProbeRem)
+       |    FROM tf f JOIN fdf USING (term) CROSS JOIN tot
+       |    WHERE f.doc_id % $BmProbeMod = $BmProbeRem
+       |      AND cdf * 4 <= tot.n)
        |  WHERE qrk <= $BmQLen),
-       |cand AS (SELECT * FROM tf WHERE term IN (SELECT term FROM qt)),
+       |cand AS (
+       |  SELECT f.doc_id, f.term,
+       |    ((f.tf * ${44L * sS * sS})
+       |      // (f.tf * ${20L * sS} + ${6L * sS}
+       |          + ((f.dl * $sS) // t2.avgdl) * 18)) AS sat
+       |  FROM tf f CROSS JOIN tot t2
+       |  WHERE term IN (SELECT term FROM qt)),
        |dfs AS (SELECT term, COUNT(*)::BIGINT AS df FROM cand GROUP BY term),
+       |champ AS (
+       |  SELECT doc_id, term, sat FROM (
+       |    SELECT doc_id, term, sat,
+       |      ROW_NUMBER() OVER (PARTITION BY term
+       |        ORDER BY sat DESC, doc_id) AS crk
+       |    FROM cand)
+       |  WHERE crk <= ${graft.text.Bm25.Champions}),
        |idf AS (
        |  SELECT term, (($eCase) + (q * ${lm.F}) // ($pCase) - ${17L * lm.F}) AS idf_fp
        |  FROM (SELECT term,
@@ -591,20 +637,16 @@ object SimQueries {
        |        FROM dfs CROSS JOIN tot))""".stripMargin
   }
 
-  /** The per-(query, doc) BM25 contribution sum — the scoring tail
-    * shared verbatim by both mirrors up to their pair filter. */
-  private[queries] def bm25ScoreSql(where: String): String = {
-    val sS = graft.text.Bm25.S
+  /** The per-(query, doc) BM25 contribution sum over the champion
+    * postings — the scoring tail shared verbatim by both mirrors up
+    * to their pair filter. */
+  private[queries] def bm25ScoreSql(where: String): String =
     s"""sc AS (
        |  SELECT q.query_id, c.doc_id,
-       |    SUM(i.idf_fp * ((c.tf * ${44L * sS * sS})
-       |      // (c.tf * ${20L * sS} + ${6L * sS}
-       |          + ((c.dl * $sS) // t2.avgdl) * 18)))::BIGINT AS score_fp
-       |  FROM cand c JOIN qt q USING (term) JOIN idf i USING (term)
-       |  CROSS JOIN tot t2
+       |    SUM(i.idf_fp * c.sat)::BIGINT AS score_fp
+       |  FROM champ c JOIN qt q USING (term) JOIN idf i USING (term)
        |  $where
        |  GROUP BY 1, 2)""".stripMargin
-  }
 
   val bm25TopKSql: String =
     s"""WITH $Bm25ChainSql,

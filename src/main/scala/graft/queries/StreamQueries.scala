@@ -1193,14 +1193,16 @@ object StreamQueries {
   // ---- w18: streaming BM25 retrieval gate (batch twin) -------------------
 
   /** Retrieval-gate threshold, measured on the best-score
-    * distributions at sf0.001/0.01/0.1: the contaminated population
-    * (probes retrieving themselves, twins retrieving their probe —
-    * the marker's df=2 idf dominates) bottoms at 6.75·10⁸ across SFs
-    * while the background's template-term overlap tops at 5.40·10⁸;
-    * 6.0·10⁸ splits the gap with ≥11% margin on both sides, and every
-    * contaminated document and no background document flags at every
-    * SF. */
-  private val W18Thresh = 600000000L
+    * distributions at sf0.001/0.01/0.1 and RECALL-oriented (the
+    * decontamination posture: a missed leak costs an eval benchmark,
+    * a spurious flag costs one document): the planted contaminated
+    * population — strong twins at marker tf = 2 and weak single-
+    * mention leaks — bottoms at 3.39·10⁸ across SFs, so 3.3·10⁸ flags
+    * EVERY planted leak at every SF. Background documents crossing it
+    * (0% / 2% / 1.8% per SF) all share a genuinely rare corpus term
+    * with an eval prompt — surfacing exactly those is what a
+    * retrieval gate is for. */
+  private val W18Thresh = 330000000L
 
   /** The s12 BM25 retrieval in its DEPLOYED stream form — the
     * decontamination-by-retrieval gate ("does this incoming crawl
@@ -1216,8 +1218,10 @@ object StreamQueries {
     * documents matching no query term carry best_query_id = −1. */
   def streamBm25Gate(spark: SparkSession, dir: String): DataFrame = {
     val docs = SimQueries.bm25Docs(Tables.load(spark, dir, "documents"))
-    val probes = SimQueries.bm25Probes(docs)
-    val model = graft.text.Bm25.denseModel(docs, probes, "text", "doc_id")
+    val post = SimQueries.bm25Postings(docs)
+    val probes = SimQueries.bm25Probes(docs, post)
+    val model = graft.text.Bm25.denseModel(docs, probes, "text", "doc_id",
+      Some(post))
     val stats = graft.functions.Bm25Score(col("text"), model)
     docs.select(col("doc_id"),
         element_at(stats, 1).as("best_query_id"),

@@ -45,10 +45,13 @@ import org.apache.spark.sql.functions._
   * (doc, term)-grain count (map-side combinable); candidate selection
   * and df both run AFTER the broadcast query-term semi-join, so the
   * per-term work is bounded by the documents that share a query term,
-  * never the corpus vocabulary; the final ranking is
-  * [[graft.ops.Scale.saltedTopK]] (no single-task hot-query window).
-  * Query sets are eval benchmarks — thousands of rows — so every join
-  * against them broadcasts.
+  * never the corpus vocabulary; pair scoring reads only the
+  * [[Champions]]-truncated impact-ordered posting lists, so the
+  * (queries × documents) matrix can never go dense on a stop-word
+  * query term; the final ranking is [[graft.ops.Scale.saltedTopK]]
+  * (no single-task hot-query window). Query sets are eval
+  * benchmarks — thousands of rows — so every join against them
+  * broadcasts.
   */
 object Bm25 {
 
@@ -87,33 +90,59 @@ object Bm25 {
           .as("__avgdl")))
   }
 
-  /** BM25 scores for every (query, document) pair sharing at least one
-    * term: (query_id, doc_id, score_fp). `queries` is the DISTINCT
-    * (query_id, term) frame — eval-set sized, broadcast on every use.
-    * A query's own document (doc_id = query_id) is excluded, the s1
-    * self-pair convention. */
+  /** Champion-list length: per query term, only the [[Champions]]
+    * documents with the highest saturation term score enter pair
+    * scoring — the classical impact-ordered posting truncation
+    * (Strohman & Croft's champion lists; the d2 stop-shingle df cap's
+    * retrieval twin). Without it a stop-word query term pairs every
+    * query against most of the corpus — the dense (queries × docs)
+    * matrix is the quadratic blowup that kills a naive BM25 join at
+    * scale (measured: the untruncated form ground past 10 min on the
+    * ×10 rehearsal; truncated: seconds). Results are EXACT whenever a
+    * term's posting list fits the cap (always at the oracle SF);
+    * truncation is deterministic — (sat desc, doc_id) is a total
+    * order — and the mirror replays it, so the cross-engine hash
+    * holds at every SF either way. */
+  val Champions = 2000
+
+  /** BM25 scores for (query, document) pairs sharing at least one
+    * champion term posting: (query_id, doc_id, score_fp). `queries`
+    * is the DISTINCT (query_id, term) frame — eval-set sized,
+    * broadcast on every use. A query's own document (doc_id =
+    * query_id) is excluded, the s1 self-pair convention. */
   def score(docs: DataFrame, queries: DataFrame, textCol: String,
-      idCol: String): DataFrame = {
+      idCol: String, champions: Int = Champions,
+      post: Option[DataFrame] = None): DataFrame = {
     val qdist = queries.select("term").distinct()
     // semi-join FIRST: df and candidates both touch only postings whose
     // term occurs in some query — the corpus-wide vocabulary never
-    // aggregates
-    val cand = graft.ops.StagePersists.track(
-      postings(docs, textCol, idCol).join(broadcast(qdist), Seq("term")))
-    val dfreq = cand.groupBy("term").agg(count(lit(1)).as("__df"))
+    // aggregates. Callers that already built (and persisted) the
+    // postings frame pass it in — the explode + (doc, term) agg is the
+    // operator's dominant corpus pass, not worth running twice.
     val tot = totals(docs, textCol)
-    val qidf = least(greatest(
-      ldiv((col("__n") * 2L + 2L) * lit(F), col("__df") * 2L + 1L),
-      lit(1L)), lit(PScale))
     val rel = ldiv(col("dl") * lit(S), col("__avgdl"))
     val sat = ldiv(col("tf") * lit(44L * S * S),
       col("tf") * lit(20L * S) + lit(6L * S) + rel * 18L)
-    cand.join(broadcast(queries), Seq("term"))
+    val cand = graft.ops.StagePersists.track(
+      post.getOrElse(postings(docs, textCol, idCol))
+        .join(broadcast(qdist), Seq("term"))
+        .crossJoin(tot)
+        .select(col("term"), col("id"), sat.as("__sat")))
+    // df counts the FULL posting list (truncation prunes candidates,
+    // not the statistics)
+    val dfreq = cand.groupBy("term").agg(count(lit(1)).as("__df"))
+    val champ = graft.ops.Scale.saltedTopK(cand, Seq(col("term")),
+        Seq(col("__sat").desc, col("id")), champions, col("id"), "__crk")
+      .drop("__crk")
+    val qidf = least(greatest(
+      ldiv((col("__n") * 2L + 2L) * lit(F), col("__df") * 2L + 1L),
+      lit(1L)), lit(PScale))
+    champ.join(broadcast(queries), Seq("term"))
       .filter(col("id") =!= col("query_id"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(tot)
       .select(col("query_id"), col("id").as("doc_id"),
-        ((lg2Fp(qidf) - lit(16L * F)) * sat).as("__contrib"))
+        ((lg2Fp(qidf) - lit(16L * F)) * col("__sat")).as("__contrib"))
       .groupBy("query_id", "doc_id")
       .agg(sum("__contrib").as("score_fp"))
   }
@@ -127,7 +156,8 @@ object Bm25 {
     * for the query terms (computed behind the same broadcast
     * semi-join) and the one totals row. */
   def denseModel(docs: DataFrame, queries: DataFrame, textCol: String,
-      idCol: String): graft.functions.Bm25Score.Model = {
+      idCol: String,
+      post: Option[DataFrame] = None): graft.functions.Bm25Score.Model = {
     val qrows = queries.select(col("query_id").cast("long"), col("term"))
       .distinct().collect().map(r => (r.getLong(0), r.getString(1)))
     val qids = qrows.map(_._1).distinct.sorted
@@ -135,7 +165,7 @@ object Bm25 {
     val terms = qrows.map(_._2).distinct.sorted
     val tpos = terms.zipWithIndex.toMap
     val qdist = queries.select("term").distinct()
-    val dfm = postings(docs, textCol, idCol)
+    val dfm = post.getOrElse(postings(docs, textCol, idCol))
       .join(broadcast(qdist), Seq("term"))
       .groupBy("term").agg(count(lit(1)).as("__df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -169,8 +199,9 @@ object Bm25 {
     * is deterministic. Salted two-phase top-k: a hot query (one that
     * matches half the corpus) never lands in a single task. */
   def topK(docs: DataFrame, queries: DataFrame, textCol: String,
-      idCol: String, k: Int): DataFrame =
-    graft.ops.Scale.saltedTopK(score(docs, queries, textCol, idCol),
+      idCol: String, k: Int, post: Option[DataFrame] = None): DataFrame =
+    graft.ops.Scale.saltedTopK(
+      score(docs, queries, textCol, idCol, Champions, post),
       Seq(col("query_id")), Seq(col("score_fp").desc, col("doc_id")),
       k, col("doc_id"), "rk")
 }

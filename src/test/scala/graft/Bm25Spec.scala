@@ -100,8 +100,9 @@ class Bm25Spec extends SparkSpec {
     val plan = Bm25.topK(docs, queries, "text", "doc_id", 5)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), plan)
-    // the only nested-loop join is the 1-row broadcast totals frame
-    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1, plan)
+    // the only nested-loop joins are 1-row broadcast totals frames
+    // (saturation in the champion stage, N in the idf stage)
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 3, plan)
     assert(plan.contains("BroadcastHashJoin"),
       s"query-term joins must broadcast:\n$plan")
     graft.ops.StagePersists.release(spark)
