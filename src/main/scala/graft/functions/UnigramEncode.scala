@@ -124,6 +124,59 @@ object UnigramEncode {
     }
   }
 
+  /** The CANONICAL Viterbi path of a word — the deterministic
+    * segmentation hard-EM re-estimates from: run the [[wordKey]] DP,
+    * then walk back from the end choosing, among the steps that
+    * achieve the cell's minimal key, the SHORTEST piece (smallest l —
+    * the tie rule the t34 mirror replays as `ORDER BY l`). Words past
+    * maxWordLen take the character fallback, mirroring [[wordKey]].
+    * Pieces are returned in reverse (end-to-start) order — usage
+    * counting is order-blind. */
+  def pathPieces(m: Model, w: String): Seq[String] = {
+    val n = w.length
+    if (n > m.maxWordLen)
+      return (n - 1 to 0 by -1).map(i => String.valueOf(w.charAt(i)))
+    val dp = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var best = Long.MaxValue
+      var l = 1
+      val lmax = math.min(m.maxPieceLen, i)
+      while (l <= lmax) {
+        val piece = w.substring(i - l, i)
+        val c =
+          if (l == 1) m.costs.getOrElse(piece, m.unkCost)
+          else m.costs.getOrElse(piece, -1L)
+        if (c >= 0L) {
+          val cand = dp(i - l) + c * CntScale + 1L
+          if (cand < best) best = cand
+        }
+        l += 1
+      }
+      dp(i) = best
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    var pos = n
+    while (pos > 0) {
+      var chosen = -1
+      var l = 1
+      val lmax = math.min(m.maxPieceLen, pos)
+      while (l <= lmax && chosen < 0) {
+        val piece = w.substring(pos - l, pos)
+        val c =
+          if (l == 1) m.costs.getOrElse(piece, m.unkCost)
+          else m.costs.getOrElse(piece, -1L)
+        if (c >= 0L && dp(pos - l) + c * CntScale + 1L == dp(pos)) chosen = l
+        l += 1
+      }
+      // chosen is always found: dp(pos) was built from one of these
+      out += w.substring(pos - chosen, pos)
+      pos -= chosen
+    }
+    out.toSeq
+  }
+
   def encodeOf(m: Model, s: UTF8String): Array[Long] = {
     val low = s.toLowerCase.getBytes
     val n = low.length

@@ -1619,95 +1619,194 @@ object TextQueries {
     * [[graft.text.UnigramLm.MaxWordLen]], each taking the MIN over the
     * ≤ MaxPieceLen incoming steps of the combined cost·2²⁰+pieces key;
     * longer words use the character-fallback closed form. */
-  val unigramEncodeSql: String = {
+  /** Shared SQL generators for the t33/t34 mirrors. Every multiply
+    * referenced CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+    * the fan-in-4 min-plus recursion (and the fan-in-4 path walk)
+    * inline exponentially otherwise. */
+  private object UnigramSql {
     val ug = graft.text.UnigramLm
-    val lm = graft.text.LanguageModel
-    val eCase = "CASE " + lm.ladder
+    private val lm = graft.text.LanguageModel
+    private val eCase = "CASE " + lm.ladder
       .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
       .mkString(" ") + " ELSE 0 END"
-    val pCase = "CASE " + lm.ladder
+    private val pCase = "CASE " + lm.ladder
       .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
       .mkString(" ") + " ELSE 1 END"
-    val asciiToks =
+    private val asciiToks =
       "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
-    val pieceVals = (1 to ug.MaxPieceLen).map(l => s"($l)").mkString(",")
-    val dpCtes = (1 to ug.MaxWordLen).map { i =>
-      val prev = (math.max(0, i - ug.MaxPieceLen) until i)
-        .map(j => s"SELECT w, key, $j AS pos FROM dp$j")
+    private val pieceVals =
+      (1 to ug.MaxPieceLen).map(l => s"($l)").mkString(",")
+
+    /** The clamped-ladder NLL cost from a (piece, cnt) relation. */
+    def costSql(name: String, src: String, totSrc: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece,
+         |    (${31L * lm.F} - ($eCase) - ((q * ${lm.F}) // ($pCase)))::BIGINT
+         |      AS cost
+         |  FROM (SELECT piece,
+         |          LEAST(GREATEST((cnt * ${lm.PScale}) // tot, 1),
+         |            ${lm.PScale}) AS q
+         |        FROM $src CROSS JOIN $totSrc))""".stripMargin
+
+    /** Corpus tokenization + seed-vocabulary training (t .. vcost). */
+    val prefixSql: String =
+      s"""t AS (SELECT doc_id, $asciiToks AS ws FROM documents),
+         |tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM t),
+         |wc AS MATERIALIZED (SELECT w, COUNT(*)::BIGINT AS freq FROM tok GROUP BY w),
+         |sub0 AS (
+         |  SELECT w, freq, l, unnest(range(1, len(w) - l + 2)) AS i
+         |  FROM wc, (VALUES $pieceVals) ls(l) WHERE l <= len(w)),
+         |subs AS (
+         |  SELECT substr(w, i::INT, l) AS piece, SUM(freq)::BIGINT AS cnt
+         |  FROM sub0 GROUP BY 1),
+         |multi AS (
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt,
+         |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
+         |    FROM subs WHERE len(piece) >= 2)
+         |  WHERE rn <= $UTopM),
+         |vocab AS MATERIALIZED (SELECT piece, cnt FROM multi UNION ALL
+         |          SELECT piece, cnt FROM subs WHERE len(piece) = 1),
+         |vtot AS (SELECT SUM(cnt)::BIGINT AS tot FROM vocab),
+         |${costSql("vcost", "vocab", "vtot")}""".stripMargin
+
+    /** One unrolled min-plus DP chain against cost table `vcost$sfx`:
+      * emits stp$sfx, dp0$sfx..dpN$sfx, dall$sfx (positions 0..N),
+      * wkey/wlong/wall$sfx. */
+    def dpSql(sfx: String): String = {
+      val dpCtes = (1 to ug.MaxWordLen).map { i =>
+        val prev = (math.max(0, i - ug.MaxPieceLen) until i)
+          .map(j => s"SELECT w, key, $j AS pos FROM dp$j$sfx")
+          .mkString(" UNION ALL ")
+        s"""dp$i$sfx AS MATERIALIZED (
+           |  SELECT s.w, MIN(d.key + s.scost * ${ug.CntScale} + 1)::BIGINT AS key
+           |  FROM stp$sfx s
+           |  JOIN ($prev) d ON d.w = s.w AND d.pos = s.i - s.l
+           |  WHERE s.i = $i
+           |  GROUP BY s.w)""".stripMargin
+      }.mkString(",\n")
+      val dall = (0 to ug.MaxWordLen)
+        .map(i => s"SELECT w, key, $i AS pos FROM dp$i$sfx")
         .mkString(" UNION ALL ")
-      s"""dp$i AS MATERIALIZED (
-         |  SELECT s.w, MIN(d.key + s.scost * ${ug.CntScale} + 1)::BIGINT AS key
-         |  FROM stp s
-         |  JOIN ($prev) d ON d.w = s.w AND d.pos = s.i - s.l
-         |  WHERE s.i = $i
-         |  GROUP BY s.w)""".stripMargin
-    }.mkString(",\n")
-    val dall = (1 to ug.MaxWordLen)
-      .map(i => s"SELECT w, key, $i AS pos FROM dp$i")
-      .mkString(" UNION ALL ")
-    s"""WITH t AS (SELECT doc_id, $asciiToks AS ws FROM documents),
-       |tok AS MATERIALIZED (SELECT doc_id, unnest(ws) AS w FROM t),
-       |wc AS MATERIALIZED (SELECT w, COUNT(*)::BIGINT AS freq FROM tok GROUP BY w),
-       |sub0 AS (
-       |  SELECT w, freq, l, unnest(range(1, len(w) - l + 2)) AS i
-       |  FROM wc, (VALUES $pieceVals) ls(l) WHERE l <= len(w)),
-       |subs AS (
-       |  SELECT substr(w, i::INT, l) AS piece, SUM(freq)::BIGINT AS cnt
-       |  FROM sub0 GROUP BY 1),
-       |multi AS (
-       |  SELECT piece, cnt FROM (
-       |    SELECT piece, cnt,
-       |      ROW_NUMBER() OVER (ORDER BY cnt DESC, piece) AS rn
-       |    FROM subs WHERE len(piece) >= 2)
-       |  WHERE rn <= $UTopM),
-       |vocab AS (SELECT piece, cnt FROM multi UNION ALL
-       |          SELECT piece, cnt FROM subs WHERE len(piece) = 1),
-       |vtot AS (SELECT SUM(cnt)::BIGINT AS tot FROM vocab),
-       |vcost AS MATERIALIZED (
-       |  SELECT piece,
-       |    (${31L * lm.F} - ($eCase) - ((q * ${lm.F}) // ($pCase)))::BIGINT
-       |      AS cost
-       |  FROM (SELECT piece,
-       |          LEAST(GREATEST((cnt * ${lm.PScale}) // tot, 1),
-       |            ${lm.PScale}) AS q
-       |        FROM vocab CROSS JOIN vtot)),
-       |stp AS MATERIALIZED (
-       |  SELECT p.w, p.i, p.l,
-       |    (CASE WHEN p.l = 1 THEN coalesce(c.cost, ${ug.UnkCost})
-       |          ELSE c.cost END) AS scost
-       |  FROM (SELECT w, l, unnest(range(l, len(w) + 1)) AS i
-       |        FROM wc, (VALUES $pieceVals) ls(l)
-       |        WHERE l <= len(w) AND len(w) <= ${ug.MaxWordLen}) p
-       |  LEFT JOIN vcost c ON c.piece = substr(p.w, (p.i - p.l + 1)::INT, p.l)
-       |  WHERE p.l = 1 OR c.cost IS NOT NULL),
-       |dp0 AS MATERIALIZED (SELECT w, 0::BIGINT AS key FROM wc
-       |        WHERE len(w) <= ${ug.MaxWordLen}),
-       |$dpCtes,
-       |dall AS ($dall),
-       |wkey AS (SELECT d.w, d.key FROM dall d
-       |         JOIN wc ON wc.w = d.w AND len(wc.w) = d.pos),
-       |wlong AS (
-       |  SELECT p.w,
-       |    SUM(coalesce(c.cost, ${ug.UnkCost}) * ${ug.CntScale} + 1)::BIGINT
-       |      AS key
-       |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc
-       |        WHERE len(w) > ${ug.MaxWordLen}) p
-       |  LEFT JOIN vcost c ON c.piece = substr(p.w, p.i::INT, 1)
-       |  GROUP BY p.w),
-       |wall AS (SELECT * FROM wkey UNION ALL SELECT * FROM wlong),
-       |ds AS (
-       |  SELECT tok.doc_id, COUNT(*)::BIGINT AS n_words,
-       |    SUM(key % ${ug.CntScale})::BIGINT AS n_pieces,
-       |    SUM(key // ${ug.CntScale})::BIGINT AS cost_fp
-       |  FROM tok JOIN wall ON wall.w = tok.w GROUP BY 1)
-       |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
-       |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
-       |  coalesce(cost_fp, 0)::BIGINT AS cost_fp
-       |FROM documents d LEFT JOIN ds USING (doc_id)
-       |ORDER BY d.doc_id""".stripMargin
+      s"""stp$sfx AS MATERIALIZED (
+         |  SELECT p.w, p.i, p.l,
+         |    (CASE WHEN p.l = 1 THEN coalesce(c.cost, ${ug.UnkCost})
+         |          ELSE c.cost END) AS scost
+         |  FROM (SELECT w, l, unnest(range(l, len(w) + 1)) AS i
+         |        FROM wc, (VALUES $pieceVals) ls(l)
+         |        WHERE l <= len(w) AND len(w) <= ${ug.MaxWordLen}) p
+         |  LEFT JOIN vcost$sfx c
+         |    ON c.piece = substr(p.w, (p.i - p.l + 1)::INT, p.l)
+         |  WHERE p.l = 1 OR c.cost IS NOT NULL),
+         |dp0$sfx AS MATERIALIZED (SELECT w, 0::BIGINT AS key FROM wc
+         |        WHERE len(w) <= ${ug.MaxWordLen}),
+         |$dpCtes,
+         |dall$sfx AS MATERIALIZED ($dall),
+         |wkey$sfx AS (SELECT d.w, d.key FROM dall$sfx d
+         |         JOIN wc ON wc.w = d.w AND len(wc.w) = d.pos),
+         |wlong$sfx AS (
+         |  SELECT p.w,
+         |    SUM(coalesce(c.cost, ${ug.UnkCost}) * ${ug.CntScale} + 1)::BIGINT
+         |      AS key
+         |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc
+         |        WHERE len(w) > ${ug.MaxWordLen}) p
+         |  LEFT JOIN vcost$sfx c ON c.piece = substr(p.w, p.i::INT, 1)
+         |  GROUP BY p.w),
+         |wall$sfx AS (SELECT * FROM wkey$sfx UNION ALL SELECT * FROM wlong$sfx)""".stripMargin
+    }
+
+    /** The CANONICAL-path walk over chain "" (positions descending,
+      * ties to the shortest piece via ORDER BY l) + the hard-EM usage
+      * counts + the re-derived cost table vcost2. */
+    val emSql: String = {
+      val walk = (ug.MaxWordLen to 1 by -1).map { i =>
+        val entered = (i + 1 to math.min(i + ug.MaxPieceLen, ug.MaxWordLen))
+          .map(j => s"SELECT w FROM st$j WHERE l = ${j - i}")
+        val onpath = (Seq(s"SELECT w FROM wc WHERE len(w) = $i") ++ entered)
+          .mkString(" UNION ALL ")
+        s"""st$i AS MATERIALIZED (
+           |  SELECT w, l, piece FROM (
+           |    SELECT s.w, s.l,
+           |      substr(s.w, (s.i - s.l + 1)::INT, s.l) AS piece,
+           |      ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.l) AS rn
+           |    FROM stp s
+           |    JOIN dall dprev ON dprev.w = s.w AND dprev.pos = $i - s.l
+           |    JOIN dall dcur ON dcur.w = s.w AND dcur.pos = $i
+           |    JOIN ($onpath) op ON op.w = s.w
+           |    WHERE s.i = $i
+           |      AND dprev.key + s.scost * ${ug.CntScale} + 1 = dcur.key)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val puUnion = (1 to ug.MaxWordLen)
+        .map(i => s"SELECT w, piece FROM st$i").mkString(" UNION ALL ")
+      s"""$walk,
+         |pu AS (
+         |  $puUnion
+         |  UNION ALL
+         |  SELECT p.w, substr(p.w, p.i::INT, 1) AS piece
+         |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc
+         |        WHERE len(w) > ${ug.MaxWordLen}) p),
+         |usage AS (
+         |  SELECT piece, SUM(freq)::BIGINT AS cnt
+         |  FROM pu JOIN wc USING (w) GROUP BY piece),
+         |vu AS MATERIALIZED (
+         |  SELECT v.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
+         |  FROM vocab v LEFT JOIN usage u USING (piece)),
+         |vtot2 AS (SELECT SUM(cnt)::BIGINT AS tot FROM vu),
+         |${costSql("vcost_2", "vu", "vtot2")}""".stripMargin
+    }
+
+    /** Per-document rollup + final select from chain `wall$sfx`. */
+    def dsSql(sfx: String): String =
+      s"""ds$sfx AS (
+         |  SELECT tok.doc_id, COUNT(*)::BIGINT AS n_words,
+         |    SUM(key % ${ug.CntScale})::BIGINT AS n_pieces,
+         |    SUM(key // ${ug.CntScale})::BIGINT AS cost_fp
+         |  FROM tok JOIN wall$sfx ON wall$sfx.w = tok.w GROUP BY 1)
+         |SELECT d.doc_id, coalesce(n_words, 0)::BIGINT AS n_words,
+         |  coalesce(n_pieces, 0)::BIGINT AS n_pieces,
+         |  coalesce(cost_fp, 0)::BIGINT AS cost_fp
+         |FROM documents d LEFT JOIN ds$sfx USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
   }
 
+  val unigramEncodeSql: String =
+    s"""WITH ${UnigramSql.prefixSql},
+       |${UnigramSql.dpSql("")},
+       |${UnigramSql.dsSql("")}""".stripMargin
+
+  // ---- t34: hard-EM refined unigram tokenizer ----------------------------
+
+  /** One hard-EM round on the t33 model ([[graft.text.UnigramLm
+    * .emRefine]]): the corpus re-segmented by the CANONICAL Viterbi
+    * path (ties to the shortest piece), usage-share costs re-derived,
+    * every document re-encoded under the refined model — the
+    * SentencePiece training step in deterministic integer form. */
+  def unigramEmEncode(spark: SparkSession, dir: String): DataFrame = {
+    val ug = graft.text.UnigramLm
+    val docs = Tables.load(spark, dir, "documents")
+    val wc = graft.ops.StagePersists.track(ug.wordCounts(docs, "text"))
+    val model0 = new graft.functions.UnigramEncode.Model(
+      ug.pieceCosts(ug.seedVocab(ug.substringCounts(wc), UTopM)),
+      ug.MaxPieceLen, ug.MaxWordLen)
+    val model2 = ug.emRefine(wc, model0)
+    val (nW, nP, cost) = ug.encodeColumns(model2, "text")
+    docs.select(col("doc_id"), nW.as("n_words"), nP.as("n_pieces"),
+        cost.as("cost_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the t33 chain, the unrolled path walk + usage counts +
+    * re-derived costs, then a SECOND dp chain under vcost2. */
+  val unigramEmEncodeSql: String =
+    s"""WITH ${UnigramSql.prefixSql},
+       |${UnigramSql.dpSql("")},
+       |${UnigramSql.emSql},
+       |${UnigramSql.dpSql("_2")},
+       |${UnigramSql.dsSql("_2")}""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t34_unigram_em" -> (unigramEmEncode _),
     "t33_unigram_encode" -> (unigramEncode _),
     "t32_kneser_ney" -> (knPerplexity _),
     "t31_tokenizer_fertility" -> (tokenizerFertility _),
@@ -1743,6 +1842,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t34_unigram_em" -> unigramEmEncodeSql,
     "t33_unigram_encode" -> unigramEncodeSql,
     "t32_kneser_ney" -> knPerplexitySql,
     "t31_tokenizer_fertility" -> tokenizerFertilitySql,

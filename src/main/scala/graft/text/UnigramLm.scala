@@ -123,6 +123,42 @@ object UnigramLm {
     new graft.functions.UnigramEncode.Model(costs, MaxPieceLen, MaxWordLen)
   }
 
+  /** One HARD-EM round (the SentencePiece training step, in its
+    * deterministic Viterbi-counts form): segment every distinct word
+    * by the CANONICAL path of the current model
+    * ([[graft.functions.UnigramEncode.pathPieces]] — minimal key,
+    * ties to the shortest piece), count piece usage weighted by word
+    * frequency, and re-derive costs from the usage shares (the same
+    * clamped-ladder NLL; vocabulary pieces the corpus stopped using
+    * fall to the 2⁻³⁰ floor — soft pruning). The E-step is one
+    * distinct-word-grain kernel pass + one piece-sized aggregate; the
+    * M-step is driver arithmetic over the (vocabulary-sized,
+    * budget-guarded) usage table. */
+  def emRefine(wc: DataFrame,
+      model0: graft.functions.UnigramEncode.Model)
+      : graft.functions.UnigramEncode.Model = {
+    val usage = wc.select(
+        explode(graft.functions.UnigramPath(col("w"), model0)).as("piece"),
+        col("freq"))
+      .groupBy("piece").agg(sum("freq").as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // usage restricted to the vocabulary: unknown single characters
+    // (possible on non-training words) stay unknown and carry no mass
+    val tot = model0.costs.keysIterator
+      .map(p => usage.getOrElse(p, 0L)).sum
+    require(tot > 0L && tot < 8589934592L,
+      s"[graft] unigram usage total $tot outside the Long-exact " +
+        "envelope (0, 2^33); recompute with DecimalType(38,0) costs")
+    val costs2 = model0.costs.keysIterator.map { p =>
+      val c = usage.getOrElse(p, 0L)
+      val q = math.min(math.max(c * LanguageModel.PScale / tot, 1L),
+        LanguageModel.PScale)
+      p -> graft.functions.UnigramEncode.nllFp(q)
+    }.toMap
+    new graft.functions.UnigramEncode.Model(costs2, model0.maxPieceLen,
+      model0.maxWordLen)
+  }
+
   /** (n_words, n_pieces, cost_fp) as PURE COLUMNS over a text column —
     * shuffle-free, stateless, append-mode stream legal (the w-plane
     * deployment convention). */

@@ -70,6 +70,60 @@ class UnigramLmSpec extends SparkSpec {
       30L * F * UnigramLm.CntScale + 1L)
   }
 
+  test("pathPieces: reconstructs the word, matches wordKey, shortest-piece ties") {
+    val costs = Map("a" -> 100L, "b" -> 200L, "c" -> 50L,
+      "ab" -> 120L, "bc" -> 500L, "abc" -> 90L, "ca" -> 10L)
+    val m = new UnigramEncode.Model(costs, 4, 16)
+    for (w <- Seq("abc", "abcabc", "cab", "azb", "cccc", "ab" * 9)) {
+      val path = UnigramEncode.pathPieces(m, w)
+      assert(path.reverse.mkString === w, w)
+      val key = path.map(p =>
+        costs.getOrElse(p, 30L * F) * UnigramLm.CntScale + 1L).sum
+      assert(key === UnigramEncode.wordKey(m, w), w)
+    }
+    // crafted tie: "xy"+"zw" vs "xyzw" same cost AND same count is
+    // impossible (counts differ), but "x"+"yzw" vs "xyz"+"w" tie on
+    // both -> the walk takes the SHORTEST piece at the END first
+    val tie = Map("x" -> 10L, "yzw" -> 20L, "xyz" -> 20L, "w" -> 10L,
+      "y" -> 999L, "z" -> 999L)
+    val mt = new UnigramEncode.Model(tie, 4, 16)
+    assert(UnigramEncode.pathPieces(mt, "xyzw") === Seq("w", "xyz"))
+  }
+
+  test("hard-EM round == driver recompute; corpus NLL does not increase") {
+    val corpus = Seq(
+      (0L, "banana bandana banana nabna"),
+      (1L, "an announcement and an anagram banana"),
+      (2L, "ban bandana nan announcement"))
+    val docs = corpus.toDF("doc_id", "text")
+    val wc = UnigramLm.wordCounts(docs, "text")
+    val model0 = UnigramLm.denseModel(docs, "text", topM = 8)
+    val model2 = UnigramLm.emRefine(wc, model0)
+    // driver recompute: canonical paths weighted by word freq
+    val words = corpus.flatMap(_._2.toLowerCase
+      .split("[^a-z0-9]+").filter(_.nonEmpty))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val usage = words.toSeq.flatMap { case (w, f) =>
+      UnigramEncode.pathPieces(model0, w).map(_ -> f)
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val tot = model0.costs.keysIterator
+      .map(p => usage.getOrElse(p, 0L)).sum
+    val want = model0.costs.keysIterator.map { p =>
+      val c = usage.getOrElse(p, 0L)
+      val q = math.min(math.max(c * 1073741824L / tot, 1L), 1073741824L)
+      p -> UnigramEncode.nllFp(q)
+    }.toMap
+    assert(model2.costs === want)
+    // hard-EM likelihood law (integer floors included): the corpus
+    // cost under the refined model never exceeds the seed model's
+    def corpusCost(m: UnigramEncode.Model): Long =
+      words.toSeq.map { case (w, f) =>
+        f * (UnigramEncode.wordKey(m, w) / UnigramLm.CntScale)
+      }.sum
+    assert(corpusCost(model2) <= corpusCost(model0))
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("corpus-trained encode == driver recompute; streams append-mode") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext
