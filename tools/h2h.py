@@ -26,9 +26,17 @@ def main(sf_dir, out_dir, bench_file):
     txt = open(bench_file).read()
     bench = None
     for line in txt.splitlines():
-        if '"queries"' in line:
-            bench = json.loads(line)["queries"]
-            break
+        if '"queries"' not in line:
+            continue
+        d = json.loads(line)
+        # prefer the per_query medians line; the samples line carries
+        # lists and cannot be compared directly
+        if d.get("metric") == "per_query" or (
+                bench is None and all(
+                  not isinstance(v, list) for v in d["queries"].values())):
+            bench = d["queries"]
+            if d.get("metric") == "per_query":
+                break
     assert bench, "no per-query bench line found"
     rows, dtot, stot = [], 0.0, 0.0
     for name in sorted(oracle):
