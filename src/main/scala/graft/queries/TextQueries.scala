@@ -1805,7 +1805,93 @@ object TextQueries {
        |${UnigramSql.dpSql("_2")},
        |${UnigramSql.dsSql("_2")}""".stripMargin
 
+  // ---- t35: Gopher quality rules ----------------------------------------
+
+  /** The planted Gopher corpus: the raw documents carry no newlines,
+    * symbols, or stop-word variety, so each failure mode is planted in
+    * a deterministic doc_id class (the d16/t22 derived-corpus device;
+    * first matching branch wins on overlapping ids):
+    * %13 → bullet-heavy lines, %17 → ellipsis-ended lines,
+    * %19 → '#' symbol spam, %23 → numeric (non-alpha) word spam,
+    * %29 → NO stop-word suffix (every other class gets " of the", so
+    * the stop rule bites exactly there), %31 → 24-character word spam
+    * (mean word length over 10). Short documents fail the word-count
+    * rule naturally (~45% of the corpus). */
+  private val gopherDeriveSql: String =
+    """CASE
+      |    WHEN doc_id % 13 = 0 THEN '- ' ||
+      |      replace(text, ' table ', chr(10) || '- table ') || ' of the'
+      |    WHEN doc_id % 17 = 0 THEN
+      |      replace(text, ' value ', ' value...' || chr(10)) || ' of the'
+      |    WHEN doc_id % 19 = 0 THEN text || ' of the' || repeat(' ###', 10)
+      |    WHEN doc_id % 23 = 0 THEN text || ' of the' || repeat(' 123456', 20)
+      |    WHEN doc_id % 29 = 0 THEN text
+      |    WHEN doc_id % 31 = 0 THEN text || ' of the' ||
+      |      repeat(' zzzzzzzzzzzzzzzzzzzzzzzz', 40)
+      |    ELSE text || ' of the' END""".stripMargin
+
+  /** Gopher quality filtering ([[graft.text.Cleaning.gopherRules]] —
+    * Rae et al. 2021 A1.1) over the planted corpus: word count, mean
+    * word length, symbol ratio, bullet/ellipsis line shares, alpha-word
+    * share, stop-word presence — each rule bites for its planted
+    * class. Stateless pure columns (stream-legal; spec pins the
+    * MemoryStream run). */
+  def gopherQuality(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(gopherDeriveSql).as("text"))
+    graft.text.Cleaning.gopherRules(docs, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val gopherQualitySql: String = {
+    val stops = graft.text.Cleaning.GopherStops
+      .map(s => s"'$s'").mkString(", ")
+    s"""WITH gd AS (
+       |  SELECT doc_id, $gopherDeriveSql AS text FROM documents),
+       |st AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      w -> w <> '') AS ws,
+       |    string_split(text, chr(10)) AS lines,
+       |    (len(text) - len(replace(text, '#', '')))::BIGINT AS hashes,
+       |    ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT AS ell
+       |  FROM gd),
+       |m AS (
+       |  SELECT doc_id,
+       |    len(ws)::BIGINT AS n_words,
+       |    coalesce(list_sum(list_transform(ws, w -> len(w))), 0)::BIGINT
+       |      AS totwlen,
+       |    len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))::BIGINT
+       |      AS alphaw,
+       |    len(list_intersect(list_distinct(ws), [$stops]))::BIGINT
+       |      AS stop_hits,
+       |    hashes, ell,
+       |    len(lines)::BIGINT AS n_lines,
+       |    len(list_filter(lines, l -> starts_with(l, '- ')
+       |      OR starts_with(l, '* ')))::BIGINT AS bulletl,
+       |    len(list_filter(lines, l -> ends_with(l, '...')))::BIGINT AS elll
+       |  FROM st)
+       |SELECT doc_id, n_words, n_lines, stop_hits,
+       |  (n_words >= 50 AND n_words <= 100000) AS r_words,
+       |  (3 * n_words <= totwlen AND totwlen <= 10 * n_words) AS r_meanlen,
+       |  (10 * (hashes + ell) <= n_words) AS r_symbol,
+       |  (10 * bulletl <= 9 * n_lines) AS r_bullet,
+       |  (10 * elll <= 3 * n_lines) AS r_ellipsis,
+       |  (5 * alphaw >= 4 * n_words) AS r_alpha,
+       |  (stop_hits >= ${graft.text.Cleaning.GopherMinStops}) AS r_stop,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND 3 * n_words <= totwlen AND totwlen <= 10 * n_words
+       |   AND 10 * (hashes + ell) <= n_words
+       |   AND 10 * bulletl <= 9 * n_lines
+       |   AND 10 * elll <= 3 * n_lines
+       |   AND 5 * alphaw >= 4 * n_words
+       |   AND stop_hits >= ${graft.text.Cleaning.GopherMinStops}) AS kept
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t35_gopher_quality" -> (gopherQuality _),
     "t34_unigram_em" -> (unigramEmEncode _),
     "t33_unigram_encode" -> (unigramEncode _),
     "t32_kneser_ney" -> (knPerplexity _),
@@ -1842,6 +1928,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t35_gopher_quality" -> gopherQualitySql,
     "t34_unigram_em" -> unigramEmEncodeSql,
     "t33_unigram_encode" -> unigramEncodeSql,
     "t32_kneser_ney" -> knPerplexitySql,

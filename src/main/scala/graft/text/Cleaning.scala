@@ -59,4 +59,62 @@ object Cleaning {
         array_join(keptLines, sep).as("clean_text") +:
         keep.map(k => col(s"`$k`")): _*)
   }
+
+  /** The GOPHER stop-word list (Rae et al. 2021, A1.1): a document
+    * must contain at least [[GopherMinStops]] distinct members. */
+  val GopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+  val GopherMinStops = 2
+
+  /** Gopher quality rules (Rae et al. 2021, "Scaling Language Models:
+    * Methods, Analysis & Insights from Training Gopher", Appendix
+    * A1.1) — the OTHER canonical web-filter set next to [[c4Clean]],
+    * in exact integer form (every ratio threshold cross-multiplied;
+    * the repetition rules of the same appendix live in
+    * [[graft.functions.RepetitionStats]]/t13):
+    *  - word count ∈ [50, 100 000];
+    *  - mean word length ∈ [3, 10] characters
+    *    (3·n ≤ Σlen ≤ 10·n);
+    *  - symbol-to-word ratio ≤ 1/10, symbols = '#' occurrences +
+    *    '…'-as-'...' occurrences;
+    *  - ≤ 90% of lines start with a bullet ('- ' or '* ');
+    *  - ≤ 30% of lines end with an ellipsis;
+    *  - ≥ 80% of words contain at least one alphabetic character;
+    *  - ≥ 2 distinct stop words from [[GopherStops]].
+    * Pure per-row Columns — stateless, shuffle-free, append-mode
+    * stream legal verbatim (the c4 convention; the per-word fold costs
+    * one pass over the token array per row). Returns (id, n_words,
+    * n_lines, stop_hits, the seven rule booleans, kept = AND). */
+  def gopherRules(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val text = col(s"`$textCol`")
+    val ws = graft.functions.TokenArray.asciiTokens(text)
+    val nW = size(ws).cast("long")
+    val totWLen = aggregate(ws, lit(0L), (a, w) => a + length(w))
+    val alphaW = size(filter(ws, w => w.rlike("[a-z]"))).cast("long")
+    val stops = size(array_intersect(array_distinct(ws),
+      typedLit(GopherStops))).cast("long")
+    val hashes = (length(text) - length(regexp_replace(text, "#", "")))
+      .cast("long")
+    val ell = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletL = size(filter(lines,
+      l => l.startsWith("- ") || l.startsWith("* "))).cast("long")
+    val ellL = size(filter(lines, l => l.endsWith("..."))).cast("long")
+    df.select(col(s"`$idCol`").as("id"), nW.as("n_words"),
+        nLines.as("n_lines"), stops.as("stop_hits"),
+        (nW >= 50L && nW <= 100000L).as("r_words"),
+        (lit(3L) * nW <= totWLen && totWLen <= lit(10L) * nW)
+          .as("r_meanlen"),
+        (lit(10L) * (hashes + ell) <= nW).as("r_symbol"),
+        (lit(10L) * bulletL <= lit(9L) * nLines).as("r_bullet"),
+        (lit(10L) * ellL <= lit(3L) * nLines).as("r_ellipsis"),
+        (lit(5L) * alphaW >= lit(4L) * nW).as("r_alpha"),
+        (stops >= GopherMinStops.toLong).as("r_stop"))
+      .withColumn("kept", col("r_words") && col("r_meanlen") &&
+        col("r_symbol") && col("r_bullet") && col("r_ellipsis") &&
+        col("r_alpha") && col("r_stop"))
+  }
 }
