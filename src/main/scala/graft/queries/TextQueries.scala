@@ -1890,7 +1890,86 @@ object TextQueries {
        |FROM m ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t36: DoReMi-style loss-aware domain reweighting -------------------
+
+  /** Per-SOURCE mixture weights from excess LM loss
+    * ([[graft.sim.DomainMix.lossReweight]]): the t28 en-trained bigram
+    * LM scores every document, sources roll up to average NLL, and
+    * each source is upweighted by exp2 of its excess bits-per-gram
+    * over the corpus baseline (ladder-exact, capped at 4 bits) — the
+    * deterministic one-shot gesture of DoReMi's clipped excess-loss
+    * update. Sources differ in language mix, so the en-trained model
+    * genuinely separates them. Output: the 20-row sampling mixture. */
+  def domainReweight(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    graft.sim.DomainMix.lossReweight(docs,
+        docs.filter(col("lang") === "en"), "text", "doc_id", "source")
+      .orderBy("domain")
+  }
+
+  val domainReweightSql: String = {
+    val lm = graft.text.LanguageModel
+    val eCase = "CASE " + lm.ladder
+      .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
+      .mkString(" ") + " ELSE 0 END"
+    val pCase = "CASE " + lm.ladder
+      .map { case (thr, _, p) => s"WHEN q >= $thr THEN $p" }
+      .mkString(" ") + " ELSE 1 END"
+    val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val topF = 31L * lm.F
+    val F = lm.F
+    s"""WITH t AS (SELECT doc_id, lang, source, $ws4 AS ws FROM documents),
+       |gg AS (
+       |  SELECT doc_id, lang, g, split_part(g, ' ', 1) AS w1
+       |  FROM (SELECT doc_id, lang,
+       |          unnest(list_transform(range(1, len(ws)),
+       |            i -> ws[i] || ' ' || ws[i + 1])) AS g
+       |        FROM t WHERE len(ws) >= 2)),
+       |c2 AS (SELECT g, COUNT(*) AS c2 FROM gg WHERE lang = 'en' GROUP BY g),
+       |c1 AS (SELECT w1, COUNT(*) AS c1 FROM gg WHERE lang = 'en' GROUP BY w1),
+       |vv AS (SELECT COUNT(DISTINCT w) + 1 AS v
+       |       FROM (SELECT unnest(ws) AS w FROM t WHERE lang = 'en')),
+       |qq AS (
+       |  SELECT doc_id,
+       |    GREATEST(((coalesce(c2.c2, 0) + 1) * ${lm.PScale})
+       |      // (coalesce(c1.c1, 0) + vv.v), 1) AS q
+       |  FROM gg LEFT JOIN c2 USING (g) LEFT JOIN c1 USING (w1), vv),
+       |per AS (
+       |  SELECT doc_id, COUNT(*)::BIGINT AS n_grams,
+       |    SUM($topF - ($eCase) - ((q * $F) // ($pCase)))::BIGINT AS nll_fp
+       |  FROM qq GROUP BY doc_id),
+       |dom AS (
+       |  SELECT t.source AS domain, COUNT(*)::BIGINT AS n_docs,
+       |    SUM(coalesce(n_grams, 0))::BIGINT AS n_grams,
+       |    SUM(coalesce(nll_fp, 0))::BIGINT AS nll
+       |  FROM t LEFT JOIN per USING (doc_id) GROUP BY 1),
+       |base AS (SELECT ((SUM(nll) * 1024) // SUM(n_grams))::BIGINT
+       |           AS baseline
+       |         FROM dom),
+       |ex AS (
+       |  SELECT domain, n_docs, n_grams,
+       |    (CASE WHEN n_grams > 0 THEN (nll * 1024) // n_grams
+       |         ELSE ${lm.UnscorableKey} END)::BIGINT AS avg_nll_fp,
+       |    (CASE WHEN n_grams > 0 THEN
+       |      LEAST(GREATEST((nll * 1024) // n_grams - baseline, 0) // 1024,
+       |        ${4L * F})
+       |    ELSE 0 END)::BIGINT AS excess_fp
+       |  FROM dom CROSS JOIN base),
+       |wt AS (
+       |  SELECT domain, n_docs, n_grams, avg_nll_fp, excess_fp,
+       |    ((CASE excess_fp // $F WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4
+       |       WHEN 3 THEN 8 ELSE 16 END)
+       |     * ($F + (excess_fp - (excess_fp // $F) * $F)))::BIGINT
+       |      AS weight_fp
+       |  FROM ex)
+       |SELECT domain, n_docs, n_grams, avg_nll_fp, excess_fp, weight_fp,
+       |  ((weight_fp * 1048576) // SUM(weight_fp) OVER ())::BIGINT
+       |    AS share_fp
+       |FROM wt ORDER BY domain""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t36_domain_reweight" -> (domainReweight _),
     "t35_gopher_quality" -> (gopherQuality _),
     "t34_unigram_em" -> (unigramEmEncode _),
     "t33_unigram_encode" -> (unigramEncode _),
@@ -1928,6 +2007,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t36_domain_reweight" -> domainReweightSql,
     "t35_gopher_quality" -> gopherQualitySql,
     "t34_unigram_em" -> unigramEmEncodeSql,
     "t33_unigram_encode" -> unigramEncodeSql,

@@ -71,4 +71,69 @@ object DomainMix {
     * contract: floor(x·10⁴ + 0.5)/10⁴ on identical doubles). */
   private def halfUp4(c: Column): Column =
     floor(c * lit(10000.0) + lit(0.5)) / lit(10000.0)
+
+  /** Integer exp2 over the shared fixed-point scale — the EXACT
+    * inverse of [[graft.text.LanguageModel]]'s linear-interpolated
+    * lg2: for x = e·F + frac (0 ≤ frac < F, e ≤ capBits),
+    * exp2_fp(x) = 2ᵉ·(F + frac) — an F-scaled multiplier in
+    * [F, 2^capBits·2F). Both engines replay the same ≤5-branch 2ᵉ
+    * CASE and Long products. */
+  private def exp2Fp(x: Column, capBits: Int): Column = {
+    val F = graft.text.LanguageModel.F
+    val e = graft.text.LanguageModel.ldiv(x, lit(F))
+    val pw = (1 to capBits).foldLeft(when(e === 0L, 1L)) {
+      (c, b) => c.when(e === b.toLong, 1L << b)
+    }.otherwise(1L << capBits)
+    pw * (lit(F) + (x - e * lit(F)))
+  }
+
+  /** DoReMi-style loss-aware domain reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining" — the one-shot deterministic gesture of its
+    * excess-loss update): score every document with the trusted-corpus
+    * bigram LM ([[graft.text.LanguageModel]], the t28 estimator), roll
+    * per-domain average NLL up against the corpus baseline, and
+    * upweight each domain by exp2 of its EXCESS bits-per-gram, capped
+    * at `capBits` (DoReMi clips its updates too; exp is replaced by
+    * the ladder-exact [[exp2Fp]] so the mixture hash-oracles).
+    * Returns one control-plane row per domain: (domain, n_docs,
+    * n_grams, avg_nll_fp, excess_fp, weight_fp, share_fp) with
+    * share_fp = ⌊weight·2²⁰ / Σweights⌋ — the sampling mixture.
+    * Unscorable domains (zero grams) carry the unscorable avg key,
+    * zero excess, and the base weight.
+    *
+    * Scale shape: LM training + scoring are the t28 linear passes; the
+    * rollup is one domain-sized agg; the share normalization is a
+    * global window over the POST-AGG domain frame (control-plane
+    * sized, the [[tokenShares]] device). */
+  def lossReweight(docs: DataFrame, ref: DataFrame, textCol: String,
+      idCol: String, domainCol: String, capBits: Int = 4): DataFrame = {
+    val lm = graft.text.LanguageModel
+    val F = lm.F
+    val scored = lm.score(docs, lm.train(ref, textCol), textCol, idCol)
+    val per = scored
+      .join(docs.select(col(s"`$idCol`").as("id"),
+        col(s"`$domainCol`").as("domain")), Seq("id"))
+      .groupBy("domain")
+      .agg(count(lit(1)).as("n_docs"), sum("n_grams").as("n_grams"),
+        sum("nll_fp").as("__nll"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    val totGrams = sum("n_grams").over(w)
+    val totNll = sum("__nll").over(w)
+    val baseline = lm.ldiv(totNll * 1024L, totGrams)
+    val avg = when(col("n_grams") > 0L,
+      lm.ldiv(col("__nll") * 1024L, col("n_grams")))
+      .otherwise(lit(lm.UnscorableKey))
+    val excess = when(col("n_grams") > 0L,
+      least(lm.ldiv(greatest(avg - baseline, lit(0L)), lit(1024L)),
+        lit(capBits.toLong * F))).otherwise(lit(0L))
+    val stats = per.select(col("domain"), col("n_docs"), col("n_grams"),
+      avg.as("avg_nll_fp"), excess.as("excess_fp"),
+      exp2Fp(excess, capBits).as("weight_fp"))
+    stats.select(col("domain"), col("n_docs"), col("n_grams"),
+      col("avg_nll_fp"), col("excess_fp"), col("weight_fp"),
+      lm.ldiv(col("weight_fp") * 1048576L, sum("weight_fp").over(w))
+        .as("share_fp"))
+  }
 }

@@ -76,8 +76,8 @@ object LanguageModel {
 
   /** Exact Long integer division (both operands non-negative here, so
     * Spark's truncating `div` and DuckDB's flooring `//` agree).
-    * Shared with [[ScriptLm]]. */
-  private[text] def ldiv(a: Column, b: Column): Column =
+    * Shared with [[ScriptLm]] and [[graft.sim.DomainMix]]. */
+  private[graft] def ldiv(a: Column, b: Column): Column =
     GraftBridge.column(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
       GraftBridge.expression(a), GraftBridge.expression(b)))
 
