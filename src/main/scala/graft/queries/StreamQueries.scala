@@ -1252,6 +1252,61 @@ object StreamQueries {
        |FROM documents d JOIN t USING (doc_id) LEFT JOIN best b USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
 
+  // ---- w19: streaming mixture-sampling gate (batch twin) -----------------
+
+  /** The t36 DoReMi mixture DEPLOYED as a stream sampler: weights
+    * trained on the md5-split history ([[graft.sim.DomainMix
+    * .lossReweight]] → [[graft.sim.DomainMix.mixtureRates]] — the
+    * hottest domain keeps everything, others thin by weight), the
+    * incoming dump (odd ids) gated per row by the portable 60-bit md5
+    * key against its domain's broadcast threshold — the t11
+    * weighted-sample device fed by the loss-aware mixture. The
+    * deployed stage is a broadcast stream-static join + a stateless
+    * filter column: append-mode legal (the w7 gate convention). */
+  def streamMixtureSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    // history split on the PORTABLE md5 key, not id arithmetic: the
+    // synthetic source column IS doc_id % 20, so any residue split
+    // correlates perfectly with source and trains on half the domains
+    val hkey = pmod(graft.dedup.Dedup.md5Long(col("doc_id").cast("string")),
+      lit(2L))
+    val hist = docs.filter(hkey === 0L)
+    val mix = graft.sim.DomainMix.lossReweight(hist,
+      hist.filter(col("lang") === "en"), "text", "doc_id", "source")
+    val rates = graft.sim.DomainMix.mixtureRates(mix)
+      .withColumnRenamed("domain", "source")
+    docs.filter(hkey === 1L)
+      .join(broadcast(rates), Seq("source"))
+      .select(col("doc_id"), col("source"),
+        graft.dedup.Dedup.md5Long(col("doc_id").cast("string"))
+          .as("sample_key"),
+        col("rate_thr"))
+      .withColumn("kept", col("sample_key") < col("rate_thr"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the shared t36 chain over the md5-even history, the
+    * threshold derivation, and the md5 gate over the md5-odd dump. */
+  val streamMixtureSampleSql: String =
+    s"""WITH ${TextQueries.domainReweightChainSql(
+         "WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))" +
+           "::UBIGINT % 2 = 0")},
+       |rates AS (
+       |  SELECT domain AS source,
+       |    (((weight_fp * ${1L << 40}) // MAX(weight_fp) OVER ())
+       |      * ${1L << 20})::BIGINT AS rate_thr
+       |  FROM wt)
+       |SELECT d.doc_id, d.source,
+       |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+       |    ::BIGINT AS sample_key,
+       |  r.rate_thr,
+       |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::UBIGINT
+       |    ::BIGINT < r.rate_thr AS kept
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))
+       |  ::UBIGINT % 2 = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   // ---- w16: streaming per-LANGUAGE LM gate (batch twin) ------------------
 
   /** The t30 per-language models in their DEPLOYED stream form — the
@@ -1352,6 +1407,7 @@ object StreamQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w19_stream_mixture_sample" -> (streamMixtureSample _),
     "w18_stream_bm25_gate" -> (streamBm25Gate _),
     "w17_stream_kn_gate" -> (streamKnGate _),
     "w16_stream_lang_lm" -> (streamLangLmGate _),
@@ -1371,6 +1427,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w19_stream_mixture_sample" -> streamMixtureSampleSql,
     "w18_stream_bm25_gate" -> streamBm25GateSql,
     "w17_stream_kn_gate" -> streamKnGateSql,
     "w16_stream_lang_lm" -> streamLangLmGateSql,

@@ -1907,7 +1907,9 @@ object TextQueries {
       .orderBy("domain")
   }
 
-  val domainReweightSql: String = {
+  /** The t36 CTE chain (t .. wt) with an optional population filter
+    * (the w19 stream twin trains on the even-id history). */
+  private[queries] def domainReweightChainSql(where: String): String = {
     val lm = graft.text.LanguageModel
     val eCase = "CASE " + lm.ladder
       .map { case (thr, ef, _) => s"WHEN q >= $thr THEN $ef" }
@@ -1918,7 +1920,7 @@ object TextQueries {
     val ws4 = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
     val topF = 31L * lm.F
     val F = lm.F
-    s"""WITH t AS (SELECT doc_id, lang, source, $ws4 AS ws FROM documents),
+    s"""t AS (SELECT doc_id, lang, source, $ws4 AS ws FROM documents $where),
        |gg AS (
        |  SELECT doc_id, lang, g, split_part(g, ' ', 1) AS w1
        |  FROM (SELECT doc_id, lang,
@@ -1961,12 +1963,15 @@ object TextQueries {
        |       WHEN 3 THEN 8 ELSE 16 END)
        |     * ($F + (excess_fp - (excess_fp // $F) * $F)))::BIGINT
        |      AS weight_fp
-       |  FROM ex)
+       |  FROM ex)""".stripMargin
+  }
+
+  val domainReweightSql: String =
+    s"""WITH ${domainReweightChainSql("")}
        |SELECT domain, n_docs, n_grams, avg_nll_fp, excess_fp, weight_fp,
        |  ((weight_fp * 1048576) // SUM(weight_fp) OVER ())::BIGINT
        |    AS share_fp
        |FROM wt ORDER BY domain""".stripMargin
-  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t36_domain_reweight" -> (domainReweight _),

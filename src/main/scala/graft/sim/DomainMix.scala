@@ -136,4 +136,19 @@ object DomainMix {
       lm.ldiv(col("weight_fp") * 1048576L, sum("weight_fp").over(w))
         .as("share_fp"))
   }
+
+  /** The mixture as 60-bit SAMPLING thresholds — the form
+    * [[graft.text.Sampling.weightedSample]]'s md5 gate consumes: the
+    * hottest domain keeps everything (threshold 2⁶⁰), the others scale
+    * by weight. Integer-exact at 2⁴⁰ intermediate scale
+    * (weight·2⁴⁰ stays in Long; the low 20 bits of the threshold are
+    * zeros, immaterial against a uniform 60-bit key). Returns
+    * (domain, rate_thr). */
+  def mixtureRates(mixture: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+    mixture.select(col("domain"),
+      (graft.text.LanguageModel.ldiv(col("weight_fp") * lit(1L << 40),
+        max("weight_fp").over(w)) * lit(1L << 20)).as("rate_thr"))
+  }
 }

@@ -51,4 +51,43 @@ class DomainReweightSpec extends SparkSpec {
     assert(shareSum <= 1048576L && shareSum >= 1048576L - 4L)
     graft.ops.StagePersists.release(spark)
   }
+
+  test("mixtureRates: hottest domain keeps all; gate streams append-mode") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (0L, "the cat sat on the mat and ran off home", "ref"),
+      (1L, "the cat sat on the mat", "easy"),
+      (2L, "zq xv wk jj qqq zzz vvv kkk", "hard"))
+    val docs = corpus.toDF("doc_id", "text", "source")
+    val mix = DomainMix.lossReweight(docs,
+      docs.filter(col("source") === "ref"), "text", "doc_id", "source")
+    val rates = DomainMix.mixtureRates(mix)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // hottest (hard) domain: threshold exactly 2^60
+    assert(rates("hard") === (1L << 60))
+    assert(rates.values.forall(t => t > 0L && t <= (1L << 60)))
+    assert(rates("easy") < rates("hard"))
+    // the deployed gate is a broadcast stream-static join + filter:
+    // append-mode legal, stream == batch
+    val ratesDf = DomainMix.mixtureRates(mix)
+      .withColumnRenamed("domain", "source").localCheckpoint()
+    def stage(df: org.apache.spark.sql.DataFrame) =
+      df.join(broadcast(ratesDf), Seq("source"))
+        .select(col("doc_id"), col("source"),
+          (graft.dedup.Dedup.md5Long(col("doc_id").cast("string")) <
+            col("rate_thr")).as("kept"))
+    val batch = stage(docs).collect().map(_.toSeq).toSet
+    val input = MemoryStream[(Long, String, String)]
+    val q = stage(input.toDF().toDF("doc_id", "text", "source"))
+      .writeStream.format("memory").queryName("w19_stream")
+      .outputMode("append").start()
+    try {
+      input.addData(corpus: _*)
+      q.processAllAvailable()
+      assert(spark.table("w19_stream").collect().map(_.toSeq).toSet
+        === batch)
+    } finally q.stop()
+    graft.ops.StagePersists.release(spark)
+  }
 }
