@@ -658,7 +658,51 @@ object SimQueries {
        |  FROM sc)
        |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
 
+  // ---- s13: incremental BM25 index maintenance ---------------------------
+
+  /** The BM25 index operated ACROSS dumps (the d13/s10 incremental
+    * convention): the stored [[graft.text.Bm25.State]] covers the
+    * md5-even half of the corpus, the md5-odd dump arrives and FOLDS
+    * in ([[graft.text.Bm25.foldState]] — postings append, df/totals
+    * sums; the corpus is never re-scanned), and the s12 probes
+    * retrieve against the folded state, reporting hits INSIDE the new
+    * dump. The oracle recomputes everything from the full corpus —
+    * hash equality is the cross-engine incremental ≡ full proof
+    * (Bm25StateSpec pins it in-engine too). */
+  def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
+    val bm = graft.text.Bm25
+    val docs2 = bm25Docs(Tables.load(spark, dir, "documents"))
+    val hkey = pmod(
+      graft.dedup.Dedup.md5Long(col("doc_id").cast("string")), lit(2L))
+    val stored = bm.buildState(docs2.filter(hkey === 0L), "text", "doc_id")
+    val batch = bm.buildState(docs2.filter(hkey === 1L), "text", "doc_id")
+    val folded0 = bm.foldState(stored, batch)
+    val folded = folded0.copy(
+      post = graft.ops.StagePersists.track(folded0.post))
+    val probes = bm25Probes(docs2, folded.post)
+    val dumpHits = bm.scoreFromState(folded, probes)
+      .filter(pmod(graft.dedup.Dedup.md5Long(col("doc_id").cast("string")),
+        lit(2L)) === 1L)
+    graft.ops.Scale.saltedTopK(dumpHits, Seq(col("query_id")),
+        Seq(col("score_fp").desc, col("doc_id")), BmK, col("doc_id"), "rk")
+      .orderBy("query_id", "rk")
+  }
+
+  val bm25IncrementalSql: String =
+    s"""WITH $Bm25ChainSql,
+       |${bm25ScoreSql(
+        "WHERE c.doc_id <> q.query_id AND ('0x' || " +
+          "substr(md5(CAST(c.doc_id AS VARCHAR)), 1, 15))" +
+          "::UBIGINT % 2 = 1")}
+       |SELECT query_id, doc_id, score_fp, rk FROM (
+       |  SELECT query_id, doc_id, score_fp,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY score_fp DESC, doc_id) AS rk
+       |  FROM sc)
+       |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s13_bm25_incremental" -> (bm25Incremental _),
     "s12_bm25_topk" -> (bm25TopK _),
     "s11_cluster_balanced" -> (clusterBalancedSample _),
     "s10_pq_incremental" -> (pqIncremental _),
@@ -672,6 +716,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s13_bm25_incremental" -> bm25IncrementalSql,
     "s12_bm25_topk" -> bm25TopKSql,
     "s5_ivf_topk" -> ivfTopKSql,
     "s11_cluster_balanced" -> clusterBalancedSampleSql,

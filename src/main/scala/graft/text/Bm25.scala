@@ -147,6 +147,76 @@ object Bm25 {
       .agg(sum("__contrib").as("score_fp"))
   }
 
+  // ---- incremental index state (the d13/s10 pattern) ---------------------
+
+  /** The stored BM25 index state: the (doc, term) postings frame, the
+    * per-term document frequencies, and the 1-row (n_docs,
+    * total_tokens) corpus sums. Every component is ADDITIVE across
+    * disjoint dumps — postings rows are doc-grain (disjoint ids never
+    * collide), df and the totals are sums — so incremental
+    * maintenance is EXACT: fold(state(old), state(new)) ≡
+    * state(old ∪ new), down to avgdl = max(1, ⌊T/N⌋) recomputed from
+    * the folded sums (Bm25StateSpec pins it). A new crawl dump updates
+    * the index by counting only its own tokens, never re-scanning the
+    * corpus. */
+  final case class State(post: DataFrame, dfreq: DataFrame,
+      sums: DataFrame)
+
+  def buildState(docs: DataFrame, textCol: String,
+      idCol: String): State = {
+    val ws = graft.functions.TokenArray.asciiTokens(col(s"`$textCol`"))
+    val post = postings(docs, textCol, idCol)
+    State(post,
+      post.groupBy("term").agg(count(lit(1)).as("__df")),
+      docs.select(size(ws).cast("long").as("__dl"))
+        .agg(count(lit(1)).as("__n"),
+          coalesce(sum(col("__dl")), lit(0L)).as("__tt")))
+  }
+
+  /** Fold a new dump's state into the stored one — one union per
+    * component plus term-sized/1-row sums; the corpus-sized postings
+    * frame is APPEND-ONLY. */
+  def foldState(stored: State, batch: State): State = State(
+    stored.post.unionByName(batch.post),
+    stored.dfreq.unionByName(batch.dfreq).groupBy("term")
+      .agg(sum("__df").as("__df")),
+    stored.sums.unionByName(batch.sums)
+      .agg(sum("__n").as("__n"), sum("__tt").as("__tt")))
+
+  /** [[score]] against a maintained [[State]] — identical arithmetic,
+    * the statistics read from the state instead of being recomputed
+    * (the stored df covers the FULL vocabulary; the broadcast
+    * semi-join restricts it to query terms). */
+  def scoreFromState(state: State, queries: DataFrame,
+      champions: Int = Champions): DataFrame = {
+    val qdist = queries.select("term").distinct()
+    val tot = broadcast(state.sums.select(col("__n"),
+      greatest(ldiv(col("__tt"), greatest(col("__n"), lit(1L))), lit(1L))
+        .as("__avgdl")))
+    val rel = ldiv(col("dl") * lit(S), col("__avgdl"))
+    val sat = ldiv(col("tf") * lit(44L * S * S),
+      col("tf") * lit(20L * S) + lit(6L * S) + rel * 18L)
+    val cand = graft.ops.StagePersists.track(
+      state.post.join(broadcast(qdist), Seq("term"))
+        .crossJoin(tot)
+        .select(col("term"), col("id"), sat.as("__sat")))
+    val dfq = state.dfreq.join(broadcast(qdist), Seq("term"))
+    val champ = graft.ops.Scale.saltedTopK(cand, Seq(col("term")),
+        Seq(col("__sat").desc, col("id")), champions, col("id"), "__crk")
+      .drop("__crk")
+    val qidf = least(greatest(
+      ldiv((col("__n") * 2L + 2L) * lit(F), col("__df") * 2L + 1L),
+      lit(1L)), lit(PScale))
+    champ.join(broadcast(queries), Seq("term"))
+      .filter(col("id") =!= col("query_id"))
+      .join(broadcast(dfq), Seq("term"))
+      .crossJoin(tot)
+      .select(col("query_id"), col("id").as("doc_id"),
+        ((lg2Fp(qidf) - lit(16L * F)) * col("__sat")).as("__contrib"))
+      .groupBy("query_id", "doc_id")
+      .agg(sum("__contrib").as("score_fp"))
+  }
+
   /** Collect the query-term statistics into the dense CSR form
     * [[graft.functions.Bm25Score]] consumes — the DEPLOYED model:
     * idf per term from the TRAINING corpus (same clamped-ladder form
