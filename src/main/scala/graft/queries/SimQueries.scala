@@ -701,7 +701,54 @@ object SimQueries {
        |  FROM sc)
        |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
 
+  // ---- s14: hybrid lexical + dense retrieval -----------------------------
+
+  private[queries] val BmShortlist = 20
+
+  /** Two-stage retrieval ([[graft.sim.HybridRetrieval]]): the s12
+    * probes' BM25 champion shortlist (top-[[BmShortlist]] lexical),
+    * re-ranked by embedding cosine between the probe document's vector
+    * and each candidate's — the production candidate-generation +
+    * dense-re-rank stack. Documents without vectors (embeddings cover
+    * a corpus prefix at sf0.1) sink via the −1 sentinel but keep their
+    * lexical order. */
+  def hybridRerank(spark: SparkSession, dir: String): DataFrame = {
+    val docs2 = bm25Docs(Tables.load(spark, dir, "documents"))
+    val emb = Tables.load(spark, dir, "embeddings")
+    val post = bm25Postings(docs2)
+    graft.sim.HybridRetrieval.hybridTopK(docs2, bm25Probes(docs2, post),
+        emb, "text", "doc_id", "vec_id", "embedding", BmShortlist, BmK,
+        Some(post))
+      .orderBy("query_id", "rk")
+  }
+
+  val hybridRerankSql: String =
+    s"""WITH $Bm25ChainSql,
+       |${bm25ScoreSql("WHERE c.doc_id <> q.query_id")},
+       |short AS (
+       |  SELECT query_id, doc_id, score_fp FROM (
+       |    SELECT query_id, doc_id, score_fp,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score_fp DESC, doc_id) AS srk
+       |    FROM sc)
+       |  WHERE srk <= $BmShortlist),
+       |rr AS (
+       |  SELECT s.query_id, s.doc_id, s.score_fp,
+       |    CASE WHEN a.vec_id IS NOT NULL AND b.vec_id IS NOT NULL
+       |      THEN ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4)
+       |      ELSE -1.0 END AS rerank
+       |  FROM short s
+       |  LEFT JOIN embeddings a ON a.vec_id = s.query_id
+       |  LEFT JOIN embeddings b ON b.vec_id = s.doc_id)
+       |SELECT query_id, doc_id, score_fp, rerank, rk FROM (
+       |  SELECT query_id, doc_id, score_fp, rerank,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY rerank DESC, score_fp DESC, doc_id) AS rk
+       |  FROM rr)
+       |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s14_hybrid_rerank" -> (hybridRerank _),
     "s13_bm25_incremental" -> (bm25Incremental _),
     "s12_bm25_topk" -> (bm25TopK _),
     "s11_cluster_balanced" -> (clusterBalancedSample _),
@@ -716,6 +763,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s14_hybrid_rerank" -> hybridRerankSql,
     "s13_bm25_incremental" -> bm25IncrementalSql,
     "s12_bm25_topk" -> bm25TopKSql,
     "s5_ivf_topk" -> ivfTopKSql,
