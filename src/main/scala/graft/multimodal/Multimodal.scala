@@ -394,4 +394,62 @@ object Multimodal {
       })
       .toDF("id", "ts_ms", "frame_key")
   }
+
+  // ---- video frame-sequence near-dups (mm6) ------------------------------
+
+  /** Per-video CONTENT-ALIGNED frame hashes: the blob is cut into
+    * fixed `window`-byte segments from the start and each segment
+    * hashed (the stub decode convention: the text stands in for the
+    * bitstream; a real decoder would perceptual-hash each sampled
+    * frame instead — same schema, same joins). Because segments are
+    * anchored at fixed offsets, a RE-ENCODED copy (identical content)
+    * shares every hash and a TRIMMED copy (prefix content) shares all
+    * of its own — the two re-upload shapes frame-level video dedup
+    * exists to catch — while an edit loses only the segments after the
+    * edit point. Returns distinct (id, fhash). */
+  def frameWindowHashes(media: DataFrame, window: Int): DataFrame = {
+    require(window > 0, s"frameWindowHashes window must be positive: $window")
+    val lastSeg = greatest(graft.text.LanguageModel.ldiv(
+      octet_length(col("media")).cast(LongType) - 1L, lit(window.toLong)),
+      lit(0L))
+    // the blob fans out to its segments INSIDE the task holding it
+    // (explode before any exchange); only 8-byte hashes shuffle
+    media.select(col("id"), col("media"),
+        explode(sequence(lit(0L), lastSeg)).as("__i"))
+      .select(col("id"),
+        graft.dedup.Dedup.md5Long(
+          substring(col("media"), (col("__i") * window + 1L).cast("int"),
+            lit(window))).as("fhash"))
+      .distinct()
+  }
+
+  /** Frame-sequence near-duplicate pairs: videos sharing at least
+    * `num/den` of the SMALLER side's frames (containment of the
+    * smaller — catches both re-uploads and trims). The join is the
+    * engine's inverted-index shape: distinct frame hashes equi-join,
+    * with a document-frequency cap dropping boilerplate segments
+    * shared by more than `dfCap` videos (the d2 stop-shingle device —
+    * template corpora repeat segments verbatim, and one hot segment
+    * would go quadratic). Output: (id_a, id_b, inter, n_a, n_b),
+    * id_a < id_b. */
+  def videoDupPairs(media: DataFrame, window: Int = 64, num: Int = 9,
+      den: Int = 10, dfCap: Int = 50): DataFrame = {
+    val fr = graft.ops.StagePersists.track(frameWindowHashes(media, window))
+    val sizes = fr.groupBy("id").agg(count(lit(1)).as("__n"))
+    val rare = fr.join(
+      fr.groupBy("fhash").agg(count(lit(1)).as("__df"))
+        .filter(col("__df") <= dfCap && col("__df") >= 2)
+        .select("fhash"), Seq("fhash"))
+    val pairs = rare.select(col("fhash"), col("id").as("id_a"))
+      .join(rare.select(col("fhash"), col("id").as("id_b")), Seq("fhash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("__n", "n_a"), Seq("id_a"))
+      .join(sizes.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("__n", "n_b"), Seq("id_b"))
+      .filter(col("inter") * den >= least(col("n_a"), col("n_b")) * num)
+      .select("id_a", "id_b", "inter", "n_a", "n_b")
+  }
 }

@@ -192,7 +192,75 @@ object MultimodalQueries {
        |ORDER BY ida, idb""".stripMargin
   }
 
+  // ---- mm6: video frame-sequence near-dups -------------------------------
+
+  // declared above the SQL val that interpolates them (init order)
+  private val VWindow = 64
+  private val VNum = 9
+  private val VDen = 10
+  private val VDfCap = 50
+
+  /** Frame-sequence video dedup ([[Multimodal.videoDupPairs]]): the
+    * corpus-as-video with PLANTED re-upload shapes — every doc_id ≡ 3
+    * (mod 40) becomes a TRIMMED copy of its predecessor (the leading
+    * two-thirds of its bitstream, cut at a segment boundary — the
+    * keyframe-aligned trim, so every surviving frame matches) — plus
+    * whatever exact re-encodes the raw corpus already contains. Pairs share ≥ 90% of the smaller
+    * side's content-aligned frame hashes; boilerplate segments above
+    * the df cap are dropped (the d2 stop-shingle device). */
+  def videoDupPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val prev = docs.select((col("doc_id") + 1L).as("doc_id"),
+      col("text").as("__ptext"))
+    val derived = docs.join(prev, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(40L)) === 3L && col("__ptext").isNotNull,
+            col("__ptext").substr(lit(1),
+              (graft.text.LanguageModel.ldiv(
+                graft.text.LanguageModel.ldiv(
+                  length(col("__ptext")).cast("long") * 2L, lit(3L)),
+                lit(VWindow.toLong)) * VWindow).cast("int")))
+          .otherwise(col("text")).as("text"))
+    val media = Multimodal.asMediaTable(derived, "doc_id", "text")
+    Multimodal.videoDupPairs(media, VWindow, VNum, VDen, VDfCap)
+      .orderBy("id_a", "id_b")
+  }
+
+  val videoDupPairsSql: String =
+    s"""WITH v2 AS (
+       |  SELECT d.doc_id,
+       |    CASE WHEN d.doc_id % 40 = 3 AND p.text IS NOT NULL
+       |      THEN substr(p.text, 1,
+        ((((len(p.text) * 2) // 3) // $VWindow) * $VWindow)::INT)
+       |      ELSE d.text END AS text
+       |  FROM documents d
+       |  LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+       |fr AS (
+       |  SELECT DISTINCT doc_id AS id,
+       |    ('0x' || substr(md5(substr(text, (i * $VWindow + 1)::INT,
+       |      $VWindow)), 1, 15))::UBIGINT::BIGINT AS fhash
+       |  FROM (SELECT doc_id, text,
+       |          unnest(range(0, GREATEST((len(text) - 1) // $VWindow, 0)
+       |            + 1)) AS i
+       |        FROM v2)),
+       |sizes AS (SELECT id, COUNT(*)::BIGINT AS n FROM fr GROUP BY id),
+       |rare AS (
+       |  SELECT fr.* FROM fr JOIN (
+       |    SELECT fhash FROM fr GROUP BY fhash
+       |    HAVING COUNT(*) <= $VDfCap AND COUNT(*) >= 2) ok USING (fhash)),
+       |pairs AS (
+       |  SELECT a.id AS id_a, b.id AS id_b, COUNT(*)::BIGINT AS inter
+       |  FROM rare a JOIN rare b ON a.fhash = b.fhash AND a.id < b.id
+       |  GROUP BY 1, 2)
+       |SELECT p.id_a, p.id_b, p.inter, sa.n AS n_a, sb.n AS n_b
+       |FROM pairs p
+       |JOIN sizes sa ON sa.id = p.id_a
+       |JOIN sizes sb ON sb.id = p.id_b
+       |WHERE p.inter * $VDen >= LEAST(sa.n, sb.n) * $VNum
+       |ORDER BY p.id_a, p.id_b""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm6_video_dup_pairs" -> (videoDupPairs _),
     "mm1_media_features" -> (mediaFeatures _),
     "mm2_image_dup_pairs" -> (imageDupPairs _),
     "mm3_frame_sample" -> (frameSample _),
@@ -200,6 +268,7 @@ object MultimodalQueries {
     "mm5_audio_dup_pairs" -> (audioDupPairs _))
 
   def oracleSql: Map[String, String] = Map(
+    "mm6_video_dup_pairs" -> videoDupPairsSql,
     "mm1_media_features" -> mediaFeaturesSql,
     "mm2_image_dup_pairs" -> imageDupPairsSql,
     "mm3_frame_sample" -> frameSampleSql,
