@@ -1,7 +1,35 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.collection.mutable
+
+/** Benchmark main. Prints self-contained JSON lines the driver parses.
+  *
+  * Timeout-survivable by construction (round-11 post-mortem: a SIGTERM
+  * mid-epoch-3 destroyed the whole artifact because the one total line
+  * was only printed after all three epochs):
+  *   - a wall-clock budget (env SPARK_GRAFT_BENCH_BUDGET_S, default 1350s)
+  *     is checked between queries; when it is tight the loop stops
+  *     STARTING new work instead of being killed mid-flight,
+  *   - the samples / per_query / total lines are printed and
+  *     BENCH_SAMPLES.json rewritten after EVERY epoch (latest write
+  *     wins; the driver parses the last total line in its stdout tail),
+  *   - a JVM shutdown hook emits the artifact from whatever samples
+  *     exist if a kill lands anyway,
+  *   - heavy queries (epoch-1 time >= SPARK_GRAFT_BENCH_HEAVY_S, default
+  *     15s) keep 2 samples instead of 3 — the composed pipelines are
+  *     ~100s/epoch combined and the median logic tolerates missing
+  *     samples,
+  *   - sample codes: >=0 seconds; -1 = query THREW; -2 = never ran
+  *     (budget abort or heavy-skip). Only -1 counts as a failure.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val t0Wall = System.nanoTime()
+    def elapsedS: Double = (System.nanoTime() - t0Wall) / 1e9
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_S", "1350").toDouble
+    val heavyS = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_S", "15").toDouble
+    def remaining: Double = budgetS - elapsedS
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -12,105 +40,138 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JIT/codegen warmup at the smallest SF: the first execution of each
-    // query pays one-time Janino compilation + HotSpot warmup (~20 s
-    // across the suite) that a long-running cluster never sees per query.
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // all samples recorded so far, epoch-major; guarded by `lock` because
+    // the shutdown hook reads it from another thread mid-kill
+    val lock = new Object
+    val samples = mutable.LinkedHashMap(names.map(n => n -> mutable.ArrayBuffer.empty[Double]): _*)
+    @volatile var epochsDone = 0
+    @volatile var emittedFinal = false
+
+    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+    // Emit the full artifact from the samples recorded so far. Safe to
+    // call repeatedly — the driver keeps a bounded stdout TAIL and parses
+    // the LAST total line, so later (more complete) emissions win.
+    def emit(tag: String): Unit = lock.synchronized {
+      val snap = names.map(n => n -> samples(n).toList)
+      val results = snap.map { case (name, ss) =>
+        val valid = ss.filter(_ >= 0).sorted
+        // median over surviving samples; lower-middle for even counts
+        val sec = if (valid.isEmpty) -1.0 else valid((valid.size - 1) / 2)
+        name -> sec
+      }.toMap
+      // failures = queries that actually THREW (-1); a -2 is work the
+      // budget guard or heavy-skip chose not to start, not a failure
+      val failures = snap.collect { case (n, ss) if ss.contains(-1.0) && !ss.exists(_ >= 0) => n }.map(n => s""""$n"""")
+      val nSkipped = snap.count { case (_, ss) => ss.isEmpty || ss.forall(_ == -2.0) }
+      val qs = names.map(k => s""""$k":${d3(results(k))}""").mkString("{", ",", "}")
+      val total = results.values.filter(_ >= 0).sum
+      val samplesJson = snap.map { case (k, ss) =>
+        s""""$k":${ss.map(d3).mkString("[", ",", "]")}"""
+      }.mkString("{", ",", "}")
+      val samplesLine = s"""{"metric":"samples","unit":"sec","epochs_done":$epochsDone,"stage":"$tag","queries":$samplesJson,"sf":"$sfDir"}"""
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
+        new java.io.File("BENCH_SAMPLES.json").getAbsolutePath)
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(out),
+          (samplesLine + "\n").getBytes("UTF-8"))
+      } catch { case t: Throwable =>
+        System.err.println(s"[bench] WARNING: could not write samples to $out: $t")
+      }
+      println(samplesLine)
+      println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"epochs_done":$epochsDone,"skipped":$nSkipped,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
+      System.out.flush()
+    }
+    // If a kill lands mid-query anyway, still leave a parseable artifact —
+    // but only once at least one real sample exists: a total of 0.000 from
+    // a kill during warmup would be worse for the driver than no total.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!emittedFinal && lock.synchronized(samples.values.exists(_.exists(_ >= 0))))
+        emit("shutdown-hook")
+    }))
+
     // clearCache misses localCheckpoint RDDs — drop every persisted RDD
     // so earlier queries can't pressure later ones
     def dropState(): Unit = {
-      graft.ops.StagePersists.release(spark) // drain the registry, not just the cache
+      graft.ops.StagePersists.release(spark)
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // Force FULL row materialization, not .count(): under count()
     // Catalyst prunes every computed column (and eliminates final
     // unique-key left joins), so a map-shaped query was timed as a bare
-    // parquet scan — t23 read 0.44s while its real cost is 3.5s —
-    // while the DuckDB side of every head-to-head executes the whole
-    // query. toRdd runs the query's own executed plan, every column.
+    // parquet scan while the DuckDB side of every head-to-head executes
+    // the whole query. toRdd runs the query's own executed plan.
     def force(df: org.apache.spark.sql.DataFrame): Unit = {
       df.queryExecution.toRdd.count(); ()
     }
-    SparkEntry.queries.foreach { case (_, fn) =>
-      try { force(fn(spark, "/root/testdata/sf0.001")) }
-      catch { case _: Throwable => () }
-      dropState()
-    }
-    // Median of 3 INTERLEAVED suite epochs: this host's load is bursty
-    // (±50% run-to-run on the same code) and the bad intervals last
-    // many seconds — three BACK-TO-BACK runs of one query all land in
-    // the same polluted epoch, so round 5's per-query median still read
-    // 9.6s for a 3.4s-warm query. Running the whole suite three times
-    // and taking each query's median ACROSS epochs decorrelates the
-    // noise from the query: one bad epoch costs every query one sample,
-    // which the median discards.
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val epochs = (1 to 3).map { e =>
-      names.map { name =>
-        val t0 = System.nanoTime()
-        // A thrown query must never contribute its time-to-failure as a
-        // timing sample (it would usually be FASTER than the real query
-        // and silently improve the median) — record -1 and keep it out
-        // of the median below.
-        val ok =
-          try { force(SparkEntry.queries(name)(spark, sfDir)); true }
-          catch { case t: Throwable =>
-            System.err.println(s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: ${t.getMessage}")
-            false
-          }
-        val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-        // drop caches/persists a query may have pinned so later queries
-        // are measured on a clean executor heap
+
+    // JIT/codegen warmup at the smallest SF: the first execution pays
+    // one-time Janino compilation + HotSpot warmup a long-running cluster
+    // never sees per query. Time-boxed to 20% of the budget so a degraded
+    // host cannot spend the measurement window warming up.
+    val warmupCap = budgetS * 0.2
+    var warmStop = false
+    names.foreach { name =>
+      if (!warmStop && elapsedS < warmupCap) {
+        try { force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")) }
+        catch { case _: Throwable => () }
         dropState()
-        name -> s
-      }.toMap
+      } else if (!warmStop) {
+        warmStop = true
+        System.err.println(f"[bench] warmup budget spent at $elapsedS%.0fs; skipping remaining warmups")
+      }
     }
-    val results = names.map { name =>
-      val valid = epochs.map(_(name)).filter(_ >= 0).sorted
-      // median over the surviving samples; lower-middle for even counts
-      val sec = if (valid.isEmpty) -1.0 else valid((valid.size - 1) / 2)
-      System.err.println(f"[bench] $name $sec%.1fs")
-      name -> sec
-    }.toMap
-    val failures = names.filter(n => epochs.exists(_(n) < 0))
-    // The driver captures a bounded TAIL window of stdout: a single long
-    // line with the total at its HEAD gets the head truncated once the
-    // query map grows past the window (rounds 1 and 6 both parsed as
-    // null). So: per-query map FIRST, and a SHORT self-contained total
-    // line LAST — the total line is ~100 bytes and always survives.
-    // Locale.ROOT: the f-interpolator uses the JVM default locale, and a
-    // comma decimal separator would emit invalid JSON.
-    def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = names.map(k => s""""$k":${d3(results(k))}""")
-      .mkString("{", ",", "}")
-    val total = results.values.filter(_ >= 0).sum
-    val failJson = failures.map(n => s""""$n"""").mkString("[", ",", "]")
-    // raw per-epoch samples (epoch order, -1 = failed run) so cross-round
-    // comparisons can separate this host's bursty load from real
-    // regressions — the median alone can't show that one epoch was 3×
-    // the others on identical code. Own line: the driver parses the
-    // per_query and total lines positionally-by-key and must not choke.
-    val samples = names.map { k =>
-      s""""$k":${epochs.map(e => d3(e(k))).mkString("[", ",", "]")}"""
-    }.mkString("{", ",", "}")
-    val samplesLine = s"""{"metric":"samples","unit":"sec","queries":$samples,"sf":"$sfDir"}"""
-    // the driver keeps only a ~2000-char stdout TAIL, which a 127-query
-    // samples map outgrows — persist the full line to a repo file too
-    // (committed with the round) so cross-round diffing has the data
-    // default next to the working directory (the repo root when run via
-    // tools/run.sh), not a hardcoded absolute path — on another checkout
-    // the artifact must land in THAT checkout; failures warn, not vanish
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_SAMPLES",
-      new java.io.File("BENCH_SAMPLES.json").getAbsolutePath)
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(out),
-        (samplesLine + "\n").getBytes("UTF-8"))
-    } catch { case t: Throwable =>
-      System.err.println(s"[bench] WARNING: could not write samples to $out: $t")
+
+    // Median of up to 3 INTERLEAVED suite epochs: this host's load is
+    // bursty (±50% run-to-run on identical code) and bad intervals last
+    // many seconds — three back-to-back runs of one query all land in the
+    // same polluted window, so interleaving decorrelates noise from query:
+    // one bad epoch costs every query one sample, which the median drops.
+    var aborted = false
+    var e = 0
+    while (e < 3 && !aborted) {
+      e += 1
+      names.foreach { name =>
+        val prior = lock.synchronized(samples(name).toList)
+        val bestPrior = prior.filter(_ >= 0) match {
+          case Nil => Double.NaN; case vs => vs.min
+        }
+        // stop STARTING new work when the budget is tight: need room for
+        // this query (estimated from its best prior sample when known)
+        // plus a small floor for teardown + the final emit
+        val need = if (bestPrior.isNaN) 10.0 else bestPrior * 1.5 + 5.0
+        val heavySkip = e == 3 && !bestPrior.isNaN && bestPrior >= heavyS
+        if (aborted || heavySkip) {
+          lock.synchronized { samples(name) += -2.0 }
+          if (heavySkip) System.err.println(f"[bench] $name heavy (${bestPrior}%.1fs) — 2 samples")
+        } else if (remaining < need) {
+          aborted = true
+          System.err.println(f"[bench] budget tight at $elapsedS%.0fs/$budgetS%.0fs — aborting epoch $e at $name")
+          lock.synchronized { samples(name) += -2.0 }
+        } else {
+          val t0 = System.nanoTime()
+          // A thrown query must never contribute its time-to-failure as a
+          // timing sample (usually FASTER than the real query, silently
+          // improving the median) — record -1 and keep it out of the median.
+          val ok =
+            try { force(SparkEntry.queries(name)(spark, sfDir)); true }
+            catch { case t: Throwable =>
+              System.err.println(s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: ${t.getMessage}")
+              false
+            }
+          val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+          dropState()
+          lock.synchronized { samples(name) += s }
+        }
+      }
+      epochsDone = e
+      emit(s"epoch-$e")
     }
-    println(samplesLine)
-    println(s"""{"metric":"per_query","unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"failures":$failJson,"sf":"$sfDir"}""")
+    emittedFinal = true
     spark.stop()
   }
 }
