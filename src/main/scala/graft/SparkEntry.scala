@@ -23,7 +23,8 @@ object SparkEntry {
     graft.queries.MatchQueries.queries ++
     graft.queries.StreamQueries.queries ++
     graft.queries.MultimodalQueries.queries ++
-    graft.queries.CorpusQueries.queries
+    graft.queries.CorpusQueries.queries ++
+    graft.queries.IngestQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -39,5 +40,6 @@ object SparkEntry {
     graft.queries.MatchQueries.oracleSql ++
     graft.queries.StreamQueries.oracleSql ++
     graft.queries.MultimodalQueries.oracleSql ++
-    graft.queries.CorpusQueries.oracleSql
+    graft.queries.CorpusQueries.oracleSql ++
+    graft.queries.IngestQueries.oracleSql
 }

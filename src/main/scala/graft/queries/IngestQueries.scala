@@ -1,0 +1,380 @@
+package graft.queries
+
+import graft.Tables
+import graft.dedup.{BloomDedup, Components, Dedup}
+import graft.profile.{Profiler, ProfilerConfig}
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.CheckpointRotation.Ops
+
+/** l8 — the INCREMENTAL DUMP-INGEST loop, composed end to end: the
+  * operational pipeline a between-dumps corpus (the Dolma/CCNet loop)
+  * actually runs when crawl dump N+1 arrives against stored state.
+  * Every stage is an individually-oracled incremental operator; the
+  * composition is what this query pins, because stage CONTRACTS are
+  * where composed pipelines break (w13's zero-gram drop hid in a
+  * composition, not an operator). Reference anchor: the re-walked
+  * lake ingest at `profiling/profiler.py:42-63` (the reference
+  * re-profiles the whole directory each run; this is the
+  * never-re-scan-the-corpus form).
+  *
+  *   1. within-dump exact dedup (d1 family, min-id survivor)
+  *   2. Bloom prefilter against the stored corpus filter + exact
+  *      confirm-join ON THE HIT SLICE ONLY (d20's two-phase shape)
+  *   3. near-dup pairs — within-dump (d4) plus dump↔corpus (d13) —
+  *      folded into the STORED component map
+  *      ([[graft.dedup.Components.incrementalComponents]], d17),
+  *      then keep-BEST quality per touched component (d11 policy:
+  *      a better re-crawl evicts the stored copy)
+  *   4. BM25 index state fold ([[graft.text.Bm25.foldState]], s13) —
+  *      postings append, df/totals sums, corpus never re-scanned
+  *   5. profile state fold ([[graft.profile.Profiler.mergeStates]],
+  *      p11) over the post-ingest lake
+  *   6. release manifest of the curated corpus (l4 grain; the disk
+  *      append itself — [[graft.text.CorpusRelease.appendDump]] +
+  *      foldManifest — is pinned in SinksSpec, which extends to this
+  *      composed dump)
+  *
+  * The output is one long-format frame (section, k, v1, v2) unioning
+  * each state surface, and the DuckDB oracle recomputes EVERY section
+  * from scratch over the concatenated corpus — hash equality is the
+  * cross-engine "incremental ≡ full rebuild" proof for the whole
+  * composed loop, not just each piece.
+  *
+  * Input construction (every stage demonstrably bites):
+  * corpus = even doc_ids (the accumulated, already-curated corpus,
+  * with its component map / Bloom bits / BM25 state / profile state
+  * all built from it); dump = odd doc_ids (fresh content, with the
+  * testdata's planted near-dups straddling parity — the d13 probes)
+  * ∪ exact re-crawls of every 10th corpus doc at id+10⁶ (Bloom hits)
+  * ∪ within-dump copies of every 9th odd doc at id+2·10⁶ (stage-1
+  * drops) ∪ REVISED re-crawls of every 14th corpus doc at id+3·10⁶
+  * (an alpha-heavy suffix raises the t2 quality, so keep-best evicts
+  * the stored copy — the fold's hardest contract).
+  *
+  * Scale shape: no new shuffle family beyond the certified stages —
+  * content-hash groupBy, broadcast bitmap probe + broadcast confirm
+  * join, banded equi-joins, blast-radius-bounded incremental closure,
+  * term-grain sums, histogram-state sums, one groupBy(lang) rollup.
+  * The corpus-sized frames are touched once each; all per-dump work
+  * is bounded by the dump and its candidate blast radius.
+  */
+object IngestQueries {
+
+  // d20 filter geometry; d13/d17 minhash parameters (stored state and
+  // fold must agree — the incremental ≡ full proof needs identical
+  // candidate generation on both paths)
+  private val BloomM = 1 << 16
+  private val BloomK = 5
+  private val ShingleN = 3
+  private val Band = 4
+  private val Thr = 0.5
+  private val Revision = " revised edition with improved prose quality."
+
+  private def stage(df: DataFrame): DataFrame =
+    graft.ops.StagePersists.track(df)
+
+  /** Every stage's frame, exposed for IngestSpec (stage-bite pins and
+    * the composed release extension of SinksSpec). */
+  private[graft] final case class Ingested(
+      dumpRaw: DataFrame, d1: DataFrame, probed: DataFrame, d2: DataFrame,
+      newPairs: DataFrame, folded: DataFrame, kb: DataFrame,
+      lake: DataFrame, kept: DataFrame, bmState: graft.text.Bm25.State,
+      prof: DataFrame)
+
+  def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = stage(docs.filter(col("doc_id") % 2 === 0))
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val dumpRaw = odd
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+      .unionByName(odd.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(Revision)).as("text")))
+    val s = ingest(corpus, dumpRaw)
+    sections(corpus, s)
+  }
+
+  /** The composed loop over an arbitrary (corpus, dump) pair — the
+    * query wrapper above plants its constructions from testdata;
+    * IngestSpec drives a hand-built corpus through the same code. */
+  private[graft] def ingest(corpus: DataFrame,
+      dumpRaw: DataFrame): Ingested = {
+    // stage 1: within-dump exact dedup (min-id survivor)
+    val d1 = Dedup.dropExactDuplicates(dumpRaw, "text", "doc_id").lockedCheckpoint()
+    // stage 2: Bloom prefilter (stored corpus filter, broadcast bitmap,
+    // map-side probe) + exact confirm-join on the HIT slice only —
+    // false positives are rescued by the confirm, so the gate is exact
+    val bm = BloomDedup.bitmap(
+      BloomDedup.setBits(corpus, "text", BloomM, BloomK), BloomM)
+    val truth = corpus.select(md5(col("text")).as("__h")).distinct()
+      .withColumn("__dup", lit(true))
+    // Eager checkpoint, not persist: the 2^16-entry bitmap literal in
+    // the probe column would otherwise re-embed in the LOGICAL plan of
+    // every downstream reference (d2 feeds six sections), and Catalyst
+    // walks the multiplied tree at optimize time — the plan-blowup twin
+    // of the round-11 w15 pushed-filter case. The barrier replaces the
+    // whole probe subtree with a LogicalRDD.
+    val probed = d1
+      .withColumn("bloom_hit",
+        BloomDedup.probeColumn(col("text"), bm, BloomM, BloomK))
+      .withColumn("__h", md5(col("text")))
+      .lockedCheckpoint()
+    val confirmed = probed.filter(col("bloom_hit"))
+      .join(broadcast(truth), Seq("__h"), "left_outer")
+      .select(col("doc_id"), coalesce(col("__dup"), lit(false)).as("__isdup"))
+    val d2 = probed
+      .join(confirmed, Seq("doc_id"), "left_outer")
+      .filter(!coalesce(col("__isdup"), lit(false)))
+      .select("doc_id", "lang", "text")
+      .lockedCheckpoint()
+    // stage 3: near-dup fold into the stored component map + keep-best.
+    // Stored map: the corpus's own pairs at the d13/d17 parameters.
+    val corpusPairs = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
+        ShingleN, DedupQueries.NumPerms, Band, Thr)
+      .select("ida", "idb")
+    val stored = Components.connectedComponents(corpusPairs, "ida", "idb")._1
+    val batchPairs = Dedup.minhashNearDuplicates(d2, "text", "doc_id",
+        ShingleN, DedupQueries.NumPerms, Band, Thr)
+      .select("ida", "idb")
+    val crossPairs = Dedup.crossCorpusNearDuplicates(corpus, d2,
+        "text", "doc_id", ShingleN, DedupQueries.NumPerms, Band, Thr)
+      .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
+    val newPairs = stage(batchPairs.unionByName(crossPairs))
+    val folded =
+      Components.incrementalComponents(stored, newPairs, "ida", "idb")
+        .lockedCheckpoint()
+    val lake = corpus.unionByName(d2).lockedCheckpoint()
+    val scored = lake.select(col("doc_id").as("id"),
+      TextAnalysis.qualityE4("text").as("q"))
+    val kb = Components.keepBest(folded, scored, "id", "component_id", "q")
+      .select(col("id").as("doc_id"), col("component_id"), col("keep"))
+      .lockedCheckpoint()
+    val kept = stage(lake.join(
+      kb.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti"))
+
+    // stage 4: BM25 state fold (index covers the post-exact-dedup lake;
+    // non-canonical docs are filtered at serving time by the membership
+    // map — the standard tombstone-free incremental-index layout)
+    val bmState = graft.text.Bm25.foldState(
+      graft.text.Bm25.buildState(corpus, "text", "doc_id"),
+      graft.text.Bm25.buildState(d2, "text", "doc_id"))
+    // stage 5: profile state fold over the lake's release dimensions
+    val prof = Profiler.profileFromState(
+      Profiler.mergeStates(Seq(
+        Profiler.incrementState(Seq("lake" -> corpus.select("lang", "text"))),
+        Profiler.incrementState(Seq("lake" -> d2.select("lang", "text"))))),
+      ProfilerConfig(features = Set("mode")))
+    Ingested(dumpRaw, d1, probed, d2, newPairs, folded, kb, lake, kept,
+      bmState, prof)
+  }
+
+  /** The long-format (section, k, v1, v2) state rollup the oracle
+    * recomputes from scratch. */
+  private def sections(corpus: DataFrame, s: Ingested): DataFrame = {
+    import s._
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("v1"))
+        .select(lit("a_ingest").as("section"), lit(name).as("k"),
+          col("v1"), lit(0L).as("v2"))
+    val ingest = cnt("n_dump_raw", dumpRaw)
+      .unionByName(cnt("n_after_exact", d1))
+      .unionByName(cnt("n_bloom_hits", probed.filter(col("bloom_hit"))))
+      .unionByName(cnt("n_after_bloom", d2))
+      .unionByName(cnt("n_new_pairs", newPairs))
+      .unionByName(cnt("n_evicted", kb.filter(!col("keep"))))
+      .unionByName(cnt("n_evicted_corpus", kb.filter(!col("keep"))
+        .join(corpus.select("doc_id"), Seq("doc_id"), "left_semi")))
+    val member = lake.select("doc_id")
+      .join(kb, Seq("doc_id"), "left_outer")
+      .select(lit("b_member").as("section"),
+        col("doc_id").cast("string").as("k"),
+        coalesce(col("component_id"), col("doc_id")).as("v1"),
+        coalesce(col("keep").cast("long"), lit(1L)).as("v2"))
+    val bmDf = bmState.dfreq
+      .join(bmState.post.groupBy("term").agg(sum("tf").as("__tf")),
+        Seq("term"))
+      .select(lit("c_bm25_df").as("section"), col("term").as("k"),
+        col("__df").as("v1"), col("__tf").as("v2"))
+    // "__totals" cannot collide with a term: terms are [a-z0-9] runs
+    val bmTot = bmState.sums.select(lit("c_bm25_df").as("section"),
+      lit("__totals").as("k"), col("__n").as("v1"), col("__tt").as("v2"))
+    val profSec = Seq("row_count", "null_count", "distinct_count",
+        "min_len", "max_len").map { m =>
+      prof.select(lit("d_profile").as("section"),
+        concat(col("column"), lit(":"), lit(m)).as("k"),
+        col(m).cast("long").as("v1"), lit(0L).as("v2"))
+    }.reduce(_.unionByName(_))
+    val manifest = kept.groupBy("lang")
+      .agg(count(lit(1)).as("v1"),
+        sum(TextAnalysis.tokenCount("text")).as("v2"))
+      .select(lit("e_manifest").as("section"), col("lang").as("k"),
+        col("v1"), col("v2"))
+    ingest.unionByName(member).unionByName(bmDf).unionByName(bmTot)
+      .unionByName(profSec).unionByName(manifest)
+      .orderBy("section", "k")
+  }
+
+  /** DuckDB mirror: every section recomputed FROM SCRATCH over the
+    * concatenated corpus — the d1 min-id survivor, the d20 bit-replay
+    * probe, the d4/d7 gram/minhash/closure fragments over the lake,
+    * the d11 quality argmax, flat token/df counts, the p1 profile
+    * stats, and the l4 manifest rollup. */
+  val incrementalIngestSql: String = {
+    val wsD = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val wsQ = TextQueries.WS
+    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+    def pos(e: String) =
+      s"(('0x' || substr(md5(j::VARCHAR || ':' || $e), 1, 15))::UBIGINT % $BloomM)::BIGINT"
+    val perms = (0 until DedupQueries.NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val qe4 = s"CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT)"
+    def profCol(c: String): String = {
+      val v = s"CAST($c AS VARCHAR)"
+      val nn = s"($c IS NOT NULL AND TRIM($v) <> '')"
+      s"""SELECT 'd_profile' AS section, '$c:row_count' AS k,
+         |  COUNT(*)::BIGINT AS v1, 0::BIGINT AS v2 FROM lake
+         |UNION ALL SELECT 'd_profile', '$c:null_count',
+         |  CAST(COALESCE(SUM(CASE WHEN NOT $nn THEN 1 ELSE 0 END), 0) AS BIGINT), 0 FROM lake
+         |UNION ALL SELECT 'd_profile', '$c:distinct_count',
+         |  COUNT(DISTINCT CASE WHEN $nn THEN $v END)::BIGINT, 0 FROM lake
+         |UNION ALL SELECT 'd_profile', '$c:min_len',
+         |  CAST(COALESCE(MIN(CASE WHEN $nn THEN LENGTH($v) END), 0) AS BIGINT), 0 FROM lake
+         |UNION ALL SELECT 'd_profile', '$c:max_len',
+         |  CAST(COALESCE(MAX(CASE WHEN $nn THEN LENGTH($v) END), 0) AS BIGINT), 0 FROM lake""".stripMargin
+    }
+    s"""WITH RECURSIVE corpus AS (
+       |  SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 0),
+       |odd AS (SELECT doc_id, lang, text FROM documents WHERE doc_id % 2 = 1),
+       |dumpraw AS (
+       |  SELECT doc_id, lang, text FROM odd
+       |  UNION ALL SELECT doc_id + 1000000, lang, text FROM corpus
+       |    WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, lang, text FROM odd
+       |    WHERE doc_id % 9 = 0
+       |  UNION ALL SELECT doc_id + 3000000, lang, text || '$Revision'
+       |    FROM corpus WHERE doc_id % 14 = 0),
+       |d1 AS (
+       |  SELECT d.doc_id, d.lang, d.text FROM dumpraw d
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM dumpraw GROUP BY text) w
+       |    ON d.text = w.text AND d.doc_id = w.keep),
+       |bits AS (
+       |  SELECT DISTINCT ${pos("md5(text)")} AS pos
+       |  FROM corpus, range(0, $BloomK) t(j)),
+       |probe AS (
+       |  SELECT doc_id, md5(text) AS h, ${pos("md5(text)")} AS pos
+       |  FROM d1, range(0, $BloomK) t(j)),
+       |hits AS (
+       |  SELECT doc_id, h, COUNT(b.pos) AS nhit
+       |  FROM probe p LEFT JOIN bits b USING (pos)
+       |  GROUP BY doc_id, h),
+       |truth AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+       |d2 AS (
+       |  SELECT d1.doc_id, d1.lang, d1.text FROM d1
+       |  JOIN hits USING (doc_id)
+       |  LEFT JOIN truth t ON hits.h = t.h
+       |  WHERE NOT (nhit = $BloomK AND t.h IS NOT NULL)),
+       |lake AS (
+       |  SELECT doc_id, lang, text FROM corpus
+       |  UNION ALL SELECT doc_id, lang, text FROM d2),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($wsD) - 1, 1)),
+       |    i -> $wsD[i] || ' ' || $wsD[i+1] || ' ' || $wsD[i+2])) AS g
+       |  FROM lake WHERE len($wsD) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // $Band AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // $Band),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+       |          >= $Thr),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+       |  FROM reach GROUP BY src),
+       |eq AS (SELECT doc_id, $qe4 AS q FROM lake),
+       |kb AS (
+       |  SELECT l.doc_id, l.comp,
+       |    (ROW_NUMBER() OVER (PARTITION BY comp
+       |       ORDER BY q DESC, l.doc_id) = 1) AS keep
+       |  FROM labels l JOIN eq USING (doc_id)),
+       |kept AS (
+       |  SELECT lk.doc_id, lk.lang, lk.text FROM lake lk
+       |  LEFT JOIN kb USING (doc_id)
+       |  WHERE kb.keep IS NULL OR kb.keep),
+       |t AS (SELECT doc_id, $wsD AS ws FROM lake),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM t)
+       |  GROUP BY 1, 2)
+       |SELECT 'a_ingest' AS section, 'n_dump_raw' AS k,
+       |  COUNT(*)::BIGINT AS v1, 0::BIGINT AS v2 FROM dumpraw
+       |UNION ALL SELECT 'a_ingest', 'n_after_exact', COUNT(*)::BIGINT, 0 FROM d1
+       |UNION ALL SELECT 'a_ingest', 'n_bloom_hits', COUNT(*)::BIGINT, 0
+       |  FROM hits WHERE nhit = $BloomK
+       |UNION ALL SELECT 'a_ingest', 'n_after_bloom', COUNT(*)::BIGINT, 0 FROM d2
+       |UNION ALL SELECT 'a_ingest', 'n_new_pairs', COUNT(*)::BIGINT, 0
+       |  FROM mh_pairs
+       |  WHERE ida IN (SELECT doc_id FROM d2) OR idb IN (SELECT doc_id FROM d2)
+       |UNION ALL SELECT 'a_ingest', 'n_evicted', COUNT(*)::BIGINT, 0
+       |  FROM kb WHERE NOT keep
+       |UNION ALL SELECT 'a_ingest', 'n_evicted_corpus', COUNT(*)::BIGINT, 0
+       |  FROM kb WHERE NOT keep AND doc_id IN (SELECT doc_id FROM corpus)
+       |UNION ALL
+       |SELECT 'b_member', CAST(lk.doc_id AS VARCHAR),
+       |  COALESCE(kb.comp, lk.doc_id),
+       |  CASE WHEN kb.keep IS NULL OR kb.keep THEN 1 ELSE 0 END
+       |FROM lake lk LEFT JOIN kb ON lk.doc_id = kb.doc_id
+       |UNION ALL
+       |SELECT 'c_bm25_df', term, COUNT(*)::BIGINT, SUM(tf)::BIGINT
+       |FROM tf GROUP BY term
+       |UNION ALL
+       |SELECT 'c_bm25_df', '__totals', COUNT(*)::BIGINT,
+       |  COALESCE(SUM(len(ws)), 0)::BIGINT FROM t
+       |UNION ALL
+       |${profCol("lang")}
+       |UNION ALL
+       |${profCol("text")}
+       |UNION ALL
+       |SELECT 'e_manifest', lang, COUNT(*)::BIGINT,
+       |  SUM(len($wsQ))::BIGINT FROM kept GROUP BY lang
+       |ORDER BY section, k""".stripMargin
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l8_incremental_ingest" -> (incrementalIngest _))
+
+  def oracleSql: Map[String, String] = Map(
+    "l8_incremental_ingest" -> incrementalIngestSql)
+}
