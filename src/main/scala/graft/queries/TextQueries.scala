@@ -1973,7 +1973,99 @@ object TextQueries {
        |    AS share_fp
        |FROM wt ORDER BY domain""".stripMargin
 
+  // ---- t37: HTML -> text extraction (line-density boilerplate) ----------
+
+  /** Page construction — every extractor rule bites: a style+script
+    * head (stripped), a nav bar of anchors (fails minWords), an <h1>
+    * (short — kept or dropped per doc), two prose paragraphs with
+    * stopword-bearing closers (kept), a stopword-bearing promo block of
+    * mostly anchor text on every 3rd page (dropped SOLELY by link
+    * density — the n_link_dropped telemetry), and a stopword-free
+    * copyright footer (dropped by the function-word rule). */
+  private val HtmlHead =
+    "<html><head><style>body { color: red; font: 10px }</style>" +
+      "<script>var tracking = 1;</script></head><body>\n" +
+      "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">" +
+      "about us</a> <a href=\"/contact\">contact</a></div>\n<h1>"
+  private val HtmlP1 = "</h1>\n<p>"
+  private val HtmlP2 = " the end.</p>\n<p>"
+  private val HtmlP3 = " and more.</p>\n"
+  private val HtmlPromo =
+    "<div>promo promo promo of the day <a href=\"/buy\">buy now</a> " +
+      "<a href=\"/buy2\">buy again</a></div>\n"
+  private val HtmlFoot =
+    "<div>copyright 2026 example site rights reserved worldwide</div>" +
+      "\n</body></html>"
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), concat(
+        lit(HtmlHead), substring(col("text"), 1, 30),
+        lit(HtmlP1), substring(col("text"), 31, 170),
+        lit(HtmlP2), substring(col("text"), 201, 170),
+        lit(HtmlP3),
+        when(col("doc_id") % 3 === 0, lit(HtmlPromo)).otherwise(lit("")),
+        lit(HtmlFoot)).as("html"))
+    graft.text.HtmlText.extract(pages, "html", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String = {
+    def sq(s: String) = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+    val stops = graft.text.HtmlText.DefaultStops
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val wsV = "list_filter(string_split_regex(lower(v), '[^a-z0-9]+'), w -> w <> '')"
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    '${sq(HtmlHead)}' || substr(text, 1, 30) ||
+       |    '${sq(HtmlP1)}' || substr(text, 31, 170) ||
+       |    '${sq(HtmlP2)}' || substr(text, 201, 170) ||
+       |    '${sq(HtmlP3)}' ||
+       |    CASE WHEN doc_id % 3 = 0 THEN '${sq(HtmlPromo)}' ELSE '' END ||
+       |    '${sq(HtmlFoot)}' AS html
+       |  FROM documents),
+       |b AS (
+       |  SELECT doc_id, string_split(regexp_replace(regexp_replace(html,
+       |    '(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>',
+       |    ' ', 'g'),
+       |    '(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>',
+       |    chr(10), 'g'), chr(10)) AS lines
+       |  FROM h),
+       |occ AS (
+       |  SELECT doc_id, i AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM b)),
+       |pl AS (
+       |  SELECT doc_id, pos,
+       |    trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS v,
+       |    coalesce(list_sum(list_transform(
+       |      regexp_extract_all(line, '<a[^>]*>([^<]*)</a>', 1),
+       |      y -> CAST(length(y) AS BIGINT))), 0) AS lc
+       |  FROM occ),
+       |pw AS (
+       |  SELECT doc_id, pos, v, lc, len($wsV) AS wc,
+       |    list_has_any($wsV, $stops) AS stop
+       |  FROM pl),
+       |flags AS (
+       |  SELECT doc_id, pos, v, (v <> '') AS nonblank,
+       |    (v <> '' AND wc >= 5 AND (stop OR wc >= 15)) AS prose,
+       |    (lc * 4 <= length(v)) AS lowlink
+       |  FROM pw)
+       |SELECT doc_id,
+       |  COALESCE(SUM(CASE WHEN nonblank THEN 1 END), 0)::INT AS n_blocks,
+       |  COALESCE(SUM(CASE WHEN prose AND lowlink THEN 1 END), 0)::INT
+       |    AS n_kept,
+       |  COALESCE(SUM(CASE WHEN prose AND NOT lowlink THEN 1 END), 0)::INT
+       |    AS n_link_dropped,
+       |  COALESCE(string_agg(CASE WHEN prose AND lowlink THEN v END,
+       |    chr(10) ORDER BY pos), '') AS text
+       |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t37_html_extract" -> (htmlExtract _),
     "t36_domain_reweight" -> (domainReweight _),
     "t35_gopher_quality" -> (gopherQuality _),
     "t34_unigram_em" -> (unigramEmEncode _),
@@ -2012,6 +2104,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t37_html_extract" -> htmlExtractSql,
     "t36_domain_reweight" -> domainReweightSql,
     "t35_gopher_quality" -> gopherQualitySql,
     "t34_unigram_em" -> unigramEmEncodeSql,
