@@ -1715,45 +1715,46 @@ object TextQueries {
          |wall$sfx AS (SELECT * FROM wkey$sfx UNION ALL SELECT * FROM wlong$sfx)""".stripMargin
     }
 
-    /** The CANONICAL-path walk over chain "" (positions descending,
+    /** The CANONICAL-path walk over chain `sfx` (positions descending,
       * ties to the shortest piece via ORDER BY l) + the hard-EM usage
-      * counts + the re-derived cost table vcost2. */
-    val emSql: String = {
+      * counts + the re-derived cost table vcost$out — one EM round;
+      * chain em(sfx, out) -> dp(out) -> em(out, next) for more. */
+    def emSql(sfx: String, out: String): String = {
       val walk = (ug.MaxWordLen to 1 by -1).map { i =>
         val entered = (i + 1 to math.min(i + ug.MaxPieceLen, ug.MaxWordLen))
-          .map(j => s"SELECT w FROM st$j WHERE l = ${j - i}")
+          .map(j => s"SELECT w FROM st$j$out WHERE l = ${j - i}")
         val onpath = (Seq(s"SELECT w FROM wc WHERE len(w) = $i") ++ entered)
           .mkString(" UNION ALL ")
-        s"""st$i AS MATERIALIZED (
+        s"""st$i$out AS MATERIALIZED (
            |  SELECT w, l, piece FROM (
            |    SELECT s.w, s.l,
            |      substr(s.w, (s.i - s.l + 1)::INT, s.l) AS piece,
            |      ROW_NUMBER() OVER (PARTITION BY s.w ORDER BY s.l) AS rn
-           |    FROM stp s
-           |    JOIN dall dprev ON dprev.w = s.w AND dprev.pos = $i - s.l
-           |    JOIN dall dcur ON dcur.w = s.w AND dcur.pos = $i
+           |    FROM stp$sfx s
+           |    JOIN dall$sfx dprev ON dprev.w = s.w AND dprev.pos = $i - s.l
+           |    JOIN dall$sfx dcur ON dcur.w = s.w AND dcur.pos = $i
            |    JOIN ($onpath) op ON op.w = s.w
            |    WHERE s.i = $i
            |      AND dprev.key + s.scost * ${ug.CntScale} + 1 = dcur.key)
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
       val puUnion = (1 to ug.MaxWordLen)
-        .map(i => s"SELECT w, piece FROM st$i").mkString(" UNION ALL ")
+        .map(i => s"SELECT w, piece FROM st$i$out").mkString(" UNION ALL ")
       s"""$walk,
-         |pu AS (
+         |pu$out AS (
          |  $puUnion
          |  UNION ALL
          |  SELECT p.w, substr(p.w, p.i::INT, 1) AS piece
          |  FROM (SELECT w, unnest(range(1, len(w) + 1)) AS i FROM wc
          |        WHERE len(w) > ${ug.MaxWordLen}) p),
-         |usage AS (
+         |usage$out AS (
          |  SELECT piece, SUM(freq)::BIGINT AS cnt
-         |  FROM pu JOIN wc USING (w) GROUP BY piece),
-         |vu AS MATERIALIZED (
+         |  FROM pu$out JOIN wc USING (w) GROUP BY piece),
+         |vu$out AS MATERIALIZED (
          |  SELECT v.piece, coalesce(u.cnt, 0)::BIGINT AS cnt
-         |  FROM vocab v LEFT JOIN usage u USING (piece)),
-         |vtot2 AS (SELECT SUM(cnt)::BIGINT AS tot FROM vu),
-         |${costSql("vcost_2", "vu", "vtot2")}""".stripMargin
+         |  FROM vocab v LEFT JOIN usage$out u USING (piece)),
+         |vtot$out AS (SELECT SUM(cnt)::BIGINT AS tot FROM vu$out),
+         |${costSql(s"vcost$out", s"vu$out", s"vtot$out")}""".stripMargin
     }
 
     /** Per-document rollup + final select from chain `wall$sfx`. */
@@ -1801,9 +1802,41 @@ object TextQueries {
   val unigramEmEncodeSql: String =
     s"""WITH ${UnigramSql.prefixSql},
        |${UnigramSql.dpSql("")},
-       |${UnigramSql.emSql},
+       |${UnigramSql.emSql("", "_2")},
        |${UnigramSql.dpSql("_2")},
        |${UnigramSql.dsSql("_2")}""".stripMargin
+
+  // ---- t38: second hard-EM round ------------------------------------------
+
+  /** TWO hard-EM rounds ([[graft.text.UnigramLm.emRefine]] chained):
+    * the round-2 model re-counts usage over the round-1 CANONICAL
+    * segmentation and re-derives costs — the SentencePiece iteration
+    * loop one step further; UnigramLmSpec pins the no-increase law
+    * (corpus cost non-increasing round over round). */
+  def unigramEm2Encode(spark: SparkSession, dir: String): DataFrame = {
+    val ug = graft.text.UnigramLm
+    val docs = Tables.load(spark, dir, "documents")
+    val wc = graft.ops.StagePersists.track(ug.wordCounts(docs, "text"))
+    val model0 = new graft.functions.UnigramEncode.Model(
+      ug.pieceCosts(ug.seedVocab(ug.substringCounts(wc), UTopM)),
+      ug.MaxPieceLen, ug.MaxWordLen)
+    val model3 = ug.emRefine(wc, ug.emRefine(wc, model0))
+    val (nW, nP, cost) = ug.encodeColumns(model3, "text")
+    docs.select(col("doc_id"), nW.as("n_words"), nP.as("n_pieces"),
+        cost.as("cost_fp"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the t34 chain extended one round — walk chain _2, re-count
+    * usage, re-derive vcost_3, third dp chain, final rollup. */
+  val unigramEm2EncodeSql: String =
+    s"""WITH ${UnigramSql.prefixSql},
+       |${UnigramSql.dpSql("")},
+       |${UnigramSql.emSql("", "_2")},
+       |${UnigramSql.dpSql("_2")},
+       |${UnigramSql.emSql("_2", "_3")},
+       |${UnigramSql.dpSql("_3")},
+       |${UnigramSql.dsSql("_3")}""".stripMargin
 
   // ---- t35: Gopher quality rules ----------------------------------------
 
@@ -2066,6 +2099,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t37_html_extract" -> (htmlExtract _),
+    "t38_unigram_em2" -> (unigramEm2Encode _),
     "t36_domain_reweight" -> (domainReweight _),
     "t35_gopher_quality" -> (gopherQuality _),
     "t34_unigram_em" -> (unigramEmEncode _),
@@ -2105,6 +2139,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "t37_html_extract" -> htmlExtractSql,
+    "t38_unigram_em2" -> unigramEm2EncodeSql,
     "t36_domain_reweight" -> domainReweightSql,
     "t35_gopher_quality" -> gopherQualitySql,
     "t34_unigram_em" -> unigramEmEncodeSql,

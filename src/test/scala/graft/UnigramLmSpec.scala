@@ -121,6 +121,23 @@ class UnigramLmSpec extends SparkSpec {
         f * (UnigramEncode.wordKey(m, w) / UnigramLm.CntScale)
       }.sum
     assert(corpusCost(model2) <= corpusCost(model0))
+    // and ACROSS rounds (the t38 chain): round 2 re-counts usage over
+    // round 1's canonical segmentation — still non-increasing, on the
+    // hand corpus and on testdata
+    val model3 = UnigramLm.emRefine(wc, model2)
+    assert(corpusCost(model3) <= corpusCost(model2))
+    val tdocs = Tables.load(spark, sf, "documents")
+    val twc = UnigramLm.wordCounts(tdocs, "text")
+    val t0 = UnigramLm.denseModel(tdocs, "text", topM = 64)
+    val t2 = UnigramLm.emRefine(twc, t0)
+    val t3 = UnigramLm.emRefine(twc, t2)
+    def totalCost(m: UnigramEncode.Model) = {
+      val (_, _, cost) = UnigramLm.encodeColumns(m, "text")
+      tdocs.agg(sum(cost)).collect()(0).getLong(0)
+    }
+    val (c0, c2, c3) = (totalCost(t0), totalCost(t2), totalCost(t3))
+    assert(c2 <= c0 && c3 <= c2,
+      s"no-increase law across rounds: $c0 -> $c2 -> $c3")
     graft.ops.StagePersists.release(spark)
   }
 
