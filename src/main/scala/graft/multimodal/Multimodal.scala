@@ -397,6 +397,51 @@ object Multimodal {
 
   // ---- video frame-sequence near-dups (mm6) ------------------------------
 
+  /** Segment-hash decode boundary for mm6: a real implementation
+    * decodes the video and perceptual-hashes each aligned segment (or
+    * keyframe) into a 64-bit value; batching is per media row, so a
+    * real decoder opens the container once per video. */
+  trait VideoHashDecoder extends Serializable {
+    /** For one blob, the content hash of each `window`-byte-aligned
+      * segment, in order. */
+    def segmentHashes(id: Long, blob: Array[Byte], window: Int): Seq[Long]
+  }
+
+  /** Deterministic fake — bit-identical to [[frameWindowHashes]]'s
+    * column path (60-bit md5 prefix of each fixed-offset byte
+    * segment; VideoDupSpec asserts the equality), so a real decoder
+    * drops in behind the same schema and joins. */
+  object StubVideoHashDecoder extends VideoHashDecoder {
+    def segmentHashes(id: Long, blob: Array[Byte],
+        window: Int): Seq[Long] = {
+      val n = math.max((blob.length + window - 1) / window, 1)
+      (0 until n).map { i =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val seg = java.util.Arrays.copyOfRange(blob, i * window,
+          math.min((i + 1) * window, blob.length))
+        val hex = md.digest(seg).map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(0, 15), 16)
+      }
+    }
+  }
+
+  /** Decode-path twin of [[frameWindowHashes]]: distinct (id, fhash)
+    * via mapPartitions over whole blobs — the real-decoder
+    * integration point for [[videoDupPairs]] (pass its output through
+    * the same pair join). */
+  def decodeFrameWindowHashes(media: DataFrame, window: Int,
+      decoder: VideoHashDecoder): DataFrame = {
+    require(window > 0, s"decodeFrameWindowHashes window must be positive: $window")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("id").cast(LongType), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, blob) =>
+        decoder.segmentHashes(id, blob, window).distinct.map(h => (id, h))
+      })
+      .toDF("id", "fhash")
+  }
+
   /** Per-video CONTENT-ALIGNED frame hashes: the blob is cut into
     * fixed `window`-byte segments from the start and each segment
     * hashed (the stub decode convention: the text stands in for the

@@ -51,4 +51,19 @@ class VideoDupSpec extends SparkSpec {
     assert(pairs === Set((0L, 6L)))
     graft.ops.StagePersists.release(spark)
   }
+
+  test("decode path == column path (the VideoHashDecoder boundary)") {
+    val docs = Seq((0L, seg('a', 1) + seg('b', 1) + "tail"),
+      (1L, seg('b', 2)), (2L, ""))
+    val media = Multimodal.asMediaTable(docs.toDF("doc_id", "text"),
+      "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long)].collect().sorted.toSeq
+    // the stub decoder replays the fixed-offset md5 hashes bit-exactly,
+    // so a real decoder integrates behind the same (id, fhash) schema
+    assert(rows(Multimodal.decodeFrameWindowHashes(media, W,
+        Multimodal.StubVideoHashDecoder)) ===
+      rows(Multimodal.frameWindowHashes(media, W)))
+    graft.ops.StagePersists.release(spark)
+  }
 }
