@@ -902,7 +902,169 @@ object CorpusQueries {
        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
 
+  // ---- l9: the crawl pipeline from RAW HTML -------------------------------
+
+  /** A prose-looking boilerplate paragraph planted on EVERY page: the
+    * t37 extractor correctly KEEPS it (words, stopwords, no links —
+    * jusText cannot know it repeats), and the corpus-level d14 line
+    * dedup is what kills it — the division of labor between page-local
+    * and corpus-level boilerplate removal this composition exists to
+    * pin. */
+  private val HtmlNews =
+    "<p>subscribe to the newsletter for more of the best content " +
+      "every week.</p>\n"
+
+  /** The l5 crawl pipeline recomposed to start from RAW HTML — the
+    * round-12 completion of the "crawl dump → corpus" chain:
+    *
+    *   HTML pages (t37 planted construction + the boilerplate
+    *   paragraph above + full re-uploads of every 11th page at
+    *   id+10⁶) → t37 line-density extraction → t22 C4 heuristic
+    *   cleaning (terminal-punct/min-words/min-lines now bite on the
+    *   EXTRACTED prose — e.g. short pages die at minKeptLines) →
+    *   exact page dedup of the cleaned text (the re-uploads collapse,
+    *   min-id survivor) → corpus-wide line dedup (every later
+    *   occurrence of the newsletter line removed) → per-doc release
+    *   stats over the FINAL text.
+    *
+    * Scale shape: extraction and cleaning are map-side pure columns;
+    * exact dedup one content-hash groupBy; line dedup the
+    * inverted-index family — no new shuffle beyond the certified
+    * stages. */
+  def htmlPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.TextAnalysis
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val pages0 = docs.select(col("doc_id"), col("lang"), concat(
+      lit(TextQueries.HtmlHead), substring(col("text"), 1, 30),
+      lit(TextQueries.HtmlP1), substring(col("text"), 31, 170),
+      lit(TextQueries.HtmlP2), substring(col("text"), 201, 170),
+      lit(TextQueries.HtmlP3), lit(HtmlNews),
+      when(col("doc_id") % 3 === 0, lit(TextQueries.HtmlPromo))
+        .otherwise(lit("")),
+      lit(TextQueries.HtmlFoot)).as("html"))
+    val pages = pages0.unionByName(pages0.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+        col("html")))
+    // stage 1: HTML -> text (t37)
+    val ex = stage(graft.text.HtmlText.extract(pages, "html", "doc_id")
+      .select(col("id").as("doc_id"), col("text")))
+    // stage 2: C4 heuristic cleaning (t22) on the extracted prose
+    val cleaned = stage(graft.text.Cleaning.c4Clean(ex, "text", "doc_id",
+        minLineWords = 5, minKeptLines = 2)
+      .filter(col("kept"))
+      .select(col("id").as("doc_id"), col("clean_text").as("text")))
+    // stage 3: exact page dedup (re-uploads collapse; min-id survivor)
+    val exact = stage(Dedup.dropExactDuplicates(cleaned, "text", "doc_id"))
+    // stage 4: corpus-wide line dedup (d14) kills the planted
+    // boilerplate paragraph everywhere but its first occurrence
+    val ld = Dedup.lineDedup(exact, "text", "doc_id")
+      .select(col("id").as("doc_id"), col("n_removed").as("n_dup_lines"),
+        col("clean_text").as("text"))
+    // stage 5: release stats over the FINAL text
+    ld.join(pages.select("doc_id", "lang"), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_dup_lines"),
+        graft.text.TextAnalysis.tokenCount("text").as("n_tokens"),
+        TextQueries.round4(TextAnalysis.qualityScore("text")).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the t37 extraction CTEs over the planted pages, the l5
+    * C4/line-dedup fragments over the extracted text, the d1 min-id
+    * survivor, and the l5 stats tail. */
+  val htmlPipelineSql: String = {
+    def sq(s: String) = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+    val stops = graft.text.HtmlText.DefaultStops
+      .map(s => s"'$s'").mkString("[", ", ", "]")
+    val wsV = "list_filter(string_split_regex(lower(v), '[^a-z0-9]+'), w -> w <> '')"
+    val w4 = "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
+    s"""WITH h0 AS (
+       |  SELECT doc_id, lang,
+       |    '${sq(TextQueries.HtmlHead)}' || substr(text, 1, 30) ||
+       |    '${sq(TextQueries.HtmlP1)}' || substr(text, 31, 170) ||
+       |    '${sq(TextQueries.HtmlP2)}' || substr(text, 201, 170) ||
+       |    '${sq(TextQueries.HtmlP3)}' || '${sq(HtmlNews)}' ||
+       |    CASE WHEN doc_id % 3 = 0
+       |         THEN '${sq(TextQueries.HtmlPromo)}' ELSE '' END ||
+       |    '${sq(TextQueries.HtmlFoot)}' AS html
+       |  FROM documents),
+       |h AS (
+       |  SELECT doc_id, lang, html FROM h0
+       |  UNION ALL SELECT doc_id + 1000000, lang, html FROM h0
+       |    WHERE doc_id % 11 = 0),
+       |b AS (
+       |  SELECT doc_id, string_split(regexp_replace(regexp_replace(html,
+       |    '(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>',
+       |    ' ', 'g'),
+       |    '(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>',
+       |    chr(10), 'g'), chr(10)) AS lines
+       |  FROM h),
+       |occ0 AS (
+       |  SELECT doc_id, i AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM b)),
+       |pl AS (
+       |  SELECT doc_id, pos,
+       |    trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
+       |      '\\s+', ' ', 'g')) AS v,
+       |    coalesce(list_sum(list_transform(
+       |      regexp_extract_all(line, '<a[^>]*>([^<]*)</a>', 1),
+       |      y -> CAST(length(y) AS BIGINT))), 0) AS lc
+       |  FROM occ0),
+       |pw AS (
+       |  SELECT doc_id, pos, v, lc, len($wsV) AS wc,
+       |    list_has_any($wsV, $stops) AS stop
+       |  FROM pl),
+       |ex AS (
+       |  SELECT doc_id,
+       |    COALESCE(string_agg(CASE WHEN v <> '' AND wc >= 5
+       |        AND (stop OR wc >= 15) AND lc * 4 <= length(v) THEN v END,
+       |      chr(10) ORDER BY pos), '') AS text
+       |  FROM pw GROUP BY doc_id),
+       |k AS (SELECT doc_id, text,
+       |        list_filter(string_split(text, chr(10)),
+       |          l -> len($w4) >= 5
+       |            AND right(l, 1) IN ('.', '!', '?', '"')) AS keptl
+       |      FROM ex),
+       |cleaned AS (
+       |  SELECT doc_id, coalesce(array_to_string(keptl, chr(10)), '') AS text
+       |  FROM k
+       |  WHERE NOT lower(text) LIKE '%lorem ipsum%'
+       |    AND NOT text LIKE '%{%' AND NOT text LIKE '%}%'
+       |    AND len(keptl) >= 2),
+       |exact AS (
+       |  SELECT c.doc_id, c.text FROM cleaned c
+       |  JOIN (SELECT text, MIN(doc_id) AS keep FROM cleaned GROUP BY text) w
+       |    ON c.text = w.text AND c.doc_id = w.keep),
+       |t AS (SELECT doc_id, string_split(text, chr(10)) AS lines FROM exact),
+       |occ AS (
+       |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos, lines[i] AS line
+       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
+       |        FROM t)),
+       |ranked AS (
+       |  SELECT doc_id, pos,
+       |    row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn
+       |  FROM occ),
+       |rm AS (SELECT doc_id, list(pos) AS rm
+       |       FROM ranked WHERE rn > 1 GROUP BY doc_id),
+       |ld AS (
+       |  SELECT t.doc_id,
+       |    coalesce(len(rm), 0)::BIGINT AS n_dup_lines,
+       |    coalesce(array_to_string(list_filter(lines, (l, i) -> NOT
+       |      list_contains(coalesce(rm, CAST([] AS INTEGER[])), i - 1)),
+       |      chr(10)), '') AS text
+       |  FROM t LEFT JOIN rm USING (doc_id)),
+       |fin AS (
+       |  SELECT e.doc_id, p.lang, e.n_dup_lines, e.text
+       |  FROM ld e JOIN h p USING (doc_id))
+       |SELECT doc_id, lang, n_dup_lines,
+       |  len(${TextQueries.WS})::BIGINT AS n_tokens,
+       |  FLOOR(${TextQueries.rawQualitySql} * 10000 + 0.5) / 10000.0 AS quality
+       |FROM fin ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l9_html_pipeline" -> (htmlPipeline _),
     "l7_multilingual_pipeline" -> (multilingualPipeline _),
     "l6_release_diff" -> (releaseDiffQuery _),
     "l1_corpus_pipeline" -> (corpusPipeline _),
@@ -912,6 +1074,7 @@ object CorpusQueries {
     "l5_c4_pipeline" -> (c4Pipeline _))
 
   def oracleSql: Map[String, String] = Map(
+    "l9_html_pipeline" -> htmlPipelineSql,
     "l7_multilingual_pipeline" -> multilingualPipelineSql,
     "l6_release_diff" -> releaseDiffSql,
     "l1_corpus_pipeline" -> corpusPipelineSql,

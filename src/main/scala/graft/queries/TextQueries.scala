@@ -2015,18 +2015,18 @@ object TextQueries {
     * mostly anchor text on every 3rd page (dropped SOLELY by link
     * density — the n_link_dropped telemetry), and a stopword-free
     * copyright footer (dropped by the function-word rule). */
-  private val HtmlHead =
+  private[queries] val HtmlHead =
     "<html><head><style>body { color: red; font: 10px }</style>" +
       "<script>var tracking = 1;</script></head><body>\n" +
       "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">" +
       "about us</a> <a href=\"/contact\">contact</a></div>\n<h1>"
-  private val HtmlP1 = "</h1>\n<p>"
-  private val HtmlP2 = " the end.</p>\n<p>"
-  private val HtmlP3 = " and more.</p>\n"
-  private val HtmlPromo =
+  private[queries] val HtmlP1 = "</h1>\n<p>"
+  private[queries] val HtmlP2 = " the end.</p>\n<p>"
+  private[queries] val HtmlP3 = " and more.</p>\n"
+  private[queries] val HtmlPromo =
     "<div>promo promo promo of the day <a href=\"/buy\">buy now</a> " +
       "<a href=\"/buy2\">buy again</a></div>\n"
-  private val HtmlFoot =
+  private[queries] val HtmlFoot =
     "<div>copyright 2026 example site rights reserved worldwide</div>" +
       "\n</body></html>"
 
