@@ -85,12 +85,24 @@ object Bench {
       println(s"""{"metric":"total","value":${d3(total)},"unit":"sec","n_queries":${names.size},"epochs_done":$epochsDone,"skipped":$nSkipped,"failures":${failures.mkString("[", ",", "]")},"sf":"$sfDir"}""")
       System.out.flush()
     }
+    // The driver keeps a MERGED stdout+stderr byte-tail (round 11's
+    // artifact tail was pure WindowExec WARN spam): anything logged
+    // AFTER our total line can push it out of the window, so every
+    // final emission first silences log4j entirely.
+    def quiet(): Unit =
+      try {
+        org.apache.logging.log4j.core.config.Configurator
+          .setRootLevel(org.apache.logging.log4j.Level.OFF)
+        spark.sparkContext.setLogLevel("OFF")
+      } catch { case _: Throwable => () }
     // If a kill lands mid-query anyway, still leave a parseable artifact —
     // but only once at least one real sample exists: a total of 0.000 from
     // a kill during warmup would be worse for the driver than no total.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
-      if (!emittedFinal && lock.synchronized(samples.values.exists(_.exists(_ >= 0))))
+      if (!emittedFinal && lock.synchronized(samples.values.exists(_.exists(_ >= 0)))) {
+        quiet()
         emit("shutdown-hook")
+      }
     }))
 
     // clearCache misses localCheckpoint RDDs — drop every persisted RDD
@@ -169,6 +181,9 @@ object Bench {
         }
       }
       epochsDone = e
+      // silence the teardown for the LAST epoch's emission (Spark's
+      // stop/unpersist warnings would land after it in the merged tail)
+      if (e == 3 || aborted) quiet()
       emit(s"epoch-$e")
     }
     emittedFinal = true
