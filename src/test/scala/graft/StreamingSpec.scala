@@ -387,6 +387,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("HTML extraction streams in append mode and matches the batch run") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, "<div><a href=\"/\">home</a> <a href=\"/b\">about</a></div>" +
+        "<p>the first page carries a real prose paragraph inside.</p>"),
+      (2L, "<style>b { x: 1 }</style><p>and the second page also has " +
+        "enough of it to keep.</p><div>copyright 2026 rights reserved" +
+        " worldwide sitewide</div>"))
+    def cols(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "n_blocks", "n_kept", "n_link_dropped", "text")
+      .as[(Long, Int, Int, Int, String)]
+    val batch = cols(graft.text.HtmlText.extract(
+      rows.toDF("doc_id", "html"), "html", "doc_id")).collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = cols(graft.text.HtmlText.extract(
+        input.toDF().toDF("doc_id", "html"), "html", "doc_id"))
+      .writeStream.format("memory").queryName("html_stream")
+      .outputMode("append").start() // pure map: stateless by construction
+    try {
+      input.addData(rows.head)
+      q.processAllAvailable()
+      input.addData(rows(1))
+      q.processAllAvailable()
+      val streamed = spark.table("html_stream")
+        .as[(Long, Int, Int, Int, String)].collect().toSet
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
   test("line filter evidence streams in append mode against a trained table") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
