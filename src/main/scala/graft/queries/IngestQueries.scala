@@ -75,6 +75,26 @@ object IngestQueries {
   private def stage(df: DataFrame): DataFrame =
     graft.ops.StagePersists.track(df)
 
+  /** Candidate-first Jaccard verify (the minhashNearDuplicates shape,
+    * over caller-shared shingle frames): expand each candidate pair by
+    * the left doc's shingles, equi-join the right side —
+    * O(candidates × shingles/doc), never all-pairs. */
+  private def verifiedPairs(cands: DataFrame, aSh: DataFrame,
+      bSh: DataFrame): DataFrame = {
+    val szA = aSh.groupBy("id").agg(count(lit(1)).as("sza"))
+    val szB = bSh.groupBy("id").agg(count(lit(1)).as("szb"))
+    val common = cands
+      .join(aSh.select(col("id").as("ida"), col("shingle")), Seq("ida"))
+      .join(bSh.select(col("id").as("idb"), col("shingle")),
+        Seq("idb", "shingle"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("common"))
+    common.join(szA.withColumnRenamed("id", "ida"), "ida")
+      .join(szB.withColumnRenamed("id", "idb"), "idb")
+      .filter(col("common").cast("double") /
+        (col("sza") + col("szb") - col("common")).cast("double") >= Thr)
+      .select("ida", "idb")
+  }
+
   /** Every stage's frame, exposed for IngestSpec (stage-bite pins and
     * the composed release extension of SinksSpec). */
   private[graft] final case class Ingested(
@@ -136,17 +156,29 @@ object IngestQueries {
       .select("doc_id", "lang", "text")
       .lockedCheckpoint()
     // stage 3: near-dup fold into the stored component map + keep-best.
-    // Stored map: the corpus's own pairs at the d13/d17 parameters.
-    val corpusPairs = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
-        ShingleN, DedupQueries.NumPerms, Band, Thr)
-      .select("ida", "idb")
+    // The corpus shingle and band-bucket frames are computed ONCE and
+    // shared by the stored-map build and the cross probe — at 100 TB
+    // these ARE the maintained corpus-side tables a between-dumps
+    // pipeline keeps (the d13 layout); each is one pass here
+    // (inlineLshBuckets is the exchange-free native-kernel form,
+    // byte-identical to the aggregated buckets). Same d13/d17 minhash
+    // parameters on both paths — the incremental ≡ full proof needs
+    // identical candidate generation.
+    val cs = stage(Dedup.wordShingles(corpus, "text", "doc_id", ShingleN))
+    val bs = stage(Dedup.wordShingles(d2, "text", "doc_id", ShingleN))
+    val cb = stage(Dedup.inlineLshBuckets(corpus, "text", "doc_id",
+      ShingleN, DedupQueries.NumPerms, Band))
+    val bb = stage(Dedup.inlineLshBuckets(d2, "text", "doc_id",
+      ShingleN, DedupQueries.NumPerms, Band))
+    val corpusPairs = verifiedPairs(Dedup.lshCandidates(cb), cs, cs)
     val stored = Components.connectedComponents(corpusPairs, "ida", "idb")._1
-    val batchPairs = Dedup.minhashNearDuplicates(d2, "text", "doc_id",
-        ShingleN, DedupQueries.NumPerms, Band, Thr)
-      .select("ida", "idb")
-    val crossPairs = Dedup.crossCorpusNearDuplicates(corpus, d2,
-        "text", "doc_id", ShingleN, DedupQueries.NumPerms, Band, Thr)
-      .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
+    val batchPairs = verifiedPairs(Dedup.lshCandidates(bb), bs, bs)
+    val crossCands = bb.select(col("band"), col("bucket"),
+        col("id").as("ida"))
+      .join(cb.select(col("band"), col("bucket"), col("id").as("idb")),
+        Seq("band", "bucket"))
+      .select("ida", "idb").distinct()
+    val crossPairs = verifiedPairs(crossCands, bs, cs)
     val newPairs = stage(batchPairs.unionByName(crossPairs))
     val folded =
       Components.incrementalComponents(stored, newPairs, "ida", "idb")
