@@ -2097,7 +2097,121 @@ object TextQueries {
        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t39: the full Gopher repetition suite ------------------------------
+
+  /** Planted repetition corpus (raw documents carry no newlines and a
+    * 31-word vocabulary): lines A/B/C/D are 80-char slices of text;
+    * %5 → line A repeated inside para 2 (dup line), %7 → para 1
+    * repeated whole (dup para AND dup lines), %11 → a 5-token phrase
+    * repeated 3× (dup 5..10-gram mass), %13 → one 2-gram repeated 12×
+    * (top-2-gram spike). First matching branch composes with the
+    * others arithmetically (plants are independent suffixes). */
+  // continuation lines must never START with '||' — the outer
+  // stripMargin would strip one pipe (the UrlCanonSql lesson)
+  private[graft] val t39DeriveSql: String =
+    """substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
+      |    chr(10) || chr(10) || substr(text, 161, 80) || chr(10) ||
+      |    CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 80)
+      |         ELSE substr(text, 241, 80) END ||
+      |    CASE WHEN doc_id % 7 = 0 THEN chr(10) || chr(10) ||
+      |      substr(text, 1, 80) || chr(10) || substr(text, 81, 80)
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) ||
+      |      'zq wq yq xq vq zq wq yq xq vq zq wq yq xq vq' ELSE '' END ||
+      |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || chr(10) ||
+      |      repeat('ab cd ', 11) || 'ab cd' ELSE '' END""".stripMargin
+
+  /** The FULL Gopher repetition signal suite
+    * ([[graft.text.Cleaning.gopherRepetition]] — Rae et al. 2021
+    * A1.2, completing t13's dup-trigram family): duplicate line /
+    * paragraph fractions by count and by character mass, top 2..4-gram
+    * character fractions, duplicate 5..10-gram character fractions,
+    * and the ANDed threshold verdict — each signal biting for its
+    * planted class. */
+  def gopherRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), expr(t39DeriveSql).as("text"))
+    graft.text.Cleaning.gopherRepetition(docs, "text", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val gopherRepetitionSql: String = {
+    val ws4 = "list_filter(string_split_regex(lower(text2), '[^a-z0-9]+'), w -> w <> '')"
+    def r4(x: String) = s"FLOOR(($x) * 10000 + 0.5) / 10000.0"
+    def frac(num: String, den: String) =
+      r4(s"CAST(COALESCE($num, 0) AS DOUBLE) / CAST(GREATEST($den, 1) AS DOUBLE)")
+    val cuts = graft.text.Cleaning.GopherRepCuts
+    val keep = cuts.map { case (c, thr) => s"$c <= $thr" }.mkString(" AND ")
+    s"""WITH gd AS (
+       |  SELECT doc_id, $t39DeriveSql AS text2 FROM documents),
+       |lp AS (
+       |  SELECT doc_id, 'line' AS g,
+       |    unnest(list_filter(string_split(text2, chr(10)), p -> p <> '')) AS p
+       |  FROM gd
+       |  UNION ALL
+       |  SELECT doc_id, 'para',
+       |    unnest(list_filter(string_split(text2, chr(10) || chr(10)),
+       |      p -> p <> ''))
+       |  FROM gd),
+       |pc AS (SELECT doc_id, g, p, COUNT(*)::BIGINT AS c
+       |       FROM lp GROUP BY 1, 2, 3),
+       |pa AS (
+       |  SELECT doc_id, g, SUM(c)::BIGINT AS n,
+       |    COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0)::BIGINT AS dup,
+       |    SUM(c * LENGTH(p))::BIGINT AS chars,
+       |    COALESCE(SUM(CASE WHEN c > 1 THEN c * LENGTH(p) END), 0)::BIGINT
+       |      AS dupchars
+       |  FROM pc GROUP BY 1, 2),
+       |tk AS (SELECT doc_id, LENGTH(text2)::BIGINT AS tlen, $ws4 AS ws
+       |       FROM gd),
+       |gr AS (
+       |  SELECT doc_id, tlen, n,
+       |    unnest(list_transform(range(1, len(ws) - n + 2),
+       |      i -> array_to_string(ws[i:i+n-1], ' '))) AS gram
+       |  FROM (SELECT doc_id, tlen, ws,
+       |          unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS n
+       |        FROM tk)
+       |  WHERE len(ws) >= n),
+       |gc AS (SELECT doc_id, n, gram, MAX(tlen) AS tlen,
+       |         COUNT(*)::BIGINT AS c
+       |       FROM gr GROUP BY 1, 2, 3),
+       |ga AS (
+       |  SELECT doc_id, n, MAX(tlen) AS tlen,
+       |    COALESCE(SUM(CASE WHEN c > 1 THEN c * LENGTH(gram) END), 0)::BIGINT
+       |      AS dupchars
+       |  FROM gc GROUP BY 1, 2),
+       |topg AS (
+       |  SELECT doc_id, n, c * LENGTH(gram) AS topchars FROM (
+       |    SELECT doc_id, n, gram, c,
+       |      ROW_NUMBER() OVER (PARTITION BY doc_id, n
+       |        ORDER BY c DESC, gram) AS rn
+       |    FROM gc)
+       |  WHERE rn = 1),
+       |fr AS (
+       |  SELECT d.doc_id,
+       |    COALESCE(pl.n, 0)::BIGINT AS n_lines,
+       |    ${frac("pl.dup", "pl.n")} AS dup_line_frac,
+       |    ${frac("pl.dupchars", "pl.chars")} AS dup_line_char_frac,
+       |    COALESCE(pp.n, 0)::BIGINT AS n_paras,
+       |    ${frac("pp.dup", "pp.n")} AS dup_para_frac,
+       |    ${frac("pp.dupchars", "pp.chars")} AS dup_para_char_frac,
+       |    ${(2 to 4).map(n =>
+              frac(s"(SELECT topchars FROM topg t WHERE t.doc_id = d.doc_id AND t.n = $n)",
+                "LENGTH(d.text2)") + s" AS top_${n}gram_char_frac")
+              .mkString(",\n    ")},
+       |    ${(5 to 10).map(n =>
+              frac(s"(SELECT dupchars FROM ga a WHERE a.doc_id = d.doc_id AND a.n = $n)",
+                "LENGTH(d.text2)") + s" AS dup_${n}gram_char_frac")
+              .mkString(",\n    ")}
+       |  FROM gd d
+       |  LEFT JOIN pa pl ON pl.doc_id = d.doc_id AND pl.g = 'line'
+       |  LEFT JOIN pa pp ON pp.doc_id = d.doc_id AND pp.g = 'para')
+       |SELECT *, ($keep) AS rep_keep FROM fr ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t39_gopher_repetition" -> (gopherRepetition _),
     "t37_html_extract" -> (htmlExtract _),
     "t38_unigram_em2" -> (unigramEm2Encode _),
     "t36_domain_reweight" -> (domainReweight _),
@@ -2138,6 +2252,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t39_gopher_repetition" -> gopherRepetitionSql,
     "t37_html_extract" -> htmlExtractSql,
     "t38_unigram_em2" -> unigramEm2EncodeSql,
     "t36_domain_reweight" -> domainReweightSql,

@@ -117,4 +117,135 @@ object Cleaning {
         col("r_symbol") && col("r_bullet") && col("r_ellipsis") &&
         col("r_alpha") && col("r_stop"))
   }
+
+  /** The Gopher REPETITION rule thresholds (Rae et al. 2021, Table A1
+    * "repetitious text"): a document is repetition-clean iff every
+    * fraction is at or below its cut. */
+  val GopherRepCuts: Seq[(String, Double)] = Seq(
+    "dup_line_frac" -> 0.30, "dup_para_frac" -> 0.30,
+    "dup_line_char_frac" -> 0.20, "dup_para_char_frac" -> 0.20,
+    "top_2gram_char_frac" -> 0.20, "top_3gram_char_frac" -> 0.18,
+    "top_4gram_char_frac" -> 0.16, "dup_5gram_char_frac" -> 0.15,
+    "dup_6gram_char_frac" -> 0.14, "dup_7gram_char_frac" -> 0.13,
+    "dup_8gram_char_frac" -> 0.12, "dup_9gram_char_frac" -> 0.11,
+    "dup_10gram_char_frac" -> 0.10)
+
+  /** The FULL Gopher repetition signal suite (Rae et al. 2021 A1.2) —
+    * the family t13's dup-trigram fraction belongs to, completed:
+    * per document,
+    *
+    *  - duplicate LINE / PARAGRAPH fractions, by occurrence count and
+    *    by character mass (a line/para is duplicated iff its exact
+    *    text occurs ≥ 2× in the document; the char denominators are
+    *    the summed part lengths, so separators don't dilute),
+    *  - top n-gram character fraction for n = 2..4: count(top gram) ×
+    *    len(top gram) / len(text), top = (count desc, gram asc) — a
+    *    total order, so the pick is deterministic cross-engine,
+    *  - duplicate n-gram character fraction for n = 5..10:
+    *    Σ_{gram: count ≥ 2} count·len(gram) / len(text) — the
+    *    overlap-counting fast form production filters use (exact
+    *    non-double-counting needs per-position interval union; the
+    *    documented convention here counts every occurrence's span).
+    *
+    * All fractions are single divisions of exact integers, rounded to
+    * 4 dp (the t13 convention), so they hash cross-engine. `rep_keep`
+    * ANDs the [[GopherRepCuts]] thresholds.
+    *
+    * Scale shape: every signal is a per-DOCUMENT function, so the
+    * whole suite is ONE fused kernel pass per row
+    * ([[graft.functions.GopherRepStats]]) — no shuffle, no state,
+    * append-mode stream legal; at 100 TB it fuses into whatever scan
+    * precedes it. */
+  def gopherRepetition(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val st = graft.functions.GopherRepStats(col(s"`$textCol`"))
+    val names = Seq("n_lines", "dup_line_frac", "dup_line_char_frac",
+      "n_paras", "dup_para_frac", "dup_para_char_frac") ++
+      (2 to 4).map(n => s"top_${n}gram_char_frac") ++
+      (5 to 10).map(n => s"dup_${n}gram_char_frac")
+    val cols = names.zipWithIndex.map { case (nm, i) =>
+      val e = element_at(col("__st"), i + 1)
+      (if (nm.startsWith("n_")) e.cast("long") else e).as(nm)
+    }
+    df.select(col(s"`$idCol`").as("id"), st.as("__st"))
+      .select(col("id") +: cols: _*)
+      .withColumn("rep_keep",
+        GopherRepCuts.map { case (c, thr) => col(c) <= thr }.reduce(_ && _))
+  }
+
+  /** The join-machinery reference form of [[gopherRepetition]] —
+    * GopherRepSpec pins the kernel bit-identical to it; kept as the
+    * executable spec of the semantics, not a production path (its
+    * (id, n, gram) shuffle is pure waste for a per-document metric). */
+  private[graft] def gopherRepetitionReference(df: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    val text = col(s"`$textCol`")
+    def r4(x: Column): Column =
+      floor(x * lit(10000d) + lit(0.5d)) / lit(10000d)
+    def frac(num: Column, den: Column): Column =
+      r4(coalesce(num, lit(0L)).cast(DoubleType) /
+        greatest(den, lit(1L)).cast(DoubleType))
+    val base = df.select(col(s"`$idCol`").as("id"), text.as("__t"),
+      length(text).cast("long").as("__len"),
+      graft.functions.TokenArray.asciiTokens(text).as("__ws"))
+    // ---- line/paragraph grain: ONE explode with a grain tag --------------
+    val parts = base.select(col("id"), explode(array(
+        struct(lit("line").as("g"), split(col("__t"), "\n").as("ps")),
+        struct(lit("para").as("g"), split(col("__t"), "\n\n").as("ps"))))
+        .as("e"))
+      .select(col("id"), col("e.g").as("g"), explode(col("e.ps")).as("p"))
+      .filter(col("p") =!= "")
+    val partAgg = parts.groupBy("id", "g", "p")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("id", "g")
+      .agg(sum("c").as("n"),
+        coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("dup"),
+        sum(col("c") * length(col("p"))).as("chars"),
+        coalesce(sum(when(col("c") > 1, col("c") * length(col("p")))),
+          lit(0L)).as("dupchars"))
+    def grain(g: String, pfx: String) = partAgg.filter(col("g") === g)
+      .select(col("id"), col("n").as(s"n_${pfx}s"),
+        frac(col("dup"), col("n")).as(s"dup_${pfx}_frac"),
+        frac(col("dupchars"), col("chars")).as(s"dup_${pfx}_char_frac"))
+    // ---- n-gram grain: all n in 2..10 built in-row, exploded ONCE --------
+    val gramRows = base.select(col("id"), col("__len"),
+        explode(flatten(transform(sequence(lit(2), lit(10)), n =>
+          when(size(col("__ws")) >= n,
+            transform(sequence(lit(1), size(col("__ws")) - n + 1), i =>
+              struct(n.cast("int").as("n"),
+                array_join(slice(col("__ws"), i, n), " ").as("gram"))))
+            .otherwise(array())))).as("e"))
+      .select(col("id"), col("__len"), col("e.n").as("n"),
+        col("e.gram").as("gram"))
+    val gramCnt = gramRows.groupBy("id", "n", "gram")
+      .agg(count(lit(1)).as("c"), max("__len").as("__len"))
+    val gramAgg = gramCnt.groupBy("id", "n")
+      .agg(max("__len").as("__len"),
+        coalesce(sum(when(col("c") > 1, col("c") * length(col("gram")))),
+          lit(0L)).as("dupchars"),
+        // top = (count desc, gram asc): min over (-c, gram) with the
+        // char mass carried as payload ((-c, gram) is unique per group,
+        // so the payload never decides the min)
+        min(struct((-col("c")).as("nc"), col("gram").as("g"),
+          (col("c") * length(col("gram"))).as("topchars"))).as("top"))
+    def gramCol(n: Int, top: Boolean) = {
+      val one = gramAgg.filter(col("n") === n)
+      val name = if (top) s"top_${n}gram_char_frac"
+        else s"dup_${n}gram_char_frac"
+      val num = if (top) col("top.topchars") else col("dupchars")
+      one.select(col("id"), frac(num, col("__len")).as(name))
+    }
+    val withAll = (Seq(grain("line", "line"), grain("para", "para")) ++
+      (2 to 4).map(gramCol(_, top = true)) ++
+      (5 to 10).map(gramCol(_, top = false)))
+      .foldLeft(base.select(col("id"))) { (acc, f) =>
+        acc.join(f, Seq("id"), "left_outer")
+      }
+    val filled = GopherRepCuts.foldLeft(
+        withAll.na.fill(0L, Seq("n_lines", "n_paras"))) { (acc, cut) =>
+      acc.withColumn(cut._1, coalesce(col(cut._1), lit(0.0)))
+    }
+    filled.withColumn("rep_keep",
+      GopherRepCuts.map { case (c, thr) => col(c) <= thr }.reduce(_ && _))
+  }
 }

@@ -15,7 +15,9 @@ object QProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val t0 = System.nanoTime()
     val df = graft.SparkEntry.queries(name)(spark, dir)
-    if (args.length > 2) {
+    if (args.length > 2 && args(2) == "--explain") {
+      df.explain("formatted")
+    } else if (args.length > 2) {
       df.coalesce(1).write.mode("overwrite").parquet(s"${args(2)}/$name.parquet")
       // one-entry oracle_sql.json so tools/check_oracle.py works on the dir
       graft.SparkEntry.oracleSql.get(name).foreach { sql =>
