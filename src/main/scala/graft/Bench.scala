@@ -48,6 +48,7 @@ object Bench {
     val samples = mutable.LinkedHashMap(names.map(n => n -> mutable.ArrayBuffer.empty[Double]): _*)
     @volatile var epochsDone = 0
     @volatile var emittedFinal = false
+    @volatile var shuttingDown = false
 
     def d3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
@@ -99,6 +100,7 @@ object Bench {
     // but only once at least one real sample exists: a total of 0.000 from
     // a kill during warmup would be worse for the driver than no total.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      shuttingDown = true
       if (!emittedFinal && lock.synchronized(samples.values.exists(_.exists(_ >= 0)))) {
         quiet()
         emit("shutdown-hook")
@@ -107,11 +109,15 @@ object Bench {
 
     // clearCache misses localCheckpoint RDDs — drop every persisted RDD
     // so earlier queries can't pressure later ones
-    def dropState(): Unit = {
-      graft.ops.StagePersists.release(spark)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-    }
+    def dropState(): Unit =
+      // swallow teardown errors: after a SIGTERM the context is stopping
+      // and an uncaught throw here would print a stack trace AFTER the
+      // shutdown hook's total line in the driver's merged tail
+      try {
+        graft.ops.StagePersists.release(spark)
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      } catch { case _: Throwable => () }
     // Force FULL row materialization, not .count(): under count()
     // Catalyst prunes every computed column (and eliminates final
     // unique-key left joins), so a map-shaped query was timed as a bare
@@ -172,7 +178,15 @@ object Bench {
           val ok =
             try { force(SparkEntry.queries(name)(spark, sfDir)); true }
             catch { case t: Throwable =>
-              System.err.println(s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: ${t.getMessage}")
+              // one line, truncated: a dying-SparkContext message embeds a
+              // full multi-line stack that would displace the shutdown
+              // hook's total line from the driver's merged tail window
+              if (!shuttingDown) {
+                val msg = Option(t.getMessage).getOrElse("")
+                  .takeWhile(_ != '\n').take(200)
+                System.err.println(
+                  s"[bench] $name FAILED epoch $e: ${t.getClass.getSimpleName}: $msg")
+              }
               false
             }
           val s = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
