@@ -404,9 +404,171 @@ object IngestQueries {
        |ORDER BY section, k""".stripMargin
   }
 
+  // ---- w20: the l8 loop's STREAM twin — the ingest gate ------------------
+
+  /** Quality admission cut for the stream gate (×10⁴ t2 quality). */
+  private val W20QCut = 9000L
+
+  /** The between-dumps ingest GATE as one append-mode-legal stage —
+    * the l8 data plane deployed on the arriving dump stream, every
+    * verdict a pure column or a stream-static join against
+    * batch-trained state (no aggregation, no stream-stream join):
+    *
+    *  - `bloom_hit`: the d20 broadcast-bitmap probe (pure columns);
+    *  - `exact_dup`: bloom prefilter AND the exact confirm against the
+    *    broadcast corpus content-hash table (a Bloom false positive is
+    *    rescued — the gate is exact);
+    *  - `n_band_hits`/`near_candidate`: the document's LSH band keys
+    *    ([[graft.dedup.Dedup.lshBandArray]] — the per-row native form,
+    *    pinned ≡ the aggregated buckets) probed per band against the
+    *    broadcast corpus bucket table (the w9/w15 device);
+    *  - `quality_ok`: the t2 ×10⁴ quality at [[W20QCut]];
+    *  - `admit` = ¬exact_dup ∧ ¬near_candidate ∧ quality_ok.
+    *
+    * Division of labor (documented, not a gap): WITHIN-dump exact
+    * dups pass this gate — first-seen dedup inside the stream is the
+    * w3 stateful stage downstream; evicting a STORED doc for a better
+    * re-crawl (l8's keep-best) is a retrospective batch decision the
+    * next l8 run makes, not an append-mode verdict. StreamingSpec pins
+    * the MemoryStream run ≡ this batch twin row for row. */
+  private[graft] def streamIngestGate(corpus: DataFrame,
+      dump: DataFrame): DataFrame = {
+    val bm = BloomDedup.bitmap(
+      BloomDedup.setBits(corpus, "text", BloomM, BloomK), BloomM)
+    val truth = broadcast(corpus.select(md5(col("text")).as("__h"))
+      .distinct().withColumn("__dup", lit(true)))
+    // persisted: the STATIC control-plane table (legal under a
+    // streaming dump) feeds one broadcast join per band — without the
+    // persist each join recomputes the corpus bucket derivation
+    val cbuckets = stage(Dedup.inlineLshBuckets(corpus, "text", "doc_id",
+      ShingleN, DedupQueries.NumPerms, Band).select("band", "bucket")
+      .distinct())
+    val nBands = DedupQueries.NumPerms / Band
+    val gated0 = dump
+      .withColumn("bloom_hit",
+        BloomDedup.probeColumn(col("text"), bm, BloomM, BloomK))
+      .withColumn("__h", md5(col("text")))
+      .join(truth, Seq("__h"), "left_outer")
+      .withColumn("exact_dup",
+        col("bloom_hit") && coalesce(col("__dup"), lit(false)))
+      .withColumn("__bb", Dedup.lshBandArray(col("text"), ShingleN,
+        DedupQueries.NumPerms, Band))
+    val withHits = (0 until nBands).foldLeft(gated0) { (df, b) =>
+      df.withColumn(s"__k$b",
+          try_element_at(col("__bb"), lit(b + 1)).getField("bucket"))
+        .join(broadcast(cbuckets.filter(col("band") === b)
+          .select(col("bucket").as(s"__k$b"), lit(1).as(s"__m$b"))),
+          Seq(s"__k$b"), "left_outer")
+    }
+    val nHits = (0 until nBands)
+      .map(b => coalesce(col(s"__m$b"), lit(0))).reduce(_ + _)
+    withHits.select(col("doc_id"), col("bloom_hit"), col("exact_dup"),
+        nHits.cast("long").as("n_band_hits"),
+        (nHits > 0).as("near_candidate"),
+        (TextAnalysis.qualityE4("text") >= W20QCut).as("quality_ok"))
+      .withColumn("admit",
+        !col("exact_dup") && !col("near_candidate") && col("quality_ok"))
+  }
+
+  /** Batch twin over the l8 dump construction (the oracle's face). */
+  def streamIngestGateQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    val corpus = stage(docs.filter(col("doc_id") % 2 === 0))
+    val odd = docs.filter(col("doc_id") % 2 === 1)
+    val dumpRaw = odd
+      .unionByName(corpus.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          col("text")))
+      .unionByName(odd.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          col("text")))
+      .unionByName(corpus.filter(col("doc_id") % 14 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(Revision)).as("text")))
+    streamIngestGate(corpus, dumpRaw.select("doc_id", "text"))
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the d20 bit replay for the Bloom verdict, the exact truth
+    * join, the minhash band CTEs on BOTH sides with a per-doc
+    * distinct-band hit count, and the shared ×10⁴ quality cut. */
+  val streamIngestGateSql: String = {
+    val wsD = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    def pos(e: String) =
+      s"(('0x' || substr(md5(j::VARCHAR || ':' || $e), 1, 15))::UBIGINT % $BloomM)::BIGINT"
+    def perms(src: String) = (0 until DedupQueries.NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM ${src}hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    def bandCtes(src: String) =
+      s"""${src}g0 AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($wsD) - 1, 1)),
+         |    i -> $wsD[i] || ' ' || $wsD[i+1] || ' ' || $wsD[i+2])) AS g
+         |  FROM $src WHERE len($wsD) >= 3),
+         |${src}grams AS (SELECT DISTINCT doc_id, g FROM ${src}g0),
+         |${src}hashes AS (SELECT doc_id,
+         |  (('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT AS h
+         |  FROM ${src}grams),
+         |${src}sigs AS (${perms(src)}),
+         |${src}bands AS (
+         |  SELECT id, perm_id // $Band AS band,
+         |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+         |  FROM ${src}sigs GROUP BY id, perm_id // $Band)""".stripMargin
+    val qe4 = s"CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT)"
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0),
+       |dump AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+       |  UNION ALL SELECT doc_id + 1000000, text FROM corpus
+       |    WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, text FROM documents
+       |    WHERE doc_id % 2 = 1 AND doc_id % 9 = 0
+       |  UNION ALL SELECT doc_id + 3000000, text || '$Revision'
+       |    FROM corpus WHERE doc_id % 14 = 0),
+       |bits AS (
+       |  SELECT DISTINCT ${pos("md5(text)")} AS pos
+       |  FROM corpus, range(0, $BloomK) t(j)),
+       |probe AS (
+       |  SELECT doc_id, md5(text) AS h, ${pos("md5(text)")} AS pos
+       |  FROM dump, range(0, $BloomK) t(j)),
+       |bhits AS (
+       |  SELECT doc_id, h, COUNT(b.pos) AS nhit
+       |  FROM probe p LEFT JOIN bits b USING (pos)
+       |  GROUP BY doc_id, h),
+       |truth AS (SELECT DISTINCT md5(text) AS h FROM corpus),
+       |${bandCtes("corpus")},
+       |${bandCtes("dump")},
+       |cbk AS (SELECT DISTINCT band, bucket FROM corpusbands),
+       |nb AS (
+       |  SELECT d.id AS doc_id, COUNT(DISTINCT d.band)::BIGINT AS n_band_hits
+       |  FROM dumpbands d JOIN cbk c
+       |    ON d.band = c.band AND d.bucket = c.bucket
+       |  GROUP BY d.id),
+       |q AS (SELECT doc_id, $qe4 AS qe4 FROM dump)
+       |SELECT d.doc_id,
+       |  (bh.nhit = $BloomK) AS bloom_hit,
+       |  (bh.nhit = $BloomK AND t.h IS NOT NULL) AS exact_dup,
+       |  COALESCE(nb.n_band_hits, 0)::BIGINT AS n_band_hits,
+       |  (COALESCE(nb.n_band_hits, 0) > 0) AS near_candidate,
+       |  (q.qe4 >= $W20QCut) AS quality_ok,
+       |  (NOT (bh.nhit = $BloomK AND t.h IS NOT NULL)
+       |    AND COALESCE(nb.n_band_hits, 0) = 0
+       |    AND q.qe4 >= $W20QCut) AS admit
+       |FROM dump d
+       |JOIN bhits bh USING (doc_id)
+       |LEFT JOIN truth t ON bh.h = t.h
+       |LEFT JOIN nb USING (doc_id)
+       |JOIN q USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w20_stream_ingest_gate" -> (streamIngestGateQuery _),
     "l8_incremental_ingest" -> (incrementalIngest _))
 
   def oracleSql: Map[String, String] = Map(
+    "w20_stream_ingest_gate" -> streamIngestGateSql,
     "l8_incremental_ingest" -> incrementalIngestSql)
 }

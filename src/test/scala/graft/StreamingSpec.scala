@@ -387,6 +387,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("w20: the ingest gate streams in append mode against stored state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def words(seed: Int) = (0 until 12)
+      .map(i => s"w${(seed * 31 + i * 7) % 97}x$i").mkString(" ")
+    val corpus = Seq(
+      (2L, s"alpha doc one ${words(1)}"),
+      (4L, s"beta doc two ${words(2)}"),
+      (6L, s"gamma doc three ${words(3)}")).toDF("doc_id", "text")
+    val dump = Seq(
+      (11L, s"fresh dump doc ${words(9)}"),          // admit (if quality ok)
+      (1000002L, s"alpha doc one ${words(1)}"),      // exact revisit
+      (3000006L, s"gamma doc three ${words(3)} tail")) // near-dup revision
+    val cols = Seq("doc_id", "bloom_hit", "exact_dup", "n_band_hits",
+      "near_candidate", "quality_ok", "admit")
+    val batch = graft.queries.IngestQueries
+      .streamIngestGate(corpus, dump.toDF("doc_id", "text"))
+      .select(cols.head, cols.tail: _*)
+      .as[(Long, Boolean, Boolean, Long, Boolean, Boolean, Boolean)]
+      .collect().toSet
+    val input = MemoryStream[(Long, String)]
+    val q = graft.queries.IngestQueries
+      .streamIngestGate(corpus, input.toDF().toDF("doc_id", "text"))
+      .select(cols.head, cols.tail: _*)
+      .writeStream.format("memory").queryName("w20_stream")
+      .outputMode("append").start() // columns + stream-static joins only
+    try {
+      input.addData(dump.take(2): _*)
+      q.processAllAvailable()
+      input.addData(dump.drop(2): _*)
+      q.processAllAvailable()
+      val streamed = spark.table("w20_stream")
+        .as[(Long, Boolean, Boolean, Long, Boolean, Boolean, Boolean)]
+        .collect().toSet
+      assert(streamed === batch)
+      // the verdicts themselves: revisit caught exactly, revision by bands
+      val by = batch.map(r => r._1 -> r).toMap
+      assert(by(1000002L)._2 && by(1000002L)._3, "revisit must Bloom+confirm")
+      assert(by(3000006L)._5 && !by(3000006L)._3,
+        "revision is a near-candidate, not an exact dup")
+      assert(!by(11L)._3 && !by(11L)._5, "fresh doc passes the dedup gates")
+    } finally q.stop()
+    graft.ops.StagePersists.release(spark)
+  }
+
   test("HTML extraction streams in append mode and matches the batch run") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
