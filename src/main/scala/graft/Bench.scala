@@ -63,9 +63,11 @@ object Bench {
         val sec = if (valid.isEmpty) -1.0 else valid((valid.size - 1) / 2)
         name -> sec
       }.toMap
-      // failures = queries that actually THREW (-1); a -2 is work the
-      // budget guard or heavy-skip chose not to start, not a failure
-      val failures = snap.collect { case (n, ss) if ss.contains(-1.0) && !ss.exists(_ >= 0) => n }.map(n => s""""$n"""")
+      // failures = queries that actually THREW (-1) in ANY epoch — a
+      // flaky query that later succeeded still surfaces here; a -2 is
+      // work the budget guard or heavy-skip chose not to start, not a
+      // failure
+      val failures = snap.collect { case (n, ss) if ss.contains(-1.0) => n }.map(n => s""""$n"""")
       val nSkipped = snap.count { case (_, ss) => ss.isEmpty || ss.forall(_ == -2.0) }
       val qs = names.map(k => s""""$k":${d3(results(k))}""").mkString("{", ",", "}")
       val total = results.values.filter(_ >= 0).sum
@@ -95,7 +97,7 @@ object Bench {
         org.apache.logging.log4j.core.config.Configurator
           .setRootLevel(org.apache.logging.log4j.Level.OFF)
         spark.sparkContext.setLogLevel("OFF")
-      } catch { case _: Throwable => () }
+      } catch { case _: Throwable => () } // best-effort suppression
     // If a kill lands mid-query anyway, still leave a parseable artifact —
     // but only once at least one real sample exists: a total of 0.000 from
     // a kill during warmup would be worse for the driver than no total.
@@ -117,7 +119,15 @@ object Bench {
         graft.ops.StagePersists.release(spark)
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      } catch { case _: Throwable => () }
+      } catch { case t: Throwable =>
+        // silent only during shutdown (a stack here would displace the
+        // hook's total line from the merged tail); live failures get one
+        // line — pinned persists would contaminate later timings
+        if (!shuttingDown)
+          System.err.println(s"[bench] WARNING: dropState failed: " +
+            Option(t.getMessage).getOrElse(t.getClass.getName)
+              .takeWhile(_ != '\n').take(200))
+      }
     // Force FULL row materialization, not .count(): under count()
     // Catalyst prunes every computed column (and eliminates final
     // unique-key left joins), so a map-shaped query was timed as a bare
@@ -196,9 +206,13 @@ object Bench {
       }
       epochsDone = e
       // silence the teardown for the LAST epoch's emission (Spark's
-      // stop/unpersist warnings would land after it in the merged tail)
-      if (e == 3 || aborted) quiet()
-      emit(s"epoch-$e")
+      // stop/unpersist warnings would land after it in the merged tail);
+      // same guard as the hook: a total of 0.000 from a budget spent
+      // before the first measured query is worse than no total
+      if (lock.synchronized(samples.values.exists(_.exists(_ >= 0)))) {
+        if (e == 3 || aborted) quiet()
+        emit(s"epoch-$e")
+      }
     }
     emittedFinal = true
     spark.stop()

@@ -99,16 +99,13 @@ object GopherRepStats {
     val textLen = cp(str)
     val (nL, dLF, dLCF) = grainStats(str.split("\n", -1))
     val (nP, dPF, dPCF) = grainStats(str.split("\n\n", -1))
-    // tokens once (the engine-wide ascii walker); per-token code-point
-    // lengths cached — grams are ascii, so len(join) = Σ lens + (n−1)
+    // tokens once (the engine-wide ascii walker)
     val toksAd = TokenArray.tokensOf(s, ascii = true)
     val nT = toksAd.numElements()
     val toks = new Array[String](nT)
-    val lens = new Array[Int](nT)
     var i = 0
     while (i < nT) {
       toks(i) = toksAd.getUTF8String(i).toString
-      lens(i) = toks(i).codePointCount(0, toks(i).length)
       i += 1
     }
     val out = new Array[Any](15)

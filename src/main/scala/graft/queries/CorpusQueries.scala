@@ -935,14 +935,8 @@ object CorpusQueries {
     import graft.text.TextAnalysis
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
-    val pages0 = docs.select(col("doc_id"), col("lang"), concat(
-      lit(TextQueries.HtmlHead), substring(col("text"), 1, 30),
-      lit(TextQueries.HtmlP1), substring(col("text"), 31, 170),
-      lit(TextQueries.HtmlP2), substring(col("text"), 201, 170),
-      lit(TextQueries.HtmlP3), lit(HtmlNews),
-      when(col("doc_id") % 3 === 0, lit(TextQueries.HtmlPromo))
-        .otherwise(lit("")),
-      lit(TextQueries.HtmlFoot)).as("html"))
+    val pages0 = docs.select(col("doc_id"), col("lang"),
+      TextQueries.htmlPageCol(Seq(lit(HtmlNews))).as("html"))
     val pages = pages0.unionByName(pages0.filter(col("doc_id") % 11 === 0)
       .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
         col("html")))
@@ -973,48 +967,16 @@ object CorpusQueries {
     * C4/line-dedup fragments over the extracted text, the d1 min-id
     * survivor, and the l5 stats tail. */
   val htmlPipelineSql: String = {
-    def sq(s: String) = s.replace("'", "''").replace("\n", "' || chr(10) || '")
-    val stops = graft.text.HtmlText.DefaultStops
-      .map(s => s"'$s'").mkString("[", ", ", "]")
-    val wsV = "list_filter(string_split_regex(lower(v), '[^a-z0-9]+'), w -> w <> '')"
     val w4 = "list_filter(string_split_regex(lower(l), '[^a-z0-9]+'), x -> x <> '')"
     s"""WITH h0 AS (
        |  SELECT doc_id, lang,
-       |    '${sq(TextQueries.HtmlHead)}' || substr(text, 1, 30) ||
-       |    '${sq(TextQueries.HtmlP1)}' || substr(text, 31, 170) ||
-       |    '${sq(TextQueries.HtmlP2)}' || substr(text, 201, 170) ||
-       |    '${sq(TextQueries.HtmlP3)}' || '${sq(HtmlNews)}' ||
-       |    CASE WHEN doc_id % 3 = 0
-       |         THEN '${sq(TextQueries.HtmlPromo)}' ELSE '' END ||
-       |    '${sq(TextQueries.HtmlFoot)}' AS html
+       |    ${TextQueries.htmlPageSql(s"'${TextQueries.sqLit(HtmlNews)}' ||")} AS html
        |  FROM documents),
        |h AS (
        |  SELECT doc_id, lang, html FROM h0
        |  UNION ALL SELECT doc_id + 1000000, lang, html FROM h0
        |    WHERE doc_id % 11 = 0),
-       |b AS (
-       |  SELECT doc_id, string_split(regexp_replace(regexp_replace(html,
-       |    '(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>',
-       |    ' ', 'g'),
-       |    '(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>',
-       |    chr(10), 'g'), chr(10)) AS lines
-       |  FROM h),
-       |occ0 AS (
-       |  SELECT doc_id, i AS pos, lines[i] AS line
-       |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
-       |        FROM b)),
-       |pl AS (
-       |  SELECT doc_id, pos,
-       |    trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
-       |      '\\s+', ' ', 'g')) AS v,
-       |    coalesce(list_sum(list_transform(
-       |      regexp_extract_all(line, '<a[^>]*>([^<]*)</a>', 1),
-       |      y -> CAST(length(y) AS BIGINT))), 0) AS lc
-       |  FROM occ0),
-       |pw AS (
-       |  SELECT doc_id, pos, v, lc, len($wsV) AS wc,
-       |    list_has_any($wsV, $stops) AS stop
-       |  FROM pl),
+       |${TextQueries.htmlExtractCtesSql("h")},
        |ex AS (
        |  SELECT doc_id,
        |    COALESCE(string_agg(CASE WHEN v <> '' AND wc >= 5

@@ -2030,42 +2030,47 @@ object TextQueries {
     "<div>copyright 2026 example site rights reserved worldwide</div>" +
       "\n</body></html>"
 
-  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
-    val pages = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"), concat(
-        lit(HtmlHead), substring(col("text"), 1, 30),
-        lit(HtmlP1), substring(col("text"), 31, 170),
-        lit(HtmlP2), substring(col("text"), 201, 170),
-        lit(HtmlP3),
-        when(col("doc_id") % 3 === 0, lit(HtmlPromo)).otherwise(lit("")),
-        lit(HtmlFoot)).as("html"))
-    graft.text.HtmlText.extract(pages, "html", "doc_id")
-      .withColumnRenamed("id", "doc_id")
-      .orderBy("doc_id")
-  }
+  /** The planted page as a Column over (doc_id, text); `extras` are
+    * spliced between the second paragraph's closer and the promo block
+    * (l9 adds its corpus-wide boilerplate paragraph there). Shared by
+    * t37 and l9 so the construction cannot fork. */
+  private[queries] def htmlPageCol(extras: Seq[Column] = Nil): Column =
+    concat((Seq(
+      lit(HtmlHead), substring(col("text"), 1, 30),
+      lit(HtmlP1), substring(col("text"), 31, 170),
+      lit(HtmlP2), substring(col("text"), 201, 170),
+      lit(HtmlP3)) ++ extras ++ Seq(
+      when(col("doc_id") % 3 === 0, lit(HtmlPromo)).otherwise(lit("")),
+      lit(HtmlFoot))): _*)
 
-  val htmlExtractSql: String = {
-    def sq(s: String) = s.replace("'", "''").replace("\n", "' || chr(10) || '")
+  private[queries] def sqLit(s: String): String =
+    s.replace("'", "''").replace("\n", "' || chr(10) || '")
+
+  /** Mirror of [[htmlPageCol]]: the page-construction SQL expression. */
+  private[queries] def htmlPageSql(extras: String = ""): String =
+    s"""'${sqLit(HtmlHead)}' || substr(text, 1, 30) ||
+       |    '${sqLit(HtmlP1)}' || substr(text, 31, 170) ||
+       |    '${sqLit(HtmlP2)}' || substr(text, 201, 170) ||
+       |    '${sqLit(HtmlP3)}' || $extras
+       |    CASE WHEN doc_id % 3 = 0 THEN '${sqLit(HtmlPromo)}' ELSE '' END ||
+       |    '${sqLit(HtmlFoot)}'""".stripMargin
+
+  /** The t37 extraction CTE chain over a pages CTE `src(doc_id, html)`:
+    * emits b → hocc → pl → pw, where pw carries (doc_id, pos, v, lc,
+    * wc, stop) per block — the one source of truth for the extraction
+    * mirror, shared verbatim by the t37 and l9 oracles. */
+  private[queries] def htmlExtractCtesSql(src: String): String = {
     val stops = graft.text.HtmlText.DefaultStops
       .map(s => s"'$s'").mkString("[", ", ", "]")
     val wsV = "list_filter(string_split_regex(lower(v), '[^a-z0-9]+'), w -> w <> '')"
-    s"""WITH h AS (
-       |  SELECT doc_id,
-       |    '${sq(HtmlHead)}' || substr(text, 1, 30) ||
-       |    '${sq(HtmlP1)}' || substr(text, 31, 170) ||
-       |    '${sq(HtmlP2)}' || substr(text, 201, 170) ||
-       |    '${sq(HtmlP3)}' ||
-       |    CASE WHEN doc_id % 3 = 0 THEN '${sq(HtmlPromo)}' ELSE '' END ||
-       |    '${sq(HtmlFoot)}' AS html
-       |  FROM documents),
-       |b AS (
+    s"""b AS (
        |  SELECT doc_id, string_split(regexp_replace(regexp_replace(html,
        |    '(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>',
        |    ' ', 'g'),
        |    '(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>',
        |    chr(10), 'g'), chr(10)) AS lines
-       |  FROM h),
-       |occ AS (
+       |  FROM $src),
+       |hocc AS (
        |  SELECT doc_id, i AS pos, lines[i] AS line
        |  FROM (SELECT doc_id, lines, unnest(range(1, len(lines) + 1)) AS i
        |        FROM b)),
@@ -2076,11 +2081,27 @@ object TextQueries {
        |    coalesce(list_sum(list_transform(
        |      regexp_extract_all(line, '<a[^>]*>([^<]*)</a>', 1),
        |      y -> CAST(length(y) AS BIGINT))), 0) AS lc
-       |  FROM occ),
+       |  FROM hocc),
        |pw AS (
        |  SELECT doc_id, pos, v, lc, len($wsV) AS wc,
        |    list_has_any($wsV, $stops) AS stop
-       |  FROM pl),
+       |  FROM pl)""".stripMargin
+  }
+
+  def htmlExtract(spark: SparkSession, dir: String): DataFrame = {
+    val pages = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), htmlPageCol().as("html"))
+    graft.text.HtmlText.extract(pages, "html", "doc_id")
+      .withColumnRenamed("id", "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val htmlExtractSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${htmlPageSql()} AS html
+       |  FROM documents),
+       |${htmlExtractCtesSql("h")},
        |flags AS (
        |  SELECT doc_id, pos, v, (v <> '') AS nonblank,
        |    (v <> '' AND wc >= 5 AND (stop OR wc >= 15)) AS prose,
@@ -2095,7 +2116,6 @@ object TextQueries {
        |  COALESCE(string_agg(CASE WHEN prose AND lowlink THEN v END,
        |    chr(10) ORDER BY pos), '') AS text
        |FROM flags GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   // ---- t39: the full Gopher repetition suite ------------------------------
 
