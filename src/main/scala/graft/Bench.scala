@@ -21,6 +21,10 @@ import scala.collection.mutable
   *     samples,
   *   - sample codes: >=0 seconds; -1 = query THREW; -2 = never ran
   *     (budget abort or heavy-skip). Only -1 counts as a failure.
+  *     per_query uses the same sentinels: -1 only for queries that
+  *     actually threw, -2 for queries that never got a sample. With
+  *     exactly 2 valid samples per_query reports their MEAN (the
+  *     lower-middle "median" of 2 is the min — a systematic low bias).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -59,8 +63,17 @@ object Bench {
       val snap = names.map(n => n -> samples(n).toList)
       val results = snap.map { case (name, ss) =>
         val valid = ss.filter(_ >= 0).sorted
-        // median over surviving samples; lower-middle for even counts
-        val sec = if (valid.isEmpty) -1.0 else valid((valid.size - 1) / 2)
+        // median over surviving samples. For exactly 2 (the heavy-skip
+        // case) the lower-middle would be the MIN — systematically
+        // biasing heavy queries low vs 3-sample rounds — so report the
+        // mean instead. Sentinels: -1 = query THREW in every epoch it
+        // ran; -2 = never ran (budget abort / heavy-skip) — distinct so
+        // a consumer never mistakes unstarted work for a failure.
+        val sec =
+          if (valid.size == 2) (valid(0) + valid(1)) / 2.0
+          else if (valid.nonEmpty) valid((valid.size - 1) / 2)
+          else if (ss.isEmpty || ss.forall(_ == -2.0)) -2.0
+          else -1.0
         name -> sec
       }.toMap
       // failures = queries that actually THREW (-1) in ANY epoch — a

@@ -82,6 +82,22 @@ object Tables {
     }
   }
 
+  /** Guard for the synthetic dump constructions that offset planted ids
+    * by +1e6/+2e6/+3e6: if the id space ever grows past the offset,
+    * constructed ids collide with real ids IDENTICALLY on both engines
+    * — the oracle keeps passing while the stage-bite contracts (Bloom
+    * hits, keep-best eviction) silently stop being tested. Fail loudly
+    * instead. One max() scan, control-plane sized. */
+  def requireIdHeadroom(df: org.apache.spark.sql.DataFrame, idCol: String,
+      offset: Long = 1000000L): Unit = {
+    val row = df.agg(org.apache.spark.sql.functions
+      .max(org.apache.spark.sql.functions.col(idCol))).head()
+    val maxId = if (row.isNullAt(0)) -1L else row.getLong(0)
+    require(maxId < offset,
+      s"planted-id offset $offset assumes $idCol < $offset; got max=$maxId" +
+        " — raise the offsets in BOTH the query construction and its oracle")
+  }
+
   /** Register every table as a temp view so spark.sql(...) works too.
     * `events` goes through [[loadEvents]] so the SQL surface sees the
     * same normalized TimestampType ts as the DataFrame callers. */

@@ -106,6 +106,7 @@ object IngestQueries {
   def incrementalIngest(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+    Tables.requireIdHeadroom(docs, "doc_id")
     val corpus = stage(docs.filter(col("doc_id") % 2 === 0))
     val odd = docs.filter(col("doc_id") % 2 === 1)
     val dumpRaw = odd
@@ -474,6 +475,7 @@ object IngestQueries {
   def streamIngestGateQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("lang"), col("text"))
+    Tables.requireIdHeadroom(docs, "doc_id")
     val corpus = stage(docs.filter(col("doc_id") % 2 === 0))
     val odd = docs.filter(col("doc_id") % 2 === 1)
     val dumpRaw = odd

@@ -2017,11 +2017,15 @@ object TextQueries {
     * copyright footer (dropped by the function-word rule). */
   private[queries] val HtmlHead =
     "<html><head><style>body { color: red; font: 10px }</style>" +
-      "<script>var tracking = 1;</script></head><body>\n" +
+      "<script>for (var i = 0; i < 3; i++) { " +
+      "document.write('<div>ad</div>'); }</script></head><body>\n" +
       "<div class=\"nav\"><a href=\"/\">home</a> <a href=\"/about\">" +
       "about us</a> <a href=\"/contact\">contact</a></div>\n<h1>"
   private[queries] val HtmlP1 = "</h1>\n<p>"
-  private[queries] val HtmlP2 = " the end.</p>\n<p>"
+  // HtmlP2 carries a raw VERTICAL TAB (U+000B) between "the" and "end."
+  // — it pins the cross-engine whitespace class (Java \s eats VT, RE2
+  // \s does not; visible() now uses an explicit class on both sides)
+  private[queries] val HtmlP2 = " theend.</p>\n<p>"
   private[queries] val HtmlP3 = " and more.</p>\n"
   private[queries] val HtmlPromo =
     "<div>promo promo promo of the day <a href=\"/buy\">buy now</a> " +
@@ -2065,7 +2069,7 @@ object TextQueries {
     val wsV = "list_filter(string_split_regex(lower(v), '[^a-z0-9]+'), w -> w <> '')"
     s"""b AS (
        |  SELECT doc_id, string_split(regexp_replace(regexp_replace(html,
-       |    '(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>',
+       |    '(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>',
        |    ' ', 'g'),
        |    '(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>',
        |    chr(10), 'g'), chr(10)) AS lines
@@ -2077,7 +2081,7 @@ object TextQueries {
        |pl AS (
        |  SELECT doc_id, pos,
        |    trim(regexp_replace(regexp_replace(line, '<[^>]*>', ' ', 'g'),
-       |      '\\s+', ' ', 'g')) AS v,
+       |      '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS v,
        |    coalesce(list_sum(list_transform(
        |      regexp_extract_all(line, '<a[^>]*>([^<]*)</a>', 1),
        |      y -> CAST(length(y) AS BIGINT))), 0) AS lc
@@ -2128,8 +2132,14 @@ object TextQueries {
     * others arithmetically (plants are independent suffixes). */
   // continuation lines must never START with '||' — the outer
   // stripMargin would strip one pipe (the UrlCanonSql lesson)
+  // %19=3 plants EMPTY documents (overriding every other plant) and
+  // %19=4 plants NULL — both must land on the kernel's empty-document
+  // convention (all-zero fractions, rep_keep) on BOTH engines
   private[graft] val t39DeriveSql: String =
-    """substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
+    """CASE WHEN doc_id % 19 = 3 THEN ''
+      |    WHEN doc_id % 19 = 4 THEN CAST(NULL AS STRING)
+      |    ELSE
+      |    substr(text, 1, 80) || chr(10) || substr(text, 81, 80) ||
       |    chr(10) || chr(10) || substr(text, 161, 80) || chr(10) ||
       |    CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 80)
       |         ELSE substr(text, 241, 80) END ||
@@ -2139,7 +2149,8 @@ object TextQueries {
       |    CASE WHEN doc_id % 11 = 0 THEN chr(10) || chr(10) ||
       |      'zq wq yq xq vq zq wq yq xq vq zq wq yq xq vq' ELSE '' END ||
       |    CASE WHEN doc_id % 13 = 0 THEN chr(10) || chr(10) ||
-      |      repeat('ab cd ', 11) || 'ab cd' ELSE '' END""".stripMargin
+      |      repeat('ab cd ', 11) || 'ab cd' ELSE '' END
+      |    END""".stripMargin
 
   /** The FULL Gopher repetition signal suite
     * ([[graft.text.Cleaning.gopherRepetition]] — Rae et al. 2021
@@ -2164,7 +2175,8 @@ object TextQueries {
     val cuts = graft.text.Cleaning.GopherRepCuts
     val keep = cuts.map { case (c, thr) => s"$c <= $thr" }.mkString(" AND ")
     s"""WITH gd AS (
-       |  SELECT doc_id, $t39DeriveSql AS text2 FROM documents),
+       |  SELECT doc_id, COALESCE($t39DeriveSql, '') AS text2
+       |  FROM documents),
        |lp AS (
        |  SELECT doc_id, 'line' AS g,
        |    unnest(list_filter(string_split(text2, chr(10)), p -> p <> '')) AS p

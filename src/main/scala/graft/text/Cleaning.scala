@@ -158,7 +158,12 @@ object Cleaning {
     * precedes it. */
   def gopherRepetition(df: DataFrame, textCol: String,
       idCol: String): DataFrame = {
-    val st = graft.functions.GopherRepStats(col(s"`$textCol`"))
+    // NULL text is pinned to the empty-document convention (all-zero
+    // fractions, rep_keep = true) on BOTH engines — the kernel is
+    // null-intolerant and the DuckDB mirror's LEFT JOIN path would
+    // otherwise be the only thing deciding what NULL means
+    val st = graft.functions.GopherRepStats(
+      coalesce(col(s"`$textCol`"), lit("")))
     val names = Seq("n_lines", "dup_line_frac", "dup_line_char_frac",
       "n_paras", "dup_para_frac", "dup_para_char_frac") ++
       (2 to 4).map(n => s"top_${n}gram_char_frac") ++

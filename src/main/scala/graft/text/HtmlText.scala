@@ -35,22 +35,29 @@ object HtmlText {
 
   /** Drop script/style blocks (their content is never prose), break at
     * block-level tags, split into one array element per block. The
-    * script/style bodies must not contain '<' — the standard
-    * crawl-normalizer contract (a full HTML parser is out of scope for
-    * a columnar pass; nested-markup scripts are rare and fail SAFE:
-    * their fragments carry no stopwords and die at the keep rule). */
+    * body match is lazy DOTALL (`.*?`) up to the first closing tag, so
+    * script bodies containing '<' (`i < n`,
+    * `document.write('<div>')`) are stripped too — the eager `[^<]*`
+    * form left such blocks in place and their fragments carry JS
+    * keywords that collide with the stopword list (`for`, `in`, `of`,
+    * `is`, `it`, `a`, `with`), leaking code into extracted text. */
   def blocks(html: Column): Column = {
     val noScript = regexp_replace(html,
-      "(?i)<script[^>]*>[^<]*</script>|<style[^>]*>[^<]*</style>", " ")
+      "(?is)<script[^>]*>.*?</script>|<style[^>]*>.*?</style>", " ")
     val broken = regexp_replace(noScript,
       "(?i)</(?:p|div|h1|h2|h3|h4|li|tr|ul|ol|table|blockquote)>|<br */?>",
       "\n")
     split(broken, "\n")
   }
 
-  /** The block's rendered text: tags stripped, whitespace collapsed. */
+  /** The block's rendered text: tags stripped, whitespace collapsed.
+    * The whitespace set is pinned to an explicit class — Java's `\s`
+    * includes vertical tab U+000B while RE2's (the DuckDB mirror's)
+    * does not, so a bare `\s+` would extract differently cross-engine
+    * on a VT-bearing document. */
   def visible(line: Column): Column =
-    trim(regexp_replace(regexp_replace(line, "<[^>]*>", " "), "\\s+", " "))
+    trim(regexp_replace(regexp_replace(line, "<[^>]*>", " "),
+      "[ \\t\\n\\x0B\\f\\r]+", " "))
 
   /** Characters of anchor text in the block — the link-density
     * numerator. */
