@@ -566,11 +566,229 @@ object IngestQueries {
        |ORDER BY d.doc_id""".stripMargin
   }
 
+  // ---- l10: deletion propagation ("forget") across the stored states -----
+
+  /** The l8 loop's INVERSE: a delete batch (takedown / right-to-be-
+    * forgotten requests arriving between dumps) folded into every
+    * maintained state without re-scanning the corpus —
+    * [[graft.dedup.Forget]]. Stored state is built over the FULL
+    * corpus (near-dup pair set + component map, BM25 postings/df/
+    * totals); the delete set is every 17th document (which at the
+    * oracle SFs contains dup-group members, group ROOTS — forcing
+    * min-id re-election — and keep-best picks). The folds:
+    *
+    *   1. components: touched groups re-close over the stored pair
+    *      set restricted to survivors (blast-radius work; splits and
+    *      root takeovers handled by construction); untouched groups
+    *      pass through byte-identical (ForgetSpec pins the identity);
+    *   2. keep-best re-election over the folded labels (a deleted
+    *      best re-elects the next-best member — the d11 policy
+    *      surviving deletion);
+    *   3. BM25: the negative-batch fold (postings anti-join, df and
+    *      totals subtract the deleted docs' own buildState, zero-df
+    *      terms leave the dictionary).
+    *
+    * Output is the l8 long format (section, k, v1, v2); the oracle
+    * REBUILDS every section from the remaining corpus, so the hash is
+    * the cross-engine "fold ≡ rebuild-without" proof. Scale shape: all
+    * per-request work is bounded by the delete batch and its component
+    * blast radius; the only corpus-linear state is the Bloom bitmap
+    * (bits have no owner count — documented in [[graft.dedup.Forget]],
+    * rebuilt per delete BATCH, not per request). */
+  def deleteFold(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+    Tables.requireIdHeadroom(base, "doc_id")
+    // Planted component structure so every fold contract BITES (the
+    // natural near-dups at the oracle SFs barely intersect a %17
+    // delete set): a near-identical COPY of every 10th doc (2-member
+    // groups whose root/best the delete set sometimes removes), and a
+    // BRIDGE QUINTET for every 34th doc — A = first 400 chars,
+    // C = chars 201..600 (J(A,C) ≈ ⅓, below the 0.5 threshold),
+    // B = first 600 (J ≈ 0.55–0.9 to each side), plus near-identical
+    // twins A' and C' so each side SURVIVES deletion as a 2-member
+    // group. The offsets are chosen mod 17 so exactly the BRIDGE
+    // lands in the delete set (base %34 = 0 → residue 0; +2·10⁶ ≡ 1,
+    // +3·10⁶+9 ≡ 2 = deleted, +4·10⁶+1 ≡ 3, +5·10⁶ ≡ 11, +6·10⁶ ≡ 3).
+    // When the 4×4 LSH captures both bridge edges (J ≈ 0.55 sits on
+    // the weak part of the s-curve — deterministic per SF, identical
+    // on both engines), deleting B SPLITS the group; the split
+    // contract itself is pinned UNCONDITIONALLY in ForgetSpec with
+    // hand-built edges, independent of LSH capture.
+    val lake = stage(base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" near duplicate crawl copy")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"), col("lang"),
+          substring(col("text"), 1, 400).as("text")))
+      .unionByName(base.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 3000009L).as("doc_id"), col("lang"),
+          substring(col("text"), 1, 600).as("text")))
+      .unionByName(base.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 4000001L).as("doc_id"), col("lang"),
+          substring(col("text"), 201, 400).as("text")))
+      .unionByName(base.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 5000000L).as("doc_id"), col("lang"),
+          concat(substring(col("text"), 1, 400), lit(" v2")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 34 === 0)
+        .select((col("doc_id") + 6000000L).as("doc_id"), col("lang"),
+          concat(substring(col("text"), 201, 400), lit(" v2")).as("text"))))
+    val docs = lake
+    val deletes = stage(docs.filter(col("doc_id") % 17 === 2))
+    val remaining = docs.filter(col("doc_id") % 17 =!= 2)
+    // stored states, built over the FULL corpus (what the lake holds
+    // the moment the delete batch arrives)
+    val pairs = stage(Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+      shingleSize = ShingleN, numPerms = DedupQueries.NumPerms,
+      rowsPerBand = Band, threshold = Thr).select("ida", "idb"))
+    val stored = Components.connectedComponents(pairs, "ida", "idb")._1
+      .lockedCheckpoint()
+    val bm = graft.text.Bm25
+    val bmState = bm.buildState(docs, "text", "doc_id")
+    // the folds
+    val folded = graft.dedup.Forget.bm25(bmState, deletes, "text", "doc_id")
+    val labels2 = graft.dedup.Forget.components(stored, pairs,
+      deletes.select(col("doc_id").as("id"))).lockedCheckpoint()
+    val scored = remaining.select(col("doc_id").as("id"),
+      TextAnalysis.qualityE4("text").as("q"))
+    val kb = Components.keepBest(labels2, scored, "id", "component_id", "q")
+      .lockedCheckpoint()
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("v1"))
+        .select(lit("a_counts").as("section"), lit(name).as("k"),
+          col("v1"), lit(0L).as("v2"))
+    val counts = cnt("n_deleted", deletes)
+      .unionByName(cnt("n_members", labels2))
+      .unionByName(cnt("n_components",
+        labels2.select("component_id").distinct()))
+      .unionByName(cnt("n_kept", kb.filter(col("keep"))))
+      .unionByName(cnt("n_terms", folded.dfreq))
+    val member = kb.select(lit("b_member").as("section"),
+      col("id").cast("string").as("k"),
+      col("component_id").as("v1"),
+      col("keep").cast("long").as("v2"))
+    val bmDf = folded.dfreq
+      .join(folded.post.groupBy("term").agg(sum("tf").as("__tf")),
+        Seq("term"))
+      .select(lit("c_bm25_df").as("section"), col("term").as("k"),
+        col("__df").as("v1"), col("__tf").as("v2"))
+    val bmTot = folded.sums.select(lit("c_bm25_df").as("section"),
+      lit("__totals").as("k"), col("__n").as("v1"), col("__tt").as("v2"))
+    counts.unionByName(member).unionByName(bmDf).unionByName(bmTot)
+      .orderBy("section", "k")
+  }
+
+  /** Mirror: every section rebuilt from scratch over the REMAINING
+    * corpus — the d17 minhash closure at the l8 parameters, the d11
+    * keep-best argmax, flat token/df counts. Hash equality is the
+    * fold ≡ rebuild proof. */
+  val deleteFoldSql: String = {
+    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+    val perms = (0 until DedupQueries.NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val qe4 = s"CAST(${CorpusQueries.qualityE4ExprSql} AS BIGINT)"
+    s"""WITH RECURSIVE lake AS (
+       |  SELECT doc_id, lang, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000, lang,
+       |    text || ' near duplicate crawl copy'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000, lang, substr(text, 1, 400)
+       |  FROM documents WHERE doc_id % 34 = 0
+       |  UNION ALL SELECT doc_id + 3000009, lang, substr(text, 1, 600)
+       |  FROM documents WHERE doc_id % 34 = 0
+       |  UNION ALL SELECT doc_id + 4000001, lang, substr(text, 201, 400)
+       |  FROM documents WHERE doc_id % 34 = 0
+       |  UNION ALL SELECT doc_id + 5000000, lang,
+       |    substr(text, 1, 400) || ' v2'
+       |  FROM documents WHERE doc_id % 34 = 0
+       |  UNION ALL SELECT doc_id + 6000000, lang,
+       |    substr(text, 201, 400) || ' v2'
+       |  FROM documents WHERE doc_id % 34 = 0),
+       |rem AS (
+       |  SELECT doc_id, lang, text FROM lake WHERE doc_id % 17 <> 2),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
+       |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
+       |  FROM rem WHERE len($ws) >= $ShingleN),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // $Band AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // $Band),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+       |          >= $Thr),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+       |  FROM reach GROUP BY src),
+       |eq AS (SELECT doc_id, $qe4 AS q FROM rem),
+       |kb AS (
+       |  SELECT l.doc_id, l.comp,
+       |    (ROW_NUMBER() OVER (PARTITION BY comp
+       |       ORDER BY q DESC, l.doc_id) = 1) AS keep
+       |  FROM labels l JOIN eq USING (doc_id)),
+       |t AS (SELECT doc_id, $ws AS ws FROM rem),
+       |tf AS (
+       |  SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS term FROM t)
+       |  GROUP BY 1, 2)
+       |SELECT 'a_counts' AS section, 'n_deleted' AS k,
+       |  COUNT(*)::BIGINT AS v1, 0::BIGINT AS v2
+       |  FROM lake WHERE doc_id % 17 = 2
+       |UNION ALL SELECT 'a_counts', 'n_members', COUNT(*)::BIGINT, 0
+       |  FROM labels
+       |UNION ALL SELECT 'a_counts', 'n_components',
+       |  COUNT(DISTINCT comp)::BIGINT, 0 FROM labels
+       |UNION ALL SELECT 'a_counts', 'n_kept', COUNT(*)::BIGINT, 0
+       |  FROM kb WHERE keep
+       |UNION ALL SELECT 'a_counts', 'n_terms',
+       |  COUNT(DISTINCT term)::BIGINT, 0 FROM tf
+       |UNION ALL
+       |SELECT 'b_member', CAST(doc_id AS VARCHAR), comp,
+       |  CASE WHEN keep THEN 1 ELSE 0 END
+       |FROM kb
+       |UNION ALL
+       |SELECT 'c_bm25_df', term, COUNT(*)::BIGINT, SUM(tf)::BIGINT
+       |FROM tf GROUP BY term
+       |UNION ALL
+       |SELECT 'c_bm25_df', '__totals', COUNT(*)::BIGINT,
+       |  COALESCE(SUM(len(ws)), 0)::BIGINT FROM t
+       |ORDER BY section, k""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l10_delete_fold" -> (deleteFold _),
     "w20_stream_ingest_gate" -> (streamIngestGateQuery _),
     "l8_incremental_ingest" -> (incrementalIngest _))
 
   def oracleSql: Map[String, String] = Map(
+    "l10_delete_fold" -> deleteFoldSql,
     "w20_stream_ingest_gate" -> streamIngestGateSql,
     "l8_incremental_ingest" -> incrementalIngestSql)
 }

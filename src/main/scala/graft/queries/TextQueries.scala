@@ -2242,7 +2242,38 @@ object TextQueries {
        |SELECT *, ($keep) AS rep_keep FROM fr ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t40: deterministic training-order shuffle + sharding --------------
+
+  private val ShuffleShards = 8
+  private val ShuffleSeed = "r13"
+
+  /** [[graft.text.Sampling.shuffleShards]] over the corpus: the
+    * reproducible global shuffle a training dataloader reads — shard
+    * and within-shard order are pure functions of (seed, doc_id), so
+    * any re-run or resume produces byte-identical training files; a
+    * new seed re-deals the epoch. One hash-balanced shuffle + a
+    * per-shard sort; no global sort anywhere. */
+  def shuffleShardsQuery(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents").select("doc_id")
+    graft.text.Sampling.shuffleShards(docs, "doc_id",
+        ShuffleShards, ShuffleSeed)
+      .select("doc_id", "shard", "seq")
+      .orderBy("shard", "seq")
+  }
+
+  val shuffleShardsSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ('0x' || substr(md5('$ShuffleSeed:' || CAST(doc_id AS VARCHAR)),
+       |      1, 15))::UBIGINT::BIGINT AS k
+       |  FROM documents)
+       |SELECT doc_id, k % $ShuffleShards AS shard,
+       |  ROW_NUMBER() OVER (PARTITION BY k % $ShuffleShards
+       |    ORDER BY k, doc_id) AS seq
+       |FROM h ORDER BY shard, seq""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t40_shuffle_shards" -> (shuffleShardsQuery _),
     "t39_gopher_repetition" -> (gopherRepetition _),
     "t37_html_extract" -> (htmlExtract _),
     "t38_unigram_em2" -> (unigramEm2Encode _),
@@ -2284,6 +2315,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t40_shuffle_shards" -> shuffleShardsSql,
     "t39_gopher_repetition" -> gopherRepetitionSql,
     "t37_html_extract" -> htmlExtractSql,
     "t38_unigram_em2" -> unigramEm2EncodeSql,

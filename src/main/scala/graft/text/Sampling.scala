@@ -174,4 +174,30 @@ object Sampling {
     case Probability(p, pc) => weightedSample(df, groupCol, idCol, p, pc)
     case Temperature => temperatureSample(df, groupCol, idCol)
   }
+
+  /** Deterministic training-order shuffle + sharding: every document
+    * gets a seeded 60-bit hash key; shard = key mod `shards`, and the
+    * within-shard sequence is the (key, id) order — the reproducible
+    * global shuffle a training dataloader needs over a 100 TB corpus,
+    * where a true random permutation (a global sort by random key)
+    * is exactly the thing to avoid. Shape: ONE shuffle on the shard
+    * key (hash-balanced by construction) and a per-shard sort — no
+    * global ordering anywhere; each shard is an independently
+    * writable, independently readable training file whose order is a
+    * pure function of (seed, id), so a re-run, a resume, or a
+    * different cluster produces byte-identical shards. Changing the
+    * seed re-deals both the shard assignment and the order — epoch
+    * reshuffling without state. */
+  def shuffleShards(df: DataFrame, idCol: String, shards: Int,
+      seed: String): DataFrame = {
+    require(shards > 0, s"shards must be positive, got $shards")
+    val key = graft.dedup.Dedup.md5Long(
+      concat(lit(seed), lit(":"), col(s"`$idCol`").cast("string")))
+    df.withColumn("__k", key)
+      .withColumn("shard", pmod(col("__k"), lit(shards.toLong)))
+      .withColumn("seq", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("shard"))
+          .orderBy(col("__k"), col(s"`$idCol`"))).cast("long"))
+      .drop("__k")
+  }
 }
