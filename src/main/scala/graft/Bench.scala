@@ -19,6 +19,9 @@ import scala.collection.mutable
   *     15s) keep 2 samples instead of 3 — the composed pipelines are
   *     ~100s/epoch combined and the median logic tolerates missing
   *     samples,
+  *   - epochs run CHEAP-FIRST (by measured sf0.001 warmup time), so a
+  *     budget cut lands in the expensive tail and the partial epoch
+  *     still times the maximum number of queries,
   *   - sample codes: >=0 seconds; -1 = query THREW; -2 = never ran
   *     (budget abort or heavy-skip). Only -1 counts as a failure.
   *     per_query uses the same sentinels: -1 only for queries that
@@ -156,16 +159,27 @@ object Bench {
     // host cannot spend the measurement window warming up.
     val warmupCap = budgetS * 0.2
     var warmStop = false
+    val warmSec = mutable.HashMap.empty[String, Double]
     names.foreach { name =>
       if (!warmStop && elapsedS < warmupCap) {
+        val w0 = System.nanoTime()
         try { force(SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")) }
         catch { case _: Throwable => () }
+        warmSec(name) = (System.nanoTime() - w0) / 1e9
         dropState()
       } else if (!warmStop) {
         warmStop = true
         System.err.println(f"[bench] warmup budget spent at $elapsedS%.0fs; skipping remaining warmups")
       }
     }
+    // Epoch order is CHEAP-FIRST by measured warmup time (un-warmed
+    // queries last, alphabetical within ties): when the budget guard
+    // cuts an epoch short on a degraded host, the cut lands in the
+    // expensive tail, so the partial epoch still times the maximum
+    // number of queries. Round 12's driver run aborted epoch 1 at
+    // query 57/166 of the ALPHABETICAL order — the 1052s it did spend
+    // bought samples for barely a third of the suite.
+    val epochOrder = names.sortBy(n => (warmSec.getOrElse(n, Double.MaxValue), n))
 
     // Median of up to 3 INTERLEAVED suite epochs: this host's load is
     // bursty (±50% run-to-run on identical code) and bad intervals last
@@ -176,15 +190,21 @@ object Bench {
     var e = 0
     while (e < 3 && !aborted) {
       e += 1
-      names.foreach { name =>
+      epochOrder.foreach { name =>
         val prior = lock.synchronized(samples(name).toList)
         val bestPrior = prior.filter(_ >= 0) match {
           case Nil => Double.NaN; case vs => vs.min
         }
         // stop STARTING new work when the budget is tight: need room for
-        // this query (estimated from its best prior sample when known)
-        // plus a small floor for teardown + the final emit
-        val need = if (bestPrior.isNaN) 10.0 else bestPrior * 1.5 + 5.0
+        // this query (estimated from its best prior sample when known,
+        // else ~3× its sf0.001 warmup time) plus a small floor for
+        // teardown + the final emit
+        val need =
+          if (!bestPrior.isNaN) bestPrior * 1.5 + 5.0
+          else warmSec.get(name) match {
+            case Some(w) => math.max(10.0, w * 3.0 + 5.0)
+            case None => 10.0
+          }
         val heavySkip = e == 3 && !bestPrior.isNaN && bestPrior >= heavyS
         if (aborted || heavySkip) {
           lock.synchronized { samples(name) += -2.0 }

@@ -16,6 +16,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    writeOracleSql(outDir)
     // local-iteration subset (comma-separated names); the driver never
     // sets it, so its run always dumps the full suite
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
@@ -35,6 +36,15 @@ object Verify {
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
+    spark.stop()
+  }
+
+  /** oracle_sql.json is pure static content (SparkEntry.oracleSql) —
+    * written FIRST, before any query runs, so a kill landing anywhere
+    * in the dump loop still leaves the driver the SQL plus however
+    * many parquet results completed: a PARTIAL correctness artifact
+    * instead of the empty `{}` round 12 got when the window blew. */
+  private def writeOracleSql(outDir: String): Unit = {
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -71,6 +81,5 @@ object Verify {
       .flatMap { case (k, v) => Seq(k -> v, s"$k.parquet" -> v) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    spark.stop()
   }
 }
