@@ -2272,7 +2272,99 @@ object TextQueries {
        |    ORDER BY k, doc_id) AS seq
        |FROM h ORDER BY shard, seq""".stripMargin
 
+  // ---- t41: leakage-free (near-dup-component-aware) split ----------------
+
+  /** [[graft.text.Sampling.componentSplit]] over the corpus plus a
+    * planted near-dup copy of every 10th document: MinHash pairs at
+    * the d4 parameters → connected components → every component
+    * assigned to ONE split by the hash of its root id, singletons by
+    * their own id (≡ the t16 doc-grain split on them). The plants
+    * guarantee multi-member groups whose members' OWN id hashes
+    * disagree — the leakage t16 permits and this operator removes;
+    * ComponentSplitSpec pins the no-straddle law and the
+    * singleton ≡ t16 identity on constructed corpora. */
+  def leakageSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    Tables.requireIdHeadroom(base, "doc_id")
+    val lake = base.unionByName(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate crawl copy")).as("text")))
+    val pairs = graft.dedup.Dedup.minhashNearDuplicates(lake, "text",
+        "doc_id", shingleSize = 3, numPerms = 16, rowsPerBand = 4,
+        threshold = 0.8)
+      .select("ida", "idb")
+    val labels = graft.dedup.Components
+      .connectedComponents(pairs, "ida", "idb")._1
+    Sampling.componentSplit(lake, labels, "doc_id", SplitFractions)
+      .select("doc_id", "group_key", "split")
+      .orderBy("doc_id")
+  }
+
+  val leakageSafeSplitSql: String = {
+    val ws = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), w -> w <> '')"
+    val h30 = "(('0x' || substr(md5(g), 1, 15))::UBIGINT % 1073741824)::BIGINT"
+    val perms = (0 until 16).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % graft.dedup.Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${graft.dedup.Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    val thr = Sampling.splitThresholds(SplitFractions)
+    s"""WITH RECURSIVE lake AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    text || ' near duplicate crawl copy'
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($ws) - 1, 1)),
+       |    i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])) AS g
+       |  FROM lake WHERE len($ws) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, $h30 AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT ida, idb FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+       |          >= 0.8),
+       |edges AS MATERIALIZED (SELECT ida AS a, idb AS b FROM mh_pairs
+       |          UNION SELECT idb, ida FROM mh_pairs),
+       |reach AS (
+       |  SELECT a AS src, b AS dst FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+       |labels AS (
+       |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS comp
+       |  FROM reach GROUP BY src),
+       |keyed AS (
+       |  SELECT l.doc_id, COALESCE(lab.comp, l.doc_id) AS group_key
+       |  FROM lake l LEFT JOIN labels lab USING (doc_id))
+       |SELECT doc_id, group_key,
+       |  CASE WHEN h < ${thr(0)} THEN 'train'
+       |       WHEN h < ${thr(1)} THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, group_key,
+       |  ('0x' || substr(md5(group_key::VARCHAR), 1, 15))::UBIGINT::BIGINT AS h
+       |  FROM keyed)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t41_leakage_safe_split" -> (leakageSafeSplit _),
     "t40_shuffle_shards" -> (shuffleShardsQuery _),
     "t39_gopher_repetition" -> (gopherRepetition _),
     "t37_html_extract" -> (htmlExtract _),
@@ -2315,6 +2407,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t41_leakage_safe_split" -> leakageSafeSplitSql,
     "t40_shuffle_shards" -> shuffleShardsSql,
     "t39_gopher_repetition" -> gopherRepetitionSql,
     "t37_html_extract" -> htmlExtractSql,

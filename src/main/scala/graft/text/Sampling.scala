@@ -188,6 +188,30 @@ object Sampling {
     * different cluster produces byte-identical shards. Changing the
     * seed re-deals both the shard assignment and the order — epoch
     * reshuffling without state. */
+  /** Leakage-free train/val/test split: documents sharing a near-dup
+    * component are assigned as a UNIT, so no near-duplicate pair ever
+    * straddles train and test — the contamination a doc-grain hash
+    * split ([[splitAssign]], t16) silently permits whenever a crawl
+    * carries near-identical copies. `labels` is any component
+    * labelling `(id, component_id)` (MinHash, SimHash, embedding —
+    * the method is the caller's policy); the split hash reads
+    * group_key = component root for labelled docs, the document's own
+    * id otherwise, so on unlabelled docs this IS splitAssign —
+    * adopting the leakage-safe split changes nothing outside dup
+    * groups. Shape: one broadcast-sized left join (labels ∝ dup docs,
+    * not the corpus) + the stateless hash; no new shuffle at corpus
+    * grain. */
+  def componentSplit(df: DataFrame, labels: DataFrame, idCol: String,
+      fractions: Seq[(String, Double)]): DataFrame = {
+    val keyed = df.join(
+        labels.select(col("id").as("__lid"), col("component_id")),
+        col(s"`$idCol`") === col("__lid"), "left_outer")
+      .withColumn("group_key",
+        coalesce(col("component_id"), col(s"`$idCol`")))
+      .drop("__lid", "component_id")
+    splitAssign(keyed, "group_key", fractions)
+  }
+
   def shuffleShards(df: DataFrame, idCol: String, shards: Int,
       seed: String): DataFrame = {
     require(shards > 0, s"shards must be positive, got $shards")
