@@ -747,7 +747,74 @@ object SimQueries {
        |  FROM rr)
        |WHERE rk <= $BmK ORDER BY query_id, rk""".stripMargin
 
+  // ---- s15: ANN recall@k evaluation ------------------------------------
+
+  /** Recall@k of the s5 IVF index against the s1 exact brute force —
+    * the eval a 100 TB similarity deployment runs before trusting an
+    * approximate index ("measure, don't guess": nprobe/nlist tuning
+    * is THIS number against the probe cost). Per query: |IVF top-k ∩
+    * exact top-k| as an integer n_hit (no float recall — k is in the
+    * output, the ratio is the consumer's division). Shape: the exact
+    * side broadcasts NQueries vectors against the corpus (one pass,
+    * no pair blowup); the intersection is a left-semi join at
+    * (query, neighbor) grain — both sides' ranking conventions
+    * (round-4 score, id tie-break) are the shared s1/s5 ones, so the
+    * intersection is engine-identical. IvfRecallSpec pins the
+    * nprobe = nlist ⇒ recall ≡ 1 law. */
+  def annRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.load(spark, dir, "embeddings").lockedCheckpoint()
+    val qs = emb.filter(col("vec_id") < NQueries)
+    // barriers: each side's plan carries 64-term unrolled vector
+    // arithmetic; joining the two raw plans sends Catalyst's optimizer
+    // super-linear (40s of planning at ANY sf vs ~2s of execution)
+    val exact = Similarity.cosineTopK(emb, qs, "vec_id", "embedding", IvfK)
+      .lockedCheckpoint()
+    val approx = Similarity.ivfCosineTopK(emb, "vec_id", "embedding",
+        k = IvfK, nlist = IvfNlist, nprobe = IvfNprobe,
+        maxSample = IvfMaxSample)
+      .filter(col("query_id") < NQueries)
+      .lockedCheckpoint()
+    val hits = exact
+      .join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hit"))
+    qs.select(col("vec_id").as("query_id"))
+      .join(hits, Seq("query_id"), "left_outer")
+      .select(col("query_id"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        lit(IvfK.toLong).as("k"))
+      .orderBy("query_id")
+  }
+
+  /** Mirror: the s1 exact CTE at k = IvfK, the FULL s5 oracle (the
+    * unrolled seeded Lloyd fit + probe tail) nested as a CTE, and the
+    * (query, neighbor)-grain intersection count. */
+  val annRecallSql: String =
+    s"""WITH exact AS MATERIALIZED (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY a.vec_id
+       |        ORDER BY ROUND($dotSql / (${normSql("a")} * ${normSql("b")}), 4) DESC,
+       |                 b.vec_id) AS rk
+       |    FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+       |    WHERE a.vec_id < $NQueries)
+       |  WHERE rk <= $IvfK),
+       |approx AS MATERIALIZED (
+       |""".stripMargin +
+      ivfTopKSql + "\n),\n" +
+      s"""hits AS (
+         |  SELECT e.query_id, COUNT(*)::BIGINT AS n_hit
+         |  FROM exact e JOIN approx a
+         |    ON e.query_id = a.query_id AND e.neighbor_id = a.neighbor_id
+         |  GROUP BY e.query_id)
+         |SELECT q.vec_id AS query_id, COALESCE(h.n_hit, 0)::BIGINT AS n_hit,
+         |  $IvfK::BIGINT AS k
+         |FROM embeddings q LEFT JOIN hits h ON q.vec_id = h.query_id
+         |WHERE q.vec_id < $NQueries
+         |ORDER BY query_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s15_ann_recall" -> (annRecall _),
     "s14_hybrid_rerank" -> (hybridRerank _),
     "s13_bm25_incremental" -> (bm25Incremental _),
     "s12_bm25_topk" -> (bm25TopK _),
@@ -763,6 +830,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "s15_ann_recall" -> annRecallSql,
     "s14_hybrid_rerank" -> hybridRerankSql,
     "s13_bm25_incremental" -> bm25IncrementalSql,
     "s12_bm25_topk" -> bm25TopKSql,

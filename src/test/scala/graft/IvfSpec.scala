@@ -29,6 +29,19 @@ class IvfSpec extends SparkSpec {
     assert(recall > 0.5, s"recall@10 = $recall")
   }
 
+  test("s15 recall surface: one row per query, recall@10 >= 0.9 at sf0.001") {
+    val rows = graft.queries.SimQueries.annRecall(spark, sf).collect()
+    assert(rows.length == 10)
+    val (hit, k) = rows.map(r =>
+      (r.getAs[Long]("n_hit"), r.getAs[Long]("k"))).unzip match {
+      case (hs, ks) => (hs.sum, ks.sum)
+    }
+    assert(rows.forall(r => r.getAs[Long]("n_hit") >= 0 &&
+      r.getAs[Long]("n_hit") <= r.getAs[Long]("k")))
+    // measured 0.95 at sf0.001 (nprobe 7/8) — the documented s5 bound
+    assert(hit.toDouble / k >= 0.9, s"recall = ${hit.toDouble / k}")
+  }
+
   test("PQ codes and ADC distances match a hand-computed tiny case") {
     import spark.implicits._
     // dim 4, m=2 subspaces of dsub=2, ksub=2 rows each.
