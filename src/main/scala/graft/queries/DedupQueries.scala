@@ -1055,6 +1055,7 @@ object DedupQueries {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s16_contrastive_pairs" -> (contrastiveTriples _),
     "d20_bloom_dedup" -> (bloomDedup _),
     "d16_cjk_neardups" -> (cjkNearDups _),
     "d1_exact_dup_groups" -> (exactDupGroups _),
@@ -1077,7 +1078,99 @@ object DedupQueries {
     "d17_incremental_components" -> (incrementalComponentsQuery _),
     "s6_semantic_dedup" -> (semanticDedup _))
 
+  // ---- s16: contrastive (anchor, positive, hard-negative) mining --------
+
+  /** [[graft.dedup.Contrastive.minedTriples]] over the corpus plus a
+    * positive plant (a near-dup copy of every 10th doc, j ≈ 0.9) and
+    * a hard-negative plant (the first HALF of every 20th doc, shingle
+    * Jaccard ≈ 0.5 — lands in the band s-curve's false-positive tail,
+    * the almost-positive an embedding model needs): the d4 band shape
+    * unchanged, verified candidates kept with their raw Jaccard, and
+    * per anchor the best ≥ 0.8 candidate as positive and the best
+    * candidate in [0.3, 0.6) as hard negative (sub-0.3 collisions are
+    * easy negatives — no slot). ContrastiveSpec pins the class
+    * boundaries and the both-classes-required emission on constructed
+    * corpora. */
+  def contrastiveTriples(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    graft.Tables.requireIdHeadroom(base, "doc_id")
+    val lake = base
+      .unionByName(base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" near duplicate crawl copy")).as("text")))
+      .unionByName(base.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          expr("substring(text, 1, cast(length(text)/2 as int))").as("text")))
+    graft.dedup.Contrastive.minedTriples(lake, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4,
+        posThr = 0.8, negThr = 0.6, negFloor = 0.3)
+      .select(col("anchor_id"), col("pos_id"),
+        round(col("pos_jaccard"), 6).as("pos_jaccard"),
+        col("neg_id"), round(col("neg_jaccard"), 6).as("neg_jaccard"))
+      .orderBy("anchor_id")
+  }
+
+  val contrastiveTriplesSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lake AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    text || ' near duplicate crawl copy'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000,
+       |    substr(text, 1, (length(text) // 2)::INTEGER)
+       |  FROM documents WHERE doc_id % 20 = 0),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 1, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2])) AS g
+       |  FROM lake WHERE len($WS) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |jpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  JOIN cands c ON c.ida = a.doc_id AND c.idb = b.doc_id
+       |  GROUP BY 1, 2),
+       |jall AS (
+       |  SELECT ida, idb,
+       |    CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j
+       |  FROM jpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id),
+       |sym AS (SELECT ida, idb, j FROM jall
+       |        UNION ALL SELECT idb, ida, j FROM jall),
+       |pos AS (
+       |  SELECT ida AS anchor_id, idb AS pos_id, j AS pos_j FROM (
+       |    SELECT ida, idb, j, ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY j DESC, idb) AS rk
+       |    FROM sym WHERE j >= 0.8) WHERE rk = 1),
+       |neg AS (
+       |  SELECT ida AS anchor_id, idb AS neg_id, j AS neg_j FROM (
+       |    SELECT ida, idb, j, ROW_NUMBER() OVER (PARTITION BY ida
+       |      ORDER BY j DESC, idb) AS rk
+       |    FROM sym WHERE j < 0.6 AND j >= 0.3) WHERE rk = 1)
+       |SELECT p.anchor_id, p.pos_id, ROUND(p.pos_j, 6) AS pos_jaccard,
+       |  n.neg_id, ROUND(n.neg_j, 6) AS neg_jaccard
+       |FROM pos p JOIN neg n USING (anchor_id)
+       |ORDER BY anchor_id""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "s16_contrastive_pairs" -> contrastiveTriplesSql,
     "d20_bloom_dedup" -> bloomDedupSql,
     "d16_cjk_neardups" -> cjkNearDupsSql,
     "d1_exact_dup_groups" -> exactDupGroupsSql,
