@@ -813,7 +813,56 @@ object SimQueries {
          |WHERE q.vec_id < $NQueries
          |ORDER BY query_id""".stripMargin
 
+  // ---- l11: the per-language epoch/sampling plan -------------------------
+
+  /** [[graft.sim.DomainMix.epochPlan]] over documents grouped by
+    * language at B = half the corpus tokens, maxEpochs = 4: the
+    * handoff artifact a training run consumes — per language the
+    * √-temperature target, the epoch count an under-sized language
+    * repeats, the deficit the epoch cap leaves (reported, never
+    * silently redistributed), and the 60-bit md5-gate threshold that
+    * downsamples an over-sized language in one pass. All-integer
+    * arithmetic (isqrt weights, fixed-point thresholds) so the plan
+    * is bit-identical in any engine. */
+  def epochPlanQuery(spark: SparkSession, dir: String): DataFrame = {
+    val perDoc = Tables.load(spark, dir, "documents")
+      .select(col("lang"),
+        graft.text.TextAnalysis.tokenCount("text").as("n_toks"))
+    graft.sim.DomainMix.epochPlan(perDoc, "lang", "n_toks",
+        budgetNum = 1L, budgetDen = 2L, maxEpochs = 4)
+      .withColumnRenamed("group", "lang")
+      .orderBy("lang")
+  }
+
+  val epochPlanSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, len($MixWs)::BIGINT AS n FROM documents),
+       |g AS (
+       |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       |    COALESCE(SUM(n), 0)::BIGINT AS tokens_avail
+       |  FROM toks GROUP BY lang),
+       |g2 AS (
+       |  SELECT *, CAST(FLOOR(SQRT(tokens_avail::DOUBLE)) AS BIGINT) AS sqrt_w
+       |  FROM g),
+       |tot AS (SELECT SUM(tokens_avail)::BIGINT AS tt,
+       |  SUM(sqrt_w)::BIGINT AS sw FROM g2),
+       |p AS (
+       |  SELECT g2.*,
+       |    (((tt // 2) * sqrt_w) // greatest(sw, 1))::BIGINT AS target_tokens
+       |  FROM g2, tot)
+       |SELECT lang, n_docs, tokens_avail, sqrt_w, target_tokens,
+       |  LEAST(CASE WHEN tokens_avail > 0
+       |          THEN (target_tokens + tokens_avail - 1) // tokens_avail
+       |          ELSE 0 END, 4)::BIGINT AS epochs,
+       |  LEAST(target_tokens, 4 * tokens_avail)::BIGINT AS achieved_tokens,
+       |  (target_tokens - LEAST(target_tokens, 4 * tokens_avail))::BIGINT AS deficit,
+       |  (CASE WHEN tokens_avail > target_tokens
+       |     THEN ((target_tokens * ${1L << 40}) // tokens_avail) * ${1L << 20}
+       |     ELSE ${1L << 60} END)::BIGINT AS rate_thr
+       |FROM p ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "l11_epoch_plan" -> (epochPlanQuery _),
     "s15_ann_recall" -> (annRecall _),
     "s14_hybrid_rerank" -> (hybridRerank _),
     "s13_bm25_incremental" -> (bm25Incremental _),
@@ -830,6 +879,7 @@ object SimQueries {
     "s7_domain_mix" -> (domainMix _))
 
   def oracleSql: Map[String, String] = Map(
+    "l11_epoch_plan" -> epochPlanSql,
     "s15_ann_recall" -> annRecallSql,
     "s14_hybrid_rerank" -> hybridRerankSql,
     "s13_bm25_incremental" -> bm25IncrementalSql,

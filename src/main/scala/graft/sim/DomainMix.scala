@@ -137,6 +137,63 @@ object DomainMix {
         .as("share_fp"))
   }
 
+  /** The epoch/sampling PLAN — the artifact a training run actually
+    * consumes: given per-document token counts grouped by `groupCol`
+    * and a token budget B = total·budgetNum/budgetDen, allocate B
+    * across groups by √-temperature weights (target_g ∝ ⌊√T_g⌋, the
+    * α = 0.5 multilingual rebalance in INTEGER form — isqrt is
+    * floor(correctly-rounded sqrt) of an exactly-represented Long,
+    * identical in any engine) and report per group:
+    *
+    *  - tokens_avail / n_docs — what the corpus holds;
+    *  - target_tokens = B·s_g/Σs — what the mixture wants;
+    *  - epochs = ⌈target/avail⌉ capped at `maxEpochs` — how many
+    *    passes over an UNDER-sized group the plan repeats (the
+    *    LLaMA-style per-source epoch table);
+    *  - achieved_tokens = min(target, maxEpochs·avail) and the
+    *    deficit the cap leaves — reported, NOT silently
+    *    redistributed: reweighting is the consumer's next call;
+    *  - rate_thr — for an OVER-sized group, the 60-bit md5-gate
+    *    threshold ([[mixtureRates]] convention) that downsamples a
+    *    single pass to the target.
+    *
+    * Shape: one groupBy(`groupCol`) partial agg + a broadcast 1-row
+    * total — control-plane output, corpus-linear input. Long
+    * arithmetic holds to ~8·10¹² target tokens per group (target·2⁴⁰
+    * in the threshold); beyond that, pre-shift the fixed-point scale.
+    */
+  def epochPlan(perDoc: DataFrame, groupCol: String, tokCol: String,
+      budgetNum: Long, budgetDen: Long, maxEpochs: Int): DataFrame = {
+    require(budgetNum > 0 && budgetDen > 0 && maxEpochs >= 1,
+      s"bad plan parameters: $budgetNum/$budgetDen, $maxEpochs")
+    import graft.text.LanguageModel.ldiv
+    val g = perDoc.groupBy(col(s"`$groupCol`").as("group"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col(s"`$tokCol`")), lit(0L)).as("tokens_avail"))
+      .withColumn("sqrt_w",
+        floor(sqrt(col("tokens_avail").cast("double"))).cast("long"))
+    val tot = g.agg(sum("tokens_avail").as("__tt"), sum("sqrt_w").as("__sw"))
+    val planned = g.crossJoin(broadcast(tot))
+      .withColumn("target_tokens",
+        ldiv(ldiv(col("__tt") * lit(budgetNum), lit(budgetDen)) * col("sqrt_w"),
+          greatest(col("__sw"), lit(1L))))
+      .withColumn("epochs",
+        least(when(col("tokens_avail") > 0L,
+            ldiv(col("target_tokens") + col("tokens_avail") - 1L,
+              col("tokens_avail")))
+          .otherwise(lit(0L)), lit(maxEpochs.toLong)))
+      .withColumn("achieved_tokens",
+        least(col("target_tokens"), lit(maxEpochs.toLong) * col("tokens_avail")))
+      .withColumn("deficit", col("target_tokens") - col("achieved_tokens"))
+      .withColumn("rate_thr",
+        when(col("tokens_avail") > col("target_tokens"),
+          ldiv(col("target_tokens") * lit(1L << 40),
+            col("tokens_avail")) * lit(1L << 20))
+          .otherwise(lit(1L << 60)))
+    planned.select("group", "n_docs", "tokens_avail", "sqrt_w",
+      "target_tokens", "epochs", "achieved_tokens", "deficit", "rate_thr")
+  }
+
   /** The mixture as 60-bit SAMPLING thresholds — the form
     * [[graft.text.Sampling.weightedSample]]'s md5 gate consumes: the
     * hottest domain keeps everything (threshold 2⁶⁰), the others scale
