@@ -834,9 +834,14 @@ object SimQueries {
       .orderBy("lang")
   }
 
-  val epochPlanSql: String =
-    s"""WITH toks AS (
-       |  SELECT lang, len($MixWs)::BIGINT AS n FROM documents),
+  /** The l11 plan derivation as a reusable CTE chain (toks → g → g2 →
+    * tot → p); consumers read `p` (lang, n_docs, tokens_avail,
+    * sqrt_w, target_tokens). `where` filters the training corpus —
+    * w21 trains the deployed plan on the md5-even history. */
+  def epochPlanChainSql(where: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, lang, len($MixWs)::BIGINT AS n
+       |  FROM documents $where),
        |g AS (
        |  SELECT lang, COUNT(*)::BIGINT AS n_docs,
        |    COALESCE(SUM(n), 0)::BIGINT AS tokens_avail
@@ -849,7 +854,10 @@ object SimQueries {
        |p AS (
        |  SELECT g2.*,
        |    (((tt // 2) * sqrt_w) // greatest(sw, 1))::BIGINT AS target_tokens
-       |  FROM g2, tot)
+       |  FROM g2, tot)""".stripMargin
+
+  val epochPlanSql: String =
+    s"""WITH ${epochPlanChainSql("")}
        |SELECT lang, n_docs, tokens_avail, sqrt_w, target_tokens,
        |  LEAST(CASE WHEN tokens_avail > 0
        |          THEN (target_tokens + tokens_avail - 1) // tokens_avail

@@ -1406,7 +1406,81 @@ object StreamQueries {
        |ORDER BY s.doc_id""".stripMargin
   }
 
+  // ---- w21: streaming training-feed router (batch twin) ------------------
+
+  private val FeedSeed = "r13"
+  private val FeedShards = 8
+
+  /** The DEPLOYED stage: broadcast stream-static join to the trained
+    * plan + pure stateless columns — append-mode legal verbatim
+    * (StreamingSpec pins the MemoryStream run). `dump` carries
+    * (doc_id, lang, n_toks); `plan` is (lang, rate_thr) from
+    * [[graft.sim.DomainMix.epochPlan]]. */
+  def trainingFeedStage(dump: DataFrame, plan: DataFrame): DataFrame =
+    dump.join(broadcast(plan), Seq("lang"))
+      .withColumn("sample_key",
+        graft.dedup.Dedup.md5Long(col("doc_id").cast("string")))
+      .withColumn("admitted", col("sample_key") < col("rate_thr"))
+      .withColumn("shard",
+        pmod(graft.dedup.Dedup.md5Long(concat(lit(FeedSeed), lit(":"),
+          col("doc_id").cast("string"))), lit(FeedShards.toLong)))
+
+  /** The l11 epoch/sampling plan DEPLOYED on the feed: the plan is
+    * trained on the md5-even HISTORY (control plane), and each
+    * md5-odd arrival is routed per row — its language's 60-bit
+    * threshold gates admission (an over-represented language thins to
+    * its planned single-pass rate; an under-represented one keeps
+    * everything — its extra epochs are the PLAN's repeated-pass job,
+    * not the stream's), and every arrival gets its reproducible
+    * training shard (the t40 seeded hash, stateless; within-shard
+    * sequence is the shard writer's stateful concern). */
+  def streamTrainingFeed(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    val hkey = pmod(graft.dedup.Dedup.md5Long(col("doc_id").cast("string")),
+      lit(2L))
+    val hist = docs.filter(hkey === 0L)
+      .select(col("lang"),
+        graft.text.TextAnalysis.tokenCount("text").as("n_toks"))
+    val plan = graft.sim.DomainMix.epochPlan(hist, "lang", "n_toks",
+        budgetNum = 1L, budgetDen = 2L, maxEpochs = 4)
+      .select(col("group").as("lang"), col("rate_thr"))
+    val dump = docs.filter(hkey === 1L)
+      .select(col("doc_id"), col("lang"),
+        graft.text.TextAnalysis.tokenCount("text").as("n_toks"))
+    trainingFeedStage(dump, plan)
+      .select("doc_id", "lang", "n_toks", "sample_key", "rate_thr",
+        "admitted", "shard")
+      .orderBy("doc_id")
+  }
+
+  /** Mirror: the shared l11 chain over the md5-even history, the
+    * threshold CASE, and the md5 gate + shard hash over the odd dump. */
+  val streamTrainingFeedSql: String = {
+    val key = "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::UBIGINT"
+    s"""WITH ${SimQueries.epochPlanChainSql(s"WHERE $key % 2 = 0")},
+       |plan AS (
+       |  SELECT lang,
+       |    (CASE WHEN tokens_avail > target_tokens
+       |       THEN ((target_tokens * ${1L << 40}) // tokens_avail) * ${1L << 20}
+       |       ELSE ${1L << 60} END)::BIGINT AS rate_thr
+       |  FROM p),
+       |dump AS (
+       |  SELECT doc_id, lang, n AS n_toks,
+       |    ($key)::BIGINT AS sample_key
+       |  FROM (SELECT doc_id, lang,
+       |          len(list_filter(string_split_regex(lower(text),
+       |            '[^a-zà-ÿ0-9]+'), w -> w <> ''))::BIGINT AS n
+       |        FROM documents WHERE $key % 2 = 1))
+       |SELECT d.doc_id, d.lang, d.n_toks, d.sample_key, r.rate_thr,
+       |  d.sample_key < r.rate_thr AS admitted,
+       |  (('0x' || substr(md5('$FeedSeed:' || CAST(d.doc_id AS VARCHAR)),
+       |    1, 15))::UBIGINT::BIGINT % $FeedShards) AS shard
+       |FROM dump d JOIN plan r USING (lang)
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "w21_stream_training_feed" -> (streamTrainingFeed _),
     "w19_stream_mixture_sample" -> (streamMixtureSample _),
     "w18_stream_bm25_gate" -> (streamBm25Gate _),
     "w17_stream_kn_gate" -> (streamKnGate _),
@@ -1427,6 +1501,7 @@ object StreamQueries {
     "w9_stream_neardup" -> (streamNearDupEvidence _))
 
   def oracleSql: Map[String, String] = Map(
+    "w21_stream_training_feed" -> streamTrainingFeedSql,
     "w19_stream_mixture_sample" -> streamMixtureSampleSql,
     "w18_stream_bm25_gate" -> streamBm25GateSql,
     "w17_stream_kn_gate" -> streamKnGateSql,
