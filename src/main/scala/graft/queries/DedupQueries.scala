@@ -1054,7 +1054,120 @@ object DedupQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- d21: empirical LSH recall curve -----------------------------------
+
+  /** The dedup twin of the s15 ANN eval — the MinHash band s-curve
+    * measured IN VIVO instead of trusted from theory: exact-Jaccard
+    * ground-truth pairs (inverted-index join, the d2 machinery, no
+    * candidate restriction) bucketed by similarity decile, against
+    * the pairs the d4 band structure actually captured. Per bucket:
+    * n_truth, n_captured, integer recall ×10⁴. This is the number
+    * that justifies (or indicts) the production (numPerms,
+    * rowsPerBand) choice at a given dedup threshold — theory says
+    * P(capture | j) = 1−(1−j⁴)⁴; the curve says what the corpus got.
+    * Captured pairs verify with the same exact Jaccard, so captured ⊆
+    * truth by construction and recall is a plain semi-join count. */
+  def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.LanguageModel.ldiv
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    graft.Tables.requireIdHeadroom(base, "doc_id")
+    // the natural corpus only holds j >= 0.9 near-dups — a one-bucket
+    // curve measures nothing. Plant a similarity GRADIENT off every
+    // 10th doc: a suffix copy (j ~ 0.9), a two-thirds prefix
+    // (j ~ 0.6), a half prefix (j ~ 0.45), so the falloff the curve
+    // exists to show has rows in every decile
+    val tenth = base.filter(col("doc_id") % 10 === 0)
+    val docs = base
+      .unionByName(tenth.select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" near duplicate crawl copy")).as("text")))
+      .unionByName(tenth.select((col("doc_id") + 2000000L).as("doc_id"),
+        expr("substring(text, 1, cast(length(text)*2/3 as int))").as("text")))
+      .unionByName(tenth.select((col("doc_id") + 3000000L).as("doc_id"),
+        expr("substring(text, 1, cast(length(text)/2 as int))").as("text")))
+    val sh = graft.ops.StagePersists.track(
+      Dedup.wordShingles(docs, "text", "doc_id", 3))
+    val truth = Dedup.jaccardPairs(sh, threshold = 0.4, maxDocFreq = 100000)
+      .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
+    val captured = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4,
+        threshold = 0.4)
+      .select("ida", "idb")
+    val cap = truth.join(captured, Seq("ida", "idb"), "left_semi")
+      .groupBy("bucket").agg(count(lit(1)).as("n_captured"))
+    truth.groupBy("bucket").agg(count(lit(1)).as("n_truth"))
+      .join(cap, Seq("bucket"), "left_outer")
+      .select(col("bucket"), col("n_truth"),
+        coalesce(col("n_captured"), lit(0L)).as("n_captured"),
+        ldiv(coalesce(col("n_captured"), lit(0L)) * lit(10000L),
+          col("n_truth")).as("recall_e4"))
+      .orderBy("bucket")
+  }
+
+  val lshRecallCurveSql: String = {
+    val perms = (0 until NumPerms).map { p =>
+      val a = 2 * (p + 1) + 1
+      val b = (7919L * (p + 1)) % Dedup.P
+      s"SELECT doc_id AS id, $p AS perm_id, MIN(($a * h + $b) % ${Dedup.P}) AS min_hash FROM hashes GROUP BY doc_id"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH lake AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    text || ' near duplicate crawl copy'
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 2000000,
+       |    substr(text, 1, ((length(text) * 2) // 3)::INTEGER)
+       |  FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL SELECT doc_id + 3000000,
+       |    substr(text, 1, (length(text) // 2)::INTEGER)
+       |  FROM documents WHERE doc_id % 10 = 0),
+       |g0 AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, greatest(len($WS) - 1, 1)),
+       |    i -> $WS[i] || ' ' || $WS[i+1] || ' ' || $WS[i+2])) AS g
+       |  FROM lake WHERE len($WS) >= 3),
+       |grams AS (SELECT DISTINCT doc_id, g FROM g0),
+       |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |tpairs AS (
+       |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2),
+       |truth AS (
+       |  SELECT ida, idb,
+       |    CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE) AS j
+       |  FROM tpairs
+       |  JOIN sizes sa ON ida = sa.doc_id
+       |  JOIN sizes sb ON idb = sb.doc_id
+       |  WHERE CAST(common AS DOUBLE) / CAST(sa.sz + sb.sz - common AS DOUBLE)
+       |          >= 0.4),
+       |hashes AS (SELECT doc_id, ${h30("g")} AS h FROM grams),
+       |sigs AS ($perms),
+       |bands AS (
+       |  SELECT id, perm_id // 4 AS band,
+       |    md5(string_agg(min_hash::VARCHAR, ',' ORDER BY perm_id)) AS bucket
+       |  FROM sigs GROUP BY id, perm_id // 4),
+       |cands AS (
+       |  SELECT DISTINCT a.id AS ida, b.id AS idb
+       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bucket = b.bucket
+       |  WHERE a.id < b.id),
+       |tb AS (
+       |  SELECT ida, idb, CAST(FLOOR(j * 10) AS BIGINT) AS bucket
+       |  FROM truth),
+       |capt AS (
+       |  SELECT t.bucket, COUNT(*)::BIGINT AS n_captured
+       |  FROM tb t JOIN cands c ON t.ida = c.ida AND t.idb = c.idb
+       |  GROUP BY t.bucket),
+       |tr AS (
+       |  SELECT bucket, COUNT(*)::BIGINT AS n_truth
+       |  FROM tb GROUP BY bucket)
+       |SELECT tr.bucket, tr.n_truth,
+       |  COALESCE(capt.n_captured, 0)::BIGINT AS n_captured,
+       |  ((COALESCE(capt.n_captured, 0) * 10000) // tr.n_truth)::BIGINT
+       |    AS recall_e4
+       |FROM tr LEFT JOIN capt USING (bucket)
+       |ORDER BY tr.bucket""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d21_lsh_recall" -> (lshRecallCurve _),
     "s16_contrastive_pairs" -> (contrastiveTriples _),
     "d20_bloom_dedup" -> (bloomDedup _),
     "d16_cjk_neardups" -> (cjkNearDups _),
@@ -1170,6 +1283,7 @@ object DedupQueries {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "d21_lsh_recall" -> lshRecallCurveSql,
     "s16_contrastive_pairs" -> contrastiveTriplesSql,
     "d20_bloom_dedup" -> bloomDedupSql,
     "d16_cjk_neardups" -> cjkNearDupsSql,
