@@ -1066,7 +1066,12 @@ object DedupQueries {
     * rowsPerBand) choice at a given dedup threshold — theory says
     * P(capture | j) = 1−(1−j⁴)⁴; the curve says what the corpus got.
     * Captured pairs verify with the same exact Jaccard, so captured ⊆
-    * truth by construction and recall is a plain semi-join count. */
+    * truth by construction and recall is a plain semi-join count.
+    * 100 TB shape: the truth side is the one deliberately exhaustive
+    * join in the engine — an EVAL, run on a deterministic md5 sample
+    * of the corpus (the statistics need thousands of pairs, not the
+    * full lake) with the d12 df cap bounding the inverted index; the
+    * production dedup path never pays this. */
   def lshRecallCurve(spark: SparkSession, dir: String): DataFrame = {
     import graft.text.LanguageModel.ldiv
     val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
