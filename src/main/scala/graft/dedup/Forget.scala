@@ -111,7 +111,7 @@ object Forget {
       .join(survivors.select(col("id").as("v")), Seq("v"), "left_semi")
     // blast-radius-sized; checkpointed for the same Catalyst
     // union-constraint reasons as incrementalComponents
-    val relabeled = Components.connectedComponents(pSub, "u", "v")._1
+    val relabeled = Components.adaptiveComponents(pSub, "u", "v")
       .lockedCheckpoint()
     untouched.select("id", "component_id").unionByName(relabeled)
   }

@@ -347,7 +347,7 @@ object CorpusQueries {
         shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
         threshold = 0.8)
       .select(col("ida"), col("idb"))
-    val labels = Components.connectedComponents(pairs, "ida", "idb")._1
+    val labels = Components.adaptiveComponents(pairs, "ida", "idb")
     val scored = exact.select(col("doc_id").as("id"),
       TextQueries.round4(TextAnalysis.qualityScore("text")).as("q"))
     val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")
@@ -712,7 +712,7 @@ object CorpusQueries {
         ScriptText.shingles(exact, "text2", "doc_id", L7ShingleN),
         threshold = L7Jaccard, maxDocFreq = L7MaxDocFreq)
       .select(col("ida"), col("idb"))
-    val labels = Components.connectedComponents(pairs, "ida", "idb")._1
+    val labels = Components.adaptiveComponents(pairs, "ida", "idb")
     val scored = exact.select(col("doc_id").as("id"),
       ScriptText.qualityE4("text2").as("q"))
     val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")

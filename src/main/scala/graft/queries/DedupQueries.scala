@@ -606,7 +606,7 @@ object DedupQueries {
         shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
       .select("ida", "idb")
     val stored = graft.dedup.Components
-      .connectedComponents(corpusPairs, "ida", "idb")._1
+      .adaptiveComponents(corpusPairs, "ida", "idb")
     val batchPairs = Dedup.minhashNearDuplicates(batch, "text", "doc_id",
         shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
       .select("ida", "idb")
@@ -676,7 +676,7 @@ object DedupQueries {
     val pairs = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
         shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.8)
       .select(col("ida"), col("idb"))
-    val labels = graft.dedup.Components.connectedComponents(pairs, "ida", "idb")._1
+    val labels = graft.dedup.Components.adaptiveComponents(pairs, "ida", "idb")
     val scored = docs.select(col("doc_id").as("id"),
       TextQueries.round4(graft.text.TextAnalysis.qualityScore("text")).as("quality"))
     graft.dedup.Components.keepBest(labels, scored, "id", "component_id", "quality")

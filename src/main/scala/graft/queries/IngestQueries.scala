@@ -172,7 +172,7 @@ object IngestQueries {
     val bb = stage(Dedup.inlineLshBuckets(d2, "text", "doc_id",
       ShingleN, DedupQueries.NumPerms, Band))
     val corpusPairs = verifiedPairs(Dedup.lshCandidates(cb), cs, cs)
-    val stored = Components.connectedComponents(corpusPairs, "ida", "idb")._1
+    val stored = Components.adaptiveComponents(corpusPairs, "ida", "idb")
     val batchPairs = verifiedPairs(Dedup.lshCandidates(bb), bs, bs)
     val crossCands = bb.select(col("band"), col("bucket"),
         col("id").as("ida"))
@@ -642,6 +642,12 @@ object IngestQueries {
     val pairs = stage(Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = ShingleN, numPerms = DedupQueries.NumPerms,
       rowsPerBand = Band, threshold = Thr).select("ida", "idb"))
+    // deliberately the DISTRIBUTED closure: this call doubles as the
+    // materialization barrier for the shared persisted pair table
+    // (the rotation checkpoint forces it in one parallel job before
+    // the fold machinery fans out over it); A/B runs of the adaptive
+    // probe here were neutral-to-worse within host noise, so the
+    // explicit barrier form stays
     val stored = Components.connectedComponents(pairs, "ida", "idb")._1
       .lockedCheckpoint()
     val bm = graft.text.Bm25

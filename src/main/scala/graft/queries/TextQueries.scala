@@ -2294,7 +2294,7 @@ object TextQueries {
         threshold = 0.8)
       .select("ida", "idb")
     val labels = graft.dedup.Components
-      .connectedComponents(pairs, "ida", "idb")._1
+      .adaptiveComponents(pairs, "ida", "idb")
     Sampling.componentSplit(lake, labels, "doc_id", SplitFractions)
       .select("doc_id", "group_key", "split")
       .orderBy("doc_id")

@@ -97,4 +97,35 @@ class ComponentsSpec extends SparkSpec {
     // tie at 0.9 breaks to the lexicographically lowest id
     assert(out == Set(("u1", true), ("u2", false), ("u3", false)))
   }
+
+  test("adaptiveComponents: driver path == distributed labels") {
+    val pairs = Seq(
+      (5L, 3L), (3L, 9L), (9L, 5L),
+      (7L, 8L), (11L, 11L),
+      (20L, 21L), (21L, 22L),
+      (40L, 41L), (41L, 42L), (42L, 40L), (40L, 43L)
+    ).toDF("a", "b")
+    val dist = Components.connectedComponents(pairs, "a", "b")._1
+      .as[(Long, Long)].collect().toMap
+    val adap = Components.adaptiveComponents(pairs, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(adap == dist)
+  }
+
+  test("adaptiveComponents: above the edge bound it falls back, same labels") {
+    val chain = (0L until 30L).map(i => (i, i + 1)).toDF("a", "b")
+    val adap = Components.adaptiveComponents(chain, "a", "b",
+        driverEdgeLimit = 5) // 30 edges > 5: distributed path
+      .as[(Long, Long)].collect().toMap
+    assert(adap == (0L to 30L).map(_ -> 0L).toMap)
+  }
+
+  test("adaptiveComponents: non-Long ids take the distributed path") {
+    val pairs = Seq(("a", "b"), ("b", "c"), ("x", "y"))
+      .toDF("u", "v")
+    val got = Components.adaptiveComponents(pairs, "u", "v")
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "x" -> "x", "y" -> "x"))
+  }
 }
