@@ -2363,7 +2363,98 @@ object TextQueries {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ---- t42: validated PII (Luhn cards, octet-checked IPv4) ---------------
+
+  /** [[graft.text.Pii.validatedRedact]] over plants whose validity is
+    * DERIVED, not asserted: every 13th doc gets a card whose Luhn
+    * check digit is computed from its own id digits (the identical
+    * integer formula in both engines), every 17th the same card with
+    * check+1 (guaranteed invalid candidate), every 19th a valid
+    * dotted quad, every 23rd an octet-overflowing one. The hash gate
+    * therefore pins the whole validation arithmetic, not just the
+    * patterns. */
+  def validatedPii(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(spark, dir, "documents")
+    def dd(x: Column): Column =
+      when(x * 2 < 10, x * 2).otherwise(x * 2 - 9)
+    val d2 = floor((col("doc_id") % 1000) / 100).cast("int")
+    val d1 = floor((col("doc_id") % 100) / 10).cast("int")
+    val d0 = (col("doc_id") % 10).cast("int")
+    val check = (lit(10) - (lit(8) + dd(d2) + d1 + dd(d0)) % 10) % 10
+    def card(chk: Column): Column = concat(lit("4"), lit("00000000000"),
+      lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+      chk.cast("string"))
+    val t2 = concat(col("text"),
+      when(col("doc_id") % 13 === 0,
+        concat(lit(" card "), card(check))).otherwise(lit("")),
+      when(col("doc_id") % 17 === 0,
+        concat(lit(" ref "), card((check + 1) % 10))).otherwise(lit("")),
+      when(col("doc_id") % 19 === 0,
+        concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"),
+          lit(".0.1"))).otherwise(lit("")),
+      when(col("doc_id") % 23 === 0, lit(" ip 999.300.1.2"))
+        .otherwise(lit("")))
+    graft.text.Pii.validatedRedact(
+        docs.withColumn("text2", t2), "text2", "doc_id")
+      .select(col("id"), col("n_card_candidates"), col("n_card_valid"),
+        col("n_ip_candidates"), col("n_ip_valid"),
+        md5(col("redacted")).as("redacted_md5"))
+      .orderBy("id")
+  }
+
+  val validatedPiiSql: String = {
+    def ddSql(x: String) =
+      s"CASE WHEN 2 * ($x) < 10 THEN 2 * ($x) ELSE 2 * ($x) - 9 END"
+    val luhnFilter =
+      """list_filter(regexp_extract_all(text2, '\b\d{16}\b'),
+        |    c -> list_sum(list_transform(range(1, 17),
+        |      i -> CASE WHEN i % 2 = 1
+        |             THEN CASE WHEN 2 * substr(c, i, 1)::INT < 10
+        |                    THEN 2 * substr(c, i, 1)::INT
+        |                    ELSE 2 * substr(c, i, 1)::INT - 9 END
+        |             ELSE substr(c, i, 1)::INT END)) % 10 = 0)"""
+        .stripMargin
+    s"""WITH luhn AS (
+       |  SELECT doc_id,
+       |    (10 - (8 + ${ddSql("(doc_id % 1000) // 100")}
+       |      + ((doc_id % 100) // 10)
+       |      + ${ddSql("doc_id % 10")}) % 10) % 10 AS chk
+       |  FROM documents),
+       |planted AS (
+       |  SELECT d.doc_id,
+       |    d.text
+       |    || CASE WHEN d.doc_id % 13 = 0 THEN ' card 4' || '00000000000'
+       |         || lpad((d.doc_id % 1000)::VARCHAR, 3, '0') || chk::VARCHAR
+       |       ELSE '' END
+       |    || CASE WHEN d.doc_id % 17 = 0 THEN ' ref 4' || '00000000000'
+       |         || lpad((d.doc_id % 1000)::VARCHAR, 3, '0')
+       |         || ((chk + 1) % 10)::VARCHAR
+       |       ELSE '' END
+       |    || CASE WHEN d.doc_id % 19 = 0
+       |         THEN ' ip 10.' || (d.doc_id % 256)::VARCHAR || '.0.1'
+       |       ELSE '' END
+       |    || CASE WHEN d.doc_id % 23 = 0 THEN ' ip 999.300.1.2'
+       |       ELSE '' END AS text2
+       |  FROM documents d JOIN luhn USING (doc_id))
+       |SELECT doc_id AS id,
+       |  len(regexp_extract_all(text2, '\\b\\d{16}\\b'))::INT
+       |    AS n_card_candidates,
+       |  len($luhnFilter)::INT AS n_card_valid,
+       |  len(regexp_extract_all(text2,
+       |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::INT
+       |    AS n_ip_candidates,
+       |  len(regexp_extract_all(text2,
+       |    '\\b(25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.(25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.(25[0-5]|2[0-4]\\d|1?\\d?\\d)\\.(25[0-5]|2[0-4]\\d|1?\\d?\\d)\\b'))::INT
+       |    AS n_ip_valid,
+       |  md5(regexp_replace(regexp_replace(text2,
+       |    '\\b\\d{16}\\b', '<CARD>', 'g'),
+       |    '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'))
+       |    AS redacted_md5
+       |FROM planted ORDER BY id""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t42_validated_pii" -> (validatedPii _),
     "t41_leakage_safe_split" -> (leakageSafeSplit _),
     "t40_shuffle_shards" -> (shuffleShardsQuery _),
     "t39_gopher_repetition" -> (gopherRepetition _),
@@ -2407,6 +2498,7 @@ object TextQueries {
     "t13_repetition" -> (repetition _))
 
   def oracleSql: Map[String, String] = Map(
+    "t42_validated_pii" -> validatedPiiSql,
     "t41_leakage_safe_split" -> leakageSafeSplitSql,
     "t40_shuffle_shards" -> shuffleShardsSql,
     "t39_gopher_repetition" -> gopherRepetitionSql,
