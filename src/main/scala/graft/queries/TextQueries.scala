@@ -1223,7 +1223,12 @@ object TextQueries {
     * (the c1/t18 device) — integer gradient sums over the same
     * quantized census features, double weight updates in the same term
     * order. */
-  val qualityDistillSql: String = {
+  /** The t27 training chain as a reusable fragment: CTEs feats,
+    * w0..w8, and `dscored` (doc_id, label_e4, score_e6, pred) —
+    * consumers read `dscored`. */
+  def qualityDistillChainSql: String = qualityDistillChainSqlFrom("documents")
+
+  def qualityDistillChainSqlFrom(src: String): String = {
     val len = "CAST(LENGTH(text) AS DOUBLE)"
     val alpha = "CAST(LENGTH(regexp_replace(text, '[^A-Za-zà-ÿ]', '', 'g')) AS DOUBLE)"
     val digits = "CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)"
@@ -1257,18 +1262,98 @@ object TextQueries {
          |  FROM w${k - 1} w, g$k g)""".stripMargin
     }.mkString(",\n")
     val w0 = (0 until 6).map(j => s"0.0 AS w$j").mkString(", ")
-    s"""WITH feats AS MATERIALIZED (
+    s"""feats AS MATERIALIZED (
        |  SELECT doc_id,
        |    $featCols,
        |    CAST(FLOOR($rawQualitySql * 10000 + 0.5) AS BIGINT) AS y
-       |  FROM documents),
+       |  FROM $src),
        |w0 AS (SELECT $w0),
-       |$rounds
-       |SELECT doc_id, y AS label_e4,
-       |  CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
-       |  CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) >= 500000 AS pred
-       |FROM feats f, w8 w ORDER BY doc_id""".stripMargin
+       |$rounds,
+       |dscored AS (
+       |  SELECT doc_id, y AS label_e4,
+       |    CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) AS score_e6,
+       |    CAST(FLOOR((${p("w")}) * 1000000.0 + 0.5) AS BIGINT) >= 500000 AS pred
+       |  FROM feats f, w8 w)""".stripMargin
   }
+
+  val qualityDistillSql: String =
+    s"""WITH $qualityDistillChainSql
+       |SELECT doc_id, label_e4, score_e6, pred
+       |FROM dscored ORDER BY doc_id""".stripMargin
+
+  // ---- t43: classifier calibration curve ---------------------------------
+
+  /** Calibration of the t27 distilled classifier against its own
+    * teacher, by predicted-score decile: per bucket the document
+    * count, the teacher's keep count (label ≥ 0.5), the exact label
+    * mass, and the agreement count between the classifier's verdict
+    * and the teacher's. A well-calibrated distillation shows label
+    * mass rising with the score bucket and agreement concentrated in
+    * the extreme buckets — the eval that says whether the cheap
+    * deployed scorer can be TRUSTED to stand in for the heuristic
+    * (the s15/d21 convention: measure the approximation, don't assume
+    * it). Buckets clamp to [0, 9] because a linear model's scores can
+    * stray outside [0, 1]. One groupBy over the scored frame. */
+  def distillCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import graft.text.LanguageModel.ldiv
+    val base = Tables.load(spark, dir, "documents").select("doc_id", "text")
+    Tables.requireIdHeadroom(base, "doc_id")
+    // the natural corpus is uniformly teacher-kept — a one-bucket
+    // curve calibrates nothing. Plant a quality GRADIENT: digit/punct
+    // noise (teacher-rejected) off every 3rd doc, a half-noise mix
+    // off every 7th, so both ends and the middle of the curve carry
+    // mass. The classifier TRAINS on the same lake it is scored on —
+    // the t27 distillation setting.
+    val docs = base
+      .unionByName(base.filter(col("doc_id") % 3 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          lit("0011 2233 !!! 4455 ??? 6677 8899 !! 0011 2233 !!! 4455" +
+            " ??? 6677 8899 !! 0011 2233 !!! 4455 ??? 6677 8899 !!")
+            .as("text")))
+      .unionByName(base.filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(substring(col("text"), 1, 60),
+            lit(" 12345 !!! 67890 ??? 12345 !!! 67890 ???")).as("text")))
+    val w = graft.text.QualityDistill.train(docs, "text",
+      TextAnalysis.qualityE4("text"))
+    val scored = docs.select(
+      TextAnalysis.qualityE4("text").as("label_e4"),
+      floor(graft.text.QualityDistill.score("text", w) * 1000000d + 0.5d)
+        .cast(LongType).as("score_e6"))
+    scored
+      .withColumn("bucket",
+        greatest(least(ldiv(col("score_e6"), lit(100000L)), lit(9L)), lit(0L)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label_e4") >= 5000L, 1L).otherwise(0L))
+          .as("n_label_keep"),
+        sum("label_e4").as("sum_label_e4"),
+        sum(when((col("score_e6") >= 500000L) === (col("label_e4") >= 5000L),
+          1L).otherwise(0L)).as("n_agree"))
+      .orderBy("bucket")
+  }
+
+  val distillCalibrationSql: String =
+    s"""WITH lake AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL SELECT doc_id + 1000000,
+       |    '0011 2233 !!! 4455 ??? 6677 8899 !! 0011 2233 !!! 4455 ??? 6677 8899 !! 0011 2233 !!! 4455 ??? 6677 8899 !!'
+       |  FROM documents WHERE doc_id % 3 = 0
+       |  UNION ALL SELECT doc_id + 2000000,
+       |    substr(text, 1, 60) || ' 12345 !!! 67890 ??? 12345 !!! 67890 ???'
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |${qualityDistillChainSqlFrom("lake")},
+       |b AS (
+       |  SELECT GREATEST(LEAST(score_e6 // 100000, 9), 0) AS bucket,
+       |    label_e4, score_e6
+       |  FROM dscored)
+       |SELECT bucket, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(CASE WHEN label_e4 >= 5000 THEN 1 ELSE 0 END)::BIGINT
+       |    AS n_label_keep,
+       |  SUM(label_e4)::BIGINT AS sum_label_e4,
+       |  SUM(CASE WHEN (score_e6 >= 500000) = (label_e4 >= 5000)
+       |        THEN 1 ELSE 0 END)::BIGINT AS n_agree
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   // ---- t28: LM perplexity filter (CCNet head/middle/tail) ---------------
 
@@ -2455,6 +2540,7 @@ object TextQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "t42_validated_pii" -> (validatedPii _),
+    "t43_distill_calibration" -> (distillCalibration _),
     "t41_leakage_safe_split" -> (leakageSafeSplit _),
     "t40_shuffle_shards" -> (shuffleShardsQuery _),
     "t39_gopher_repetition" -> (gopherRepetition _),
@@ -2499,6 +2585,7 @@ object TextQueries {
 
   def oracleSql: Map[String, String] = Map(
     "t42_validated_pii" -> validatedPiiSql,
+    "t43_distill_calibration" -> distillCalibrationSql,
     "t41_leakage_safe_split" -> leakageSafeSplitSql,
     "t40_shuffle_shards" -> shuffleShardsSql,
     "t39_gopher_repetition" -> gopherRepetitionSql,
