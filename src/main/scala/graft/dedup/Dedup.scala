@@ -394,11 +394,22 @@ object Dedup {
     // sessions can release it after materializing the result.
     val sh = graft.ops.StagePersists.track(
       wordShingles(df, textCol, idCol, shingleSize))
+    minhashPairsFromShingles(sh, numPerms, rowsPerBand, threshold)
+  }
+
+  /** The [[minhashNearDuplicates]] pair machinery over a PREBUILT
+    * (id, shingle) frame the caller already persists — lets an eval
+    * that needs both exact-Jaccard truth pairs and the captured LSH
+    * pairs (d21, s16) share ONE shingle pass instead of re-exploding
+    * the corpus per consumer. Same output as [[minhashNearDuplicates]]
+    * over the frame the shingles came from. */
+  def minhashPairsFromShingles(sh: DataFrame, numPerms: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
     // buckets are self-joined by lshCandidates: checkpoint the tiny
     // (id, band, bucket) frame so the signature aggregation doesn't run
     // once per join side
     val buckets = lshBucketsWide(minhashWide(sh, numPerms), numPerms, rowsPerBand)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      .repartition(sh.sparkSession.sparkContext.defaultParallelism)
       .lockedCheckpoint()
     val cands = lshCandidates(buckets)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))

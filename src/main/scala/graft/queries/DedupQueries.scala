@@ -600,22 +600,33 @@ object DedupQueries {
     * docs' pairs, which is exactly what the oracle computes. */
   def incrementalComponentsQuery(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.load(spark, dir, "documents")
-    val corpus = docs.filter(col("doc_id") % 2 === 0)
-    val batch = docs.filter(col("doc_id") % 2 === 1)
-    val corpusPairs = Dedup.minhashNearDuplicates(corpus, "text", "doc_id",
-        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
-      .select("ida", "idb")
+    // ONE shingle/signature/bucket/verify pass over the whole lake
+    // (r13 optimization): MinHash signatures and LSH buckets are
+    // per-document functions, so the three pair families the fold needs
+    // — within-corpus (even↔even), within-batch (odd↔odd), and
+    // batch↔corpus (mixed parity) — are parity SLICES of the unified
+    // verified pair set, not three separate machinery runs. The oracle
+    // mirror has always relied on exactly this identity (it computes
+    // one unrestricted candidate set); the previous form ran the
+    // shingle → wide-minhash → bucket → candidate-verify chain THREE
+    // times over disjoint halves of the same table (73 AQE exchange
+    // stages, 12.2 s warm at sf0.1 — vs 1 run + 2 filters here).
+    // incrementalComponents treats pairs as undirected, so the
+    // (batch_id, corpus_id) orientation of the old cross probe is
+    // immaterial. Persisted: the slice filters are two consumers.
+    val allPairs = graft.ops.StagePersists.track(
+      Dedup.minhashNearDuplicates(docs, "text", "doc_id",
+          shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4,
+          threshold = 0.5)
+        .select("ida", "idb"))
+    val corpusPairs = allPairs
+      .filter(col("ida") % 2 === 0 && col("idb") % 2 === 0)
+    val newPairs = allPairs
+      .filter(col("ida") % 2 === 1 || col("idb") % 2 === 1)
     val stored = graft.dedup.Components
       .adaptiveComponents(corpusPairs, "ida", "idb")
-    val batchPairs = Dedup.minhashNearDuplicates(batch, "text", "doc_id",
-        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4, threshold = 0.5)
-      .select("ida", "idb")
-    val crossPairs = Dedup.crossCorpusNearDuplicates(corpus, batch,
-        "text", "doc_id", shingleSize = 3, numPerms = NumPerms,
-        rowsPerBand = 4, threshold = 0.5)
-      .select(col("batch_id").as("ida"), col("corpus_id").as("idb"))
     graft.dedup.Components.incrementalComponents(stored,
-        batchPairs.unionByName(crossPairs), "ida", "idb")
+        newPairs, "ida", "idb")
       .withColumnRenamed("id", "doc_id")
       .withColumn("is_canonical", col("doc_id") === col("component_id"))
       .orderBy("doc_id")
@@ -1091,11 +1102,16 @@ object DedupQueries {
         expr("substring(text, 1, cast(length(text)/2 as int))").as("text")))
     val sh = graft.ops.StagePersists.track(
       Dedup.wordShingles(docs, "text", "doc_id", 3))
-    val truth = Dedup.jaccardPairs(sh, threshold = 0.4, maxDocFreq = 100000)
-      .withColumn("bucket", floor(col("jaccard") * 10).cast("long"))
-    val captured = Dedup.minhashNearDuplicates(docs, "text", "doc_id",
-        shingleSize = 3, numPerms = NumPerms, rowsPerBand = 4,
-        threshold = 0.4)
+    // truth is consumed twice (the captured semi-join and the per-bucket
+    // totals): persist, or the exhaustive inverted-index join — the
+    // single most expensive stage of this eval — runs once per consumer
+    // (r13 optimization: 11.3 s → the pair join now runs once, and the
+    // captured side shares sh instead of re-shingling the lake)
+    val truth = graft.ops.StagePersists.track(
+      Dedup.jaccardPairs(sh, threshold = 0.4, maxDocFreq = 100000)
+        .withColumn("bucket", floor(col("jaccard") * 10).cast("long")))
+    val captured = Dedup.minhashPairsFromShingles(sh, NumPerms,
+        rowsPerBand = 4, threshold = 0.4)
       .select("ida", "idb")
     val cap = truth.join(captured, Seq("ida", "idb"), "left_semi")
       .groupBy("bucket").agg(count(lit(1)).as("n_captured"))
