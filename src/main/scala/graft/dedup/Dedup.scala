@@ -43,12 +43,21 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** The deduplicated corpus: one row per distinct content, keeping the
-    * smallest id (deterministic survivor). */
+    * smallest id (deterministic survivor).
+    *
+    * ONE exchange (r13 optimization): group by content hash and take
+    * the min-id ROW as a struct min — ids are unique by contract and
+    * lead the struct, so the struct min IS the min-id row. Partial
+    * aggregation collapses duplicates map-side, so the shuffle carries
+    * ~one row per distinct text per map partition; the previous
+    * groupBy + self-join shape shuffled the corpus twice (hash agg +
+    * join) and executed the upstream once per join side. */
   def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val winners = df.groupBy(md5(col(textCol)).as("__h"))
-      .agg(min(col(idCol)).as("__keep"))
-    df.join(winners, md5(col(textCol)) === col("__h") && col(idCol) === col("__keep"))
-      .drop("__h", "__keep")
+    val packed = struct(col(s"`$idCol`") +:
+      df.columns.filter(_ != idCol).map(c => col(s"`$c`")).toSeq: _*)
+    df.groupBy(md5(col(s"`$textCol`")).as("__h"))
+      .agg(min(packed).as("__r"))
+      .select(df.columns.map(c => col(s"__r.`$c`").as(c)).toSeq: _*)
   }
 
   // ---- shingling --------------------------------------------------------
