@@ -340,16 +340,19 @@ object CorpusQueries {
       .select(col("doc_id"), col("lang"), col("text"))
     val doubled = docs.unionByName(
       docs.select((col("doc_id") + 1000000L).as("doc_id"), col("lang"), col("text")))
-    // stage 1: exact dedup
-    val exact = stage(Dedup.dropExactDuplicates(doubled, "text", "doc_id"))
+    // stage 1: exact dedup. The round4'd quality is computed ONCE here
+    // and persisted with the stage (r13 optimization): it feeds both
+    // the keep-best score and the stage-4 gate, which each re-ran the
+    // branchy quality expression over ~the whole corpus.
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text", "doc_id")
+      .withColumn("__q", TextQueries.round4(TextAnalysis.qualityScore("text"))))
     // stage 2: near-dup components, keep-BEST quality (d11; ties → lowest id)
     val pairs = Dedup.minhashNearDuplicates(exact, "text", "doc_id",
         shingleSize = 3, numPerms = DedupQueries.NumPerms, rowsPerBand = 4,
         threshold = 0.8)
       .select(col("ida"), col("idb"))
     val labels = Components.adaptiveComponents(pairs, "ida", "idb")
-    val scored = exact.select(col("doc_id").as("id"),
-      TextQueries.round4(TextAnalysis.qualityScore("text")).as("q"))
+    val scored = exact.select(col("doc_id").as("id"), col("__q").as("q"))
     val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")
       .filter(!col("keep")).select(col("id").as("doc_id"))
     val canon = exact.join(nonBest, Seq("doc_id"), "left_anti")
@@ -358,11 +361,11 @@ object CorpusQueries {
       .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
     val decon = stage(Decontamination.decontaminate(canon, evalSet, "text",
       "doc_id", n = 5))
-    // stage 4: quality gate + repetition filter (t2/t13 roundings)
+    // stage 4: quality gate (the persisted __q) + repetition filter
     val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
       .select(col("id").as("doc_id"), col("dup_trigram_frac"))
     val kept = stage(decon.join(rep, Seq("doc_id"))
-      .filter(TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9 &&
+      .filter(col("__q") >= 0.9 &&
         TextQueries.round4(col("dup_trigram_frac")) < 0.3)
       .select(col("doc_id"), col("lang"), col("text")))
     // stage 5: temperature-rebalanced sampling by language (t11)
@@ -700,8 +703,12 @@ object CorpusQueries {
         .select((col("doc_id") + 2000000L).as("doc_id"),
           substring(col("text2"), lit(1),
             floor(length(col("text2")) * 0.8).cast("int")).as("text2")))
-    // stage 1: exact dedup (min-id survivor)
-    val exact = stage(Dedup.dropExactDuplicates(doubled, "text2", "doc_id"))
+    // stage 1: exact dedup (min-id survivor). The ×10⁴ script quality
+    // is computed ONCE here and persisted with the stage (r13
+    // optimization): it feeds both the keep-best score and the stage-3
+    // gate, which each re-ran the census kernel over ~the whole corpus.
+    val exact = stage(Dedup.dropExactDuplicates(doubled, "text2", "doc_id")
+      .withColumn("__q", ScriptText.qualityE4("text2")))
     // stage 2: script-aware near-dups -> components -> keep best quality
     // NO persist on the shingle frame: with the native tokenizer the
     // three pair-machinery consumers each recompute it from the
@@ -713,16 +720,16 @@ object CorpusQueries {
         threshold = L7Jaccard, maxDocFreq = L7MaxDocFreq)
       .select(col("ida"), col("idb"))
     val labels = Components.adaptiveComponents(pairs, "ida", "idb")
-    val scored = exact.select(col("doc_id").as("id"),
-      ScriptText.qualityE4("text2").as("q"))
+    val scored = exact.select(col("doc_id").as("id"), col("__q").as("q"))
     val nonBest = Components.keepBest(labels, scored, "id", "component_id", "q")
       .filter(!col("keep")).select(col("id").as("doc_id"))
     val canon = exact.join(nonBest, Seq("doc_id"), "left_anti")
-    // stage 3: per-script quality gate
+    // stage 3: per-script quality gate (reads the persisted __q)
     val withScript = canon.withColumn("script",
       ScriptText.dominantScript(col("text2")))
-    val qual = stage(withScript.filter(ScriptText.qualityE4("text2") >=
-      when(col("script") === "cjk", L7QCjk).otherwise(L7QOther)))
+    val qual = stage(withScript.filter(col("__q") >=
+        when(col("script") === "cjk", L7QCjk).otherwise(L7QOther))
+      .select("doc_id", "text2", "script"))
     // stage 4: per-script LM percentile gate (unscorable kept, tagged)
     val ref = qual.filter(col("doc_id") % 3 === 0).select("doc_id", "text2")
     val (c2, c1) = ScriptLm.hashedCounts(ref, "text2",

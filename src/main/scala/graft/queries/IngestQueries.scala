@@ -642,14 +642,19 @@ object IngestQueries {
     val pairs = stage(Dedup.minhashNearDuplicates(docs, "text", "doc_id",
       shingleSize = ShingleN, numPerms = DedupQueries.NumPerms,
       rowsPerBand = Band, threshold = Thr).select("ida", "idb"))
-    // deliberately the DISTRIBUTED closure: this call doubles as the
-    // materialization barrier for the shared persisted pair table
-    // (the rotation checkpoint forces it in one parallel job before
-    // the fold machinery fans out over it); A/B runs of the adaptive
-    // probe here were neutral-to-worse within host noise, so the
-    // explicit barrier form stays
-    val stored = Components.connectedComponents(pairs, "ida", "idb")._1
-      .lockedCheckpoint()
+    // adaptive closure (r13 optimization): the probe's bounded collect
+    // doubles as the materialization barrier for the shared persisted
+    // pair table (it executes the whole pair machinery into the persist
+    // before the fold fans out over it), and below the edge bound the
+    // labelling is a driver union-find instead of the star loop's
+    // 2-jobs-per-round scheduling floor. Round-12's A/B was "neutral
+    // within host noise" on single fresh-JVM samples; warm-rep metering
+    // resolves it: 14.8 -> ~11 s at sf0.1, identical labels (the
+    // adaptive ≡ distributed pin in ComponentsSpec covers both sides).
+    // (no checkpoint: below the bound the labels are a LocalRelation —
+    // free to re-read; above it they derive from the star loop's own
+    // retained rotation checkpoint)
+    val stored = Components.adaptiveComponents(pairs, "ida", "idb")
     val bm = graft.text.Bm25
     val bmState = bm.buildState(docs, "text", "doc_id")
     // the folds
