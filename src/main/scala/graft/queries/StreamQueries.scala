@@ -928,9 +928,51 @@ object StreamQueries {
   }
 
   def streamMultilingual(spark: SparkSession, dir: String): DataFrame = {
-    val (hashes, refBuckets, lm, cuts, probs) = w15Control(spark, dir)
-    w15Chain(w15Planted(Tables.load(spark, dir, "documents")),
-        hashes, refBuckets, lm, cuts, probs)
+    // r13 optimization — the batch twin shares what the stream cannot:
+    // (a) ONE materialization of the derived base (w15Control and
+    // w15Planted each built their own, two derivation passes + two
+    // checkpoints), and (b) the gate chain runs ONCE — the control
+    // plane trains its sampling thresholds on the gate survivors of
+    // the SAME planted frame the data plane consumes here ("history
+    // standing in for the stream"), so the trained-on frame and the
+    // gated frame are identical by construction and the second
+    // execution was pure recompute. Identical output; the streaming
+    // path (StreamingSpec) still goes through w15Control + w15Chain.
+    import graft.text.ScriptLm
+    val docs = Tables.load(spark, dir, "documents")
+    val base = w15Base(docs).localCheckpoint(true)
+    val corpus = base.filter(col("doc_id") % 3 === 0)
+    val hashes = corpus.select(md5(col("text2")).as("__h")).distinct()
+      .localCheckpoint(true)
+    val refBuckets = corpus
+      .select(explode(graft.functions.LshBands(
+        graft.text.ScriptText.tokens(col("text2")),
+        W15ShingleN, 16, 4)).as("bb"))
+      .select(col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+      .distinct()
+      .localCheckpoint(true)
+    val (c2, c1) = ScriptLm.hashedCounts(corpus, "text2",
+      TextQueries.SLmB2, TextQueries.SLmB1)
+    val lm = ScriptLm.denseCounts(c2, c1, TextQueries.SLmB2, TextQueries.SLmB1)
+    val cuts = ScriptLm.percentileCuts(
+        ScriptLm.score(corpus, c2, c1, TextQueries.SLmB2, TextQueries.SLmB1,
+          "text2", "doc_id"),
+        TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .sortBy(_._1)
+    val gated = graft.ops.StagePersists.track(
+      w15Gated(w15PlantedFrom(base), hashes, refBuckets, lm, cuts))
+    val counts = gated.groupBy("script").agg(count(lit(1)).as("__n"))
+    val probs = counts.crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
+      .select(col("script"),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+    val sampled = graft.text.Sampling.weightedSample(gated, "script",
+      "doc_id", probs)
+    val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text2",
+      window = 32, step = 24, keep = Seq("script"),
+      tokenizer = graft.text.ScriptText.tokens)
+    graft.text.Packing.streamingBinSegments(chunks, "script", "doc_id",
+        "token_start", "n_tokens", seqLen = 512)
       .orderBy("script", "bin_id", "seq")
   }
 
