@@ -89,11 +89,6 @@ object Dedup {
     sys.props.get("graft.debug.uniqueIds").contains("true")
 
   def wordShingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val ws = col("__ws")
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
     val keyed = df.select(col(idCol).as("id"), words(col(textCol)).as("__ws"))
     val checked =
       if (!debugUniqueIds) keyed
@@ -108,8 +103,25 @@ object Dedup {
                 "dropDuplicates(idCol) first")))))
           .drop("__idn")
       }
+    // fused native kernel (r13 optimization): the higher-order
+    // transform/slice/array_join/array_distinct chain is CodegenFallback
+    // — interpreted, a closure per gram — on the hot scan of every
+    // shingling consumer; [[graft.functions.WordShingles]] is the flat
+    // loop, pinned bit-identical to the Column formulation below in
+    // WordShinglesSpec.
     checked.select(col("id"),
-      explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
+      explode(graft.functions.WordShingles(col("__ws"), n)).as("shingle"))
+  }
+
+  /** The original higher-order Column formulation of the distinct-gram
+    * array — retained as the executable REFERENCE the native kernel is
+    * spec-pinned against (never on a hot path). */
+  private[graft] def wordShinglesReference(ws: Column, n: Int): Column = {
+    val grams = when(size(ws) >= n,
+      transform(sequence(lit(0), size(ws) - n),
+        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+    array_distinct(filter(grams, g => length(g) > 0))
   }
 
   private[dedup] def words(textCol: Column): Column =

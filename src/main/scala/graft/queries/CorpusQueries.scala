@@ -244,12 +244,14 @@ object CorpusQueries {
     val evalSet = docs.filter(col("doc_id") % 10 === 0)
     val decon = stage(Decontamination.decontaminate(canon, evalSet, "text",
       "doc_id", n = 5))
-    // stage 4: quality gate + repetition filter (t2/t13 roundings)
-    val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
-      .select(col("id").as("doc_id"), col("dup_trigram_frac"))
-    val kept = stage(decon.join(rep, Seq("doc_id"))
+    // stage 4: quality gate + repetition filter (t2/t13 roundings).
+    // dup_trigram_frac comes from the fused per-row kernel (the w13
+    // device, pinned bit-identical to the aggregated form in
+    // RepetitionStatsSpec) instead of repetitionMetrics' two shuffles
+    // + join — the gate is a pure map (r13 optimization).
+    val kept = stage(decon
       .filter(TextQueries.round4(TextAnalysis.qualityScore("text")) >= 0.9 &&
-        TextQueries.round4(col("dup_trigram_frac")) < 0.3)
+        TextQueries.round4(TextAnalysis.inlineDupTrigramFrac("text")) < 0.3)
       .select(col("doc_id"), col("lang"), col("text")))
     // stage 5: temperature-rebalanced sampling by language (t11)
     val sampled = Sampling.temperatureSample(kept, "lang", "doc_id")
@@ -361,12 +363,13 @@ object CorpusQueries {
       .filter(col("doc_id") % 10 === 0).select(col("doc_id"), col("text"))
     val decon = stage(Decontamination.decontaminate(canon, evalSet, "text",
       "doc_id", n = 5))
-    // stage 4: quality gate (the persisted __q) + repetition filter
-    val rep = TextAnalysis.repetitionMetrics(decon, "text", "doc_id")
-      .select(col("id").as("doc_id"), col("dup_trigram_frac"))
-    val kept = stage(decon.join(rep, Seq("doc_id"))
+    // stage 4: quality gate (the persisted __q) + repetition filter —
+    // the fused per-row dup_trigram_frac kernel (the w13 device, pinned
+    // bit-identical in RepetitionStatsSpec) replaces repetitionMetrics'
+    // two shuffles + join (r13 optimization)
+    val kept = stage(decon
       .filter(col("__q") >= 0.9 &&
-        TextQueries.round4(col("dup_trigram_frac")) < 0.3)
+        TextQueries.round4(TextAnalysis.inlineDupTrigramFrac("text")) < 0.3)
       .select(col("doc_id"), col("lang"), col("text")))
     // stage 5: temperature-rebalanced sampling by language (t11)
     val sampled = Sampling.temperatureSample(kept, "lang", "doc_id")

@@ -1105,10 +1105,19 @@ object DedupQueries {
     // truth is consumed twice (the captured semi-join and the per-bucket
     // totals): persist, or the exhaustive inverted-index join — the
     // single most expensive stage of this eval — runs once per consumer
-    // (r13 optimization: 11.3 s → the pair join now runs once, and the
-    // captured side shares sh instead of re-shingling the lake)
+    // (r13 optimization: the pair join now runs once, and the captured
+    // side shares sh instead of re-shingling the lake).
+    // The truth join itself runs on the 60-BIT MD5 gram key instead of
+    // the gram string (guide §2.3, narrower types): the join/groupBy
+    // shuffles 8-byte longs, and the oracle joins the identical
+    // md5-derived key, so the two engines agree bit for bit BY
+    // CONSTRUCTION (the established h30/Bloom convention) — and the
+    // 60-bit truth key is 2³⁰× finer than the 30-bit gram hashes the
+    // measured capture machinery itself runs on.
+    val shKeyed = sh.select(col("id"),
+      Dedup.md5Long(col("shingle")).as("shingle"))
     val truth = graft.ops.StagePersists.track(
-      Dedup.jaccardPairs(sh, threshold = 0.4, maxDocFreq = 100000)
+      Dedup.jaccardPairs(shKeyed, threshold = 0.4, maxDocFreq = 100000)
         .withColumn("bucket", floor(col("jaccard") * 10).cast("long")))
     val captured = Dedup.minhashPairsFromShingles(sh, NumPerms,
         rowsPerBand = 4, threshold = 0.4)
@@ -1147,9 +1156,11 @@ object DedupQueries {
        |  FROM lake WHERE len($WS) >= 3),
        |grams AS (SELECT DISTINCT doc_id, g FROM g0),
        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+       |gh AS (SELECT doc_id,
+       |  (('0x' || substr(md5(g), 1, 15))::UBIGINT)::BIGINT AS h FROM grams),
        |tpairs AS (
        |  SELECT a.doc_id AS ida, b.doc_id AS idb, COUNT(*) AS common
-       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  FROM gh a JOIN gh b ON a.h = b.h AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2),
        |truth AS (
        |  SELECT ida, idb,

@@ -560,9 +560,51 @@ object StreamQueries {
   }
 
   def streamCorpusPipeline(spark: SparkSession, dir: String): DataFrame = {
-    val (blocked, refBuckets, dense, lm, probs) = w13Control(spark, dir)
-    w13Chain(w13Planted(Tables.load(spark, dir, "documents")),
-        blocked, refBuckets, dense, lm, probs)
+    // r13 optimization — the batch twin shares what the stream cannot
+    // (the w15 device): the control plane trains on the cleaned/gated
+    // frames of the SAME planted corpus the data plane consumes
+    // ("history standing in for the stream"), so c4Clean and the gate
+    // chain each ran twice for identical rows. Clean once, gate once,
+    // train the thresholds on the shared gated frame, deploy on it.
+    // Identical output; the streaming path (StreamingSpec) still goes
+    // through w13Control + w13Chain unchanged.
+    val planted = w13Planted(Tables.load(spark, dir, "documents"))
+    val blocked = graft.rules.CorpusRules.sourceStats(planted, "source", "text",
+        minAvgQuality = 0.895, maxShortFrac = 0.45)
+      .filter(col("blocked")).select("source")
+      .localCheckpoint(true)
+    val cleaned = graft.text.Cleaning.c4Clean(
+        planted.join(broadcast(blocked), Seq("source"), "left_anti"),
+        "text", "doc_id", keep = Seq("lang"))
+      .filter(col("kept"))
+      .select(col("id").as("doc_id"), col("lang"),
+        col("clean_text").as("text"))
+      .localCheckpoint(true)
+    val refBuckets = graft.dedup.Dedup.inlineLshBuckets(
+        cleaned.filter(col("doc_id") % 3 === 0), "text", "doc_id",
+        shingleSize = 3, numPerms = 16, rowsPerBand = 4)
+      .select("band", "bucket").distinct()
+      .localCheckpoint(true)
+    val dense = graft.text.Importance.denseWeights(
+      graft.text.Importance.hashedWeights(cleaned,
+        cleaned.filter(col("lang") === "en"), "text", "doc_id",
+        n = 2, buckets = 4096), buckets = 4096)
+    val (lmC2, lmC1) = graft.text.LanguageModel.hashedCounts(
+      cleaned.filter(col("lang") === "en"), "text", LmB2, LmB1)
+    val lm = graft.text.LanguageModel.denseCounts(lmC2, lmC1, LmB2, LmB1)
+    val gated = graft.ops.StagePersists.track(
+      w13Gated(cleaned, refBuckets, dense, lm))
+    val counts = gated.groupBy("lang").agg(count(lit(1)).as("__n"))
+    val nMin = counts.agg(min("__n").as("__nmin"))
+    val probs = counts.crossJoin(broadcast(nMin))
+      .select(col("lang"),
+        sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+    val sampled = graft.text.Sampling.weightedSample(gated, "lang", "doc_id",
+      probs)
+    val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text",
+      window = 32, step = 24, keep = Seq("lang"))
+    graft.text.Packing.streamingBinSegments(chunks, "lang", "doc_id",
+        "token_start", "n_tokens", seqLen = 256)
       .orderBy("lang", "bin_id", "seq")
   }
 

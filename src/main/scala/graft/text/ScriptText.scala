@@ -179,14 +179,12 @@ object ScriptText {
     * (jaccard/containment/MinHash/LSH all consume this frame
     * unchanged). Same shape as [[graft.dedup.Dedup.wordShingles]]:
     * per-row distinct before the explode, no extra shuffle. */
-  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame = {
-    val ws = col("__ws")
-    val grams = when(size(ws) >= n,
-      transform(sequence(lit(0), size(ws) - n),
-        i => array_join(slice(ws, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
+  def shingles(df: DataFrame, textCol: String, idCol: String, n: Int): DataFrame =
+    // fused native gram kernel — see Dedup.wordShingles (r13): the
+    // higher-order transform/slice chain was CodegenFallback on the
+    // corpus scan; WordShingles is the flat loop, spec-pinned
+    // bit-identical
     df.select(col(idCol).as("id"), tokens(col(textCol)).as("__ws"))
       .select(col("id"),
-        explode(array_distinct(filter(grams, g => length(g) > 0))).as("shingle"))
-  }
+        explode(graft.functions.WordShingles(col("__ws"), n)).as("shingle"))
 }
