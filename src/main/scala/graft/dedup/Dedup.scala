@@ -257,11 +257,16 @@ object Dedup {
     * (__h0..__hk) — the single wide groupBy both the long layout and
     * the LSH buckets derive from. */
   private def minhashWide(shingles: DataFrame, numPerms: Int): DataFrame = {
-    val x = pmod(md5Long(col("shingle")), lit(1073741824L)) // 2^30
+    // the 30-bit gram hash is PROJECTED once below the aggregate (r13):
+    // as a subexpression of every min() it rode inside each aggregate
+    // update expression — one md5 + hex parse per PERMUTATION per gram
+    // row instead of one per row
+    val hashed = shingles.select(col("id"),
+      pmod(md5Long(col("shingle")), lit(1073741824L)).as("__x"))
     val aggs = perm(numPerms).zipWithIndex.map { case ((a, b), i) =>
-      min(pmod(lit(a) * x + lit(b), lit(P))).as(s"__h$i")
+      min(pmod(lit(a) * col("__x") + lit(b), lit(P))).as(s"__h$i")
     }
-    shingles.groupBy("id").agg(aggs.head, aggs.tail: _*)
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH band buckets: signatures split into bands of `rowsPerBand`;
