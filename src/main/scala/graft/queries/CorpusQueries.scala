@@ -734,11 +734,29 @@ object CorpusQueries {
         when(col("script") === "cjk", L7QCjk).otherwise(L7QOther))
       .select("doc_id", "text2", "script"))
     // stage 4: per-script LM percentile gate (unscorable kept, tagged)
+    // — deployed in the DENSE form (the w15/w18 device, r13
+    // optimization): the hashed counts collect into per-script arrays
+    // and scoring is the map-side native kernel, replacing two
+    // gram-grain joins + a per-doc re-aggregation + a join back. The
+    // kernel is pinned ≡ the hashed-count join form (w15's oracle
+    // replays that form in SQL against the kernel output), and qual's
+    // persisted `script` column is the same dominantScript expression
+    // score() derived internally.
     val ref = qual.filter(col("doc_id") % 3 === 0).select("doc_id", "text2")
     val (c2, c1) = ScriptLm.hashedCounts(ref, "text2",
       TextQueries.SLmB2, TextQueries.SLmB1)
-    val lmScored = stage(ScriptLm.score(qual.select("doc_id", "text2"),
-      c2, c1, TextQueries.SLmB2, TextQueries.SLmB1, "text2", "doc_id"))
+    val lmArr = ScriptLm.denseCounts(c2, c1,
+      TextQueries.SLmB2, TextQueries.SLmB1)
+    val st = graft.functions.ScriptLmScore(
+      ScriptText.tokens(col("text2")), ScriptLm.scriptIndex(col("script")),
+      lmArr._1, lmArr._2, TextQueries.SLmB2, TextQueries.SLmB1)
+    val lmScored = stage(qual
+      .withColumn("__st", st)
+      .select(col("doc_id").as("id"), col("script"),
+        element_at(col("__st"), 1).as("n_grams"),
+        element_at(col("__st"), 2).as("nll_fp"),
+        (col("script") =!= "none" && element_at(col("__st"), 1) > 0L)
+          .as("lm_scorable")))
     val cuts = ScriptLm.percentileCuts(lmScored,
       TextQueries.SLmKeepNum, TextQueries.SLmKeepDen)
     val lmKept = lmScored.join(broadcast(cuts), Seq("script"), "left_outer")

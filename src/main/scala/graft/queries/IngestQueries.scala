@@ -184,14 +184,21 @@ object IngestQueries {
     val folded =
       Components.incrementalComponents(stored, newPairs, "ida", "idb")
         .lockedCheckpoint()
-    val lake = corpus.unionByName(d2).lockedCheckpoint()
+    // no checkpoint on the lake (r13): corpus is persisted and d2 is
+    // already a checkpoint, so the union is free to re-derive — the
+    // old checkpoint re-materialized a full corpus-sized copy of rows
+    // that were already materialized on both sides
+    val lake = corpus.unionByName(d2)
     val scored = lake.select(col("doc_id").as("id"),
       TextAnalysis.qualityE4("text").as("q"))
     val kb = Components.keepBest(folded, scored, "id", "component_id", "q")
       .select(col("id").as("doc_id"), col("component_id"), col("keep"))
       .lockedCheckpoint()
-    val kept = stage(lake.join(
-      kb.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti"))
+    // kept has ONE consumer in the query (the manifest rollup; the
+    // spec's extra reads are test-side) — a persist would be pure
+    // cache write-through (r13)
+    val kept = lake.join(
+      kb.filter(!col("keep")).select("doc_id"), Seq("doc_id"), "left_anti")
 
     // stage 4: BM25 state fold (index covers the post-exact-dedup lake;
     // non-canonical docs are filtered at serving time by the membership
