@@ -599,6 +599,7 @@ object StreamQueries {
     val probs = counts.crossJoin(broadcast(nMin))
       .select(col("lang"),
         sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+      .localCheckpoint(true)
     val sampled = graft.text.Sampling.weightedSample(gated, "lang", "doc_id",
       probs)
     val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text",
@@ -1005,9 +1006,14 @@ object StreamQueries {
     val gated = graft.ops.StagePersists.track(
       w15Gated(w15PlantedFrom(base), hashes, refBuckets, lm, cuts))
     val counts = gated.groupBy("script").agg(count(lit(1)).as("__n"))
+    // checkpointed like the w15Control original: the one-row
+    // broadcast cross (the documented totals pattern) must not ride
+    // into the data-plane plan, where the blanket no-BNLJ plan-shape
+    // pin (ScaleSpec) would flag it
     val probs = counts.crossJoin(broadcast(counts.agg(min("__n").as("__nmin"))))
       .select(col("script"),
         sqrt(col("__nmin").cast("double") / col("__n").cast("double")).as("p"))
+      .localCheckpoint(true)
     val sampled = graft.text.Sampling.weightedSample(gated, "script",
       "doc_id", probs)
     val chunks = graft.text.Chunking.tokenChunks(sampled, "doc_id", "text2",
