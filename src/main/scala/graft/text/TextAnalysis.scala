@@ -383,13 +383,15 @@ object TextAnalysis {
     // corpus-sized explode — the dominant stage — runs once. Tracked in
     // StagePersists: long-lived sessions release via
     // StagePersists.release(spark) after materializing the result.
+    // fused native kernel (r13): the per-CHARACTER higher-order
+    // transform + substr chain was CodegenFallback — a closure call and
+    // a fresh substring per character of every document; CharShingles
+    // is the flat loop, pinned bit-identical in CharShinglesSpec (the
+    // retained reference form below it).
     val tris = graft.ops.StagePersists.track(df
       .select(col(s"`$idCol`").as("id"), lower(col(s"`$textCol`")).as("__t"))
       .select(col("id"), explode(
-        when(length(col("__t")) >= 3,
-          array_distinct(transform(sequence(lit(1), length(col("__t")) - 2),
-            i => substr(col("__t"), i, lit(3)))))
-          .otherwise(array().cast("array<string>"))).as("tri")))
+        graft.functions.CharShingles(col("__t"), 3)).as("tri")))
     val docFreq = tris.groupBy("tri").agg(count(lit(1)).as("df"))
     val perDoc = tris.join(docFreq, "tri").groupBy("id").agg(
       count(lit(1)).as("n_trigrams"),
@@ -399,4 +401,13 @@ object TextAnalysis {
         coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
         col("familiarity"))
   }
+
+  /** The original higher-order Column formulation of the distinct char
+    * trigram array — retained as the executable REFERENCE the native
+    * kernel is spec-pinned against (never on a hot path). */
+  private[graft] def charTrigramsReference(t: Column): Column =
+    when(length(t) >= 3,
+      array_distinct(transform(sequence(lit(1), length(t) - 2),
+        i => substr(t, i, lit(3)))))
+      .otherwise(array().cast("array<string>"))
 }
