@@ -586,6 +586,16 @@ object Dedup {
     * pair join, so corpus-wide boilerplate costs one row per
     * occurrence, not a quadratic pair set) → per-doc covered-position
     * union (arrays bounded by document length) → map-side rewrite. */
+  /** The original higher-order Column formulation of the positioned
+    * window-gram array — retained as the executable REFERENCE the
+    * [[graft.functions.PosShingles]] kernel is spec-pinned against. */
+  private[graft] def posShinglesReference(ws: Column, k: Int): Column =
+    when(size(ws) >= k,
+      transform(sequence(lit(0), size(ws) - k),
+        i => struct(i.as("pos"),
+          array_join(slice(ws, i + lit(1), lit(k)), " ").as("g"))))
+      .otherwise(array().cast("array<struct<pos:int,g:string>>"))
+
   def exactSubstringDedup(df: DataFrame, textCol: String, idCol: String,
       k: Int = 10): DataFrame = {
     val ws = col("__ws")
@@ -595,12 +605,12 @@ object Dedup {
     // the corpus-sized window explode — the dominant stage — runs once
     // (the t15 trigramFamiliarity convention; StagePersists release
     // contract applies)
+    // fused native kernel (r13): the higher-order transform/slice chain
+    // was CodegenFallback — a closure and a fresh slice array per
+    // window on the corpus scan; PosShingles is the flat loop, pinned
+    // bit-identical in PosShinglesSpec (reference form retained below).
     val occ = graft.ops.StagePersists.track(toks.select(col("id"),
-        explode(when(size(ws) >= k,
-            transform(sequence(lit(0), size(ws) - k),
-              i => struct(i.as("pos"),
-                array_join(slice(ws, i + lit(1), lit(k)), " ").as("g"))))
-          .otherwise(array().cast("array<struct<pos:int,g:string>>"))).as("o"))
+        explode(graft.functions.PosShingles(ws, k)).as("o"))
       .select(col("o.g").as("g"), col("id"), col("o.pos").as("pos")))
     val first = occ.groupBy("g")
       .agg(min(struct(col("id"), col("pos"))).as("f"))
